@@ -1,0 +1,195 @@
+"""Event-time window operators (batch + streaming shared logic).
+
+Reference semantics: Wallaroo windows (`lib/wallaroo/core/windows/windows.pony:37-115`,
+`panes_range_windows.pony:61-424`) — per-key event-time tumbling/sliding/count
+windows and the per-message "global window" aggregation
+(`windows.pony:160-238`). We implement them Spark-first:
+
+- tumbling/sliding → native ``F.window`` (Catalyst expands sliding windows;
+  partial aggregation happens map-side before the shuffle, so one shuffle by
+  (key, window) regardless of data size — the scalable plan);
+- global (running) aggregation → streaming: update-mode groupBy agg; batch:
+  ``Window.partitionBy(key).orderBy(ts)`` running frame;
+- count windows → no native operator: batch = row_number over (key, ts) then
+  group by floor((rn-1)/n); streaming = applyInPandasWithState (see
+  ``wallaroo_spark.streaming.state``);
+- ephemeral/session windows → native ``F.session_window``.
+
+All windows are **aligned** (epoch-aligned boundaries). The reference's
+default unaligned-random-offset mode (`panes_range_windows.pony:97-100`) is a
+load-smoothing trick, not user semantics — documented divergence (SURVEY §4).
+
+Scale notes: every operator here is a single hash shuffle on (key[, window])
+with map-side partial aggregation. Sliding windows multiply rows by
+range/slide before the shuffle — at 100 TB prefer slide ≥ range/4 or a
+pane-style two-level agg (tumble at gcd then re-window), provided via
+``sliding_panes``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _window_bounds(w: Column) -> list[Column]:
+    return [w.start.alias("window_start"), w.end.alias("window_end")]
+
+
+def tumbling(
+    df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    size: str,
+) -> DataFrame:
+    """Tumbling event-time window per key (aligned).
+
+    Maps reference S5 (`windows.pony:37-79`). One shuffle on (keys, window);
+    Catalyst does map-side partial agg first.
+    """
+    w = F.window(F.col(ts), size)
+    return (
+        df.groupBy(*keys, w.alias("w"))
+        .agg(*aggs)
+        .select(*keys, F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *[c for c in _agg_names(aggs)])
+    )
+
+
+def _agg_names(aggs: Sequence[Column]) -> list[str]:
+    # Column objects carry their alias in the expression; after .agg() the
+    # output columns are exactly the alias names. Extract via the plan name.
+    names = []
+    for c in aggs:
+        # str(Column) looks like "Column<'sum(x) AS total'>"
+        s = str(c)
+        if " AS " in s:
+            names.append(s.rsplit(" AS ", 1)[1].rstrip("'>").rstrip("`").lstrip("`"))
+        else:  # pragma: no cover - callers should always alias
+            raise ValueError(f"aggregate column must be aliased: {s}")
+    return names
+
+
+def sliding(
+    df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    size: str,
+    slide: str,
+) -> DataFrame:
+    """Sliding event-time window (range=size, slide=slide), aligned.
+
+    Maps reference S6 (`windows.pony:50-76`; pane impl
+    `panes_range_windows.pony:392-409`). Spark expands each row into
+    size/slide windows then partial-aggregates map-side — equivalent work to
+    the reference's pane combine, without custom state.
+    """
+    w = F.window(F.col(ts), size, slide)
+    return (
+        df.groupBy(*keys, w.alias("w"))
+        .agg(*aggs)
+        .select(*keys, F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *_agg_names(aggs))
+    )
+
+
+def sliding_panes(
+    df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    pane_aggs: Sequence[Column],
+    final_aggs: Sequence[Column],
+    size: str,
+    slide: str,
+) -> DataFrame:
+    """Two-level sliding window for large range/slide ratios.
+
+    Reference's pane optimization (`panes_range_windows.pony:61-115`): partial
+    aggregate into gcd(range, slide) panes, then combine panes per window.
+    Use when range/slide > ~8: row expansion happens on the (much smaller)
+    pane aggregates instead of raw rows. ``pane_aggs`` aggregate raw rows into
+    panes; ``final_aggs`` combine pane rows (they see the pane_agg output
+    columns).
+    """
+    pane = F.window(F.col(ts), slide)  # pane size = slide (gcd when slide|size)
+    panes = df.groupBy(*keys, pane.alias("p")).agg(*pane_aggs)
+    w = F.window(F.col("p.start"), size, slide)
+    return (
+        panes.groupBy(*keys, w.alias("w"))
+        .agg(*final_aggs)
+        .select(*keys, F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *_agg_names(final_aggs))
+    )
+
+
+def count_windows(
+    df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    n: int,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Tumbling count window: per key, every n messages form one window.
+
+    Maps reference S9 (`windows.pony:106-115,428-531`): trigger + reset every
+    n messages per key. Batch semantics = deterministic ts order per key
+    (tiebreak columns make it total). Single shuffle on keys; row_number is
+    computed within the sorted partition (sort-based, spills fine).
+    Streaming version: ``wallaroo_spark.streaming.state.count_window_stream``.
+    """
+    order = [F.col(ts)] + [F.col(c) for c in order_tiebreak]
+    rn = F.row_number().over(Window.partitionBy(*keys).orderBy(*order))
+    win_id = F.floor((rn - 1) / F.lit(n)).cast("long").alias("window_id")
+    return df.withColumn("window_id", win_id).groupBy(*keys, "window_id").agg(*aggs)
+
+
+def running(
+    df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    exprs: dict[str, Column],
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Global-window running aggregation: emit one output per input message.
+
+    Maps reference S10 (`windows.pony:160-238`): bare ``.to(Agg)`` emits
+    output(key, event_ts, acc) on every message, state retained forever.
+    Batch = window-function running frame (rows between unbounded preceding
+    and current). ``exprs`` maps output name → aggregate Column (e.g.
+    ``{"total": F.sum("amount")}``); each is applied over the running frame.
+    """
+    order = [F.col(ts)] + [F.col(c) for c in order_tiebreak]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for name, agg in exprs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out
+
+
+def session_windows(
+    df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    gap: str,
+) -> DataFrame:
+    """Session (gap-based) windows — closest native analog of reference S11
+    ephemeral windows (`windows.pony:81-104`, `ephemeral_window.pony:65-166`).
+
+    A session closes after ``gap`` of per-key silence; Spark merges adjacent
+    sessions natively (batch + streaming). Exact ephemeral trigger/post-trigger
+    semantics live in the custom state op (streaming module).
+    """
+    w = F.session_window(F.col(ts), gap)
+    return (
+        df.groupBy(*keys, w.alias("w"))
+        .agg(*aggs)
+        .select(*keys, F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *_agg_names(aggs))
+    )
