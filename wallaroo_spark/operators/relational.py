@@ -1,0 +1,51 @@
+"""Relational batch surface (SURVEY §2.6).
+
+The reference has **no** built-in relational operators — its users compose
+join/top-k/distinct from keyed state (`market_spread.py:58-103`). Our engine
+exposes Spark's native relational algebra directly, which both subsumes those
+compositions and is the batch correctness surface the driver checks.
+
+Everything here is plain DataFrame API — zero custom code in the hot path —
+so Catalyst gives predicate pushdown, column pruning, join reordering,
+broadcast selection and AQE for free. The helpers encode the *scale
+decisions*: which side broadcasts, where partial aggregation happens, when a
+two-phase (local top-k → global) pattern avoids a full sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Fact-to-dimension join with an explicit broadcast hint.
+
+    At 100 TB the fact side never fits a hash map but dims (region/nation/
+    part/supplier at typical ratios) do; broadcasting eliminates the shuffle
+    of the fact table entirely. AQE would usually pick this, but being
+    explicit keeps the plan stable under stats drift.
+    """
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k without a global sort: Spark's TakeOrderedAndProject
+    computes per-partition top-k then merges k·p rows on the driver."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column], k: int, dense: bool = False
+) -> DataFrame:
+    """Top-k within each group via ranked window; one shuffle on keys.
+
+    For heavily skewed groups at scale, pre-aggregate or pre-filter before
+    the window (AQE skew-join doesn't split window partitions).
+    """
+    fn = F.dense_rank() if dense else F.row_number()
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("rk", fn.over(w)).filter(F.col("rk") <= k).drop("rk")
