@@ -1,0 +1,66 @@
+"""Deterministic, engine-portable hashing primitives.
+
+Dedup operators (minhash, simhash, fingerprints) need hash functions that
+produce IDENTICAL values in Spark (JVM) and DuckDB (oracle) — so we build
+them from md5, the one hash both engines share, instead of engine-native
+hash() (Spark=murmur3, DuckDB=its own).
+
+    md5int(s)  = int(md5(s)[:15], 16)            # 60-bit, exact in BIGINT
+    hmod(s)    = md5int(s) % MERSENNE31          # 31-bit universe
+    perm_i(h)  = (A[i]*h + B[i]) % MERSENNE31    # k permutations, no overflow
+                                                  # (31-bit * 31-bit < 2^63)
+
+A/B are fixed odd constants (seeded once, hard-coded) — NOT runtime random:
+reproducibility across engines, sessions and cluster restarts is the point.
+Each builder returns both a Spark Column and the equivalent DuckDB SQL
+expression string, guaranteeing the pair stays in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1
+
+# 16 fixed (a, b) pairs, generated once from random.Random(42), a odd, 1<=a,b<M.
+PERM_A = [
+    1288037154, 1828552847, 261705087, 495512105,
+    465580443, 1091308319, 1871627125, 260292309,
+    1986996126, 1438303143, 1134007167, 1030862653,
+    1304752497, 407964379, 715711525, 1510766079,
+]
+PERM_B = [
+    1655679808, 1993819399, 1229934883, 960747059,
+    297290371, 1496368016, 1482396501, 1261788016,
+    1147803924, 477243700, 1903995082, 25417352,
+    1477329071, 1867687379, 1945467405, 340559595,
+]
+N_PERM = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # N_PERM = LSH_BANDS * LSH_ROWS
+
+
+def md5int_col(c: Column) -> Column:
+    """60-bit integer from md5 hex prefix — matches md5int_sql exactly."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5int_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def hmod_col(c: Column) -> Column:
+    return md5int_col(c) % F.lit(MERSENNE31)
+
+
+def hmod_sql(expr: str) -> str:
+    return f"({md5int_sql(expr)} % {MERSENNE31})"
+
+
+def perm_col(h: Column, i: int) -> Column:
+    return (F.lit(PERM_A[i]) * h + F.lit(PERM_B[i])) % F.lit(MERSENNE31)
+
+
+def perm_sql(hexpr: str, i: int) -> str:
+    return f"(({PERM_A[i]} * {hexpr} + {PERM_B[i]}) % {MERSENNE31})"

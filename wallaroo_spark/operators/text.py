@@ -1,0 +1,82 @@
+"""Text-analysis operators for training-data pipelines.
+
+Not in the reference (its scalar layer is user Python — SURVEY §2.3); these
+are the operations a 100 TB LLM-data pipeline runs over a `documents` table:
+token statistics, language ID (stopword heuristic), quality scoring,
+document fingerprinting. All pure Column expressions — JVM-side, whole-stage
+codegen, no UDFs — so they run at scan speed and their DuckDB oracles are
+direct transliterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small fixed English stopword list (public knowledge); shared with oracles.
+EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+WORD_RE = "[a-z]+|[0-9]+"  # BPE-ish: alpha runs and digit runs as tokens
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens, empties removed."""
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def token_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics (count, distinct, avg length, regex
+    tokens, stopword count)."""
+    toks = tokens(F.col(text))
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+        F.size(F.regexp_extract_all(F.col(text), F.lit(WORD_RE), 0)).alias("n_re_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))).alias("n_stopwords"),
+    )
+
+
+def language_id(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-ratio language heuristic: 'en' iff >= 8% of tokens are English
+    stopwords, else 'unk'. (An n-gram model plugs in the same shape.)"""
+    toks = tokens(F.col(text))
+    ratio = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    return df.select(
+        id_col,
+        F.round(ratio, 4).alias("stopword_ratio"),
+        F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: length band + type/token ratio +
+    stopword presence — the standard cheap pre-filter before expensive
+    dedup/model scoring."""
+    toks = tokens(F.col(text))
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
+    stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))) / F.greatest(n, F.lit(1))
+    len_ok = F.when((n >= 5) & (n <= 500), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = F.round(0.4 * len_ok + 0.4 * ttr + 0.2 * F.least(stop * 5, F.lit(1.0)), 4)
+    return df.select(id_col, score.alias("quality"), n.alias("n_tokens"))
+
+
+def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalization fingerprint: md5 over lowercased, whitespace-collapsed
+    text, plus a word-order-insensitive variant (sorted tokens) that catches
+    shuffled duplicates."""
+    norm = F.regexp_replace(F.lower(F.col(text)), r"\s+", " ")
+    sorted_norm = F.concat_ws(" ", F.array_sort(tokens(F.col(text))))
+    return df.select(
+        id_col,
+        F.md5(norm).alias("fp_exact"),
+        F.md5(sorted_norm).alias("fp_bag"),
+    )

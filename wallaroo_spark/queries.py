@@ -662,3 +662,293 @@ def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in ["click", "view", "purchase"]
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension operators: text analysis / dedup / similarity (training-data
+# pipeline surface — BASELINE.json north star). Oracles for the hash-based
+# operators are GENERATED from the same constants as the Spark impls
+# (wallaroo_spark.functions.hashing) so both engines stay in lockstep.
+# ---------------------------------------------------------------------------
+
+from wallaroo_spark.functions import hashing as H
+from wallaroo_spark.operators import dedup, similarity, text
+
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in text.EN_STOPWORDS) + ")"
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_SHINGLES_CTE = f"""
+    words AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    widx AS (SELECT doc_id, w,
+                    unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+             FROM words),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM widx),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+"""
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_types,
+           round(coalesce(list_sum(list_transform(t, x -> length(x))), 0)::DOUBLE
+                 / greatest(len(t), 1), 4) AS avg_token_len,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens,
+           len(list_filter(t, x -> x IN {_STOP_SQL})) AS n_stopwords
+    FROM toks
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + regex) — pure Column exprs, scan speed."""
+    return text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    r AS (SELECT doc_id,
+                 len(list_filter(t, x -> x IN {_STOP_SQL}))::DOUBLE
+                 / greatest(len(t), 1) AS ratio
+          FROM toks)
+    SELECT doc_id, round(ratio, 4) AS stopword_ratio,
+           CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'unk' END AS pred_lang
+    FROM r
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword ratio)."""
+    return text.language_id(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    m AS (SELECT doc_id, len(t) AS n,
+                 len(list_distinct(t))::DOUBLE / greatest(len(t), 1) AS ttr,
+                 len(list_filter(t, x -> x IN {_STOP_SQL}))::DOUBLE
+                 / greatest(len(t), 1) AS stop
+          FROM toks)
+    SELECT doc_id,
+           round(0.4 * (CASE WHEN n BETWEEN 5 AND 500 THEN 1.0 ELSE 0.0 END)
+                 + 0.4 * ttr + 0.2 * least(stop * 5, 1.0), 4) AS quality,
+           n AS n_tokens
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality pre-filter score."""
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_exact,
+           md5(array_to_string(list_sort({_TOKS_SQL}), ' ')) AS fp_bag
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (exact + bag-of-words md5)."""
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "exact_dedup_first_per_group",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+    """,
+)
+def exact_dedup_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep first doc per (lang, source) group."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, by=["lang", "source"], id_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b USING (sh)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    j AS (SELECT doc_a, doc_b,
+                 round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jaccard
+          FROM inter
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.7
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.7)."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.7)
+
+
+def _minhash_sig_sql() -> str:
+    h = f"({H.md5int_sql('sh')} % {H.MERSENNE31})"
+    mins = ", ".join(
+        f"min({H.perm_sql('h', i)}) AS mh{i}" for i in range(H.N_PERM)
+    )
+    return f"""
+    hsh AS (SELECT doc_id, {h} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hsh GROUP BY doc_id)
+    """
+
+
+def _minhash_band_joins() -> str:
+    parts = []
+    for b in range(H.LSH_BANDS):
+        cols = [f"mh{b * H.LSH_ROWS + r}" for r in range(H.LSH_ROWS)]
+        cond = " AND ".join(f"a.{c} = b.{c}" for c in cols)
+        parts.append(
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b"
+            f" ON {cond} AND a.doc_id < b.doc_id"
+        )
+    return " UNION ".join(parts)
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    cand AS ({_minhash_band_joins()}),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b USING (sh)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    j AS (SELECT i.doc_a, i.doc_b,
+                 round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+          FROM inter i
+          JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+          JOIN sz sa ON sa.doc_id = i.doc_a
+          JOIN sz sb ON sb.doc_id = i.doc_b)
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4x4) candidate pairs, exact-Jaccard verified >= 0.5."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _simhash_sql() -> str:
+    hw = f"({H.md5int_sql('w')} % {1 << dedup.SIMHASH_BITS})"
+    votes = ", ".join(
+        f"sum(2 * ((hw >> {i}) & 1) - 1) AS v{i}" for i in range(dedup.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents),
+    h AS (SELECT doc_id, {hw} AS hw FROM w),
+    v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+    """
+
+
+@query("simhash_docs", oracle=_simhash_sql())
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit frequency-weighted SimHash fingerprint per document."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+_COS_SQL = (
+    "list_dot_product(qv, v) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))"
+)
+
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+    s AS (SELECT q.qid AS query_id, c.vec_id AS vec_id, {_COS_SQL} AS cos FROM c, q),
+    r AS (SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM s)
+    SELECT query_id, vec_id, round(cos, 4) AS cosine, rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (queries = vec_id < 10)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        corpus=emb.filter(F.col("vec_id") >= 10),
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=5,
+    )
+
+
+def _bkt_sql(prefix: str = "embedding") -> str:
+    terms = [
+        f"(CASE WHEN {prefix}[{d + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(similarity.LSH_DIMS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "similarity_topk_lsh_bucketed",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_bkt_sql()} AS bkt FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, bkt FROM e WHERE vec_id < 10),
+    c AS (SELECT vec_id, v, bkt FROM e WHERE vec_id >= 10),
+    s AS (SELECT q.qid AS query_id, c.vec_id AS vec_id, {_COS_SQL} AS cos
+          FROM c JOIN q USING (bkt)),
+    r AS (SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM s)
+    SELECT query_id, vec_id, round(cos, 4) AS cosine, rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def similarity_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (sign-bit LSH) approximate top-3 — the scale path: equi-join
+    on bucket instead of cross join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.bucketed_topk(
+        corpus=emb.filter(F.col("vec_id") >= 10),
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=3,
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, len(embedding) AS dim,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column hygiene stats (dim, L2 norm) — pure map."""
+    return similarity.embedding_norms(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props column (§2.6 freebie)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", F.get_json_object("props", "$.k").cast("int").alias("k"))
