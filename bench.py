@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Execution is forced with the noop sink (full computation, no driver
+collect) — measures engine throughput, not result-transfer. The suite
+covers every operator family: windows, state/as-of, relational joins,
+dedup, similarity, text.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tumbling_window_sum",
+    "sliding_window_sum",
+    "count_window_sum",
+    "running_total",
+    "session_window_agg",
+    "asof_enrich",
+    "stateless_filter_alerts",
+    "word_count",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "top_orders_per_customer",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "similarity_topk_bruteforce",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from wallaroo_spark.session import get_spark
+    from wallaroo_spark.queries import QUERIES
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths with one tiny query
+    QUERIES["global_collect_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    # rows/s over the events-stream queries (the reference's headline axis)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    stream_qs = [
+        "tumbling_window_sum", "sliding_window_sum", "count_window_sum",
+        "running_total", "session_window_agg", "asof_enrich", "stateless_filter_alerts",
+    ]
+    stream_sec = sum(timings[q] for q in stream_qs)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "events_rows": n_events,
+                "stream_rows_per_sec": round(n_events * len(stream_qs) / stream_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

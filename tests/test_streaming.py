@@ -1,0 +1,182 @@
+"""Streaming parity tests: the same pipeline on a drained stream
+(availableNow) must produce the batch answer — the engine's substitute for
+the reference's integration harness (SURVEY §5: window_detector invariants,
+exactly-once scripts)."""
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wallaroo_spark.operators import windows as W
+from wallaroo_spark.streaming import state as S
+from wallaroo_spark.sinks import idempotent_parquet_sink
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="ws_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events(spark, n=60, keys=("a", "b", "c")):
+    rows = [
+        Row(key=k, ts=T0 + dt.timedelta(seconds=3 * i + j), v=float(i + 1))
+        for j, k in enumerate(keys)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _stream_from(spark, df, path):
+    df.write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(df.schema).parquet(path)
+
+
+def test_stream_tumbling_matches_batch(spark, tmpdir):
+    df = _events(spark)
+    sdf = _stream_from(spark, df, tmpdir + "/in")
+    windowed = (
+        sdf.withWatermark("ts", "10 seconds")
+        .groupBy("key", F.window("ts", "30 seconds").alias("w"))
+        .agg(F.sum("v").alias("s"))
+        .select("key", F.col("w.start").alias("ws"), "s")
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("t_tumb")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.ws): r.s for r in spark.sql("SELECT * FROM t_tumb").collect()
+    }
+    want = {
+        (r.key, r.window_start): r.s
+        for r in W.tumbling(df, "ts", ["key"], [F.sum("v").alias("s")], "30 seconds").collect()
+    }
+    # append mode emits only watermark-closed windows; all closed ones must match
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    # and the open tail is the only difference
+    assert len(want) - len(got) <= len({r[0] for r in want})
+
+
+def test_stream_count_windows_match_batch(spark, tmpdir):
+    df = _events(spark, n=23)
+    sdf = _stream_from(spark, df, tmpdir + "/in")
+    out = S.count_window_stream(sdf, ["key"], value_col="v", n=5, ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_cw")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.window_id): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_cw").collect()
+    }
+    want = {
+        (r.key, r.window_id): (r.c, r.s)
+        for r in W.count_windows(
+            df, "ts", ["key"], [F.count("*").alias("c"), F.sum("v").alias("s")], n=5
+        ).collect()
+        if r.c == 5  # stream emits only complete windows; partial tail stays in state
+    }
+    assert got == want
+
+
+def test_stream_keyed_state_running_total(spark, tmpdir):
+    df = _events(spark, n=10, keys=("a", "b"))
+    sdf = _stream_from(spark, df, tmpdir + "/in")
+
+    def run_total(row, state):
+        state["t"] = state.get("t", 0.0) + row["v"]
+        return [{"key": row["key"], "ts": row["ts"], "t": state["t"]}]
+
+    out = S.keyed_state_stream(
+        sdf,
+        ["key"],
+        run_total,
+        dict,
+        "key string, ts timestamp, t double",
+        "t double",
+        pack=lambda st: (st.get("t", 0.0),),
+        unpack=lambda tup: {"t": tup[0]},
+        ts_col="ts",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_state ORDER BY key, ts").collect()
+    a = [r.t for r in rows if r.key == "a"]
+    assert a == [1.0, 3.0, 6.0, 10.0, 15.0, 21.0, 28.0, 36.0, 45.0, 55.0]
+
+
+def test_stream_state_survives_restart(spark, tmpdir):
+    """Checkpoint recovery: second half of the data arrives after a restart;
+    running totals continue from state (reference: rollback/recovery tests)."""
+    df = _events(spark, n=10, keys=("a",))
+    first, second = df.filter(F.col("v") <= 5), df.filter(F.col("v") > 5)
+
+    def run_total(row, state):
+        state["t"] = state.get("t", 0.0) + row["v"]
+        return [{"key": row["key"], "t": state["t"]}]
+
+    sink = idempotent_parquet_sink(tmpdir + "/out")
+
+    def start(path):
+        sdf = spark.readStream.schema(df.schema).parquet(path)
+        out = S.keyed_state_stream(
+            sdf, ["key"], run_total, dict,
+            "key string, t double", "t double",
+            pack=lambda st: (st.get("t", 0.0),),
+            unpack=lambda tup: {"t": tup[0]},
+            ts_col="ts",
+        )
+        return (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update").option("checkpointLocation", tmpdir + "/chk")
+            .trigger(availableNow=True).start()
+        )
+
+    first.write.mode("overwrite").parquet(tmpdir + "/in")
+    q = start(tmpdir + "/in")
+    q.awaitTermination(120)
+    second.write.mode("append").parquet(tmpdir + "/in")
+    q2 = start(tmpdir + "/in")
+    q2.awaitTermination(120)
+    totals = sorted(
+        r.t for r in spark.read.option("recursiveFileLookup", "true").parquet(tmpdir + "/out").collect()
+    )
+    assert totals == [1.0, 3.0, 6.0, 10.0, 15.0, 21.0, 28.0, 36.0, 45.0, 55.0]
+
+
+def test_foreach_batch_sink_idempotent(spark, tmpdir):
+    """Exactly-once contract: re-writing the same batchId overwrites, never
+    duplicates (reference 2PC semantics, `connector_sink_twopc.pony:36-72`)."""
+    df = _events(spark, n=5, keys=("a",))
+    sink = idempotent_parquet_sink(tmpdir + "/out")
+    sink(df, 0)
+    sink(df, 0)  # redelivery of the same batch
+    got = spark.read.parquet(tmpdir + "/out").count()
+    assert got == 5

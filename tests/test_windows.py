@@ -1,0 +1,93 @@
+"""Window-family operator tests on deterministic synthetic sequences
+(the reference's window_detector pattern — per-key gap-free sequences,
+SURVEY §5)."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wallaroo_spark.operators import windows as W
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _seq_df(spark, n=20, keys=("a", "b"), step_s=2):
+    rows = [
+        Row(key=k, ts=T0 + dt.timedelta(seconds=i * step_s), v=i + 1)
+        for k in keys
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_tumbling_partitions_values_completely(spark):
+    df = _seq_df(spark)
+    out = W.tumbling(
+        df, "ts", ["key"], [F.sum("v").alias("s"), F.count("*").alias("c")], "10 seconds"
+    ).collect()
+    # every value lands in exactly one window: totals add up per key
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r.key, [0, 0])
+        per_key[r.key][0] += r.s
+        per_key[r.key][1] += r.c
+    assert per_key == {"a": [210, 20], "b": [210, 20]}
+    # 20 events * 2s = 40s span -> 4 windows of 10s per key
+    assert len(out) == 8
+    for r in out:
+        assert (r.window_end - r.window_start).total_seconds() == 10
+
+
+def test_sliding_each_event_in_range_over_slide_windows(spark):
+    df = _seq_df(spark)
+    out = W.sliding(df, "ts", ["key"], [F.count("*").alias("c")], "10 seconds", "5 seconds")
+    total = sum(r.c for r in out.collect())
+    # each event appears in exactly range/slide = 2 windows
+    assert total == 2 * 40
+
+
+def test_count_windows_exact_groups(spark):
+    df = _seq_df(spark, n=11, keys=("a",))
+    out = W.count_windows(
+        df, "ts", ["key"], [F.count("*").alias("c"), F.sum("v").alias("s")], n=4
+    ).orderBy("window_id").collect()
+    assert [r.c for r in out] == [4, 4, 3]
+    assert [r.s for r in out] == [1 + 2 + 3 + 4, 5 + 6 + 7 + 8, 9 + 10 + 11]
+
+
+def test_running_emits_per_message(spark):
+    df = _seq_df(spark, n=5, keys=("a",))
+    out = W.running(df, "ts", ["key"], {"rs": F.sum("v")}).orderBy("ts").collect()
+    assert [r.rs for r in out] == [1, 3, 6, 10, 15]
+
+
+def test_session_windows_split_on_gap(spark):
+    rows = [
+        Row(key="a", ts=T0 + dt.timedelta(seconds=s), v=1)
+        for s in [0, 5, 10, 100, 105, 300]
+    ]
+    df = spark.createDataFrame(rows)
+    out = W.session_windows(df, "ts", ["key"], [F.count("*").alias("c")], "30 seconds")
+    assert sorted(r.c for r in out.collect()) == [1, 2, 3]
+
+
+def test_sliding_panes_matches_direct_sliding(spark):
+    df = _seq_df(spark)
+    direct = W.sliding(df, "ts", ["key"], [F.sum("v").alias("s")], "20 seconds", "5 seconds")
+    panes = W.sliding_panes(
+        df,
+        "ts",
+        ["key"],
+        pane_aggs=[F.sum("v").alias("ps")],
+        final_aggs=[F.sum("ps").alias("s")],
+        size="20 seconds",
+        slide="5 seconds",
+    )
+    d = {(r.key, r.window_start): r.s for r in direct.collect()}
+    p = {(r.key, r.window_start): r.s for r in panes.collect()}
+    # panes cover full windows only where pane grid aligns — compare intersection
+    common = set(d) & set(p)
+    assert len(common) >= len(d) - 8  # edge windows may differ at stream tails
+    for k in common:
+        assert d[k] == p[k]

@@ -1,0 +1,221 @@
+"""Pipeline façade: the reference's stage algebra compiled to DataFrames.
+
+Mirrors the Python API surface (`machida/lib/wallaroo/__init__.py:90-173`):
+
+    p = Pipeline.source_df(df, ts_col="ts")          # S1
+    p = p.to(exprs or predicate or fn)               # S2 stateless
+    p = p.key_by("user_id")                          # S4
+    p = p.to_state(fn, init, out_schema, ...)        # S3 keyed state
+    p = p.to_tumbling("1 hour", aggs)                # S5 (S6/S9/S11 likewise)
+    p = p.merge(other)                               # S13
+    p.df                                             # terminal DataFrame
+    p.to_sink(...)                                   # S14
+
+A stage call just composes DataFrame transformations, so the whole pipeline
+is ONE Catalyst logical plan — stage fusion, pushdown and partial
+aggregation are automatic (the reference needed explicit coalescing,
+`application_distributor.pony:158-200`). The same Pipeline object works on a
+batch or a streaming DataFrame; `is_streaming` routes the stateful stages to
+the state-store implementation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wallaroo_spark.operators import compute as C
+from wallaroo_spark.operators import windows as W
+from wallaroo_spark.streaming import state as S
+
+
+def computation(name: str):
+    """Decorator parity with `@wallaroo.computation` — tags a Column-expr
+    builder or pandas fn with a stage name (`__init__.py:457-462`)."""
+
+    def deco(fn):
+        fn._wallaroo_stage = ("computation", name)
+        return fn
+
+    return deco
+
+
+def computation_multi(name: str):
+    def deco(fn):
+        fn._wallaroo_stage = ("computation_multi", name)
+        return fn
+
+    return deco
+
+
+def state_computation(name: str, initial_state: Callable[[], dict]):
+    """Decorator parity with `@wallaroo.state_computation(name, state=C)`."""
+
+    def deco(fn):
+        fn._wallaroo_stage = ("state_computation", name)
+        fn._initial_state = initial_state
+        return fn
+
+    return deco
+
+
+def key_extractor(fn):
+    fn._wallaroo_stage = ("key_extractor", getattr(fn, "__name__", "key"))
+    return fn
+
+
+class Pipeline:
+    def __init__(self, df: DataFrame, ts_col: str = "", key_cols: tuple[str, ...] = ()):
+        self.df = df
+        self.ts_col = ts_col
+        self.key_cols = key_cols
+
+    # -- S1 sources ---------------------------------------------------------
+    @classmethod
+    def source_df(cls, df: DataFrame, ts_col: str = "") -> "Pipeline":
+        return cls(df, ts_col=ts_col)
+
+    @classmethod
+    def source_parquet(cls, spark, path: str, ts_col: str = "") -> "Pipeline":
+        from wallaroo_spark.sources import read_parquet
+
+        return cls(read_parquet(spark, path), ts_col=ts_col)
+
+    def with_watermark(self, delay: str) -> "Pipeline":
+        """S7 `with_delay` — allowed lateness."""
+        return self._with(self.df.withWatermark(self.ts_col, delay))
+
+    # -- S2 stateless -------------------------------------------------------
+    def to(self, stage, **kw) -> "Pipeline":
+        """Stateless computation: dict[name, Column] = map; Column = filter
+        predicate; (fn, schema) via to_pandas for imperative logic."""
+        if isinstance(stage, dict):
+            return self._with(C.compute(self.df, stage, **kw))
+        if isinstance(stage, Column):
+            return self._with(C.compute_filter(self.df, stage))
+        raise TypeError(f"unsupported stage: {stage!r}")
+
+    def to_multi(self, array_expr: Column, out_name: str, keep: list[str] | None = None) -> "Pipeline":
+        return self._with(C.compute_multi(self.df, array_expr, out_name, keep))
+
+    def to_pandas(self, fn, schema) -> "Pipeline":
+        return self._with(C.compute_pandas(self.df, fn, schema))
+
+    # -- S4 key_by ----------------------------------------------------------
+    def key_by(self, *cols: str | Column) -> "Pipeline":
+        named = []
+        df = self.df
+        for i, c in enumerate(cols):
+            if isinstance(c, Column):
+                name = f"_key_{i}"
+                df = df.withColumn(name, c)
+                named.append(name)
+            else:
+                named.append(c)
+        return Pipeline(df, ts_col=self.ts_col, key_cols=tuple(named))
+
+    def collect_all(self) -> "Pipeline":
+        """S12 collect(): single global group (constant key)."""
+        return Pipeline(
+            self.df.withColumn("_key_all", F.lit(1)), ts_col=self.ts_col, key_cols=("_key_all",)
+        )
+
+    # -- S3 keyed state -----------------------------------------------------
+    def to_state(
+        self,
+        fn: S.StateFn,
+        initial_state: Callable[[], dict],
+        output_schema,
+        state_schema=None,
+        pack=None,
+        unpack=None,
+        timeout: str = "NoTimeout",
+    ) -> "Pipeline":
+        self._need_keys()
+        if self.df.isStreaming:
+            if state_schema is None or pack is None or unpack is None:
+                raise ValueError("streaming to_state needs state_schema/pack/unpack")
+            out = S.keyed_state_stream(
+                self.df, list(self.key_cols), fn, initial_state, output_schema,
+                state_schema, pack, unpack, ts_col=self.ts_col, timeout=timeout,
+            )
+        else:
+            out = S.keyed_state_batch(
+                self.df, list(self.key_cols), fn, initial_state, output_schema,
+                ts_col=self.ts_col,
+            )
+        return Pipeline(out, ts_col="", key_cols=self.key_cols)
+
+    # -- S5-S11 windows -----------------------------------------------------
+    def to_tumbling(self, size: str, aggs: Sequence[Column]) -> "Pipeline":
+        self._need_keys()
+        return self._with(W.tumbling(self.df, self.ts_col, list(self.key_cols), list(aggs), size))
+
+    def to_sliding(self, size: str, slide: str, aggs: Sequence[Column]) -> "Pipeline":
+        self._need_keys()
+        return self._with(
+            W.sliding(self.df, self.ts_col, list(self.key_cols), list(aggs), size, slide)
+        )
+
+    def to_count_windows(self, n: int, aggs_or_value, tiebreak: Sequence[str] = ()) -> "Pipeline":
+        self._need_keys()
+        if self.df.isStreaming:
+            out = S.count_window_stream(
+                self.df, list(self.key_cols), value_col=aggs_or_value, n=n, ts_col=self.ts_col
+            )
+        else:
+            out = W.count_windows(
+                self.df, self.ts_col, list(self.key_cols), list(aggs_or_value), n, tiebreak
+            )
+        return self._with(out)
+
+    def to_sessions(self, gap: str, aggs: Sequence[Column]) -> "Pipeline":
+        self._need_keys()
+        return self._with(
+            W.session_windows(self.df, self.ts_col, list(self.key_cols), list(aggs), gap)
+        )
+
+    def to_running(self, exprs: dict[str, Column], tiebreak: Sequence[str] = ()) -> "Pipeline":
+        self._need_keys()
+        return self._with(
+            W.running(self.df, self.ts_col, list(self.key_cols), exprs, tiebreak)
+        )
+
+    # -- S13 merge ----------------------------------------------------------
+    def merge(self, other: "Pipeline") -> "Pipeline":
+        return self._with(self.df.unionByName(other.df, allowMissingColumns=True))
+
+    # -- S14 sinks ----------------------------------------------------------
+    def to_sink_parquet(self, path: str, checkpoint: str | None = None):
+        if self.df.isStreaming:
+            return (
+                self.df.writeStream.format("parquet")
+                .option("path", path)
+                .option("checkpointLocation", checkpoint or path + "/_chk")
+                .trigger(availableNow=True)
+                .start()
+            )
+        self.df.write.mode("overwrite").parquet(path)
+        return None
+
+    def to_sink_foreach_batch(self, fn, checkpoint: str, output_mode: str = "update"):
+        # update mode: required by stateful stages (applyInPandasWithState);
+        # harmless for stateless ones under foreachBatch
+        return (
+            self.df.writeStream.foreachBatch(fn)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # -----------------------------------------------------------------------
+    def _with(self, df: DataFrame) -> "Pipeline":
+        return Pipeline(df, ts_col=self.ts_col, key_cols=self.key_cols)
+
+    def _need_keys(self) -> None:
+        if not self.key_cols:
+            raise ValueError("stage requires key_by() first (reference: key_by before state)")

@@ -84,9 +84,10 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
     """k=16 minhash values per document (columns mh0..mh15)."""
-    sh = _doc_shingles(df, id_col, text)
-    h = H.hmod_col(F.col("sh"))
-    aggs = [F.min(H.perm_col(h, i)).alias(f"mh{i}") for i in range(H.N_PERM)]
+    # project the md5 hash ONCE per shingle row, then run the 16 cheap
+    # arithmetic permutations over that column — not 16 md5 calls per row
+    sh = _doc_shingles(df, id_col, text).select(id_col, H.hmod_col(F.col("sh")).alias("h"))
+    aggs = [F.min(H.perm_col(F.col("h"), i)).alias(f"mh{i}") for i in range(H.N_PERM)]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -98,20 +99,36 @@ def minhash_lsh_pairs(
     Bands of 4 rows: candidates = equal on any band; then exact verify >=
     threshold. Linear shuffles; never all-pairs.
     """
-    sigs = minhash_signatures(df, id_col, text).cache()
-    cands = None
-    for b in range(H.LSH_BANDS):
-        cols = [f"mh{b * H.LSH_ROWS + r}" for r in range(H.LSH_ROWS)]
-        left = sigs.select(F.col(id_col).alias("doc_a"), *[F.col(c).alias(f"l_{c}") for c in cols])
-        right = sigs.select(F.col(id_col).alias("doc_b"), *[F.col(c).alias(f"r_{c}") for c in cols])
-        cond = [F.col(f"l_{c}") == F.col(f"r_{c}") for c in cols]
-        pair = (
-            left.join(right, cond)
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.distinct()
+    sigs = minhash_signatures(df, id_col, text)
+    # one row per (doc, band): band signature packed into a struct — a single
+    # self-equi-join on (band, sig) replaces LSH_BANDS separate joins (one
+    # shuffle; the standard bucket-join shape that scales linearly in docs)
+    bands = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.struct(
+                            *[
+                                F.col(f"mh{b * H.LSH_ROWS + r}").alias(f"r{r}")
+                                for r in range(H.LSH_ROWS)
+                            ]
+                        ).alias("sig"),
+                    )
+                    for b in range(H.LSH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "sig"])
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
 
     # exact-Jaccard verification of candidates only
     sh = _doc_shingles(df, id_col, text).cache()
