@@ -952,3 +952,373 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the events props column (§2.6 freebie)."""
     ev = _t(spark, sf_dir, "events")
     return ev.select("event_id", F.get_json_object("props", "$.k").cast("int").alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# Late-data policies (reference S8) — batch reference semantics defined in
+# operators/late_data.py; arrival order = event_id, size=1h, delay=10min
+# ---------------------------------------------------------------------------
+
+from wallaroo_spark.operators import late_data
+
+# arrival order: deterministic md5 permutation of ingest ids — simulates
+# shuffled network delivery (the raw table is perfectly time-ordered, which
+# would make every policy vacuously identical)
+# coarse order preserved (50-event chunks), shuffled within a chunk —
+# realistic jitter, so each policy behaves distinctly without degenerating
+_ARR_SQL = (
+    "((event_id // 50) * 4294967296 + "
+    + H.md5int_sql("CAST(event_id AS VARCHAR)")
+    + " % 4294967296)"
+)
+
+_LATE_BASE = f"""
+    base AS (
+        SELECT user_id, event_id, value, epoch(ts) AS ep,
+               max(epoch(ts)) OVER (PARTITION BY user_id ORDER BY {_ARR_SQL}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 600 AS wm,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS own_win
+        FROM events
+    ),
+    flagged AS (SELECT *, (own_win + 3600 <= wm) AS late FROM base)
+"""
+
+
+@query(
+    "late_policy_drop",
+    oracle=f"""
+    WITH {_LATE_BASE}
+    SELECT user_id, own_win AS window_start, own_win + 3600 AS window_end,
+           count(*) AS n_events, round(sum(value), 2) AS total_value,
+           FALSE AS is_late_fire
+    FROM flagged WHERE NOT late
+    GROUP BY 1, 2, 3
+    """,
+)
+def late_policy_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 drop policy: late rows (window closed by per-key watermark) discarded."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_arr",
+        (F.col("event_id") / 50).cast("long") * F.lit(4294967296)
+        + H.md5int_col(F.col("event_id").cast("string")) % F.lit(4294967296),
+    )
+    return late_data.windowed_with_late_policy(
+        ev, "ts", ["user_id"],
+        [F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")],
+        size=3600, delay=600, policy=late_data.DROP, arrival_col="_arr",
+    )
+
+
+@query(
+    "late_policy_fire_per_message",
+    oracle=f"""
+    WITH {_LATE_BASE}
+    SELECT user_id, own_win AS window_start, own_win + 3600 AS window_end,
+           count(*) AS n_events, round(sum(value), 2) AS total_value,
+           FALSE AS is_late_fire
+    FROM flagged WHERE NOT late
+    GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT user_id, CAST(floor(ep) AS BIGINT) AS window_start,
+           CAST(floor(ep) AS BIGINT) AS window_end,
+           count(*) AS n_events, round(sum(value), 2) AS total_value,
+           TRUE AS is_late_fire
+    FROM flagged WHERE late
+    GROUP BY user_id, ep
+    """,
+)
+def late_policy_fire_per_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 fire_per_message: each late row becomes its own singleton window."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_arr",
+        (F.col("event_id") / 50).cast("long") * F.lit(4294967296)
+        + H.md5int_col(F.col("event_id").cast("string")) % F.lit(4294967296),
+    )
+    return late_data.windowed_with_late_policy(
+        ev, "ts", ["user_id"],
+        [F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")],
+        size=3600, delay=600, policy=late_data.FIRE_PER_MESSAGE, arrival_col="_arr",
+    )
+
+
+@query(
+    "late_policy_place_in_oldest",
+    oracle=f"""
+    WITH {_LATE_BASE},
+    assigned AS (
+        SELECT user_id, value,
+               CASE WHEN late THEN CAST(floor(wm / 3600) AS BIGINT) * 3600
+                    ELSE own_win END AS win
+        FROM flagged
+    )
+    SELECT user_id, win AS window_start, win + 3600 AS window_end,
+           count(*) AS n_events, round(sum(value), 2) AS total_value,
+           FALSE AS is_late_fire
+    FROM assigned
+    GROUP BY 1, 2, 3
+    """,
+)
+def late_policy_place_in_oldest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 place_in_oldest_window: late rows join the oldest still-open window."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_arr",
+        (F.col("event_id") / 50).cast("long") * F.lit(4294967296)
+        + H.md5int_col(F.col("event_id").cast("string")) % F.lit(4294967296),
+    )
+    return late_data.windowed_with_late_policy(
+        ev, "ts", ["user_id"],
+        [F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")],
+        size=3600, delay=600, policy=late_data.PLACE_IN_OLDEST_WINDOW, arrival_col="_arr",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (stub decode — operators/multimodal.py). The stub's
+# deterministic arithmetic is SQL-expressible, so even the stub path gets a
+# real oracle; swap the stub for PIL/ffmpeg and only the kernel body changes.
+# ---------------------------------------------------------------------------
+
+from wallaroo_spark.operators import multimodal
+
+
+@query(
+    "multimodal_image_meta",
+    oracle="""
+    SELECT doc_id,
+           16 + ascii(substr(text, 1, 1)) % 64 AS width,
+           16 + ascii(substr(text, length(text), 1)) % 64 AS height,
+           1 + CAST(length(text) % 3 AS INTEGER) AS channels,
+           'jpg' AS format
+    FROM documents
+    """,
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> decoded metadata (stub kernel, real plumbing:
+    Arrow-batched mapInPandas, bounded memory per batch)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    return multimodal.attach_image_meta(media).select(
+        "doc_id", "width", "height", "channels", "format"
+    )
+
+
+@query("multimodal_features")  # rows-only: histogram kernel not SQL-expressible
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media -> fixed-dim feature vector (batched-inference shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    return multimodal.extract_features(media, dim=8)
+
+
+# ---------------------------------------------------------------------------
+# Additional relational / scalar-function coverage (§2.6 freebies)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_lag_lead_rank",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER w, 2) AS delta_prev,
+           round(lead(value) OVER w, 2) AS next_value,
+           rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+           round(epoch(ts) - epoch(lag(ts) OVER w), 3) AS secs_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window functions: lag/lead/rank per key."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+        F.rank().over(wr).alias("value_rank"),
+        F.round(
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w), 3
+        ).alias("secs_since_prev"),
+    )
+
+
+@query(
+    "string_functions_battery",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_uc,
+           lower(c_mktsegment) AS seg_lc,
+           substr(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           replace(c_name, '#', '-') AS name_dash,
+           concat(c_mktsegment, ':', c_name) AS tagged,
+           trim(concat('  ', c_name, '  ')) AS trimmed,
+           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one
+    FROM customer
+    """,
+)
+def string_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (reference has none built in — §2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_uc"),
+        F.lower("c_mktsegment").alias("seg_lc"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dash"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("tagged"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),
+    )
+
+
+@query(
+    "date_functions_battery",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           dayofweek(o_orderdate) + 1 AS dow,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def date_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface. (DuckDB dayofweek is 0-based Sunday;
+    Spark dayofweek is 1-based Sunday — oracle offsets by +1.)"""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@query(
+    "percentiles_by_group",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@query(
+    "set_ops_customers",
+    oracle="""
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    UNION ALL
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+     EXCEPT
+     SELECT o_custkey FROM orders)
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building_urgent = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .intersect(o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("c_custkey")))
+    )
+    machinery_no_orders = (
+        c.filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey")
+        .exceptAll(o.select(F.col("o_custkey").alias("c_custkey"))).distinct()
+    )
+    return building_urgent.unionAll(machinery_no_orders)
+
+
+@query(
+    "cube_order_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "exact_dedup_full_rows",
+    oracle="""
+    WITH doubled AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, text FROM doubled GROUP BY text
+    """,
+)
+def exact_dedup_full_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at scale shape: duplicate corpus (self-union with shifted
+    ids) -> group by content hash, keep min id. One shuffle on the text hash."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return doubled.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "text")
+
+
+@query(
+    "array_functions_battery",
+    oracle="""
+    WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM documents)
+    SELECT doc_id,
+           toks[1:3] AS first3,
+           list_contains(toks, 'spark') AS has_spark,
+           list_position(toks, 'data') AS data_pos,
+           array_to_string(list_reverse(toks[1:3]), '_') AS first3_rev
+    FROM t
+    """,
+)
+def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over tokenized text."""
+    from wallaroo_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.slice(toks, 1, 3).alias("first3"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_position(toks, "data").cast("int").alias("data_pos"),
+        F.concat_ws("_", F.reverse(F.slice(toks, 1, 3))).alias("first3_rev"),
+    )
