@@ -99,3 +99,13 @@ def test_multimodal_frame_sample(spark, sf_dir):
         assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == list(
             range(len(rows))
         )
+
+
+def test_kafka_option_builders():
+    from wallaroo_spark.sources import kafka
+
+    opts = kafka.source_options("b1:9092,b2:9092", "events", max_offsets_per_trigger=5000)
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["maxOffsetsPerTrigger"] == "5000"
+    assert kafka.sink_options("b:9092", "out")["topic"] == "out"

@@ -130,17 +130,19 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact-Jaccard verification of candidates only
+    # exact-Jaccard verification of candidates ONLY: expand candidate pairs
+    # to (pair, shingle) via two equi-joins — cost |cands| * shingles/doc,
+    # never the all-pairs shingle blowup (hot shingles in a small vocabulary
+    # make the naive sh⋈sh join quadratic)
     sh = _doc_shingles(df, id_col, text).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
     inter = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
-        .join(cands, ["doc_a", "doc_b"], "left_semi")
     )
     return (
         inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")

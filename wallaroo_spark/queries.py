@@ -1322,3 +1322,23 @@ def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position(toks, "data").cast("int").alias("data_pos"),
         F.concat_ws("_", F.reverse(F.slice(toks, 1, 3))).alias("first3_rev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ephemeral windows (S11 exact semantics — custom state op). The window-start
+# chain is recursively defined (each window's start depends on where the
+# previous closed), which SQL window functions cannot express — rows-only
+# check; exact semantics are pytest-verified incl. stream/batch parity.
+# ---------------------------------------------------------------------------
+
+from wallaroo_spark.streaming import ephemeral as _ephemeral
+
+
+@query("ephemeral_windows")
+def ephemeral_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot per-key windows: open on first event, close at
+    start+trigger+post, state deleted, later events reopen (batch mode)."""
+    ev = _t(spark, sf_dir, "events")
+    return _ephemeral.ephemeral_windows_batch(
+        ev, ["user_id"], "ts", "value", trigger_range_s=1800, post_trigger_range_s=900
+    )
