@@ -33,6 +33,10 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_docs",
     "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "ngram_jaccard_pairs",
+    "exact_dedup_full_rows",
+    "late_policy_place_in_oldest",
     "text_quality_score",
 ]
 
@@ -54,6 +58,7 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # drop operator-internal caches between queries
     total = round(time.perf_counter() - t_all, 3)
 
     # rows/s over the events-stream queries (the reference's headline axis)

@@ -107,6 +107,57 @@ def bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    cent_id: str = "cent_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Index build: every corpus vector is assigned to its nearest centroid
+    (broadcast centroids, ranked by cosine; tiebreak centroid id) — at scale
+    this is the partition/bucketing key, written once. Search: each query
+    probes its ``nprobe`` nearest centroids and scores only those clusters.
+    Centroids here are caller-supplied (deterministic for tests); swap in
+    k-means means only the centroid DataFrame changes.
+    """
+    cents = centroids.select(F.col(id_col).alias(cent_id), F.col(vec_col).alias("_cv"))
+
+    def assign(df: DataFrame, out_id: str, keep_n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            F.col(out_id),
+            vec_col,
+            cent_id,
+            cosine(F.col(vec_col), F.col("_cv")).alias("_ccos"),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("_ccos").desc(), F.col(cent_id))
+        return (
+            scored.withColumn("_crk", F.row_number().over(w))
+            .filter(F.col("_crk") <= keep_n)
+            .drop("_ccos", "_crk")
+        )
+
+    c_assigned = assign(corpus.select(id_col, vec_col), id_col, 1)
+    q_assigned = assign(
+        queries.select(F.col(id_col).alias(query_id), vec_col), query_id, nprobe
+    ).select(query_id, F.col(vec_col).alias("_qv"), cent_id)
+
+    joined = c_assigned.join(q_assigned, cent_id)
+    scored = joined.select(query_id, id_col, cosine(F.col(vec_col), F.col("_qv")).alias("_cos"))
+    w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, F.round("_cos", 4).alias("cosine"), "rank")
+    )
+
+
 def embedding_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Vector column hygiene stats: dimension + L2 norm (pure map)."""
     return df.select(

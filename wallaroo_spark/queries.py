@@ -1342,3 +1342,51 @@ def ephemeral_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ephemeral.ephemeral_windows_batch(
         ev, ["user_id"], "ts", "value", trigger_range_s=1800, post_trigger_range_s=900
     )
+
+
+@query(
+    "similarity_topk_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id >= 10 AND vec_id < 18),
+    c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    c_assign AS (
+        SELECT vec_id, v, cent_id FROM (
+            SELECT c.vec_id, c.v, cent.cent_id,
+                   row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                       list_dot_product(c.v, cent.cv) /
+                       (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+                       DESC, cent.cent_id) AS rk
+            FROM c, cent)
+        WHERE rk = 1),
+    q_probe AS (
+        SELECT qid, qv, cent_id FROM (
+            SELECT q.qid, q.qv, cent.cent_id,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                       list_dot_product(q.qv, cent.cv) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+                       DESC, cent.cent_id) AS rk
+            FROM q, cent)
+        WHERE rk <= 2),
+    s AS (SELECT qp.qid AS query_id, ca.vec_id AS vec_id,
+                 list_dot_product(qp.qv, ca.v) /
+                 (sqrt(list_dot_product(ca.v, ca.v)) * sqrt(list_dot_product(qp.qv, qp.qv))) AS cos
+          FROM c_assign ca JOIN q_probe qp USING (cent_id)),
+    r AS (SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM s)
+    SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= 3
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: corpus bucketed by nearest centroid (8 fixed
+    centroids), queries probe their 2 nearest clusters."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        corpus=emb.filter(F.col("vec_id") >= 10),
+        queries=emb.filter(F.col("vec_id") < 10),
+        centroids=emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 18)),
+        k=3,
+        nprobe=2,
+    )
