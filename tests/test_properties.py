@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis): operator semantics vs straight-line
+Python references on arbitrary generated inputs — the reference repo's
+invariant-validation style (SURVEY §5) mechanized."""
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wallaroo_spark.operators import asof, windows as W
+from wallaroo_spark.operators.dedup import SHINGLE_K
+
+T0 = dt.datetime(2024, 1, 1)
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from wallaroo_spark.session import get_spark
+
+        _spark = get_spark("props", cpus=4)
+        _spark.sparkContext.setLogLevel("ERROR")
+    return _spark
+
+
+events = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),          # key
+        st.integers(min_value=0, max_value=500),  # seconds offset
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(events)
+def test_tumbling_sum_matches_reference(ev):
+    spark = _get_spark()
+    rows = [
+        Row(key=k, ts=T0 + dt.timedelta(seconds=s, microseconds=i), v=v)
+        for i, (k, s, v) in enumerate(ev)
+    ]
+    df = spark.createDataFrame(rows)
+    out = W.tumbling(df, "ts", ["key"], [F.sum("v").alias("s")], "60 seconds").collect()
+    got = {(r.key, r.window_start): r.s for r in out}
+    want = {}
+    for r in rows:
+        ws = T0 + dt.timedelta(seconds=(int((r.ts - dt.datetime(1970, 1, 1)).total_seconds()) // 60) * 60 - (T0 - dt.datetime(1970, 1, 1)).total_seconds() // 60 * 60)
+        ws = r.ts.replace(second=0, microsecond=0)  # 60s windows align to minute
+        want[(r.key, ws)] = want.get((r.key, ws), 0) + r.v
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(events, events)
+def test_asof_join_matches_reference(left, right):
+    spark = _get_spark()
+    lrows = [
+        Row(key=k, ts=T0 + dt.timedelta(seconds=s, microseconds=i), lid=i)
+        for i, (k, s, _) in enumerate(left)
+    ]
+    rrows = [
+        Row(key=k, ts=T0 + dt.timedelta(seconds=s, microseconds=i), rv=float(v))
+        for i, (k, s, v) in enumerate(right)
+    ]
+    out = asof.asof_join(
+        spark.createDataFrame(lrows),
+        spark.createDataFrame(rrows),
+        on=["key"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["rv"],
+    ).collect()
+    got = {r.lid: r.rv for r in out}
+    want = {}
+    for l in lrows:
+        cands = [r for r in rrows if r.key == l.key and r.ts <= l.ts]
+        want[l.lid] = max(cands, key=lambda r: (r.ts, r.rv)).rv if cands else None
+    # tiebreak at equal ts: engine takes the last in (ts, side) order, which
+    # for duplicate right-ts is the max (ts, arrival) — compare on ts only
+    for lid, rv in got.items():
+        l = lrows[lid]
+        cands = [r for r in rrows if r.key == l.key and r.ts <= l.ts]
+        if not cands:
+            assert rv is None
+        else:
+            best_ts = max(r.ts for r in cands)
+            assert rv in {r.rv for r in cands if r.ts == best_ts}
+
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30), min_size=2, max_size=10
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts)
+def test_shingle_jaccard_matches_reference(docs):
+    spark = _get_spark()
+    from wallaroo_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(df, threshold=0.3).collect()}
+
+    def sh(t):
+        w = [x for x in t.split(" ") if x]
+        if not w:
+            return set()
+        n = max(len(w) - (SHINGLE_K - 1), 1)
+        return {" ".join(w[i : i + SHINGLE_K]) for i in range(n)}
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sh(docs[i]), sh(docs[j])
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if round(jac, 4) >= 0.3:
+                want[(i, j)] = round(jac, 4)
+    assert got == want

@@ -36,12 +36,16 @@ SHINGLE_K = 3
 
 
 def shingles(c: Column) -> Column:
-    """Distinct word 3-gram shingles; whole text if < 3 words."""
+    """Distinct word 3-gram shingles; whole text if < 3 words; token-less
+    documents yield NO shingles (an empty doc must never match anything)."""
     toks = tokens(c)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)))
+    return F.filter(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)))
+        ),
+        lambda x: x != "",
     )
 
 
