@@ -180,3 +180,58 @@ def test_foreach_batch_sink_idempotent(spark, tmpdir):
     sink(df, 0)  # redelivery of the same batch
     got = spark.read.parquet(tmpdir + "/out").count()
     assert got == 5
+
+
+def test_pipeline_streaming_tumbling_window(spark, tmpdir):
+    """Windows through the facade on a streaming source."""
+    from wallaroo_spark.api import Pipeline
+
+    df = _events(spark, n=40, keys=("a", "b"))
+    sdf = _stream_from(spark, df, tmpdir + "/in")
+    p = (
+        Pipeline.source_df(sdf, ts_col="ts")
+        .with_watermark("10 seconds")
+        .key_by("key")
+        .to_tumbling("30 seconds", [F.sum("v").alias("s")])
+    )
+    q = (
+        p.df.writeStream.format("memory")
+        .queryName("t_fac_tumb")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.window_start): r.s
+        for r in spark.sql("SELECT * FROM t_fac_tumb").collect()
+    }
+    want = {
+        (r.key, r.window_start): r.s
+        for r in W.tumbling(df, "ts", ["key"], [F.sum("v").alias("s")], "30 seconds").collect()
+    }
+    assert got and all(want[k] == v for k, v in got.items())
+
+
+def test_streaming_word_count_example(spark, tmpdir):
+    from examples.word_count_streaming import run as wc_run
+
+    q = wc_run(spark, "/root/testdata/sf0.001", tmpdir + "/out", tmpdir + "/chk")
+    q.awaitTermination(180)
+    res = spark.read.option("recursiveFileLookup", "true").parquet(tmpdir + "/out")
+    # final per-word max(count) equals the batch word count
+    got = {
+        r.word: r.total
+        for r in res.groupBy("word").agg(F.max("count").alias("total")).collect()
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {
+        r.w: r["count"]
+        for r in docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    }
+    assert got == want

@@ -1495,3 +1495,63 @@ def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         order=[F.col("p_retailprice"), F.col("p_partkey")],
         k=1,
     ).select("p_brand", "p_partkey", "p_retailprice")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               round(tf.tf * ln(n.n / df.df), 4) AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: tf * ln(N/df). Two shuffles (tf per
+    doc-word, df per word) + broadcast of the word-df table back onto tf."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.count()  # scalar; at scale use a broadcast single-row agg
+    scored = tf.join(F.broadcast(dfreq), "word").select(
+        "doc_id",
+        "word",
+        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 4).alias("tfidf"),
+    )
+    return relational.top_k_per_group(
+        scored, keys=["doc_id"], order=[F.col("tfidf").desc(), F.col("word")], k=3
+    ).select("doc_id", "word", "tfidf")
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    WITH dims AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding) AS x
+        FROM embeddings
+    )
+    SELECT label, dim, round(avg(x), 4) AS mean_val, count(*) AS n
+    FROM dims GROUP BY 1, 2
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, dimension-wise: posexplode the vectors and
+    aggregate per (label, dim) — the distributed way to average vectors
+    without driver-side math (shuffle keyed on (label, dim))."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return dims.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("x").cast("double")), 4).alias("mean_val"),
+        F.count("*").alias("n"),
+    )
