@@ -5,6 +5,7 @@ reaching the scan, dims broadcast (no fact-side shuffle), bounded exchange
 counts, no Python in native paths.
 """
 
+from pyspark.sql import functions as F
 from wallaroo_spark.plans import audit
 from wallaroo_spark.queries import QUERIES
 
@@ -53,3 +54,47 @@ def test_broadcast_query_side_in_topk(spark):
     # tiny query set; the only hash exchange is the per-query top-k window
     assert a.nested_loop_joins == 1
     assert a.exchanges <= 1
+
+
+def test_colocated_join_no_extra_exchange(spark):
+    """Pre-partitioned fact-fact join: the only exchanges are the two
+    explicit repartitions; the join itself adds none."""
+    from wallaroo_spark.operators.relational import colocated_join
+    from wallaroo_spark.sources import read_table
+
+    o = read_table(spark, SF, "orders").withColumnRenamed("o_orderkey", "k")
+    li = read_table(spark, SF, "lineitem").withColumnRenamed("l_orderkey", "k")
+    j = colocated_join(o.select("k", "o_totalprice"), li.select("k", "l_quantity"), ["k"], 8)
+    a = audit(j)
+    assert a.exchanges == 2  # exactly the two repartitions, none for the join
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Disk bucketing: pay the shuffle at write time, joins skip it forever."""
+    from wallaroo_spark.sources import read_table
+
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    # the in-memory catalog forgets tables between sessions but the warehouse
+    # files persist — clear stale locations
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders_b", "t_lineitem_b"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    read_table(spark, SF, "orders").select("o_orderkey", "o_totalprice").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable("t_orders_b")
+    read_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity").write.bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").mode("overwrite").saveAsTable("t_lineitem_b")
+    j = spark.table("t_orders_b").join(
+        spark.table("t_lineitem_b"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        a = audit(j)
+        assert a.exchanges == 0  # bucket layout satisfies the join's distribution
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

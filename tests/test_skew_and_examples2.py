@@ -1,0 +1,97 @@
+"""Salted join/agg equivalence + the remaining reference-example ports."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wallaroo_spark.operators import skew
+
+
+def _skewed(spark, n_hot=2000, n_rest=50):
+    rows = [Row(k="hot", v=float(i)) for i in range(n_hot)] + [
+        Row(k=f"k{i}", v=float(i)) for i in range(n_rest)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_salted_join_equivalent_to_plain(spark):
+    fact = _skewed(spark)
+    dim = spark.createDataFrame(
+        [Row(k="hot", label="H")] + [Row(k=f"k{i}", label=f"L{i}") for i in range(50)]
+    )
+    plain = fact.join(dim, "k").groupBy("k", "label").agg(F.sum("v").alias("s"))
+    salted = (
+        skew.salted_join(fact, dim, on="k", n=8, salt_src=["v"])
+        .groupBy("k", "label")
+        .agg(F.sum("v").alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_agg_equivalent_to_plain(spark):
+    df = _skewed(spark)
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count("*").alias("c"), F.max("v").alias("m")
+    )
+    salted = skew.salted_agg(
+        df,
+        keys=["k"],
+        partial_aggs=[F.sum("v").alias("ps"), F.count("*").alias("pc"), F.max("v").alias("pm")],
+        final_aggs=[
+            F.sum("ps").alias("s"),
+            F.sum("pc").alias("c"),
+            F.max("pm").alias("m"),
+        ],
+        n=8,
+        salt_src=["v"],
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    fact = _skewed(spark)
+    salted = skew.with_salt(fact, 8, ["v"])
+    hot = salted.filter(F.col("k") == "hot").groupBy("_salt").count().collect()
+    assert len(hot) == 8  # the hot key occupies all salt buckets
+
+
+def test_example_alerts(spark, sf_dir):
+    from examples.alerts import stateless, stateful_running, windowed
+    from wallaroo_spark.sources import read_table
+
+    n_over = stateless(spark, sf_dir).count()
+
+    want = read_table(spark, sf_dir, "events").filter(F.col("value") > 300.0).count()
+    assert n_over == want > 0
+    w = windowed(spark, sf_dir)
+    from wallaroo_spark.operators import windows as W
+
+    want_w = (
+        W.tumbling(
+            read_table(spark, sf_dir, "events"), "ts", ["user_id"],
+            [F.sum("value").alias("total")], "1 hour",
+        )
+        .filter(F.col("total") > 150.0)
+        .count()
+    )
+    assert w.count() == want_w > 0
+    assert stateful_running(spark, sf_dir).count() > 0
+
+
+def test_example_alphabet_final_totals(spark, sf_dir):
+    from examples.alphabet import build
+    from wallaroo_spark.sources import read_table
+
+    out = build(spark, sf_dir)
+    finals = {
+        r.letter: r.final
+        for r in out.groupBy("letter").agg(F.max("total_votes").alias("final")).collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    want = {
+        r.letter: r["count"]
+        for r in ev.select(F.substring("event_type", 1, 1).alias("letter"))
+        .groupBy("letter")
+        .count()
+        .collect()
+    }
+    assert finals == want

@@ -32,6 +32,22 @@ def dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFra
     return fact.join(F.broadcast(dim), on=on, how=how)
 
 
+def colocated_join(
+    left: DataFrame, right: DataFrame, on: Sequence[str], n: int, how: str = "inner"
+) -> DataFrame:
+    """Fact-fact join with explicit co-partitioning.
+
+    Both sides are hash-partitioned on the join key up front; the join then
+    needs NO additional exchange (Catalyst sees children already
+    partitioned). At 100 TB the durable version of this is bucketed tables
+    (`df.write.bucketBy(n, key).sortBy(key).saveAsTable(...)`) — the write
+    pays the shuffle once and every future join of the two tables skips it
+    (see tests/test_plans.py::test_bucketed_tables_join_without_shuffle).
+    """
+    cols = [F.col(c) for c in on]
+    return left.repartition(n, *cols).join(right.repartition(n, *cols), list(on), how)
+
+
 def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
     """Global top-k without a global sort: Spark's TakeOrderedAndProject
     computes per-partition top-k then merges k·p rows on the driver."""

@@ -47,6 +47,10 @@ def get_spark(app_name: str = "wallaroo_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/wallaroo_spark_warehouse"),
+        )
         .config("spark.sql.shuffle.spill.compress", "true")
         .getOrCreate()
     )
