@@ -235,3 +235,65 @@ def test_streaming_word_count_example(spark, tmpdir):
         .collect()
     }
     assert got == want
+
+
+def _jittered(spark, n=120, keys=("a", "b")):
+    """Deterministically out-of-order events: every 7th message is delivered
+    2.5 windows late. arrival = row order."""
+    rows = []
+    arr = 0
+    for k in keys:
+        for i in range(n):
+            base = 3 * i
+            ts = base - 75 if i % 7 == 3 and base >= 75 else base
+            rows.append(
+                Row(key=k, arr=arr, ts=T0 + dt.timedelta(seconds=ts), v=float(i))
+            )
+            arr += 1
+    return spark.createDataFrame(rows)
+
+
+@pytest.mark.parametrize("policy", ["drop", "fire_per_message", "place_in_oldest_window"])
+def test_stream_late_policy_matches_batch(spark, tmpdir, policy):
+    from wallaroo_spark.operators import late_data as L
+    from wallaroo_spark.streaming.late import windowed_late_policy_stream
+
+    df = _jittered(spark)
+    sdf = _stream_from(spark, df, tmpdir + "/in_" + policy)
+    out = windowed_late_policy_stream(
+        sdf.withWatermark("ts", "0 seconds"),
+        ["key"], "ts", "v", "arr", size_s=30, delay_s=10, policy=policy,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_late_" + policy)
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk_" + policy)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.window_start, r.is_late_fire): (r.n_events, r.total_value)
+        for r in spark.sql(f"SELECT * FROM t_late_{policy}").collect()
+    }
+
+    batch = L.windowed_with_late_policy(
+        df, "ts", ["key"],
+        [F.count("*").alias("n_events"), F.sum("v").alias("total_value")],
+        size=30, delay=10, policy=policy, arrival_col="arr",
+    ).collect()
+    # stream emits fires + windows closed by the final per-key watermark;
+    # batch additionally reports the open tail
+    final_wm = {}
+    for r in df.collect():
+        ep = r.ts.timestamp()
+        final_wm[r.key] = max(final_wm.get(r.key, ep), ep) - 10
+    want = {
+        (r.key, r.window_start, r.is_late_fire): (r.n_events, r.total_value)
+        for r in batch
+        if r.is_late_fire or r.window_start + 30 <= final_wm[r.key]
+    }
+    assert got == want
+    if policy == "fire_per_message":
+        assert any(k[2] for k in got)  # late fires actually occurred

@@ -172,6 +172,38 @@ class Pipeline:
             )
         return self._with(out)
 
+    def to_tumbling_late(
+        self,
+        size_s: int,
+        delay_s: int,
+        policy: str,
+        arrival_col: str,
+        value_col: str = "value",
+        aggs: Sequence[Column] | None = None,
+    ) -> "Pipeline":
+        """S5+S7+S8: tumbling windows with delay + late-data policy (batch
+        uses native window functions; streaming uses the keyed-state op)."""
+        self._need_keys()
+        if self.df.isStreaming:
+            from wallaroo_spark.streaming.late import windowed_late_policy_stream
+
+            out = windowed_late_policy_stream(
+                self.df, list(self.key_cols), self.ts_col, value_col, arrival_col,
+                size_s, delay_s, policy,
+            )
+        else:
+            from wallaroo_spark.operators import late_data
+
+            out = late_data.windowed_with_late_policy(
+                self.df, self.ts_col, list(self.key_cols),
+                list(aggs) if aggs is not None else [
+                    F.count("*").alias("n_events"),
+                    F.sum(value_col).alias("total_value"),
+                ],
+                size=size_s, delay=delay_s, policy=policy, arrival_col=arrival_col,
+            )
+        return self._with(out)
+
     def to_sessions(self, gap: str, aggs: Sequence[Column]) -> "Pipeline":
         self._need_keys()
         return self._with(

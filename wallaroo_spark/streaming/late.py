@@ -1,0 +1,99 @@
+"""Streaming late-data policies (S8) — keyed-state implementation.
+
+Same semantics as the batch reference (`operators/late_data.py`): per-key
+watermark = running max(event_ts) − delay over arrival order; a row whose
+tumbling window has closed under that watermark is late and is dropped /
+fired as a singleton / placed in the oldest open window. Windows emit when
+the watermark passes their end (plus any still-open windows on the final
+flush via event-time timeout).
+
+State per key: open windows {win_start: (count, sum)} + the running max ts.
+Emission: closed windows stream out per micro-batch (update mode); a drained
+stream's closed-window set equals the batch operator's closed output — the
+parity the tests assert.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from wallaroo_spark.operators.late_data import DROP, FIRE_PER_MESSAGE, PLACE_IN_OLDEST_WINDOW
+
+
+def windowed_late_policy_stream(
+    sdf: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    arrival_col: str,
+    size_s: int,
+    delay_s: int,
+    policy: str,
+) -> DataFrame:
+    key_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    out_schema = (
+        ", ".join(f"{k} {key_types[k]}" for k in keys)
+        + ", window_start bigint, window_end bigint, n_events bigint,"
+        + " total_value double, is_late_fire boolean"
+    )
+    cols = [c.split()[0] for c in out_schema.split(",")]
+    state_schema = "max_ts double, wins map<bigint, array<double>>"
+
+    def run(key: tuple, pdf_iter: Iterable[pd.DataFrame], gs: GroupState) -> Iterator[pd.DataFrame]:
+        if gs.hasTimedOut:  # pragma: no cover - final flush path for live streams
+            max_ts, wins = gs.get
+            gs.remove()
+            rows = [
+                (*key, int(w), int(w) + size_s, int(ca[0]), ca[1], False)
+                for w, ca in sorted((wins or {}).items())
+            ]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            return
+
+        if gs.exists:
+            max_ts, wins = gs.get
+            wins = {int(k): [v[0], v[1]] for k, v in (wins or {}).items()}
+        else:
+            max_ts, wins = float("-inf"), {}
+        outs = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(arrival_col, kind="mergesort")
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                ep = ts.timestamp()
+                max_ts = max(max_ts, ep)
+                wm = max_ts - delay_s
+                own = int(ep // size_s) * size_s
+                late = own + size_s <= wm
+                if late:
+                    if policy == DROP:
+                        pass
+                    elif policy == FIRE_PER_MESSAGE:
+                        outs.append((*key, int(ep), int(ep), 1, float(v), True))
+                    elif policy == PLACE_IN_OLDEST_WINDOW:
+                        oldest = int(wm // size_s) * size_s
+                        c = wins.setdefault(oldest, [0, 0.0])
+                        c[0] += 1
+                        c[1] += float(v)
+                else:
+                    c = wins.setdefault(own, [0, 0.0])
+                    c[0] += 1
+                    c[1] += float(v)
+                # close windows the watermark has passed
+                for w in [w for w in wins if w + size_s <= wm]:
+                    cnt, acc = wins.pop(w)
+                    outs.append((*key, w, w + size_s, int(cnt), acc, False))
+        gs.update((max_ts, {w: (ca[0], ca[1]) for w, ca in wins.items()}))
+        if wins:
+            gs.setTimeoutTimestamp(int((max_ts + delay_s + size_s) * 1000))
+        if outs:
+            yield pd.DataFrame(outs, columns=cols)
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        run, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+    )
