@@ -80,3 +80,26 @@ def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
         F.md5(norm).alias("fp_exact"),
         F.md5(sorted_norm).alias("fp_bag"),
     )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (80, 10, 10),
+) -> DataFrame:
+    """Reproducible train/val/test assignment by content-independent hash.
+
+    Random sampling isn't replayable across engines or runs; hashing the id
+    is — the same row lands in the same split on any cluster, any engine
+    (md5-based, matching the oracle). Pure map: no shuffle, no RNG.
+    """
+    from wallaroo_spark.functions import hashing as H
+
+    bucket = H.md5int_col(F.col(id_col).cast("string")) % F.lit(100)
+    train, val, _ = weights
+    split = (
+        F.when(bucket < train, F.lit("train"))
+        .when(bucket < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

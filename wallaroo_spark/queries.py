@@ -1555,3 +1555,27 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("x").cast("double")), 4).alias("mean_val"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "deterministic_split_counts",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CASE WHEN {H.md5int_sql("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                    WHEN {H.md5int_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, count(*) AS n, min(doc_id) AS first_doc
+    FROM s GROUP BY split
+    """,
+)
+def deterministic_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test split (hash-bucketed, engine-portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.deterministic_split(docs)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
+    )
