@@ -84,3 +84,11 @@ def test_example_market_spread(spark, sf_dir):
     assert all(not r.rejected for r in out if r.bid is not None)
     # orders before any market data carry null market state
     assert all((r.bid is None) == (r.offer is None) for r in out)
+
+
+def test_example_celsius(spark, sf_dir):
+    from examples.celsius import build
+
+    out = build(spark, sf_dir).collect()
+    for r in out:
+        assert abs(r.fahrenheit - round(r.celsius * 9.0 / 5.0 + 32.0, 4)) < 1e-9

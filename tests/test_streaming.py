@@ -297,3 +297,28 @@ def test_stream_late_policy_matches_batch(spark, tmpdir, policy):
     assert got == want
     if policy == "fire_per_message":
         assert any(k[2] for k in got)  # late fires actually occurred
+
+
+def test_stream_merge_two_sources(spark, tmpdir):
+    """S13 merge on streams: two file streams unioned into one query."""
+    a = _events(spark, n=10, keys=("a",))
+    b = _events(spark, n=10, keys=("b",))
+    a.write.mode("overwrite").parquet(tmpdir + "/a")
+    b.write.mode("overwrite").parquet(tmpdir + "/b")
+    sa = spark.readStream.schema(a.schema).parquet(tmpdir + "/a")
+    sb = spark.readStream.schema(b.schema).parquet(tmpdir + "/b")
+    from wallaroo_spark.api import Pipeline
+
+    p = Pipeline.source_df(sa, ts_col="ts").merge(Pipeline.source_df(sb, ts_col="ts"))
+    agg = p.df.groupBy("key").count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_merge")
+        .outputMode("complete")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.key: r["count"] for r in spark.sql("SELECT * FROM t_merge").collect()}
+    assert got == {"a": 10, "b": 10}

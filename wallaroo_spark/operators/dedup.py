@@ -188,6 +188,53 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_clusters(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash-LSH
+    pair graph; component id = min doc id (the canonical survivor).
+
+    Iterative min-label propagation over the *pair* graph only — the graph
+    is pairs-sized (tiny vs the corpus even at 100 TB), each iteration is
+    one join+agg, and near-dup components have small diameter so the loop
+    converges in a handful of rounds (hard cap + convergence check; no
+    driver-side graph). Output: (doc_id, component_id) for docs that have at
+    least one near-duplicate.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text, threshold).select("doc_a", "doc_b")
+    # undirected edge list incl. self-loops keeps every paired node present
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    labels = edges.groupBy("src").agg(
+        F.least(F.min("dst"), F.min("src")).alias("lbl")
+    )
+    for _ in range(20):
+        # propagate: new label = min(own, min over neighbors' labels)
+        prop = (
+            edges.join(labels.withColumnRenamed("src", "dst").withColumnRenamed("lbl", "nlbl"), "dst")
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("plbl"))
+        )
+        new_labels = (
+            labels.join(prop, "src", "left")
+            .select("src", F.least(F.col("lbl"), F.coalesce("plbl", "lbl")).alias("lbl"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias(id_col), F.col("lbl").alias("component_id"))
+
+
 SIMHASH_BITS = 32
 
 

@@ -1579,3 +1579,63 @@ def deterministic_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
     )
+
+
+@query(
+    "duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    cand AS ({_minhash_band_joins()}),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b USING (sh)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+              JOIN sz sa ON sa.doc_id = i.doc_a
+              JOIN sz sb ON sb.doc_id = i.doc_b
+              WHERE round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 4) >= 0.5),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS component_id
+    FROM reach GROUP BY src
+    """,
+)
+def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters (connected components over the MinHash-LSH pair
+    graph); oracle = recursive-CTE transitive closure."""
+    return dedup.duplicate_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query(
+    "frequent_tokens",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS word FROM documents),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT word, count(*) AS cnt,
+           round(count(*)::DOUBLE / (SELECT n FROM tot), 6) AS support
+    FROM toks
+    GROUP BY word
+    HAVING count(*) >= 0.01 * (SELECT n FROM tot)
+    """,
+)
+def frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (support >= 1%): two-phase — total via one scalar
+    agg (broadcast), then filtered group counts; at 100 TB the same plan
+    holds (no driver-side state; the sketch variant is a future round)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("word"))
+    total = toks.count()
+    return (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 0.01 * total)
+        .select("word", "cnt", F.round(F.col("cnt") / F.lit(total), 6).alias("support"))
+    )
