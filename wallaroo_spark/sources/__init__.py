@@ -46,6 +46,9 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     Truncates ns → µs (same as DuckDB's TIMESTAMP_NS → TIMESTAMP view), so
     Spark results hash-match the oracle.
     """
+    # timestamps in results are compared against a (naive-UTC) DuckDB oracle;
+    # pin the session TZ so a non-UTC driver session can't shift them
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ncols = _nanos_cols(path)
     if ncols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
