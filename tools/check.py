@@ -28,7 +28,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}" if v == int(v) and abs(v) < 1e15 else repr(round(v, 6))
+        return f"{v:.0f}" if v == int(v) and abs(v) < 1e15 else repr(round(v, 6))
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, (list, tuple)):

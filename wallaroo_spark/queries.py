@@ -69,8 +69,8 @@ def tumbling_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sliding_window_sum",
     oracle="""
     SELECT e.user_id,
-           to_timestamp(floor(epoch(e.ts) / 900) * 900 - g.k * 900) AS window_start,
-           to_timestamp(floor(epoch(e.ts) / 900) * 900 - g.k * 900 + 3600) AS window_end,
+           CAST(to_timestamp(floor(epoch(e.ts) / 900) * 900 - g.k * 900) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(floor(epoch(e.ts) / 900) * 900 - g.k * 900 + 3600) AS TIMESTAMP) AS window_end,
            count(*) AS n_events,
            round(sum(e.value), 2) AS total_value
     FROM events e, generate_series(0, 3) g(k)
@@ -1091,12 +1091,18 @@ from wallaroo_spark.operators import multimodal
            1 + CAST(length(text) % 3 AS INTEGER) AS channels,
            'jpg' AS format
     FROM documents
+    WHERE length(text) > 0
     """,
 )
 def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> decoded metadata (stub kernel, real plumbing:
-    Arrow-batched mapInPandas, bounded memory per batch)."""
-    docs = _t(spark, sf_dir, "documents")
+    Arrow-batched mapInPandas, bounded memory per batch).
+
+    Oracle note: the oracle models the byte-level stub with character
+    functions, which agree because the testdata documents are ASCII-only
+    (verified at every SF); empty texts are filtered on both sides since the
+    stub raises on empty payloads."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
     return multimodal.attach_image_meta(media).select(
         "doc_id", "width", "height", "channels", "format"
@@ -1105,10 +1111,20 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_features")  # rows-only: histogram kernel not SQL-expressible
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """media -> fixed-dim feature vector (batched-inference shape)."""
+    """media -> fixed-dim feature vector (batched-inference shape).
+
+    The array<double> vector is serialized to a string in the projection so
+    the driver canonicalizer (pandas sort_values -> hash) gets hashable
+    cells; the operator itself keeps the typed array column."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
-    return multimodal.extract_features(media, dim=8)
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.round(x, 6).cast("string"))
+        ).alias("features"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1303,7 +1319,7 @@ def exact_dedup_full_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
                FROM documents)
     SELECT doc_id,
-           toks[1:3] AS first3,
+           array_to_string(toks[1:3], ' ') AS first3,
            list_contains(toks, 'spark') AS has_spark,
            list_position(toks, 'data') AS data_pos,
            array_to_string(list_reverse(toks[1:3]), '_') AS first3_rev
@@ -1311,14 +1327,17 @@ def exact_dedup_full_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-function surface over tokenized text."""
+    """Array-function surface over tokenized text. Array-typed outputs are
+    projected through concat_ws so the driver canonicalizer (pandas
+    sort_values) gets hashable cells; the oracle mirrors with
+    array_to_string."""
     from wallaroo_spark.operators.text import tokens
 
     d = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     return d.select(
         "doc_id",
-        F.slice(toks, 1, 3).alias("first3"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.array_position(toks, "data").cast("int").alias("data_pos"),
         F.concat_ws("_", F.reverse(F.slice(toks, 1, 3))).alias("first3_rev"),
@@ -1328,21 +1347,49 @@ def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Ephemeral windows (S11 exact semantics — custom state op). The window-start
 # chain is recursively defined (each window's start depends on where the
-# previous closed), which SQL window functions cannot express — rows-only
-# check; exact semantics are pytest-verified incl. stream/batch parity.
+# previous closed): next start = first event_ts strictly after prev start +
+# trigger + post. A DuckDB recursive CTE walks that chain (UNION ALL keeps
+# exactly one frontier row per key per step), so S11 is hash-checked.
 # ---------------------------------------------------------------------------
 
 from wallaroo_spark.streaming import ephemeral as _ephemeral
 
 
-@query("ephemeral_windows")
+@query(
+    "ephemeral_windows",
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, epoch(ts) AS ep, value FROM events
+    ),
+    wins AS (
+        SELECT user_id, min(ep) AS ws FROM ev GROUP BY user_id
+        UNION ALL
+        SELECT e.user_id, min(e.ep) AS ws
+        FROM wins w JOIN ev e ON e.user_id = w.user_id AND e.ep > w.ws + 2700
+        GROUP BY e.user_id, w.ws
+    ),
+    agg AS (
+        SELECT w.user_id, w.ws AS window_start,
+               count(*) AS n_events, round(sum(e.value), 4) AS total_value
+        FROM wins w JOIN ev e ON e.user_id = w.user_id
+             AND e.ep >= w.ws AND e.ep <= w.ws + 2700
+        GROUP BY 1, 2
+    ),
+    last AS (SELECT user_id, max(ws) AS maxws FROM wins GROUP BY user_id)
+    SELECT a.user_id, a.window_start, a.n_events, a.total_value,
+           (a.window_start <> l.maxws) AS closed
+    FROM agg a JOIN last l USING (user_id)
+    """,
+)
 def ephemeral_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-shot per-key windows: open on first event, close at
-    start+trigger+post, state deleted, later events reopen (batch mode)."""
+    start+trigger+post, state deleted, later events reopen (batch mode).
+    trigger=1800s, post=900s -> a window spans [start, start+2700]."""
     ev = _t(spark, sf_dir, "events")
-    return _ephemeral.ephemeral_windows_batch(
+    out = _ephemeral.ephemeral_windows_batch(
         ev, ["user_id"], "ts", "value", trigger_range_s=1800, post_trigger_range_s=900
     )
+    return out.withColumn("total_value", F.round("total_value", 4))
 
 
 @query(
@@ -1515,16 +1562,22 @@ def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document: tf * ln(N/df). Two shuffles (tf per
-    doc-word, df per word) + broadcast of the word-df table back onto tf."""
+    doc-word, df per word) + broadcast of the word-df table back onto tf.
+    The corpus size N joins in as a broadcast single-row agg — no driver
+    action, one job at any scale."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("word"))
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n = docs.count()  # scalar; at scale use a broadcast single-row agg
-    scored = tf.join(F.broadcast(dfreq), "word").select(
-        "doc_id",
-        "word",
-        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 4).alias("tfidf"),
+    n_df = docs.agg(F.count("*").cast("double").alias("_n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 4).alias("tfidf"),
+        )
     )
     return relational.top_k_per_group(
         scored, keys=["doc_id"], order=[F.col("tfidf").desc(), F.col("word")], k=3
@@ -1627,15 +1680,17 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters (support >= 1%): two-phase — total via one scalar
-    agg (broadcast), then filtered group counts; at 100 TB the same plan
-    holds (no driver-side state; the sketch variant is a future round)."""
+    """Exact heavy hitters (support >= 1%): ONE token scan -> per-word counts;
+    the grand total is re-aggregated from the (small) word-count table and
+    broadcast back — no driver action, no second corpus scan, scale-safe."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("word"))
-    total = toks.count()
+    counts = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("_total"))
     return (
-        toks.groupBy("word")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= 0.01 * total)
-        .select("word", "cnt", F.round(F.col("cnt") / F.lit(total), 6).alias("support"))
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= 0.01 * F.col("_total"))
+        .select(
+            "word", "cnt", F.round(F.col("cnt") / F.col("_total"), 6).alias("support")
+        )
     )
