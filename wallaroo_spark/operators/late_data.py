@@ -90,9 +90,12 @@ def windowed_with_late_policy(
         fired = None
     elif policy == FIRE_PER_MESSAGE:
         assigned = d.filter(~F.col("_late")).withColumn("_win", F.col("_own_win"))
+        # Group by the arrival id too: every late MESSAGE fires its own
+        # singleton window (reference emits one per message), so two late
+        # rows sharing (key, event_ts) must not collapse into one group.
         fired = (
             d.filter(F.col("_late"))
-            .groupBy(*keys, F.col("_ep").alias("_fire_ts"))
+            .groupBy(*keys, arrival_col, F.col("_ep").alias("_fire_ts"))
             .agg(*aggs)
             .select(
                 *keys,

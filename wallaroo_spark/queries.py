@@ -1025,7 +1025,7 @@ def late_policy_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events, round(sum(value), 2) AS total_value,
            TRUE AS is_late_fire
     FROM flagged WHERE late
-    GROUP BY user_id, ep
+    GROUP BY user_id, event_id, ep
     """,
 )
 def late_policy_fire_per_message(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -119,7 +119,9 @@ def ephemeral_windows_stream(
         else:
             gs.update((start, cnt, acc))
             deadline_ms = int((start + trigger_range_s + post_trigger_range_s) * 1000)
-            gs.setTimeoutTimestamp(deadline_ms)
+            # Clamp to the global watermark: a lagging key's deadline can sit
+            # below it, and Spark rejects timeouts <= watermark.
+            gs.setTimeoutTimestamp(max(deadline_ms, gs.getCurrentWatermarkMs() + 1))
         if outs:
             yield pd.DataFrame(outs, columns=cols)
 

@@ -90,7 +90,11 @@ def windowed_late_policy_stream(
                     outs.append((*key, w, w + size_s, int(cnt), acc, False))
         gs.update((max_ts, {w: (ca[0], ca[1]) for w, ca in wins.items()}))
         if wins:
-            gs.setTimeoutTimestamp(int((max_ts + delay_s + size_s) * 1000))
+            # Clamp to the query's global watermark: a lagging key's own
+            # max_ts-based deadline can sit below it, and Spark rejects
+            # timeout timestamps <= watermark (IllegalArgumentException).
+            deadline_ms = int((max_ts + delay_s + size_s) * 1000)
+            gs.setTimeoutTimestamp(max(deadline_ms, gs.getCurrentWatermarkMs() + 1))
         if outs:
             yield pd.DataFrame(outs, columns=cols)
 
