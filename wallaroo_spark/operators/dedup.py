@@ -76,7 +76,7 @@ def ngram_jaccard_pairs(
     result is identical to the naive all-pairs join (the oracle checks
     this literally).
     """
-    sh = _doc_shingles(df, id_col, text).cache()
+    sh = _doc_shingles(df, id_col, text).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
 
     # global shingle rarity order (dictionary-sized, not data-sized)
@@ -114,7 +114,20 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return out
+    return _materialize_release(out, sh)
+
+
+def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize a (small) operator result and release operator-internal
+    caches — the operator owns its cache lifecycle instead of leaking blocks
+    for the caller to clearCache() away. localCheckpoint also truncates the
+    lineage, so downstream plans start from the pair list, not the shingle
+    DAG. (On a real cluster prefer reliable checkpoint dirs for multi-hour
+    jobs; local checkpoint blocks die with their executor.)"""
+    res = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return res
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
@@ -169,7 +182,7 @@ def minhash_lsh_pairs(
     # to (pair, shingle) via two equi-joins — cost |cands| * shingles/doc,
     # never the all-pairs shingle blowup (hot shingles in a small vocabulary
     # make the naive sh⋈sh join quadratic)
-    sh = _doc_shingles(df, id_col, text).cache()
+    sh = _doc_shingles(df, id_col, text).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
@@ -179,13 +192,14 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return _materialize_release(out, sh)
 
 
 def duplicate_clusters(
@@ -202,37 +216,70 @@ def duplicate_clusters(
     least one near-duplicate.
     """
     pairs = minhash_lsh_pairs(df, id_col, text, threshold).select("doc_a", "doc_b")
-    # undirected edge list incl. self-loops keeps every paired node present
+    # undirected edge list keeps every paired node present (pairs are already
+    # materialized + lineage-truncated by minhash_lsh_pairs)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .cache()
+        .persist()
     )
-    labels = edges.groupBy("src").agg(
+    init = edges.groupBy("src").agg(
         F.least(F.min("dst"), F.min("src")).alias("lbl")
-    )
-    for _ in range(20):
-        # propagate: new label = min(own, min over neighbors' labels)
+    ).persist()
+    labels, prev_mat = init, init  # prev_mat = the persisted frame backing labels
+
+    max_rounds = 25  # doubling => covers diameter 2^25; loop exits far earlier
+    converged = False
+    for rnd in range(max_rounds):
+        # one round fuses three things into ONE job:
+        #  (a) neighbor propagation: min over neighbors' labels,
+        #  (b) pointer doubling: label-of-label (logarithmic convergence on
+        #      long chains — a >cap-diameter path must not silently
+        #      return wrong components),
+        #  (c) the convergence check, aggregated from the same cached frame
+        #      (no extra limit(1).count() job over a fresh plan).
         prop = (
-            edges.join(labels.withColumnRenamed("src", "dst").withColumnRenamed("lbl", "nlbl"), "dst")
+            edges.join(
+                labels.select(F.col("src").alias("dst"), F.col("lbl").alias("nlbl")), "dst"
+            )
             .groupBy("src")
             .agg(F.min("nlbl").alias("plbl"))
         )
-        new_labels = (
-            labels.join(prop, "src", "left")
-            .select("src", F.least(F.col("lbl"), F.coalesce("plbl", "lbl")).alias("lbl"))
+        doubled = labels.select(F.col("lbl").alias("dsrc"), F.col("src").alias("_via")).join(
+            labels.select(F.col("src").alias("dsrc"), F.col("lbl").alias("dlbl")), "dsrc"
+        ).select(F.col("_via").alias("src"), "dlbl")
+        nl = (
+            labels.select("src", F.col("lbl").alias("_old"))
+            .join(prop, "src", "left")
+            .join(doubled, "src", "left")
+            .select(
+                "src",
+                "_old",
+                F.least(
+                    F.col("_old"), F.coalesce("plbl", "_old"), F.coalesce("dlbl", "_old")
+                ).alias("lbl"),
+            )
         )
+        # every few rounds cut the join lineage at an eager materialization;
+        # otherwise persist (the convergence agg below populates the cache)
+        new_mat = nl.localCheckpoint(eager=True) if rnd % 5 == 4 else nl.persist()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
+            new_mat.agg(
+                F.sum((F.col("lbl") != F.col("_old")).cast("long")).alias("c")
+            ).first()["c"]
+            or 0
         )
-        labels = new_labels.cache()
+        prev_mat.unpersist()
+        labels, prev_mat = new_mat.select("src", "lbl"), new_mat
         if changed == 0:
+            converged = True
             break
-    return labels.select(F.col("src").alias(id_col), F.col("lbl").alias("component_id"))
+    if not converged:  # pragma: no cover - 2^25 diameter is unreachable
+        raise RuntimeError(
+            f"duplicate_clusters: label propagation did not converge in {max_rounds} rounds"
+        )
+    out = labels.select(F.col("src").alias(id_col), F.col("lbl").alias("component_id"))
+    return _materialize_release(out, edges, prev_mat)
 
 
 SIMHASH_BITS = 32
