@@ -1,0 +1,235 @@
+"""User `Aggregation` class facade (reference UDAF contract:
+`machida/lib/wallaroo/__init__.py:198-214`, `aggregations.pony:24-39`):
+validation parity, batch/native equality, chunked-combine execution,
+output-None suppression, streaming/batch parity, and the
+multi_aggregation cascade app shape."""
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wallaroo_spark.api import aggregation as A
+from wallaroo_spark.api.pipeline import Pipeline, range_windows
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="ws_agg_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events(spark, n=60, keys=("a", "b")):
+    rows = [
+        Row(key=k, ts=T0 + dt.timedelta(seconds=3 * i + j), v=float(i + 1))
+        for j, k in enumerate(keys)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def make_sum_agg():
+    class SumAgg(A.Aggregation):
+        def initial_accumulator(self):
+            return {"total": 0.0}
+
+        def update(self, rec, acc):
+            acc["total"] += rec["v"]
+
+        def combine(self, a, b):
+            return {"total": a["total"] + b["total"]}
+
+        def output(self, key, acc):
+            return {"total": acc["total"]}
+
+    return SumAgg()
+
+
+def test_validation_rejects_missing_and_wrong_arity():
+    class NoCombine(A.Aggregation):
+        def initial_accumulator(self):
+            return 0
+
+        def update(self, rec, acc):
+            pass
+
+        combine = None
+
+        def output(self, key, acc):
+            return None
+
+    with pytest.raises(TypeError, match="combine"):
+        A.validate_aggregation(NoCombine())
+
+    class BadArity(A.Aggregation):
+        def initial_accumulator(self):
+            return 0
+
+        def update(self, rec):  # missing acc
+            pass
+
+        def combine(self, a, b):
+            return a
+
+        def output(self, key, acc):
+            return None
+
+    with pytest.raises(TypeError, match="update"):
+        A.validate_aggregation(BadArity())
+
+
+def test_batch_tumbling_matches_native(spark):
+    df = _events(spark)
+    out = A.windowed_agg_batch(df, ["key"], "ts", make_sum_agg(), "total double", 30)
+    got = {(r.key, r.window_start): r.total for r in out.collect()}
+    native = (
+        df.groupBy("key", F.window("ts", "30 seconds").alias("w"))
+        .agg(F.sum("v").alias("total"))
+        .select("key", F.col("w.start").cast("double").cast("long").alias("ws"), "total")
+    )
+    want = {(r.key, r.ws): r.total for r in native.collect()}
+    assert got == want
+
+
+def test_batch_sliding_matches_native(spark):
+    df = _events(spark)
+    out = A.windowed_agg_batch(
+        df, ["key"], "ts", make_sum_agg(), "total double", 30, slide_s=10
+    )
+    got = {(r.key, r.window_start): r.total for r in out.collect()}
+    native = (
+        df.groupBy("key", F.window("ts", "30 seconds", "10 seconds").alias("w"))
+        .agg(F.sum("v").alias("total"))
+        .select("key", F.col("w.start").cast("double").cast("long").alias("ws"), "total")
+    )
+    want = {(r.key, r.ws): r.total for r in native.collect()}
+    assert got == want
+
+
+def test_combine_chunked_partials_match(spark, monkeypatch):
+    """Tiny chunk size forces many partials per window, so a contract-correct
+    combine must reproduce the single-fold result (pane-combine execution)."""
+    monkeypatch.setattr(A, "_CHUNK_ROWS", 7)
+    df = _events(spark, n=100, keys=("a",))
+    out = A.windowed_agg_batch(df, ["key"], "ts", make_sum_agg(), "total double", 300)
+    got = {r.window_start: r.total for r in out.collect()}
+    want = {
+        r.ws: r.total
+        for r in df.groupBy(F.window("ts", "300 seconds").alias("w"))
+        .agg(F.sum("v").alias("total"))
+        .select(F.col("w.start").cast("double").cast("long").alias("ws"), "total")
+        .collect()
+    }
+    assert got == want
+
+
+def test_output_none_suppresses_window(spark):
+    class AlertAgg(A.Aggregation):
+        def initial_accumulator(self):
+            return {"total": 0.0}
+
+        def update(self, rec, acc):
+            acc["total"] += rec["v"]
+
+        def combine(self, a, b):
+            return {"total": a["total"] + b["total"]}
+
+        def output(self, key, acc):
+            if acc["total"] > 100.0:
+                return {"total": acc["total"]}
+            return None
+
+    df = _events(spark)
+    out = A.windowed_agg_batch(df, ["key"], "ts", AlertAgg(), "total double", 30)
+    rows = out.collect()
+    assert rows and all(r.total > 100.0 for r in rows)
+    full = A.windowed_agg_batch(df, ["key"], "ts", make_sum_agg(), "total double", 30)
+    assert len(rows) < full.count()
+
+
+def test_output_window_end_ts_arity(spark):
+    """Pony-parity 3-arg output receives the window end."""
+
+    class EndTsAgg(A.Aggregation):
+        def initial_accumulator(self):
+            return {"n": 0}
+
+        def update(self, rec, acc):
+            acc["n"] += 1
+
+        def combine(self, a, b):
+            return {"n": a["n"] + b["n"]}
+
+        def output(self, key, window_end_ts, acc):
+            return {"end_copy": int(window_end_ts), "n": acc["n"]}
+
+    df = _events(spark, n=10, keys=("a",))
+    out = A.windowed_agg_batch(df, ["key"], "ts", EndTsAgg(), "end_copy bigint, n bigint", 30)
+    for r in out.collect():
+        assert r.end_copy == r.window_end == r.window_start + 30
+
+
+def test_stream_agg_matches_batch(spark, tmpdir):
+    df = _events(spark, n=40)
+    df.write.mode("overwrite").parquet(tmpdir + "/in")
+    sdf = spark.readStream.schema(df.schema).parquet(tmpdir + "/in")
+    out = A.windowed_agg_stream(
+        sdf.withWatermark("ts", "0 seconds"), ["key"], "ts", make_sum_agg(),
+        "total double", 30,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_agg_stream")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.window_start): r.total
+        for r in spark.sql("SELECT * FROM t_agg_stream").collect()
+    }
+    # stream emits windows closed by the per-key watermark (= max ts seen);
+    # the open tail window stays in state
+    final_ts = {r.key: r.mx.timestamp() for r in df.groupBy("key").agg(F.max("ts").alias("mx")).collect()}
+    want = {
+        (r.key, r.window_start): r.total
+        for r in A.windowed_agg_batch(df, ["key"], "ts", make_sum_agg(), "total double", 30).collect()
+        if r.window_start + 30 <= final_ts[r.key]
+    }
+    assert got == want
+
+
+def test_pipeline_range_windows_over(spark):
+    """Facade route: key_by -> to(range_windows(...).over(Agg)) — the
+    alerts_windowed app shape."""
+    df = _events(spark)
+    p = (
+        Pipeline.source_df(df, ts_col="ts")
+        .key_by("key")
+        .to(range_windows(30).over(make_sum_agg(), "total double"))
+    )
+    got = {(r.key, r.window_start): r.total for r in p.df.collect()}
+    want = {
+        (r.key, r.ws): r.total
+        for r in df.groupBy("key", F.window("ts", "30 seconds").alias("w"))
+        .agg(F.sum("v").alias("total"))
+        .select("key", F.col("w.start").cast("double").cast("long").alias("ws"), "total")
+        .collect()
+    }
+    assert got == want
+
+
+def test_alerts_windowed_agg_example(spark):
+    from examples.alerts_windowed_agg import alerts
+
+    out = alerts(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows and all("DepositAlert" in r.alert for r in rows)

@@ -1,0 +1,286 @@
+"""User-defined ``Aggregation`` class — the reference's core UDAF contract.
+
+Reference (`machida/lib/wallaroo/__init__.py:198-214` `_validate_aggregation`;
+`lib/wallaroo/core/aggregations/aggregations.pony:24-39`): a windowed
+aggregation is a class with
+
+- ``initial_accumulator()`` — identity element for ``combine``;
+- ``update(input, acc)`` — fold one input into the accumulator (mutates);
+- ``combine(acc1, acc2)`` — merge two partials; MUST be associative and must
+  not mutate either argument;
+- ``output(key, acc)`` — produce the window's result, or ``None`` to emit
+  nothing. (Pony's signature is ``output(key, window_end_ts, acc)`` —
+  `aggregations.pony:38`; declare a 3-arg ``output`` to receive the window
+  end, Python-API 2-arg form is the default.)
+
+Spark mapping: this is exactly the ``Aggregator``/pandas-UDAF shape. Batch
+windows run it inside ``applyInPandas`` per (key, window) group, folding
+``update`` over time-ordered chunks and ``combine`` over the chunk partials —
+the same partial-then-merge structure the reference's pane combine uses
+(`panes_range_windows.pony:276-299`), so a contract violation (non-associative
+combine, mutating combine) produces visibly wrong results instead of silently
+passing. Streaming tumbling windows run it in ``applyInPandasWithState`` with
+the pickled accumulator in the state store and an event-time timeout flush.
+
+Inputs arrive as plain dicts (one per row); for column-expressible
+aggregations prefer native ``pyspark.sql.functions`` aggs (10-100× faster) —
+this class is the *user-extension* surface, like the reference's Python API.
+"""
+
+from __future__ import annotations
+
+import inspect
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Executors do NOT have wallaroo_spark on their path (the engine ships no
+# code to workers — closures travel by value, see streaming/state.py). A user
+# Aggregation subclass would drag this module in by reference through its
+# base class, so register the module for pickle-by-value: the base class and
+# fold helpers serialize INTO the closure. Subclasses defined at module level
+# of the user's own (worker-unimportable) module still need to be local to a
+# function or registered the same way — documented in the class docstring.
+import sys as _sys
+
+try:  # pragma: no cover - vendored cloudpickle always present in pyspark>=3.3
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
+_CHUNK_ROWS = 1024  # partial-aggregation granularity inside a window group
+
+
+class Aggregation:
+    """Base class for user aggregations (subclass and implement the four
+    methods; ``name`` defaults to the class name)."""
+
+    def name(self) -> str:
+        return type(self).__name__
+
+    def initial_accumulator(self):
+        raise NotImplementedError
+
+    def update(self, data, acc) -> None:
+        raise NotImplementedError
+
+    def combine(self, acc1, acc2):
+        raise NotImplementedError
+
+    def output(self, key, acc):
+        raise NotImplementedError
+
+
+def validate_aggregation(agg) -> None:
+    """Parity with the reference's `_validate_aggregation`
+    (`machida/lib/wallaroo/__init__.py:198-214`), plus arity checks it TODOs."""
+    for meth, arity in (
+        ("name", 0),
+        ("initial_accumulator", 0),
+        ("update", 2),
+        ("combine", 2),
+        ("output", (2, 3)),
+    ):
+        fn = getattr(agg, meth, None)
+        if fn is None or not callable(fn):
+            raise TypeError(f"Aggregation must have method {meth!r}")
+        n = len(
+            [
+                p
+                for p in inspect.signature(fn).parameters.values()
+                if p.kind
+                in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            ]
+        )
+        ok = n in arity if isinstance(arity, tuple) else n == arity
+        if not ok:
+            raise TypeError(
+                f"Aggregation.{meth} must take {arity} parameter(s), has {n}"
+            )
+
+
+def _output_arity(agg) -> int:
+    params = [
+        p
+        for p in inspect.signature(agg.output).parameters.values()
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+    ]
+    return len(params)
+
+
+def _fold_window(agg, records):
+    """update over time-ordered chunks, then combine partials in order —
+    the pane-combine execution shape; returns the final accumulator."""
+    partials = []
+    for i in range(0, len(records), _CHUNK_ROWS):
+        acc = agg.initial_accumulator()
+        for rec in records[i : i + _CHUNK_ROWS]:
+            agg.update(rec, acc)
+        partials.append(acc)
+    acc = agg.initial_accumulator()
+    for p in partials:
+        acc = agg.combine(acc, p)
+    return acc
+
+
+def _emit(agg, key, window_end, acc, arity):
+    if arity == 3:
+        return agg.output(key, window_end, acc)
+    return agg.output(key, acc)
+
+
+def _out_cols(keys: list[str], out_schema: str) -> list[str]:
+    return [*keys, "window_start", "window_end"] + [
+        c.strip().split()[0] for c in out_schema.split(",")
+    ]
+
+
+def _full_schema(df: DataFrame, keys: list[str], out_schema: str) -> str:
+    key_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return (
+        ", ".join(f"{k} {key_types[k]}" for k in keys)
+        + ", window_start bigint, window_end bigint, "
+        + out_schema
+    )
+
+
+def windowed_agg_batch(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    agg: Aggregation,
+    out_schema: str,
+    size_s: int,
+    slide_s: int | None = None,
+) -> DataFrame:
+    """Batch tumbling/sliding windows over a user Aggregation.
+
+    Window assignment is native Column math (one explode for sliding), so
+    only the per-window fold runs in Python; the groupBy shuffles once on
+    (keys, window_start) — the same partitioning a native window agg uses.
+    Output: keys, window_start/window_end (epoch seconds), out_schema fields.
+    ``output`` returning None suppresses that window.
+    """
+    validate_aggregation(agg)
+    slide = slide_s or size_s
+    n_wins = size_s // slide if size_s % slide == 0 else None
+    if n_wins is None:
+        raise ValueError("window size must be a multiple of slide")
+    ep = F.col(ts_col).cast("double")
+    base = F.floor(ep / slide).cast("long") * slide
+    starts = F.array(*[base - F.lit(i * slide) for i in range(n_wins)])
+    assigned = df.withColumn(
+        "_ws", F.explode(F.filter(starts, lambda s: ep < s + size_s))
+    )
+
+    schema = _full_schema(df, keys, out_schema)
+    cols = _out_cols(keys, out_schema)
+    arity = _output_arity(agg)
+    single_key = len(keys) == 1
+
+    def run(key_tuple: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+
+        *kvals, ws = key_tuple
+        key = kvals[0] if single_key else tuple(kvals)
+        pdf = pdf.sort_values(ts_col, kind="mergesort").drop(columns=["_ws"])
+        acc = _fold_window(agg, pdf.to_dict("records"))
+        out = _emit(agg, key, int(ws) + size_s, acc, arity)
+        if out is None:
+            return _pd.DataFrame(columns=cols)
+        return _pd.DataFrame([(*kvals, int(ws), int(ws) + size_s, *_row_vals(out))], columns=cols)
+
+    return assigned.groupBy(*keys, "_ws").applyInPandas(run, schema=schema)
+
+
+def _row_vals(out) -> tuple:
+    if isinstance(out, dict):
+        return tuple(out.values())
+    if isinstance(out, (tuple, list)):
+        return tuple(out)
+    return (out,)
+
+
+def windowed_agg_stream(
+    sdf: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    agg: Aggregation,
+    out_schema: str,
+    size_s: int,
+    delay_s: int = 0,
+) -> DataFrame:
+    """Streaming tumbling windows over a user Aggregation.
+
+    State per key: running max event-ts + {window_start: pickled acc}. A
+    window emits when the per-key watermark (max_ts - delay) passes its end;
+    an event-time timeout (clamped to the global watermark) flushes open
+    windows when the key goes idle — the reference's step-timeout flush
+    (`runner.pony:465-501`). Requires ``withWatermark`` upstream.
+    """
+    validate_aggregation(agg)
+    schema = _full_schema(sdf, keys, out_schema)
+    cols = _out_cols(keys, out_schema)
+    state_schema = "max_ts double, wins map<bigint, binary>"
+    arity = _output_arity(agg)
+    single_key = len(keys) == 1
+
+    def emit_rows(key, wins, ws_list):
+        import pickle as _pickle
+
+        rows = []
+        k = key[0] if single_key else tuple(key)
+        for ws in ws_list:
+            acc = _pickle.loads(wins.pop(ws))
+            out = _emit(agg, k, ws + size_s, acc, arity)
+            if out is not None:
+                rows.append((*key, int(ws), int(ws) + size_s, *_row_vals(out)))
+        return rows
+
+    def run(key: tuple, pdf_iter: Iterable[pd.DataFrame], gs: GroupState) -> Iterator[pd.DataFrame]:
+        import pickle as _pickle
+
+        if gs.hasTimedOut:  # pragma: no cover - live-stream idle flush
+            max_ts, wins = gs.get
+            wins = dict(wins or {})
+            gs.remove()
+            rows = emit_rows(key, wins, sorted(wins))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            return
+
+        if gs.exists:
+            max_ts, wins = gs.get
+            wins = dict(wins or {})
+        else:
+            max_ts, wins = float("-inf"), {}
+        outs = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for rec in pdf.to_dict("records"):
+                ep = rec[ts_col].timestamp()
+                max_ts = max(max_ts, ep)
+                ws = int(ep // size_s) * size_s
+                acc = (
+                    _pickle.loads(wins[ws]) if ws in wins else agg.initial_accumulator()
+                )
+                agg.update(rec, acc)
+                wins[ws] = _pickle.dumps(acc)
+            wm = max_ts - delay_s
+            outs.extend(emit_rows(key, wins, [w for w in sorted(wins) if w + size_s <= wm]))
+        gs.update((max_ts, wins))
+        if wins:
+            deadline_ms = int((max_ts + delay_s + size_s) * 1000)
+            gs.setTimeoutTimestamp(max(deadline_ms, gs.getCurrentWatermarkMs() + 1))
+        if outs:
+            yield pd.DataFrame(outs, columns=cols)
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        run, schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+    )

@@ -27,9 +27,39 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wallaroo_spark.api import aggregation as A
 from wallaroo_spark.operators import compute as C
 from wallaroo_spark.operators import windows as W
 from wallaroo_spark.streaming import state as S
+
+
+class range_windows:
+    """Builder parity with ``wallaroo.range_windows(r).with_slide(s)
+    .with_delay(d).over(Agg)`` (`machida/lib/wallaroo/__init__.py:762-823`).
+    Sizes in seconds; pass the result to ``Pipeline.to``."""
+
+    def __init__(self, size_s: int):
+        self.size_s = int(size_s)
+        self.slide_s: int | None = None
+        self.delay_s = 0
+        self.agg: A.Aggregation | None = None
+        self.out_schema = ""
+
+    def with_slide(self, slide_s: int) -> "range_windows":
+        self.slide_s = int(slide_s)
+        return self
+
+    def with_delay(self, delay_s: int) -> "range_windows":
+        self.delay_s = int(delay_s)
+        return self
+
+    def over(self, agg: A.Aggregation, out_schema: str) -> "range_windows":
+        """``out_schema``: DDL for the fields ``output`` returns, e.g.
+        ``"total double"`` (Spark needs explicit types where the reference
+        had opaque pickles)."""
+        A.validate_aggregation(agg)
+        self.agg, self.out_schema = agg, out_schema
+        return self
 
 
 def computation(name: str):
@@ -96,7 +126,42 @@ class Pipeline:
             return self._with(C.compute(self.df, stage, **kw))
         if isinstance(stage, Column):
             return self._with(C.compute_filter(self.df, stage))
+        if isinstance(stage, range_windows):
+            if stage.agg is None:
+                raise ValueError("range_windows stage needs .over(Aggregation, out_schema)")
+            return self.to_windowed_agg(
+                stage.size_s, stage.agg, stage.out_schema,
+                slide_s=stage.slide_s, delay_s=stage.delay_s,
+            )
         raise TypeError(f"unsupported stage: {stage!r}")
+
+    def to_windowed_agg(
+        self,
+        size_s: int,
+        agg: "A.Aggregation",
+        out_schema: str,
+        slide_s: int | None = None,
+        delay_s: int = 0,
+    ) -> "Pipeline":
+        """S5/S6 windows over a user `Aggregation` class (initial/update/
+        combine/output — `aggregations.pony:24-39`). Emits (keys,
+        window_start, window_end, *output fields); the stage's window_end is
+        the natural event time for a cascaded downstream window (the
+        multi_aggregation app shape)."""
+        self._need_keys()
+        if self.df.isStreaming:
+            if slide_s:
+                raise NotImplementedError("streaming facade aggregation is tumbling-only")
+            out = A.windowed_agg_stream(
+                self.df, list(self.key_cols), self.ts_col, agg, out_schema,
+                size_s, delay_s=delay_s,
+            )
+        else:
+            out = A.windowed_agg_batch(
+                self.df, list(self.key_cols), self.ts_col, agg, out_schema,
+                size_s, slide_s=slide_s,
+            )
+        return Pipeline(out, ts_col="", key_cols=self.key_cols)
 
     def to_multi(self, array_expr: Column, out_name: str, keep: list[str] | None = None) -> "Pipeline":
         return self._with(C.compute_multi(self.df, array_expr, out_name, keep))

@@ -1694,3 +1694,77 @@ def frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word", "cnt", F.round(F.col("cnt") / F.col("_total"), 6).alias("support")
         )
     )
+
+
+@query(
+    "multi_aggregation_cascade",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 + 900 AS wend,
+               sum(value) AS total
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(floor(wend / 3600) AS BIGINT) * 3600 AS window_start,
+           CAST(floor(wend / 3600) AS BIGINT) * 3600 + 3600 AS window_end,
+           round(sum(total), 2) AS total_value
+    FROM s1
+    GROUP BY 1, 2, 3
+    """,
+)
+def multi_aggregation_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User `Aggregation` class driven through two cascaded aligned range
+    windows — the reference's multi_aggregation correctness app
+    (`testing/correctness/apps/multi_aggregation/multi_aggregation.pony`:
+    SumEvents over 50ms windows feeding SumEvents2 over 1s windows, stage-2
+    event time = stage-1 window_end_ts). Here: 15min -> 1h over events.
+    The oracle mirrors the window_end_ts re-timestamping, including the
+    boundary artifact where an exactly-on-the-hour window_end lands in the
+    NEXT hour (faithful to the reference's cascade)."""
+    from wallaroo_spark.api.pipeline import Pipeline, range_windows
+    from wallaroo_spark.api.aggregation import Aggregation
+
+    class SumEvents(Aggregation):
+        def initial_accumulator(self):
+            return {"total": 0.0}
+
+        def update(self, rec, acc):
+            acc["total"] += float(rec["value"])
+
+        def combine(self, a, b):
+            return {"total": a["total"] + b["total"]}
+
+        def output(self, key, window_end_ts, acc):  # Pony 3-arg form
+            return {"total": acc["total"]}
+
+    class SumEvents2(Aggregation):
+        def initial_accumulator(self):
+            return {"total": 0.0}
+
+        def update(self, rec, acc):
+            acc["total"] += float(rec["total"])
+
+        def combine(self, a, b):
+            return {"total": a["total"] + b["total"]}
+
+        def output(self, key, acc):  # Python-API 2-arg form
+            return {"total_value": acc["total"]}
+
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        Pipeline.source_df(ev, ts_col="ts")
+        .key_by("user_id")
+        .to(range_windows(900).over(SumEvents(), "total double"))
+        .df.withColumn("_ts2", F.col("window_end").cast("timestamp"))
+    )
+    s2 = (
+        Pipeline.source_df(s1, ts_col="_ts2")
+        .key_by("user_id")
+        .to(range_windows(3600).over(SumEvents2(), "total_value double"))
+        .df
+    )
+    return s2.select(
+        "user_id", "window_start", "window_end", F.round("total_value", 2).alias("total_value")
+    )
