@@ -171,6 +171,55 @@ def test_stream_state_survives_restart(spark, tmpdir):
     assert totals == [1.0, 3.0, 6.0, 10.0, 15.0, 21.0, 28.0, 36.0, 45.0, 55.0]
 
 
+def test_to_sinks_exactly_once_after_midstream_kill(spark, tmpdir):
+    """S14 to_sinks: a crash BETWEEN the two writers of a batch, then
+    restart — both sinks must end exactly-once (reference
+    `application.pony:193-219` + the effectively-once crash scripts)."""
+    import os
+
+    from wallaroo_spark.api import Pipeline
+    from wallaroo_spark.sinks import fanout_sink, idempotent_parquet_sink
+
+    df = _events(spark, n=10, keys=("a", "b"))
+    # two input files => two micro-batches under maxFilesPerTrigger=1
+    df.filter(F.col("v") <= 5).write.mode("overwrite").parquet(tmpdir + "/in")
+    df.filter(F.col("v") > 5).write.mode("append").parquet(tmpdir + "/in")
+
+    sink_a = idempotent_parquet_sink(tmpdir + "/a")
+    inner_b = idempotent_parquet_sink(tmpdir + "/b")
+    bomb = tmpdir + "/bomb"
+    open(bomb, "w").close()
+
+    def sink_b(bdf, batch_id):
+        if batch_id >= 1 and os.path.exists(bomb):
+            raise RuntimeError("injected crash: sink A committed, sink B did not")
+        inner_b(bdf, batch_id)
+
+    def start():
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmpdir + "/in")
+        )
+        p = Pipeline.source_df(sdf, ts_col="ts").to(F.col("v") > 0)
+        return p.to_sinks([sink_a, sink_b], tmpdir + "/chk", output_mode="append")
+
+    q = start()
+    with pytest.raises(Exception):
+        q.awaitTermination(120)  # dies on the injected batch-1 crash
+    os.remove(bomb)
+    q2 = start()  # recovery: batch 1 replays from the checkpoint WAL
+    q2.awaitTermination(120)
+
+    opts = {"recursiveFileLookup": "true"}
+    got_a = spark.read.options(**opts).parquet(tmpdir + "/a")
+    got_b = spark.read.options(**opts).parquet(tmpdir + "/b")
+    want = {(r.key, r.ts, r.v) for r in df.collect()}
+    assert {(r.key, r.ts, r.v) for r in got_a.collect()} == want
+    assert {(r.key, r.ts, r.v) for r in got_b.collect()} == want
+    assert got_a.count() == got_b.count() == 20  # no duplicates either
+
+
 def test_foreach_batch_sink_idempotent(spark, tmpdir):
     """Exactly-once contract: re-writing the same batchId overwrites, never
     duplicates (reference 2PC semantics, `connector_sink_twopc.pony:36-72`)."""
@@ -297,6 +346,90 @@ def test_stream_late_policy_matches_batch(spark, tmpdir, policy):
     assert got == want
     if policy == "fire_per_message":
         assert any(k[2] for k in got)  # late fires actually occurred
+
+
+def test_idle_source_watermark_divergence(spark, tmpdir):
+    """Reference evicts idle upstreams from the watermark min
+    (`watermarks.pony:81-123`), so a stalled source doesn't stall everyone.
+    Spark's global watermark = min across sources (multipleWatermarkPolicy)
+    has NO such eviction: this test demonstrates the native stall, and that
+    our keyed-state operators (per-key watermark + EventTimeTimeout flush)
+    keep flushing the live source's windows anyway — the engine's documented
+    mitigation (SURVEY §4)."""
+    # source A: 300s of data; source B: goes idle after 30s
+    a = _events(spark, n=100, keys=("a",))  # ts 0..297s
+    b = _events(spark, n=10, keys=("b",))  # ts 1..28s, then idle
+    a.write.mode("overwrite").parquet(tmpdir + "/a")
+    b.write.mode("overwrite").parquet(tmpdir + "/b")
+    sa = spark.readStream.schema(a.schema).parquet(tmpdir + "/a")
+    sb = spark.readStream.schema(b.schema).parquet(tmpdir + "/b")
+    # one watermark operator PER source (the multi-source topology): the
+    # query's global watermark = min across them (multipleWatermarkPolicy)
+    union = sa.withWatermark("ts", "0 seconds").unionByName(
+        sb.withWatermark("ts", "0 seconds")
+    )
+
+    # native path: windows close only under the GLOBAL watermark = min over
+    # sources => the idle source pins it at ~28s; key a's later windows stall
+    native = (
+        union.groupBy("key", F.window("ts", "30 seconds").alias("w"))
+        .agg(F.sum("v").alias("s"))
+        .select("key", F.col("w.start").cast("double").cast("long").alias("ws"), "s")
+    )
+    q = (
+        native.writeStream.format("memory")
+        .queryName("t_idle_native")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdir + "/chk_native")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    native_rows = spark.sql("SELECT * FROM t_idle_native").collect()
+    t0 = T0.timestamp()
+    stalled_max_end = max((r.ws + 30 - t0 for r in native_rows), default=0)
+    assert stalled_max_end <= 30 + 30  # nothing past the idle source's watermark
+
+    # engine path: per-key watermark + event-time-timeout flush — key a's
+    # windows keep closing while b is idle
+    from wallaroo_spark.api.aggregation import Aggregation, windowed_agg_stream
+
+    class SumAgg(Aggregation):
+        def initial_accumulator(self):
+            return {"t": 0.0}
+
+        def update(self, rec, acc):
+            acc["t"] += rec["v"]
+
+        def combine(self, x, y):
+            return {"t": x["t"] + y["t"]}
+
+        def output(self, key, acc):
+            return {"s": acc["t"]}
+
+    ours = windowed_agg_stream(union, ["key"], "ts", SumAgg(), "s double", 30)
+    q2 = (
+        ours.writeStream.format("memory")
+        .queryName("t_idle_ours")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk_ours")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    our_rows = spark.sql("SELECT * FROM t_idle_ours WHERE key = 'a'").collect()
+    our_max_end = max(r.window_end - t0 for r in our_rows)
+    assert our_max_end >= 270  # flushed far past the idle source's stall point
+    # and values match the batch computation for key a's closed windows
+    want = {
+        (r.key, r.ws): r.s
+        for r in a.groupBy("key", F.window("ts", "30 seconds").alias("w"))
+        .agg(F.sum("v").alias("s"))
+        .select("key", F.col("w.start").cast("double").cast("long").alias("ws"), "s")
+        .collect()
+    }
+    for r in our_rows:
+        assert want[(r.key, r.window_start)] == r.s
 
 
 def test_stream_merge_two_sources(spark, tmpdir):

@@ -1,0 +1,154 @@
+"""Live framed-TCP end-to-end: real sockets on both edges.
+
+Mirrors the reference's integration harness (`testing/tools/integration/`):
+a giles-sender-style feeder streams length-prefixed frames over TCP into the
+engine's receiver spool, the pipeline (decode -> key_by -> tumbling windows
+collecting per-key sequences) runs as a streaming query, and a framed TCP
+sink sends results to a collector. Validation is the window_detector
+invariant set (`testing/correctness/apps/window_detector/_validate.py:30-60`):
+per-window ordering, and per-key gap-freedom of the flattened sequences.
+"""
+
+import datetime as dt
+import json
+import shutil
+import struct
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from wallaroo_spark.sources import codec
+from wallaroo_spark.sources.tcp import (
+    FrameCollector,
+    FramedTCPReceiver,
+    framed_batch,
+    framed_stream,
+    send_framed_file,
+    send_frames,
+    tcp_frame_sink,
+)
+
+T0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+N_PER_KEY = 100
+KEYS = ["key_0", "key_1", "key_2", "key_3"]
+
+
+def _make_frames():
+    """window_detector feed: per key, the natural sequence 1..N, one event
+    per second, interleaved across keys (arrival order != key order)."""
+    frames = []
+    for i in range(N_PER_KEY):
+        for k in KEYS:
+            ts_ms = int((T0 + dt.timedelta(seconds=i)).timestamp() * 1000)
+            payload = struct.pack(">q", i + 1)
+            frames.append(codec.encode_frame(ts_ms, k.encode(), payload))
+    return frames
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="ws_tcp_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_framed_file_replay_roundtrip(spark, tmpdir):
+    """giles-sender file replay: framed file -> socket -> spool -> decode
+    reproduces the original messages exactly."""
+    frames = _make_frames()
+    framed_file = tmpdir + "/feed.msg"
+    with open(framed_file, "wb") as f:
+        for fr in frames:
+            f.write(fr)
+
+    rx = FramedTCPReceiver(tmpdir + "/spool").start()
+    try:
+        sent = send_framed_file(framed_file, rx.host, rx.port)
+        assert sent == len(frames)
+        assert rx.wait_for(len(frames)) == len(frames)
+    finally:
+        rx.stop()
+
+    decoded = codec.decode_frames(framed_batch(spark, tmpdir + "/spool"))
+    rows = decoded.collect()
+    assert len(rows) == len(frames)
+    got = {(r.key, r.event_ts, bytes(r.payload)) for r in rows}
+    want = {
+        (k, (T0 + dt.timedelta(seconds=i)).replace(tzinfo=None), struct.pack(">q", i + 1))
+        for i in range(N_PER_KEY)
+        for k in KEYS
+    }
+    assert got == want
+
+
+def test_tcp_to_tcp_windowed_pipeline_invariants(spark, tmpdir):
+    """Socket in -> windows -> socket out, with window_detector validation."""
+    frames = _make_frames()
+    rx = FramedTCPReceiver(tmpdir + "/spool", flush_every=64).start()
+    collector = FrameCollector().start()
+    try:
+        # feed over two connections (the reference runs multiple senders)
+        half = len(frames) // 2
+        send_frames(frames[:half], rx.host, rx.port)
+        send_frames(frames[half:], rx.host, rx.port)
+        assert rx.wait_for(len(frames)) == len(frames)
+
+        decoded = codec.decode_frames(framed_stream(spark, tmpdir + "/spool"))
+        events = decoded.select(
+            "event_ts",
+            "key",
+            F.expr("cast(conv(hex(payload), 16, 10) as bigint)").alias("v"),
+        )
+        windowed = (
+            events.withWatermark("event_ts", "0 seconds")
+            .groupBy("key", F.window("event_ts", "30 seconds").alias("w"))
+            .agg(F.sort_array(F.collect_list("v")).alias("values"))
+            .select(
+                F.col("w.end").alias("event_ts"),
+                "key",
+                F.encode(
+                    F.to_json(F.struct("key", F.col("w.start").cast("long").alias("ts"), "values")),
+                    "utf-8",
+                ).alias("payload"),
+            )
+        )
+        out_frames = codec.encode_frames(windowed)
+        q = (
+            out_frames.writeStream.foreachBatch(tcp_frame_sink(collector.host, collector.port))
+            .outputMode("append")
+            .option("checkpointLocation", tmpdir + "/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # append mode emits watermark-closed windows: 3 full windows per key
+        # (the 90s..99s tail window stays open in state)
+        collector.wait_for(len(KEYS) * 3)
+    finally:
+        rx.stop()
+        collector.stop()
+
+    # ---- window_detector-style validation (_validate.py:30-60) ----
+    windows: dict[str, dict[int, list[int]]] = {}
+    for fr in collector.frames:
+        (total,) = struct.unpack(">I", fr[:4])
+        _, klen = struct.unpack(">qI", fr[4:16])
+        payload = fr[16 + klen : 4 + total]
+        obj = json.loads(payload.decode())
+        windows.setdefault(obj["key"], {}).setdefault(obj["ts"], []).extend(obj["values"])
+
+    assert set(windows) == set(KEYS)
+    for k in KEYS:
+        sequence = []
+        for w_key in sorted(windows[k]):
+            win = windows[k][w_key]
+            # in-window ordering
+            assert win == sorted(win), f"out of order for {k} window {w_key}: {win}"
+            sequence.extend(win)
+        # tumbling: no duplicates across windows
+        assert len(sequence) == len(set(sequence)), f"duplicates for {k}"
+        # gap-freedom: flattened = contiguous prefix of the natural sequence
+        assert sequence == list(range(1, len(sequence) + 1)), f"gap for {k}"
+        # closed windows cover everything except the open tail window
+        assert len(sequence) >= N_PER_KEY - 30, f"lost data for {k}"

@@ -298,6 +298,14 @@ class Pipeline:
         self.df.write.mode("overwrite").parquet(path)
         return None
 
+    def to_sinks(self, sinks, checkpoint: str, output_mode: str = "update"):
+        """S14 `to_sinks` fan-out (`application.pony:193-219`): ONE streaming
+        query drives every writer per batch (upstream computed once); each
+        writer must be idempotent in batchId for exactly-once."""
+        from wallaroo_spark.sinks import fanout_sink
+
+        return self.to_sink_foreach_batch(fanout_sink(*sinks), checkpoint, output_mode)
+
     def to_sink_foreach_batch(self, fn, checkpoint: str, output_mode: str = "update"):
         # update mode: required by stateful stages (applyInPandasWithState);
         # harmless for stateless ones under foreachBatch

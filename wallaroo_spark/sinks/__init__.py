@@ -28,6 +28,31 @@ def idempotent_parquet_sink(base_dir: str):
     return write
 
 
+def fanout_sink(*sinks):
+    """``to_sinks`` fan-out (reference `application.pony:193-219`): one
+    foreachBatch fn driving N writers from a single streaming query.
+
+    The reference builds one pipeline terminating in multiple sinks; the
+    Spark-native equivalent is ONE query whose foreachBatch hands the same
+    batch to every writer — the upstream computes once (vs. N separate
+    queries re-reading the source). Each writer must itself be idempotent in
+    batchId; then a crash between writers is safe: on replay, writers that
+    already committed the batch overwrite, writers that didn't catch up.
+    The batch DataFrame is persisted across the writers so N sinks don't
+    recompute the micro-batch N times.
+    """
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        df.persist()
+        try:
+            for sink in sinks:
+                sink(df, batch_id)
+        finally:
+            df.unpersist()
+
+    return write
+
+
 def memory_sink(sdf: DataFrame, name: str, checkpoint: str, trigger_available_now: bool = True):
     """Test sink: drain the stream into an in-memory table (complete/update
     handled by caller's output mode)."""
