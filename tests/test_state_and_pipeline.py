@@ -125,3 +125,62 @@ def test_key_by_expression_column(spark):
     p = Pipeline.source_df(df).key_by(F.substring("word", 1, 1))
     out = p.df.groupBy(*p.key_cols).count().collect()
     assert {r[0]: r["count"] for r in out} == {"a": 2, "b": 1}
+
+
+def test_decorator_arity_validation():
+    """Reference `_validate_arity_compat`: wrong parameter counts rejected at
+    decoration time; state_computation_multi surface exists."""
+    import pytest as _pytest
+
+    from wallaroo_spark.api import (
+        computation,
+        computation_multi,
+        state_computation,
+        state_computation_multi,
+    )
+
+    with _pytest.raises(TypeError, match="1 parameter"):
+        computation("bad")(lambda a, b: None)
+    with _pytest.raises(TypeError, match="2 parameters"):
+        state_computation("bad", dict)(lambda a: None)
+
+    @state_computation_multi("split", dict)
+    def split_state(row, state):
+        state["n"] = state.get("n", 0) + 1
+        return [{"k": row["k"], "i": i} for i in range(state["n"])]
+
+    assert split_state._wallaroo_stage == ("state_computation_multi", "split")
+
+    @computation_multi("explode")
+    def explode_fn(row):
+        return [row, row]
+
+    assert explode_fn._wallaroo_stage == ("computation_multi", "explode")
+
+
+def test_state_computation_multi_emits_lists(spark):
+    """List-returning state fn: one input row -> N output rows, per key."""
+    from wallaroo_spark.api import state_computation_multi
+    from wallaroo_spark.streaming import state as S
+
+    @state_computation_multi("fanout", dict)
+    def fanout(row, state):
+        state["seen"] = state.get("seen", 0) + 1
+        return [
+            {"k": row["k"], "copy": c, "seen": state["seen"]}
+            for c in range(row["n"])
+        ]
+
+    df = spark.createDataFrame(
+        [Row(k="a", ts=T0, n=2), Row(k="a", ts=T0 + dt.timedelta(seconds=1), n=3),
+         Row(k="b", ts=T0, n=1)]
+    )
+    out = S.keyed_state_batch(
+        df, ["k"], fanout, fanout._initial_state,
+        "k string, copy int, seen int", ts_col="ts",
+    ).collect()
+    got = sorted((r.k, r.copy, r.seen) for r in out)
+    assert got == [
+        ("a", 0, 1), ("a", 0, 2), ("a", 1, 1), ("a", 1, 2), ("a", 2, 2),
+        ("b", 0, 1),
+    ]

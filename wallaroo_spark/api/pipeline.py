@@ -62,11 +62,27 @@ class range_windows:
         return self
 
 
+def _validate_arity(fn, name: str, arity: int) -> None:
+    """Reference `_validate_arity_compat` (`machida/lib/wallaroo/__init__.py`):
+    reject wrapped functions with the wrong parameter count up front."""
+    import inspect
+
+    params = [
+        p
+        for p in inspect.signature(fn).parameters.values()
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+    ]
+    if len(params) != arity:
+        term = "parameter" if arity == 1 else "parameters"
+        raise TypeError(f"function {name} must have {arity} {term}, has {len(params)}")
+
+
 def computation(name: str):
     """Decorator parity with `@wallaroo.computation` — tags a Column-expr
     builder or pandas fn with a stage name (`__init__.py:457-462`)."""
 
     def deco(fn):
+        _validate_arity(fn, name, 1)
         fn._wallaroo_stage = ("computation", name)
         return fn
 
@@ -74,7 +90,11 @@ def computation(name: str):
 
 
 def computation_multi(name: str):
+    """`@wallaroo.computation_multi` (`__init__.py:473-478`): 1->N, the fn
+    returns a list (or None to filter)."""
+
     def deco(fn):
+        _validate_arity(fn, name, 1)
         fn._wallaroo_stage = ("computation_multi", name)
         return fn
 
@@ -85,7 +105,23 @@ def state_computation(name: str, initial_state: Callable[[], dict]):
     """Decorator parity with `@wallaroo.state_computation(name, state=C)`."""
 
     def deco(fn):
+        _validate_arity(fn, name, 2)
         fn._wallaroo_stage = ("state_computation", name)
+        fn._initial_state = initial_state
+        return fn
+
+    return deco
+
+
+def state_computation_multi(name: str, initial_state: Callable[[], dict]):
+    """`@wallaroo.state_computation_multi` (`__init__.py:481-487`): keyed
+    state fn returning a LIST of outputs per message (or None). The engine's
+    state runner already forwards list returns (streaming/state.py:37-59) —
+    this decorator adds the reference's named/validated surface."""
+
+    def deco(fn):
+        _validate_arity(fn, name, 2)
+        fn._wallaroo_stage = ("state_computation_multi", name)
         fn._initial_state = initial_state
         return fn
 

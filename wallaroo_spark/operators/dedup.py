@@ -72,6 +72,14 @@ def ngram_jaccard_pairs(
     J >= t must share a prefix shingle; rarer-first ordering keeps join
     groups small). This removes the hot-shingle quadratic blowup: the join
     fan-out is bounded by prefix-shingle frequencies, not raw frequencies.
+    On top of the prefix join, two further LOSSLESS prunes (the ppjoin
+    filters) run as pure Column predicates before the distinct:
+
+    - length filter: J >= t forces t*|A| <= |B| <= |A|/t;
+    - positional filter: a match at prefix positions (pa, pb) can yield at
+      most ``1 + min(|A|-pa, |B|-pb)`` overlap, which must reach the J >= t
+      overlap requirement ``ceil(t/(1+t) * (|A|+|B|))``.
+
     Verification then computes exact Jaccard on candidates only, so the
     result is identical to the naive all-pairs join (the oracle checks
     this literally).
@@ -79,23 +87,45 @@ def ngram_jaccard_pairs(
     sh = _doc_shingles(df, id_col, text).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
 
-    # global shingle rarity order (dictionary-sized, not data-sized)
+    # global shingle rarity order — dictionary-sized, so broadcast it onto
+    # the shingle rows instead of shuffling the (data-sized) shingle table.
+    # (At a vocabulary too big to broadcast, drop the hint: it degrades to
+    # one extra hash shuffle, the algorithm is unchanged.)
     freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
-    ranked = sh.join(freq, "sh").withColumn(
-        "_pos",
-        F.row_number().over(
-            Window.partitionBy(id_col).orderBy(F.col("f"), F.col("sh"))
-        ),
+    # rank + per-doc size in ONE hash shuffle on id_col (window count reuses
+    # the row_number exchange) instead of a separate sizes agg + join
+    w_id = Window.partitionBy(id_col)
+    ranked = sh.join(F.broadcast(freq), "sh").select(
+        id_col,
+        "sh",
+        F.row_number().over(w_id.orderBy(F.col("f"), F.col("sh"))).alias("_pos"),
+        F.count("*").over(w_id).alias("sz"),
     )
-    prefix = (
-        ranked.join(sizes, id_col)
-        .filter(F.col("_pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select(id_col, "sh")
+    prefix = ranked.filter(
+        F.col("_pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select(id_col, "sh", "_pos", "sz")
+    pa = prefix.select(
+        F.col(id_col).alias("doc_a"), "sh", F.col("_pos").alias("_pa"), F.col("sz").alias("_sza")
     )
-    pa = prefix.select(F.col(id_col).alias("doc_a"), "sh")
-    pb = prefix.select(F.col(id_col).alias("doc_b"), "sh")
+    pb = prefix.select(
+        F.col(id_col).alias("doc_b"), "sh", F.col("_pos").alias("_pb"), F.col("sz").alias("_szb")
+    )
+    min_overlap = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (F.col("_sza") + F.col("_szb"))
+    )
+    overlap_bound = 1 + F.least(
+        F.col("_sza") - F.col("_pa"), F.col("_szb") - F.col("_pb")
+    )
     cands = (
-        pa.join(pb, "sh").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
+        pa.join(pb, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("_szb") >= threshold * F.col("_sza"))
+            & (F.col("_sza") >= threshold * F.col("_szb"))
+        )
+        .filter(overlap_bound >= min_overlap)
+        .select("doc_a", "doc_b")
+        .distinct()
     )
 
     # exact verification on candidates only (same shape as minhash verify)
