@@ -4,6 +4,7 @@ invariant-validation style (SURVEY §5) mechanized."""
 
 import datetime as dt
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import Row
@@ -126,3 +127,70 @@ def test_shingle_jaccard_matches_reference(docs):
             if round(jac, 4) >= 0.3:
                 want[(i, j)] = round(jac, 4)
     assert got == want
+
+
+def test_kmeans_fit_matches_numpy_reference():
+    """kmeans_fit vs a straight-line numpy implementation of the same
+    deterministic recipe (lowest-id init, cosine argmax w/ id tiebreak,
+    rounded dim-wise means)."""
+    import numpy as np
+
+    spark = _get_spark()
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype(np.float64)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(40)]
+    )
+    from wallaroo_spark.operators.similarity import kmeans_fit
+
+    got = {
+        r.cent_id: list(r.embedding)
+        for r in kmeans_fit(df, k=4, iters=3, round_dp=6).collect()
+    }
+
+    cents = {i: vecs[i].copy() for i in range(4)}
+    for _ in range(3):
+        members = {c: [] for c in cents}
+        for i in range(40):
+            v = vecs[i]
+            best = max(
+                sorted(cents),
+                key=lambda c: (
+                    float(v @ cents[c] / (np.linalg.norm(v) * np.linalg.norm(cents[c]))),
+                    -c,
+                ),
+            )
+            members[best].append(v)
+        cents = {
+            c: np.round(np.mean(m, axis=0), 6) for c, m in members.items() if m
+        }
+    want = {c: [float(x) for x in v] for c, v in cents.items()}
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c] == pytest.approx(want[c], abs=2e-6)
+
+
+def test_simhash_banding_is_lossless():
+    """Banded candidate generation finds EVERY pair with hamming <= 3
+    (pigeonhole over 4 bands) — compare against brute-force popcount."""
+    spark = _get_spark()
+    words = ["spark", "data", "stream", "window", "state", "key"]
+    docs = [
+        Row(doc_id=i, text=" ".join(words[j % len(words)] for j in range(i, i + 6)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs)
+    from wallaroo_spark.operators.dedup import simhash, simhash_near_pairs
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_pairs(df, max_hamming=3).collect()
+    }
+    fps = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    want = {}
+    ids = sorted(fps)
+    for i in ids:
+        for j in ids:
+            if i < j and bin(fps[i] ^ fps[j]).count("1") <= 3:
+                want[(i, j)] = bin(fps[i] ^ fps[j]).count("1")
+    assert got == want and want  # non-trivial: duplicates exist by construction

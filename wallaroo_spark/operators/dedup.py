@@ -313,6 +313,57 @@ def duplicate_clusters(
 
 
 SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 bands x 8 bits: pigeonhole-lossless for hamming <= 3
+
+
+def simhash_near_pairs(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """All pairs with SimHash Hamming distance <= max_hamming.
+
+    Banded candidate generation: the 32-bit fingerprint splits into 4 bands
+    of 8 bits; a pair within Hamming distance 3 differs in at most 3 bands,
+    so it must agree EXACTLY on at least one band (pigeonhole) — lossless
+    for ``max_hamming < SIMHASH_BANDS``. Candidates are a per-band equi-join
+    (hash shuffle on the band value, linear in docs), then the exact
+    popcount verify runs on candidates only — never all-pairs.
+    """
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError("banding is lossless only for max_hamming < SIMHASH_BANDS")
+    fp = simhash(df, id_col, text)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = fp.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "val"])
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"))
+    fb = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"))
+    return (
+        cands.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:

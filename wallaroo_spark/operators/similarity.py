@@ -158,6 +158,86 @@ def ivf_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (bucketed).
+
+    Candidates = same sign-bit LSH bucket (self-equi-join on the bucket id —
+    linear shuffle, never the all-pairs cross join), then exact cosine >=
+    threshold on candidates. Approximate by construction: cross-bucket
+    near-dups are missed with probability set by the bit count — the
+    standard recall/cost dial for embedding dedup at 100 TB. Output:
+    (doc-pair, cosine).
+    """
+    b = df.select(id_col, vec_col, lsh_bucket(F.col(vec_col)).alias("_bkt"))
+    pa = b.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"), "_bkt")
+    pb = b.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"), "_bkt")
+    return (
+        pa.join(pb, "_bkt")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic distributed k-means (cosine assignment, dim-wise mean).
+
+    Init = the k lowest-id vectors (reproducible; swap for k-means|| at
+    scale). Each iteration is two shuffles: broadcast-centroid argmax
+    assignment, then a (cent, dim)-keyed mean reassembled into vectors —
+    the distributed way to average vectors with no driver-side math.
+    Centroid dims are rounded to ``round_dp`` so the fixpoint is
+    reproducible across engines (the DuckDB oracle mirrors this). Returns
+    (cent_id, centroid array<double>); clusters that lose all members drop
+    out. The result is eagerly materialized (it's k rows) so callers can
+    broadcast it without re-running the iterations.
+    """
+    corpus = df.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+    w = Window.orderBy(F.col(id_col))
+    cents = (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(F.col(id_col).alias("cent_id"), F.col("_v").alias("_cv"))
+    )
+    for _ in range(iters):
+        scored = corpus.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "_v",
+            "cent_id",
+            cosine(F.col("_v"), F.col("_cv")).alias("_cos"),
+        )
+        wv = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cent_id"))
+        assigned = (
+            scored.withColumn("_rk", F.row_number().over(wv))
+            .filter(F.col("_rk") == 1)
+            .select("cent_id", "_v")
+        )
+        dims = assigned.select("cent_id", F.posexplode("_v").alias("dim", "x"))
+        means = dims.groupBy("cent_id", "dim").agg(
+            F.round(F.avg("x"), round_dp).alias("m")
+        )
+        cents = means.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("_cv")
+        )
+        cents = cents.localCheckpoint(eager=True)  # k rows; cut the iteration lineage
+    return cents.select("cent_id", F.col("_cv").alias(vec_col))
+
+
 def embedding_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Vector column hygiene stats: dimension + L2 norm (pure map)."""
     return df.select(
