@@ -98,3 +98,32 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         assert a.exchanges == 0  # bucket layout satisfies the join's distribution
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_q7_five_way_join_broadcasts_dims(spark):
+    """Q7 shape: only the lineitem-orders join may shuffle; supplier /
+    customer / both nation sides broadcast."""
+    a = audit(QUERIES["tpch_q7_nation_volume"](spark, SF))
+    assert a.broadcast_joins >= 4
+    assert a.python_ops == 0
+
+
+def test_q17_decorrelated_avg_is_broadcast(spark):
+    a = audit(QUERIES["tpch_q17_small_quantity_revenue"](spark, SF))
+    assert a.broadcast_joins == 2  # part filter + per-part avg table
+    assert a.python_ops == 0
+
+
+def test_scalar_agg_queries_have_no_driver_actions(spark, monkeypatch):
+    """tfidf/frequent_tokens/q22: the corpus-size scalar rides a broadcast
+    single-row agg — plan construction must not run collect/count/first
+    (driver-side actions bake scalars into the plan and add extra jobs)."""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side action during plan construction")
+
+    for action in ("collect", "count", "first", "take", "head"):
+        monkeypatch.setattr(DataFrame, action, boom)
+    for name in ("tfidf_top_terms", "frequent_tokens", "tpch_q22_dormant_high_balance"):
+        QUERIES[name](spark, SF)  # plan construction only
