@@ -194,3 +194,26 @@ def test_simhash_banding_is_lossless():
             if i < j and bin(fps[i] ^ fps[j]).count("1") <= 3:
                 want[(i, j)] = bin(fps[i] ^ fps[j]).count("1")
     assert got == want and want  # non-trivial: duplicates exist by construction
+
+
+def test_countmin_never_underestimates():
+    """CMS guarantee: est >= true count for EVERY item (one-sided error)."""
+    spark = _get_spark()
+    import random
+
+    rnd = random.Random(3)
+    words = [f"w{rnd.randint(0, 30)}" for _ in range(500)]
+    df = spark.createDataFrame([Row(word=w) for w in words])
+    from wallaroo_spark.operators.sketch import countmin_build, countmin_estimate
+
+    cms = countmin_build(df, "word", depth=4, width=64)
+    est = {
+        r.word: r.est_count
+        for r in countmin_estimate(cms, df.distinct(), "word", depth=4, width=64).collect()
+    }
+    from collections import Counter
+
+    true = Counter(words)
+    assert set(est) == set(true)
+    for w, t in true.items():
+        assert est[w] >= t, (w, est[w], t)

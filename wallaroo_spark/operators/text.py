@@ -82,6 +82,24 @@ def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def deterministic_sample(
+    df: DataFrame,
+    fraction_pct: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Reproducible ~fraction_pct% sample by content-independent hash.
+
+    Same contract as `deterministic_split`: replayable on any engine/run
+    (no RNG, no shuffle — a pure map the scan filter absorbs). The salt
+    decorrelates independent samples of the same table.
+    """
+    from wallaroo_spark.functions import hashing as H
+
+    bucket = H.md5int_col(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % F.lit(100)
+    return df.filter(bucket < fraction_pct)
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1971,6 +1971,63 @@ def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from wallaroo_spark.operators import sketch as _sketch
+
+
+def _countmin_oracle() -> str:
+    cms = _sketch.countmin_sql_cells("word", "toks")
+    probe_unions = " UNION ALL ".join(
+        f"SELECT h.word, c.cnt FROM heavy h JOIN cms c"
+        f" ON c.row = {r} AND c.col = {_sketch._cell_sql('h.word', r, _sketch.WIDTH)}"
+        for r in range(_sketch.DEPTH)
+    )
+    return f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS word FROM documents),
+    cms AS ({cms}),
+    cnts AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS n FROM cnts),
+    heavy AS (SELECT word, cnt FROM cnts, tot WHERE cnt >= 0.01 * n),
+    est AS (SELECT word, min(cnt) AS est_count FROM ({probe_unions}) GROUP BY word)
+    SELECT h.word, h.cnt, e.est_count FROM heavy h JOIN est e USING (word)
+    """
+
+
+@query("countmin_token_estimates", oracle=_countmin_oracle())
+def countmin_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4x1024, md5 hash family) over the token stream;
+    estimates for the exact >=1% heavy hitters alongside their true counts.
+    The sketch state is CONSTANT-size however large the vocabulary — the
+    100 TB path for frequency estimation; the oracle rebuilds the identical
+    sketch, so the approximate operator still gets an exact hash check."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("word"))
+    cms = _sketch.countmin_build(toks, "word")
+    counts = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("_n"))
+    heavy = (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= 0.01 * F.col("_n"))
+        .select("word", "cnt")
+    )
+    est = _sketch.countmin_estimate(cms, heavy.select("word"), "word")
+    return heavy.join(est, "word").select("word", "cnt", "est_count")
+
+
+@query(
+    "deterministic_sample_docs",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {H.md5int_sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10
+    """,
+)
+def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% sample by salted id hash (no RNG, replayable on any
+    engine — the training-data sampling contract)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.deterministic_sample(docs, 10).select("doc_id", "source")
+
+
 @query(
     "multi_aggregation_cascade",
     oracle="""
