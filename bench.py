@@ -38,6 +38,14 @@ HEADLINE = [
     "exact_dedup_full_rows",
     "late_policy_place_in_oldest",
     "text_quality_score",
+    # round-2 additions
+    "simhash_near_pairs",
+    "embedding_cosine_near_dup",
+    "kmeans_ivf_topk",
+    "countmin_token_estimates",
+    "multi_aggregation_cascade",
+    "tpch_q7_nation_volume",
+    "tpch_q18_large_orders",
 ]
 
 

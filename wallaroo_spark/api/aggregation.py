@@ -184,19 +184,47 @@ def windowed_agg_batch(
     arity = _output_arity(agg)
     single_key = len(keys) == 1
 
+    # Group by KEY ONLY and walk that key's windows inside one pandas call:
+    # grouping by (keys, window) would mean one Arrow/JVM round-trip per
+    # window — with ~1 row per window that is pure per-group overhead
+    # (measured 60x slower at sf0.1). Per-key group sizes stay bounded by
+    # rows_per_key * windows_per_row, the same memory bound the reference's
+    # per-key pane state had.
     def run(key_tuple: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import pandas as _pd
 
-        *kvals, ws = key_tuple
-        key = kvals[0] if single_key else tuple(kvals)
-        pdf = pdf.sort_values(ts_col, kind="mergesort").drop(columns=["_ws"])
-        acc = _fold_window(agg, pdf.to_dict("records"))
-        out = _emit(agg, key, int(ws) + size_s, acc, arity)
-        if out is None:
-            return _pd.DataFrame(columns=cols)
-        return _pd.DataFrame([(*kvals, int(ws), int(ws) + size_s, *_row_vals(out))], columns=cols)
+        key = key_tuple[0] if single_key else tuple(key_tuple)
+        pdf = pdf.sort_values(["_ws", ts_col], kind="mergesort")
+        ws_arr = pdf["_ws"].to_numpy()
+        recs = pdf.drop(columns=["_ws"]).to_dict("records")
+        rows = []
 
-    return assigned.groupBy(*keys, "_ws").applyInPandas(run, schema=schema)
+        def flush(ws, buf):
+            acc = _fold_window(agg, buf)
+            out = _emit(agg, key, int(ws) + size_s, acc, arity)
+            if out is not None:
+                rows.append((*key_tuple, int(ws), int(ws) + size_s, *_row_vals(out)))
+
+        # single sequential pass over (window, ts)-sorted rows: a pandas
+        # groupby per window costs ~1ms of framework overhead per group,
+        # which at ~1 row/window dominates everything
+        cur_ws, buf = None, []
+        for ws, rec in zip(ws_arr, recs):
+            if cur_ws is not None and ws != cur_ws:
+                flush(cur_ws, buf)
+                buf = []
+            cur_ws = ws
+            buf.append(rec)
+        if cur_ws is not None:
+            flush(cur_ws, buf)
+        return _pd.DataFrame(rows, columns=cols)
+
+    # explicit repartition on the grouping keys: AQE coalesces by BYTES, and
+    # this stage is CPU-bound Python — a few MB of rows can be hours of
+    # kernel time, so keep the key-hash spread at full parallelism (the
+    # explicit numbered repartition is exempt from AQE coalescing)
+    n_parts = assigned.sparkSession.sparkContext.defaultParallelism
+    return assigned.repartition(n_parts, *keys).groupBy(*keys).applyInPandas(run, schema=schema)
 
 
 def _row_vals(out) -> tuple:
