@@ -54,12 +54,19 @@ def brute_force_topk(
     queries must be small (broadcast); corpus streams through unshuffled.
     Output: (query_id, vec_id, cosine, rank).
     """
-    q = queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("_qv"))
-    joined = corpus.crossJoin(F.broadcast(q))
+    # precompute L2 norms per side: cosine inside the pair loop then costs
+    # ONE array aggregate (the dot) instead of three per pair
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(id_col, vec_col, _norm(F.col(vec_col)).alias("_cn"))
+    joined = c.crossJoin(F.broadcast(q))
     scored = joined.select(
         query_id,
         id_col,
-        cosine(F.col(vec_col), F.col("_qv")).alias("_cos"),
+        (_dot(F.col(vec_col), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))).alias("_cos"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(id_col))
     return (
@@ -91,14 +98,23 @@ def bucketed_topk(
     difference between scanning the corpus once per query batch and an
     all-pairs blowup. Recall is tunable via bits/multi-probe.
     """
-    c = corpus.select(id_col, vec_col, lsh_bucket(F.col(vec_col)).alias("_bkt"))
+    c = corpus.select(
+        id_col, vec_col,
+        lsh_bucket(F.col(vec_col)).alias("_bkt"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
     q = queries.select(
         F.col(id_col).alias(query_id),
         F.col(vec_col).alias("_qv"),
         lsh_bucket(F.col(vec_col)).alias("_bkt"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
     joined = c.join(F.broadcast(q), "_bkt")
-    scored = joined.select(query_id, id_col, cosine(F.col(vec_col), F.col("_qv")).alias("_cos"))
+    scored = joined.select(
+        query_id,
+        id_col,
+        (_dot(F.col(vec_col), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))).alias("_cos"),
+    )
     w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -127,14 +143,21 @@ def ivf_topk(
     Centroids here are caller-supplied (deterministic for tests); swap in
     k-means means only the centroid DataFrame changes.
     """
-    cents = centroids.select(F.col(id_col).alias(cent_id), F.col(vec_col).alias("_cv"))
+    cents = centroids.select(
+        F.col(id_col).alias(cent_id),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cvn"),
+    )
 
     def assign(df: DataFrame, out_id: str, keep_n: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).select(
+        # norms precomputed per vector/centroid: one dot per (vec, centroid)
+        d = df.withColumn("_vn", _norm(F.col(vec_col)))
+        scored = d.crossJoin(F.broadcast(cents)).select(
             F.col(out_id),
             vec_col,
+            "_vn",
             cent_id,
-            cosine(F.col(vec_col), F.col("_cv")).alias("_ccos"),
+            (_dot(F.col(vec_col), F.col("_cv")) / (F.col("_vn") * F.col("_cvn"))).alias("_ccos"),
         )
         w = Window.partitionBy(out_id).orderBy(F.col("_ccos").desc(), F.col(cent_id))
         return (
@@ -146,10 +169,14 @@ def ivf_topk(
     c_assigned = assign(corpus.select(id_col, vec_col), id_col, 1)
     q_assigned = assign(
         queries.select(F.col(id_col).alias(query_id), vec_col), query_id, nprobe
-    ).select(query_id, F.col(vec_col).alias("_qv"), cent_id)
+    ).select(query_id, F.col(vec_col).alias("_qv"), F.col("_vn").alias("_qn"), cent_id)
 
     joined = c_assigned.join(q_assigned, cent_id)
-    scored = joined.select(query_id, id_col, cosine(F.col(vec_col), F.col("_qv")).alias("_cos"))
+    scored = joined.select(
+        query_id,
+        id_col,
+        (_dot(F.col(vec_col), F.col("_qv")) / (F.col("_vn") * F.col("_qn"))).alias("_cos"),
+    )
     w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -173,13 +200,26 @@ def cosine_near_dup_pairs(
     standard recall/cost dial for embedding dedup at 100 TB. Output:
     (doc-pair, cosine).
     """
-    b = df.select(id_col, vec_col, lsh_bucket(F.col(vec_col)).alias("_bkt"))
-    pa = b.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"), "_bkt")
-    pb = b.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"), "_bkt")
+    b = df.select(
+        id_col, vec_col,
+        lsh_bucket(F.col(vec_col)).alias("_bkt"),
+        _norm(F.col(vec_col)).alias("_n"),
+    )
+    pa = b.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"), "_bkt",
+        F.col("_n").alias("_na"),
+    )
+    pb = b.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"), "_bkt",
+        F.col("_n").alias("_nb"),
+    )
     return (
         pa.join(pb, "_bkt")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
