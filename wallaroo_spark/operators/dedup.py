@@ -214,18 +214,37 @@ def minhash_lsh_pairs(
     # make the naive sh⋈sh join quadratic)
     sh = _doc_shingles(df, id_col, text).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # lossless length filter BEFORE the shingle-expansion verify: J >= t
+    # forces t*|A| <= |B| <= |A|/t, so size-mismatched candidates never pay
+    # the expensive (pair x shingles) join; sizes ride along so the final
+    # jaccard needs no further joins
+    cands_sz = (
+        cands.join(
+            sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"),
+            "doc_b",
+        )
+        .filter(
+            (F.col("sz_b") >= threshold * F.col("sz_a"))
+            & (F.col("sz_a") >= threshold * F.col("sz_b"))
+        )
+    )
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
     inter = (
-        cands.join(a, "doc_a")
+        cands_sz.join(a, "doc_a")
         .join(b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("inter"))
     )
     out = (
-        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        inter.withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -332,8 +351,14 @@ def simhash_near_pairs(
         raise ValueError("banding is lossless only for max_hamming < SIMHASH_BANDS")
     fp = simhash(df, id_col, text)
     width = SIMHASH_BITS // SIMHASH_BANDS
+    # band rows CARRY the full fingerprint (+8 bytes/row): the popcount
+    # verify runs inline on the band join and the hamming filter lands
+    # BEFORE the distinct — no separate fingerprint re-joins, and the
+    # distinct dedupes only the (small) surviving pair set rather than the
+    # hot-bucket candidate blowup
     bands = fp.select(
         id_col,
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -347,22 +372,20 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bv"),
-    ).select(id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-    cands = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "val"])
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
+    ).select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"), "band", "val"
     )
-    fa = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"))
-    fb = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"))
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"), "band", "val"
+    )
     return (
-        cands.join(fa, "doc_a")
-        .join(fb, "doc_b")
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
