@@ -455,3 +455,34 @@ def test_stream_merge_two_sources(spark, tmpdir):
     q.awaitTermination(120)
     got = {r.key: r["count"] for r in spark.sql("SELECT * FROM t_merge").collect()}
     assert got == {"a": 10, "b": 10}
+
+
+def test_stream_countmin_cells_match_batch(spark, tmpdir):
+    """Streaming count-min: the cell layout is a plain keyed running count,
+    so the sketch streams NATIVELY (update-mode groupBy, bounded depth*width
+    state) — drained cells must equal the batch sketch exactly."""
+    from wallaroo_spark.operators.sketch import countmin_build
+
+    rows = [Row(word=f"w{i % 17}") for i in range(400)]
+    df = spark.createDataFrame(rows)
+    df.write.mode("overwrite").parquet(tmpdir + "/in")
+    sdf = spark.readStream.schema(df.schema).parquet(tmpdir + "/in")
+
+    out = countmin_build(sdf, "word", depth=4, width=64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_cms")
+        .outputMode("complete")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.row, r.col): r.cnt for r in spark.sql("SELECT * FROM t_cms").collect()
+    }
+    want = {
+        (r.row, r.col): r.cnt
+        for r in countmin_build(df, "word", depth=4, width=64).collect()
+    }
+    assert got == want and len(want) <= 4 * 64

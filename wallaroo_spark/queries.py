@@ -1149,6 +1149,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(g.i AS INTEGER) AS frame_idx,
+           md5(substr(text, g.i * 16 + 1, 16)) AS frame_md5,
+           least(16, length(text) - g.i * 16) AS frame_len
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0, CAST(ceil(length(text) / 16.0) AS BIGINT) - 1)) AS i) g
+    WHERE length(text) > 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media bytes (stub: 16-byte strides; a real
+    demuxer swaps in behind the same mapInPandas shape). Frames are binary —
+    projected to (md5, length) so the driver canonicalizer can hash rows;
+    the oracle strides the text with character substr, which equals byte
+    strides because the testdata documents are ASCII-only (verified)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    frames = multimodal.frame_sample(media, every=16)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").alias("frame_len"),
+    )
+
+
+@query(
     "window_lag_lead_rank",
     oracle="""
     SELECT event_id, user_id,
