@@ -233,3 +233,40 @@ def test_alerts_windowed_agg_example(spark):
     out = alerts(spark, "/root/testdata/sf0.001")
     rows = out.collect()
     assert rows and all("DepositAlert" in r.alert for r in rows)
+
+
+def test_stream_sliding_agg_matches_batch(spark, tmpdir):
+    """Streaming facade SLIDING windows (alerts_windowed's 9s/3s shape):
+    drained closed windows equal the batch facade result."""
+    df = _events(spark, n=40)
+    df.write.mode("overwrite").parquet(tmpdir + "/in")
+    sdf = spark.readStream.schema(df.schema).parquet(tmpdir + "/in")
+    out = A.windowed_agg_stream(
+        sdf.withWatermark("ts", "0 seconds"), ["key"], "ts", make_sum_agg(),
+        "total double", 30, slide_s=10,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_agg_slide")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.window_start): r.total
+        for r in spark.sql("SELECT * FROM t_agg_slide").collect()
+    }
+    final_ts = {
+        r.key: r.mx.timestamp()
+        for r in df.groupBy("key").agg(F.max("ts").alias("mx")).collect()
+    }
+    want = {
+        (r.key, r.window_start): r.total
+        for r in A.windowed_agg_batch(
+            df, ["key"], "ts", make_sum_agg(), "total double", 30, slide_s=10
+        ).collect()
+        if r.window_start + 30 <= final_ts[r.key]
+    }
+    assert got == want and got

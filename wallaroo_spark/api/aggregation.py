@@ -243,16 +243,23 @@ def windowed_agg_stream(
     out_schema: str,
     size_s: int,
     delay_s: int = 0,
+    slide_s: int | None = None,
 ) -> DataFrame:
-    """Streaming tumbling windows over a user Aggregation.
+    """Streaming tumbling/sliding windows over a user Aggregation.
 
     State per key: running max event-ts + {window_start: pickled acc}. A
     window emits when the per-key watermark (max_ts - delay) passes its end;
     an event-time timeout (clamped to the global watermark) flushes open
     windows when the key goes idle — the reference's step-timeout flush
-    (`runner.pony:465-501`). Requires ``withWatermark`` upstream.
+    (`runner.pony:465-501`). Sliding: each event updates its size_s/slide_s
+    overlapping windows (bounded per-key state: windows-in-flight x acc).
+    Requires ``withWatermark`` upstream.
     """
     validate_aggregation(agg)
+    slide = slide_s or size_s
+    if size_s % slide != 0:
+        raise ValueError("window size must be a multiple of slide")
+    n_wins = size_s // slide
     schema = _full_schema(sdf, keys, out_schema)
     cols = _out_cols(keys, out_schema)
     state_schema = "max_ts double, wins map<bigint, binary>"
@@ -294,12 +301,16 @@ def windowed_agg_stream(
             for rec in pdf.to_dict("records"):
                 ep = rec[ts_col].timestamp()
                 max_ts = max(max_ts, ep)
-                ws = int(ep // size_s) * size_s
-                acc = (
-                    _pickle.loads(wins[ws]) if ws in wins else agg.initial_accumulator()
-                )
-                agg.update(rec, acc)
-                wins[ws] = _pickle.dumps(acc)
+                base = int(ep // slide) * slide
+                for i in range(n_wins):
+                    ws = base - i * slide
+                    acc = (
+                        _pickle.loads(wins[ws])
+                        if ws in wins
+                        else agg.initial_accumulator()
+                    )
+                    agg.update(rec, acc)
+                    wins[ws] = _pickle.dumps(acc)
             wm = max_ts - delay_s
             outs.extend(emit_rows(key, wins, [w for w in sorted(wins) if w + size_s <= wm]))
         gs.update((max_ts, wins))

@@ -186,11 +186,9 @@ class Pipeline:
         multi_aggregation app shape)."""
         self._need_keys()
         if self.df.isStreaming:
-            if slide_s:
-                raise NotImplementedError("streaming facade aggregation is tumbling-only")
             out = A.windowed_agg_stream(
                 self.df, list(self.key_cols), self.ts_col, agg, out_schema,
-                size_s, delay_s=delay_s,
+                size_s, delay_s=delay_s, slide_s=slide_s,
             )
         else:
             out = A.windowed_agg_batch(
