@@ -246,10 +246,12 @@ def kmeans_fit(
     broadcast it without re-running the iterations.
     """
     corpus = df.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
-    w = Window.orderBy(F.col(id_col))
+    # k lowest-id seeds via orderBy+limit = TakeOrderedAndProject: per-
+    # partition top-k merged at the driver, no single-partition global sort
+    # (a Window.orderBy rank would funnel the whole corpus through one task)
     cents = (
-        corpus.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
+        corpus.orderBy(F.col(id_col))
+        .limit(k)
         .select(F.col(id_col).alias("cent_id"), F.col("_v").alias("_cv"))
     )
     for _ in range(iters):
