@@ -28,6 +28,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0:
+            return "0"  # collapse IEEE -0.0 vs +0.0
         return f"{v:.0f}" if v == int(v) and abs(v) < 1e15 else repr(round(v, 6))
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")

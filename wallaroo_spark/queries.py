@@ -1638,7 +1638,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(embedding) AS x
         FROM embeddings
     )
-    SELECT label, dim, round(avg(x), 4) AS mean_val, count(*) AS n
+    SELECT label, dim, round(avg(x), 4) + 0 AS mean_val, count(*) AS n
     FROM dims GROUP BY 1, 2
     """,
 )
@@ -1650,8 +1650,9 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = emb.select(
         "label", F.posexplode("embedding").alias("dim", "x")
     )
+    # + 0.0 collapses IEEE -0.0 (DuckDB's avg of negatives cancelling) to +0.0
     return dims.groupBy("label", "dim").agg(
-        F.round(F.avg(F.col("x").cast("double")), 4).alias("mean_val"),
+        (F.round(F.avg(F.col("x").cast("double")), 4) + F.lit(0.0)).alias("mean_val"),
         F.count("*").alias("n"),
     )
 
