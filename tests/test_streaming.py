@@ -486,3 +486,45 @@ def test_stream_countmin_cells_match_batch(spark, tmpdir):
         for r in countmin_build(df, "word", depth=4, width=64).collect()
     }
     assert got == want and len(want) <= 4 * 64
+
+
+def test_stream_misra_gries_heavy_hitters(spark, tmpdir):
+    """Bounded-state streaming heavy hitters: with capacity m, every item
+    with true count > N/m survives, and true - N/m <= est <= true."""
+    import random
+
+    from wallaroo_spark.streaming.sketch import heavy_hitters_stream
+
+    rnd = random.Random(11)
+    # skewed stream: token w0 is ~30% of traffic, long tail behind it
+    words = ["w0" if rnd.random() < 0.3 else f"w{rnd.randint(1, 60)}" for _ in range(2000)]
+    df = spark.createDataFrame([Row(grp="g", word=w) for w in words])
+    df.write.mode("overwrite").parquet(tmpdir + "/in")
+    sdf = spark.readStream.schema(df.schema).parquet(tmpdir + "/in")
+
+    capacity = 16
+    out = heavy_hitters_stream(sdf, ["grp"], "word", capacity=capacity)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_mg")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_mg WHERE n_seen = (SELECT max(n_seen) FROM t_mg)").collect()
+    est = {r.word: r.est_count for r in rows}
+    n = rows[0].n_seen
+    assert n == len(words) and len(est) <= capacity
+
+    from collections import Counter
+
+    true = Counter(words)
+    err = n / capacity
+    for w, t in true.items():
+        if t > err:  # guaranteed present
+            assert w in est, (w, t, err)
+    for w, e in est.items():
+        assert true[w] - err <= e <= true[w], (w, e, true[w])
+    assert est.get("w0", 0) >= true["w0"] - err  # the skew king survives
