@@ -528,3 +528,48 @@ def test_stream_misra_gries_heavy_hitters(spark, tmpdir):
     for w, e in est.items():
         assert true[w] - err <= e <= true[w], (w, e, true[w])
     assert est.get("w0", 0) >= true["w0"] - err  # the skew king survives
+
+
+def test_stream_session_windows_match_batch(spark, tmpdir):
+    """Native session windows on a stream (S11's gap-based approximation):
+    drained closed sessions equal the batch session aggregation."""
+    # bursty traffic: 5-event bursts separated by 60s silences => sessions
+    rows = [
+        Row(key=k, ts=T0 + dt.timedelta(seconds=burst * 100 + i * 5), v=1.0)
+        for k in ("a", "b")
+        for burst in range(6)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows)
+    sdf = _stream_from(spark, df, tmpdir + "/in")
+    out = (
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy("key", F.session_window("ts", "30 seconds").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .select("key", F.col("w.start").alias("ws"), "n", "s")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sess")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.ws): (r.n, r.s) for r in spark.sql("SELECT * FROM t_sess").collect()
+    }
+    want = {
+        (r.key, r.ws): (r.n, r.s)
+        for r in df.groupBy("key", F.session_window("ts", "30 seconds").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .select("key", F.col("w.start").alias("ws"), "n", "s")
+        .collect()
+    }
+    # append emits watermark-closed sessions; the last burst per key may
+    # stay open
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(want) - len(got) <= 2
