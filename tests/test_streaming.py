@@ -573,3 +573,85 @@ def test_stream_session_windows_match_batch(spark, tmpdir):
     for k, v in got.items():
         assert want[k] == v
     assert len(want) - len(got) <= 2
+
+
+def test_ephemeral_event_time_timeout_fires(spark, tmpdir):
+    """The gs.hasTimedOut flush path actually fires: key 'a' opens a window
+    in batch 1 and then goes silent; batch 2 carries only key 'b' far in the
+    future, advancing the global watermark past a's deadline — a's window
+    must be emitted CLOSED by the event-time TIMER, not by a's own data
+    (the reference's step-timeout flush, `runner.pony:465-501`)."""
+    from wallaroo_spark.streaming.ephemeral import ephemeral_windows_stream
+
+    a = spark.createDataFrame(
+        [Row(key="a", ts=T0 + dt.timedelta(seconds=i), v=1.0) for i in range(5)]
+    )
+    b = spark.createDataFrame(
+        [Row(key="b", ts=T0 + dt.timedelta(seconds=10_000 + i), v=1.0) for i in range(3)]
+    )
+    a.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    b.coalesce(1).write.mode("append").parquet(tmpdir + "/in")
+    sdf = (
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir + "/in")
+    )
+    out = ephemeral_windows_stream(
+        sdf.withWatermark("ts", "0 seconds"), ["key"], "ts", "v",
+        trigger_range_s=30, post_trigger_range_s=10,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_eph_timer")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_eph_timer WHERE key = 'a'").collect()
+    # a sent 5 events then went silent: only the timer can close its window
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.closed and r.n_events == 5 and r.total_value == 5.0
+    assert r.window_start == T0.replace(tzinfo=dt.timezone.utc).timestamp()
+
+
+def test_late_policy_event_time_timeout_fires(spark, tmpdir):
+    """Same timer-flush proof for the late-policy operator: key 'a' leaves
+    an open window; key 'b' advances the watermark; a's window flushes via
+    gs.hasTimedOut."""
+    from wallaroo_spark.streaming.late import windowed_late_policy_stream
+
+    a = spark.createDataFrame(
+        [Row(key="a", arr=i, ts=T0 + dt.timedelta(seconds=i), v=1.0) for i in range(5)]
+    )
+    b = spark.createDataFrame(
+        [Row(key="b", arr=100 + i, ts=T0 + dt.timedelta(seconds=10_000 + i), v=1.0) for i in range(3)]
+    )
+    # one file per frame => exactly two micro-batches (a part-file split
+    # would let b's watermark jump make a's remaining rows late)
+    a.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    b.coalesce(1).write.mode("append").parquet(tmpdir + "/in")
+    sdf = (
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir + "/in")
+    )
+    out = windowed_late_policy_stream(
+        sdf.withWatermark("ts", "0 seconds"),
+        ["key"], "ts", "v", "arr", size_s=30, delay_s=10, policy="drop",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_late_timer")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_late_timer WHERE key = 'a'").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_events, r.total_value, r.is_late_fire) == (5, 5.0, False)

@@ -58,7 +58,7 @@ def windowed_late_policy_stream(
 
         if gs.exists:
             max_ts, wins = gs.get
-            wins = {int(k): [v[0], v[1]] for k, v in (wins or {}).items()}
+            wins = {int(k): [int(v[0]), float(v[1])] for k, v in (wins or {}).items()}
         else:
             max_ts, wins = float("-inf"), {}
         outs = []
@@ -88,7 +88,11 @@ def windowed_late_policy_stream(
                 for w in [w for w in wins if w + size_s <= wm]:
                     cnt, acc = wins.pop(w)
                     outs.append((*key, w, w + size_s, int(cnt), acc, False))
-        gs.update((max_ts, {w: (ca[0], ca[1]) for w, ca in wins.items()}))
+        # counts must be stored as FLOATS: a Python int inside an
+        # array<double> state cell silently round-trips to None (found by
+        # the multi-batch timer test; drained single-batch runs never
+        # restore state and can't see it)
+        gs.update((max_ts, {w: (float(ca[0]), float(ca[1])) for w, ca in wins.items()}))
         if wins:
             # Clamp to the query's global watermark: a lagging key's own
             # max_ts-based deadline can sit below it, and Spark rejects
