@@ -655,3 +655,37 @@ def test_late_policy_event_time_timeout_fires(spark, tmpdir):
     assert len(rows) == 1
     r = rows[0]
     assert (r.n_events, r.total_value, r.is_late_fire) == (5, 5.0, False)
+
+
+def test_stream_exact_dedup_within_watermark(spark, tmpdir):
+    """Streaming exact dedup: duplicates across micro-batches inside the
+    watermark horizon are suppressed; state is horizon-bounded."""
+    from wallaroo_spark.operators.dedup import exact_dedup_stream
+
+    b1 = spark.createDataFrame(
+        [Row(content=f"doc{i % 4}", ts=T0 + dt.timedelta(seconds=i)) for i in range(8)]
+    )
+    # batch 2 repeats the same content keys shortly after
+    b2 = spark.createDataFrame(
+        [Row(content=f"doc{i % 4}", ts=T0 + dt.timedelta(seconds=20 + i)) for i in range(8)]
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    b2.coalesce(1).write.mode("append").parquet(tmpdir + "/in")
+    sdf = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir + "/in")
+    )
+    out = exact_dedup_stream(sdf, ["content"], "ts", "10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_dedup").collect()
+    # all 16 inputs collapse to the 4 distinct contents, across batches
+    assert sorted(r.content for r in rows) == ["doc0", "doc1", "doc2", "doc3"]

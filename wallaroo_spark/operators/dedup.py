@@ -55,6 +55,19 @@ def exact_dedup(df: DataFrame, by: list[str], id_col: str) -> DataFrame:
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def exact_dedup_stream(sdf: DataFrame, by: list[str], ts_col: str, delay: str) -> DataFrame:
+    """Streaming exact dedup with WATERMARK-BOUNDED state.
+
+    Native ``dropDuplicatesWithinWatermark``: a key's dedup state is evicted
+    once the watermark passes its event time + delay, so state is bounded by
+    the churn inside the lateness horizon — the only way exact streaming
+    dedup survives an unbounded stream (plain dropDuplicates keys state
+    forever). Duplicates arriving within the horizon are suppressed
+    exactly; re-occurrences beyond it are treated as new (document the
+    horizon as the dedup guarantee)."""
+    return sdf.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(by)
+
+
 def _doc_shingles(df: DataFrame, id_col: str, text: str) -> DataFrame:
     return df.select(id_col, F.explode(shingles(F.col(text))).alias("sh"))
 
