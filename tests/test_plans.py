@@ -127,3 +127,17 @@ def test_scalar_agg_queries_have_no_driver_actions(spark, monkeypatch):
         monkeypatch.setattr(DataFrame, action, boom)
     for name in ("tfidf_top_terms", "frequent_tokens", "tpch_q22_dormant_high_balance"):
         QUERIES[name](spark, SF)  # plan construction only
+
+
+def test_q8_seven_way_star_broadcasts_all_dims(spark):
+    a = audit(QUERIES["tpch_q8_market_share"](spark, SF))
+    assert a.broadcast_joins >= 5  # c, s, n1, n2, r all broadcast
+    assert a.python_ops == 0
+
+
+def test_q15_scalar_max_reuses_revenue_exchange(spark):
+    """The max(total_revenue) subplan must reuse the revenue agg's exchange,
+    not rescan lineitem twice."""
+    a = audit(QUERIES["tpch_q15_top_supplier"](spark, SF))
+    assert a.scans <= 2  # lineitem once + supplier once (reused exchange)
+    assert a.python_ops == 0

@@ -1209,6 +1209,34 @@ def window_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "trailing_7d_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS trailing_7d
+    FROM orders
+    """,
+)
+def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (time-based, not row-based): per customer, revenue
+    in the trailing 7 days — the frame spec rows-frames can't express."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_7d"),
+    )
+
+
+@query(
     "string_functions_battery",
     oracle="""
     SELECT c_custkey,
