@@ -135,9 +135,9 @@ def test_q8_seven_way_star_broadcasts_all_dims(spark):
     assert a.python_ops == 0
 
 
-def test_q15_scalar_max_reuses_revenue_exchange(spark):
-    """The max(total_revenue) subplan must reuse the revenue agg's exchange,
-    not rescan lineitem twice."""
+def test_q15_single_lineitem_scan(spark):
+    """The scalar max is a window over the aggregated revenue table, so
+    lineitem is scanned exactly once (a scalar-agg branch would re-scan)."""
     a = audit(QUERIES["tpch_q15_top_supplier"](spark, SF))
-    assert a.scans <= 2  # lineitem once + supplier once (reused exchange)
+    assert a.scans == 2  # lineitem once + supplier once
     assert a.python_ops == 0

@@ -1880,9 +1880,13 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: revenue view + scalar-max correlated filter — the
-    max rides a broadcast single-row agg (no driver action, no second
-    revenue recomputation thanks to exchange reuse)."""
+    """TPC-H Q15 shape: revenue view + scalar-max filter. The max is a
+    global window over the ALREADY-AGGREGATED revenue table (supplier-sized,
+    tiny vs lineitem), so the plan scans lineitem exactly once — a separate
+    scalar-agg branch would re-scan it at static planning time (AQE's
+    exchange reuse only kicks in at runtime)."""
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1893,9 +1897,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    mx = F.max("total_revenue").over(Window.partitionBy())
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.withColumn("_mx", mx)
         .filter(F.col("total_revenue") == F.col("_mx"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
