@@ -270,3 +270,41 @@ def test_stream_sliding_agg_matches_batch(spark, tmpdir):
         if r.window_start + 30 <= final_ts[r.key]
     }
     assert got == want and got
+
+
+def test_stream_agg_state_restores_across_batches(spark, tmpdir):
+    """Cross-batch accumulation: the same key's window receives rows in TWO
+    micro-batches — the pickled accumulator must survive the state-store
+    round trip (the late-data op had a silent int->None bug only a restore
+    could reveal)."""
+    half1 = spark.createDataFrame(
+        [Row(key="a", ts=T0 + dt.timedelta(seconds=i), v=1.0) for i in range(10)]
+    )
+    half2 = spark.createDataFrame(
+        [Row(key="a", ts=T0 + dt.timedelta(seconds=10 + i), v=1.0) for i in range(10)]
+        + [Row(key="a", ts=T0 + dt.timedelta(seconds=200), v=1.0)]  # closes the window
+    )
+    half1.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    half2.coalesce(1).write.mode("append").parquet(tmpdir + "/in")
+    sdf = (
+        spark.readStream.schema(half1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir + "/in")
+    )
+    out = A.windowed_agg_stream(
+        sdf.withWatermark("ts", "0 seconds"), ["key"], "ts", make_sum_agg(),
+        "total double", 30,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_agg_restore")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.window_start: r.total for r in spark.sql("SELECT * FROM t_agg_restore").collect()}
+    t0 = T0.replace(tzinfo=dt.timezone.utc).timestamp()
+    # window [0,30) got 10 rows in batch 1 and 10 more in batch 2 => 20.0
+    assert rows[int(t0)] == 20.0
