@@ -1126,21 +1126,50 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # rows-only: histogram kernel not SQL-expressible
+_MM_FEATURES_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id, text, length(text) AS len FROM documents
+    ),
+    chars AS (
+        SELECT doc_id,
+               CAST(floor(ascii(substr(text, g.i, 1)) / 32) AS INTEGER) AS bin
+        FROM docs,
+             LATERAL (SELECT unnest(generate_series(1, len)) AS i) g
+        WHERE len > 0
+    ),
+    counts AS (
+        SELECT doc_id, bin, count(*) AS c FROM chars GROUP BY 1, 2
+    )
+    SELECT d.doc_id,
+           {cols}
+    FROM docs d LEFT JOIN counts c USING (doc_id)
+    GROUP BY d.doc_id, d.len
+""".format(
+    cols=",\n           ".join(
+        "round(CAST(coalesce(sum(CASE WHEN c.bin = {b} THEN c.c END), 0) AS DOUBLE)"
+        " / greatest(1, d.len), 6) AS f{b}".format(b=b)
+        for b in range(8)
+    )
+)
+
+
+@query("multimodal_features", oracle=_MM_FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """media -> fixed-dim feature vector (batched-inference shape).
 
-    The array<double> vector is serialized to a string in the projection so
-    the driver canonicalizer (pandas sort_values -> hash) gets hashable
-    cells; the operator itself keeps the typed array column."""
+    The stub kernel is an 8-bin byte histogram normalized by payload length
+    (operators/multimodal.py:extract_features) — bin = floor(byte/32). The
+    testdata documents are ASCII-only, so the oracle models bytes with
+    character functions (ascii over char positions), the same trick the
+    frame-sample oracle uses. The array<double> vector is unpacked into one
+    rounded double column per bin so the driver canonicalizer hashes plain
+    numeric cells (no engine-specific float-to-string formatting)."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
     feats = multimodal.extract_features(media, dim=8)
     return feats.select(
         "doc_id",
-        F.concat_ws(
-            ",", F.transform("features", lambda x: F.round(x, 6).cast("string"))
-        ).alias("features"),
+        *[F.round(F.col("features")[b], 6).alias(f"f{b}") for b in range(8)],
     )
 
 
