@@ -308,3 +308,93 @@ def test_stream_agg_state_restores_across_batches(spark, tmpdir):
     t0 = T0.replace(tzinfo=dt.timezone.utc).timestamp()
     # window [0,30) got 10 rows in batch 1 and 10 more in batch 2 => 20.0
     assert rows[int(t0)] == 20.0
+
+
+def test_output_dict_mapped_by_schema_name(spark):
+    """output() dicts bind by out_schema field NAME, not insertion order —
+    a dict built in reverse order must still land values in the right
+    columns (ADVICE r2: positional dict.values() silently swapped them)."""
+
+    class ReversedDictAgg(A.Aggregation):
+        def initial_accumulator(self):
+            return {"n": 0, "total": 0.0}
+
+        def update(self, rec, acc):
+            acc["n"] += 1
+            acc["total"] += rec["v"]
+
+        def combine(self, a, b):
+            return {"n": a["n"] + b["n"], "total": a["total"] + b["total"]}
+
+        def output(self, key, acc):
+            # schema order is (total, n); build the dict the other way round
+            return {"n": acc["n"], "total": acc["total"]}
+
+    df = _events(spark, n=10, keys=("a",))
+    out = A.windowed_agg_batch(
+        df, ["key"], "ts", ReversedDictAgg(), "total double, n bigint", 300
+    )
+    r = out.collect()[0]
+    assert r.n == 10 and r.total == sum(float(i + 1) for i in range(10))
+
+
+def test_output_dict_key_mismatch_raises(spark):
+    class WrongKeysAgg(A.Aggregation):
+        def initial_accumulator(self):
+            return {"n": 0}
+
+        def update(self, rec, acc):
+            acc["n"] += 1
+
+        def combine(self, a, b):
+            return {"n": a["n"] + b["n"]}
+
+        def output(self, key, acc):
+            return {"count": acc["n"]}  # out_schema says "n"
+
+    df = _events(spark, n=5, keys=("a",))
+    out = A.windowed_agg_batch(df, ["key"], "ts", WrongKeysAgg(), "n bigint", 300)
+    with pytest.raises(Exception, match="out_schema fields"):
+        out.collect()
+
+
+def test_stream_agg_late_event_does_not_reopen_emitted_window(spark, tmpdir):
+    """ADVICE r2: an event late for ITS KEY (per-key watermark passed the
+    window) but still ahead of the global watermark must not re-create the
+    emitted window with a fresh accumulator — that would emit a second,
+    partial row for the same (key, window_start)."""
+    batch1 = spark.createDataFrame(
+        [Row(key="a", ts=T0 + dt.timedelta(seconds=i), v=1.0) for i in range(10)]
+        + [Row(key="a", ts=T0 + dt.timedelta(seconds=100), v=1.0)]  # a's wm -> 100
+    )
+    batch2 = spark.createDataFrame(
+        [Row(key="a", ts=T0 + dt.timedelta(seconds=5), v=1.0)]  # late for key a
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    batch2.coalesce(1).write.mode("append").parquet(tmpdir + "/in")
+    sdf = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir + "/in")
+    )
+    # huge Spark-side delay keeps the GLOBAL watermark behind t=5, so Spark
+    # does not drop the late row itself — the facade must handle it
+    out = A.windowed_agg_stream(
+        sdf.withWatermark("ts", "1000 seconds"), ["key"], "ts", make_sum_agg(),
+        "total double", 30, delay_s=0,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_agg_late")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    t0 = T0.replace(tzinfo=dt.timezone.utc).timestamp()
+    rows = spark.sql(
+        f"SELECT * FROM t_agg_late WHERE window_start = {int(t0)}"
+    ).collect()
+    # exactly one emission for window [0,30), with the full 10 rows
+    assert len(rows) == 1 and rows[0].total == 10.0

@@ -689,3 +689,37 @@ def test_stream_exact_dedup_within_watermark(spark, tmpdir):
     rows = spark.sql("SELECT * FROM t_dedup").collect()
     # all 16 inputs collapse to the 4 distinct contents, across batches
     assert sorted(r.content for r in rows) == ["doc0", "doc1", "doc2", "doc3"]
+
+
+def test_stream_heavy_hitters_int_items_across_batches(spark, tmpdir):
+    """ADVICE r2: the MG counter state is map<string,bigint>; non-string
+    item columns must be canonicalized to string or counts silently split
+    after a state round-trip (restored keys str, live items int)."""
+    from wallaroo_spark.streaming.sketch import heavy_hitters_stream
+
+    b1 = spark.createDataFrame([Row(grp="g", item=7) for _ in range(5)]
+                               + [Row(grp="g", item=3)])
+    b2 = spark.createDataFrame([Row(grp="g", item=7) for _ in range(5)])
+    b1.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    b2.coalesce(1).write.mode("append").parquet(tmpdir + "/in")
+    sdf = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir + "/in")
+    )
+    out = heavy_hitters_stream(sdf, ["grp"], "item", capacity=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_mg_int")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM t_mg_int WHERE n_seen = (SELECT max(n_seen) FROM t_mg_int)"
+    ).collect()
+    est = {r.item: r.est_count for r in rows}
+    # one counter for item 7 holding the full cross-batch count of 10
+    assert est.get("7") == 10 and sum(1 for k in est if k == "7") == 1

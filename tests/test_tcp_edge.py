@@ -152,3 +152,25 @@ def test_tcp_to_tcp_windowed_pipeline_invariants(spark, tmpdir):
         assert sequence == list(range(1, len(sequence) + 1)), f"gap for {k}"
         # closed windows cover everything except the open tail window
         assert len(sequence) >= N_PER_KEY - 30, f"lost data for {k}"
+
+
+def test_receiver_idle_flush_on_quiet_connection(tmpdir):
+    """ADVICE r2: a long-lived connection that goes quiet with fewer than
+    flush_every buffered frames must still land them in the spool via the
+    time-based idle flush — otherwise streaming consumers stall until the
+    connection closes."""
+    import socket
+    import time
+
+    rcv = FramedTCPReceiver(tmpdir + "/spool", flush_every=10_000,
+                            idle_flush_s=0.1).start()
+    try:
+        frames = _make_frames()[:3]
+        with socket.create_connection((rcv.host, rcv.port)) as s:
+            for f in frames:
+                s.sendall(f)
+            # connection stays OPEN and quiet; idle flush must fire
+            got = rcv.wait_for(3, timeout_s=5.0)
+            assert got == 3
+    finally:
+        rcv.stop()

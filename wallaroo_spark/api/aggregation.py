@@ -181,6 +181,7 @@ def windowed_agg_batch(
 
     schema = _full_schema(df, keys, out_schema)
     cols = _out_cols(keys, out_schema)
+    fields = _out_fields(out_schema)
     arity = _output_arity(agg)
     single_key = len(keys) == 1
 
@@ -203,7 +204,7 @@ def windowed_agg_batch(
             acc = _fold_window(agg, buf)
             out = _emit(agg, key, int(ws) + size_s, acc, arity)
             if out is not None:
-                rows.append((*key_tuple, int(ws), int(ws) + size_s, *_row_vals(out)))
+                rows.append((*key_tuple, int(ws), int(ws) + size_s, *_row_vals(out, fields)))
 
         # single sequential pass over (window, ts)-sorted rows: a pandas
         # groupby per window costs ~1ms of framework overhead per group,
@@ -227,9 +228,21 @@ def windowed_agg_batch(
     return assigned.repartition(n_parts, *keys).groupBy(*keys).applyInPandas(run, schema=schema)
 
 
-def _row_vals(out) -> tuple:
+def _out_fields(out_schema: str) -> list[str]:
+    return [c.strip().split()[0] for c in out_schema.split(",")]
+
+
+def _row_vals(out, fields: list[str]) -> tuple:
+    # dict outputs are mapped by out_schema field NAME, not insertion order:
+    # a dict built in a different order would otherwise silently write values
+    # into the wrong columns (types may even coincide, so no error surfaces)
     if isinstance(out, dict):
-        return tuple(out.values())
+        if set(out) != set(fields):
+            raise KeyError(
+                f"Aggregation.output() dict keys {sorted(out)} do not match "
+                f"out_schema fields {sorted(fields)}"
+            )
+        return tuple(out[f] for f in fields)
     if isinstance(out, (tuple, list)):
         return tuple(out)
     return (out,)
@@ -247,13 +260,20 @@ def windowed_agg_stream(
 ) -> DataFrame:
     """Streaming tumbling/sliding windows over a user Aggregation.
 
-    State per key: running max event-ts + {window_start: pickled acc}. A
-    window emits when the per-key watermark (max_ts - delay) passes its end;
-    an event-time timeout (clamped to the global watermark) flushes open
-    windows when the key goes idle — the reference's step-timeout flush
-    (`runner.pony:465-501`). Sliding: each event updates its size_s/slide_s
-    overlapping windows (bounded per-key state: windows-in-flight x acc).
-    Requires ``withWatermark`` upstream.
+    State per key: running max event-ts, the per-key emitted watermark, and
+    {window_start: pickled acc}. A window emits when the per-key watermark
+    (max_ts - delay) passes its end; an event-time timeout flushes only the
+    windows whose end the GLOBAL watermark has passed, keeping the rest in
+    state with a re-registered timeout — the reference's step-timeout flush
+    (`runner.pony:465-501`). ``emit_wm`` records the highest watermark any
+    emission used: an event that is late for this key while still ahead of
+    the global watermark (so not dropped by Spark) must NOT re-create an
+    already-emitted window with a fresh accumulator — that would emit a
+    second, partial row for the same (key, window_start). Such events are
+    dropped (the drop late-data policy); route them elsewhere upstream if
+    another policy is wanted. Sliding: each event updates its
+    size_s/slide_s overlapping windows (bounded per-key state:
+    windows-in-flight x acc). Requires ``withWatermark`` upstream.
     """
     validate_aggregation(agg)
     slide = slide_s or size_s
@@ -262,7 +282,8 @@ def windowed_agg_stream(
     n_wins = size_s // slide
     schema = _full_schema(sdf, keys, out_schema)
     cols = _out_cols(keys, out_schema)
-    state_schema = "max_ts double, wins map<bigint, binary>"
+    fields = _out_fields(out_schema)
+    state_schema = "max_ts double, emit_wm double, wins map<bigint, binary>"
     arity = _output_arity(agg)
     single_key = len(keys) == 1
 
@@ -275,26 +296,36 @@ def windowed_agg_stream(
             acc = _pickle.loads(wins.pop(ws))
             out = _emit(agg, k, ws + size_s, acc, arity)
             if out is not None:
-                rows.append((*key, int(ws), int(ws) + size_s, *_row_vals(out)))
+                rows.append((*key, int(ws), int(ws) + size_s, *_row_vals(out, fields)))
         return rows
 
     def run(key: tuple, pdf_iter: Iterable[pd.DataFrame], gs: GroupState) -> Iterator[pd.DataFrame]:
         import pickle as _pickle
 
         if gs.hasTimedOut:  # pragma: no cover - live-stream idle flush
-            max_ts, wins = gs.get
+            max_ts, emit_wm, wins = gs.get
             wins = dict(wins or {})
-            gs.remove()
-            rows = emit_rows(key, wins, sorted(wins))
+            wm_g = gs.getCurrentWatermarkMs() / 1000.0
+            # flush only watermark-passed windows; an idle gap must not force
+            # out partials that a later event could legitimately still update
+            ripe = [w for w in sorted(wins) if w + size_s <= wm_g]
+            rows = emit_rows(key, wins, ripe)
+            if wins:
+                emit_wm = max(emit_wm, wm_g)
+                gs.update((max_ts, emit_wm, wins))
+                deadline_ms = int((min(wins) + size_s) * 1000)
+                gs.setTimeoutTimestamp(max(deadline_ms, gs.getCurrentWatermarkMs() + 1))
+            else:
+                gs.remove()
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
             return
 
         if gs.exists:
-            max_ts, wins = gs.get
+            max_ts, emit_wm, wins = gs.get
             wins = dict(wins or {})
         else:
-            max_ts, wins = float("-inf"), {}
+            max_ts, emit_wm, wins = float("-inf"), float("-inf"), {}
         outs = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values(ts_col, kind="mergesort")
@@ -304,6 +335,8 @@ def windowed_agg_stream(
                 base = int(ep // slide) * slide
                 for i in range(n_wins):
                     ws = base - i * slide
+                    if ws + size_s <= emit_wm:
+                        continue  # window already emitted — drop, don't re-open
                     acc = (
                         _pickle.loads(wins[ws])
                         if ws in wins
@@ -313,7 +346,8 @@ def windowed_agg_stream(
                     wins[ws] = _pickle.dumps(acc)
             wm = max_ts - delay_s
             outs.extend(emit_rows(key, wins, [w for w in sorted(wins) if w + size_s <= wm]))
-        gs.update((max_ts, wins))
+            emit_wm = max(emit_wm, wm)
+        gs.update((max_ts, emit_wm, wins))
         if wins:
             deadline_ms = int((max_ts + delay_s + size_s) * 1000)
             gs.setTimeoutTimestamp(max(deadline_ms, gs.getCurrentWatermarkMs() + 1))

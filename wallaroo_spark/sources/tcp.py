@@ -71,7 +71,7 @@ class FramedTCPReceiver:
     """
 
     def __init__(self, spool_dir: str, host: str = "127.0.0.1", port: int = 0,
-                 flush_every: int = 256):
+                 flush_every: int = 256, idle_flush_s: float = 0.25):
         self.spool = Path(spool_dir)
         self.spool.mkdir(parents=True, exist_ok=True)
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -80,6 +80,7 @@ class FramedTCPReceiver:
         self._srv.listen(4)
         self.host, self.port = self._srv.getsockname()
         self.flush_every = flush_every
+        self.idle_flush_s = idle_flush_s
         self.frames_received = 0
         self._file_idx = 0
         self._lock = threading.Lock()
@@ -102,10 +103,21 @@ class FramedTCPReceiver:
     def _handle(self, conn: socket.socket) -> None:
         buf = bytearray()
         pending: list[bytes] = []
+        # idle flush: a long-lived connection that goes quiet with fewer than
+        # flush_every buffered frames must still land them in the spool, or
+        # streaming consumers stall until the connection closes
+        conn.settimeout(self.idle_flush_s)
         with conn:
             while True:
                 try:
                     chunk = conn.recv(65536)
+                except socket.timeout:
+                    if pending:
+                        self._flush(pending)
+                        pending = []
+                    if self._stop.is_set():
+                        break
+                    continue
                 except OSError:
                     break
                 if not chunk:
@@ -130,11 +142,13 @@ class FramedTCPReceiver:
         with self._lock:
             idx = self._file_idx
             self._file_idx += 1
-            self.frames_received += len(frames)
         table = pa.table({"frame": pa.array(frames, type=pa.binary())})
         tmp = self.spool / f"_tmp_{idx}.parquet"
         pq.write_table(table, tmp)
         tmp.rename(self.spool / f"frames_{idx}.parquet")  # atomic publish
+        # count AFTER the publish so wait_for() means "landed in the spool"
+        with self._lock:
+            self.frames_received += len(frames)
 
     def wait_for(self, n_frames: int, timeout_s: float = 30.0) -> int:
         deadline = time.monotonic() + timeout_s

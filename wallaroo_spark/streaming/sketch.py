@@ -25,6 +25,7 @@ from collections.abc import Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -51,11 +52,18 @@ def heavy_hitters_stream(
 
     Output: keys, item, est_count, n_seen — downstream filters
     ``est_count >= support * n_seen`` for the guarantee-backed heavy set.
+
+    The counter state lives in a ``map<string, bigint>`` cell, so the item
+    column is canonicalized to string up front (and emitted as string):
+    otherwise counter keys restored from the state store come back as
+    strings while live items keep their native type, silently splitting
+    counts for non-string item columns.
     """
+    sdf = sdf.withColumn(item_col, F.col(item_col).cast("string"))
     key_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
     out_schema = (
         ", ".join(f"{k} {key_types[k]}" for k in keys)
-        + f", {item_col} {key_types[item_col]}, est_count bigint, n_seen bigint"
+        + f", {item_col} string, est_count bigint, n_seen bigint"
     )
     state_schema = "n_seen bigint, counters map<string, bigint>"
     cols = [c.split()[0] for c in out_schema.split(",")]
