@@ -158,6 +158,7 @@ def windowed_agg_batch(
     out_schema: str,
     size_s: int,
     slide_s: int | None = None,
+    n_salts: int = 1,
 ) -> DataFrame:
     """Batch tumbling/sliding windows over a user Aggregation.
 
@@ -166,6 +167,16 @@ def windowed_agg_batch(
     (keys, window_start) — the same partitioning a native window agg uses.
     Output: keys, window_start/window_end (epoch seconds), out_schema fields.
     ``output`` returning None suppresses that window.
+
+    ``n_salts > 1`` enables the salted two-phase fold for hot keys: each
+    window is cut into ``n_salts`` time-contiguous PANES (salt = pane index,
+    the reference's pane shape — `panes_range_windows.pony:276-299`), stage 1
+    folds each (key, pane) partial in parallel, stage 2 combines pane
+    partials per key in pane order. Because panes are time-contiguous and
+    ``combine`` is contractually associative, the result is identical to the
+    sequential fold — but one hot key's window now runs as ``n_salts``
+    CPU-bound tasks instead of one. Default 1 keeps the single-stage path
+    (right when keys >> cores; salting adds a shuffle + pickling).
     """
     validate_aggregation(agg)
     slide = slide_s or size_s
@@ -184,6 +195,12 @@ def windowed_agg_batch(
     fields = _out_fields(out_schema)
     arity = _output_arity(agg)
     single_key = len(keys) == 1
+
+    if n_salts > 1:
+        return _windowed_agg_batch_salted(
+            assigned, keys, ts_col, agg, size_s, n_salts,
+            schema, cols, fields, arity, single_key,
+        )
 
     # Group by KEY ONLY and walk that key's windows inside one pandas call:
     # grouping by (keys, window) would mean one Arrow/JVM round-trip per
@@ -226,6 +243,99 @@ def windowed_agg_batch(
     # explicit numbered repartition is exempt from AQE coalescing)
     n_parts = assigned.sparkSession.sparkContext.defaultParallelism
     return assigned.repartition(n_parts, *keys).groupBy(*keys).applyInPandas(run, schema=schema)
+
+
+def _windowed_agg_batch_salted(
+    assigned: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    agg: Aggregation,
+    size_s: int,
+    n_salts: int,
+    schema: str,
+    cols: list[str],
+    fields: list[str],
+    arity: int,
+    single_key: bool,
+):
+    """Salted two-phase fold (see windowed_agg_batch): stage 1 partial-folds
+    each time-contiguous PANE of a window per (key, pane) in parallel, stage
+    2 combines a window's pane partials in pane order. Time-contiguous panes
+    + associative combine => identical result to the sequential fold, with a
+    hot key's heavy update work spread over n_salts tasks."""
+    pane_len = size_s / n_salts
+    assigned = assigned.withColumn(
+        "_salt",
+        F.least(
+            F.lit(n_salts - 1),
+            F.floor((F.col(ts_col).cast("double") - F.col("_ws")) / F.lit(pane_len)),
+        ).cast("int"),
+    )
+    key_types = {f.name: f.dataType.simpleString() for f in assigned.schema.fields}
+    mid_schema = (
+        ", ".join(f"{k} {key_types[k]}" for k in keys)
+        + ", _salt int, _ws bigint, _acc binary"
+    )
+
+    def fold_panes(key_tuple: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+        import pickle as _pickle
+
+        pdf = pdf.sort_values(["_ws", ts_col], kind="mergesort")
+        ws_arr = pdf["_ws"].to_numpy()
+        recs = pdf.drop(columns=["_ws", "_salt"]).to_dict("records")
+        rows = []
+        cur_ws, buf = None, []
+        for ws, rec in zip(ws_arr, recs):
+            if cur_ws is not None and ws != cur_ws:
+                rows.append((*key_tuple, int(cur_ws), _pickle.dumps(_fold_window(agg, buf))))
+                buf = []
+            cur_ws = ws
+            buf.append(rec)
+        if cur_ws is not None:
+            rows.append((*key_tuple, int(cur_ws), _pickle.dumps(_fold_window(agg, buf))))
+        return _pd.DataFrame(rows, columns=[*keys, "_salt", "_ws", "_acc"])
+
+    def combine_panes(key_tuple: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+        import pickle as _pickle
+
+        key = key_tuple[0] if single_key else tuple(key_tuple)
+        pdf = pdf.sort_values(["_ws", "_salt"], kind="mergesort")
+        rows = []
+
+        def flush(ws, panes):
+            acc = agg.initial_accumulator()
+            for p in panes:
+                acc = agg.combine(acc, p)
+            out = _emit(agg, key, int(ws) + size_s, acc, arity)
+            if out is not None:
+                rows.append((*key_tuple, int(ws), int(ws) + size_s, *_row_vals(out, fields)))
+
+        cur_ws, panes = None, []
+        for ws, blob in zip(pdf["_ws"].to_numpy(), pdf["_acc"]):
+            if cur_ws is not None and ws != cur_ws:
+                flush(cur_ws, panes)
+                panes = []
+            cur_ws = ws
+            panes.append(_pickle.loads(blob))
+        if cur_ws is not None:
+            flush(cur_ws, panes)
+        return _pd.DataFrame(rows, columns=cols)
+
+    n_parts = assigned.sparkSession.sparkContext.defaultParallelism
+    partials = (
+        assigned.repartition(n_parts, *keys, "_salt")
+        .groupBy(*keys, "_salt")
+        .applyInPandas(fold_panes, schema=mid_schema)
+    )
+    # stage 2 moves only O(keys x windows x salts) pickled partials — the
+    # per-key serial section is the cheap combine, not the row fold
+    return (
+        partials.repartition(n_parts, *keys)
+        .groupBy(*keys)
+        .applyInPandas(combine_panes, schema=schema)
+    )
 
 
 def _out_fields(out_schema: str) -> list[str]:

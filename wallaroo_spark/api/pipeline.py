@@ -42,11 +42,18 @@ class range_windows:
         self.size_s = int(size_s)
         self.slide_s: int | None = None
         self.delay_s = 0
+        self.n_salts = 1
         self.agg: A.Aggregation | None = None
         self.out_schema = ""
 
     def with_slide(self, slide_s: int) -> "range_windows":
         self.slide_s = int(slide_s)
+        return self
+
+    def with_salts(self, n_salts: int) -> "range_windows":
+        """Hot-key spread: batch windows run the salted two-phase pane fold
+        (the reference's local_key_by shape, `application.pony:241-248`)."""
+        self.n_salts = int(n_salts)
         return self
 
     def with_delay(self, delay_s: int) -> "range_windows":
@@ -168,6 +175,7 @@ class Pipeline:
             return self.to_windowed_agg(
                 stage.size_s, stage.agg, stage.out_schema,
                 slide_s=stage.slide_s, delay_s=stage.delay_s,
+                n_salts=stage.n_salts,
             )
         raise TypeError(f"unsupported stage: {stage!r}")
 
@@ -178,6 +186,7 @@ class Pipeline:
         out_schema: str,
         slide_s: int | None = None,
         delay_s: int = 0,
+        n_salts: int = 1,
     ) -> "Pipeline":
         """S5/S6 windows over a user `Aggregation` class (initial/update/
         combine/output — `aggregations.pony:24-39`). Emits (keys,
@@ -193,7 +202,7 @@ class Pipeline:
         else:
             out = A.windowed_agg_batch(
                 self.df, list(self.key_cols), self.ts_col, agg, out_schema,
-                size_s, slide_s=slide_s,
+                size_s, slide_s=slide_s, n_salts=n_salts,
             )
         return Pipeline(out, ts_col="", key_cols=self.key_cols)
 
