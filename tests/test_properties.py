@@ -145,7 +145,7 @@ def test_kmeans_fit_matches_numpy_reference():
 
     got = {
         r.cent_id: list(r.embedding)
-        for r in kmeans_fit(df, k=4, iters=3, round_dp=6).collect()
+        for r in kmeans_fit(df, k=4, iters=3, round_dp=6, init="lowest_id").collect()
     }
 
     cents = {i: vecs[i].copy() for i in range(4)}
@@ -217,3 +217,41 @@ def test_countmin_never_underestimates():
     assert set(est) == set(true)
     for w, t in true.items():
         assert est[w] >= t, (w, est[w], t)
+
+
+def test_kmeans_parallel_init_beats_lowest_id_on_skewed_ids():
+    """Verdict r3 criterion: on data where the lowest ids are a correlated
+    sample (all from ONE cluster — the 100 TB pathology), the deterministic
+    k-means|| init must yield strictly better inertia than lowest-id seeds."""
+    import numpy as np
+
+    spark = _get_spark()
+    rng = np.random.RandomState(3)
+    # mass-skewed, well-separated direction clusters: ids 0..99 ALL in the
+    # big cluster, so lowest-id seeds start piled on it and one Lloyd round
+    # cannot pull a centroid out to the two small distant clusters
+    centers = np.eye(3, 8) * 10.0
+    rows, i = [], 0
+    for c, n in ((0, 100), (1, 10), (2, 10)):
+        for _ in range(n):
+            v = centers[c] + rng.randn(8) * 0.2
+            rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+            i += 1
+    df = spark.createDataFrame(rows)
+    from wallaroo_spark.operators.similarity import cosine, kmeans_fit
+    from pyspark.sql import functions as F
+
+    def inertia(init):
+        cents = kmeans_fit(df, k=3, iters=1, init=init)
+        scored = df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+        ).crossJoin(F.broadcast(cents.withColumnRenamed("embedding", "_cv")))
+        best = (
+            scored.withColumn("_cos", cosine(F.col("_v"), F.col("_cv")))
+            .groupBy("vec_id")
+            .agg(F.max("_cos").alias("mc"))
+        )
+        return best.agg(F.sum(1 - F.col("mc")).alias("s")).collect()[0].s
+
+    i_par, i_low = inertia("kmeans||"), inertia("lowest_id")
+    assert i_par < i_low * 0.5, (i_par, i_low)

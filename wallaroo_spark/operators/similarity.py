@@ -225,6 +225,107 @@ def cosine_near_dup_pairs(
     )
 
 
+def _py_dot(a, b) -> float:
+    # sequential left-to-right double accumulation — the SAME order Spark's
+    # F.aggregate and DuckDB's list_dot_product use, so all three agree bitwise
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _round_half_away(x: float, dp: int) -> float:
+    # DuckDB round() semantics (half away from zero), NOT Python banker's
+    import math
+
+    p = 10.0 ** dp
+    return math.floor(x * p + 0.5) / p if x >= 0 else -math.floor(-x * p + 0.5) / p
+
+
+def kmeans_parallel_seeds(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "_v",
+    oversample: int = 4,
+) -> DataFrame:
+    """Deterministic k-means||-style seeding (Bahmani et al., VLDB'12 shape).
+
+    1. Oversample ``k * oversample`` candidates by a salted engine-portable
+       hash rank (md5 of the id — a deterministic uniform sample, fixing the
+       lowest-id pathology where seeds are a correlated prefix of the data).
+       TakeOrdered: per-partition top-m merged at the driver, no global sort.
+    2. Weight each candidate by how many corpus points are nearest to it
+       (one broadcast assignment pass).
+    3. Reduce to k with greedy weighted farthest-point on the candidate set,
+       LOCALLY on the driver — O(k * oversample) rows, the same local
+       reduction Spark MLlib's k-means|| runs; scale-independent.
+
+    Every step is deterministic, so the whole init replays as DuckDB CTEs
+    (see queries._kmeans_ivf_oracle). Returns (cent_id, _cv array<double>).
+    """
+    import math
+
+    m = k * oversample
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":kmpp"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        corpus.orderBy(h, F.col(id_col))
+        .limit(m)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+        # m rows, referenced twice below — materialize once or the TakeOrdered
+        # corpus scan behind it runs twice
+        .localCheckpoint(eager=True)
+    )
+    scored = corpus.crossJoin(F.broadcast(cand)).select(
+        id_col, "_cid", cosine(F.col(vec_col), F.col("_cv")).alias("_cos")
+    )
+    wv = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid"))
+    counts = (
+        scored.withColumn("_rk", F.row_number().over(wv))
+        .filter(F.col("_rk") == 1)
+        .groupBy("_cid")
+        .agg(F.count("*").alias("_w"))
+    )
+    weighted = cand.join(counts, "_cid", "left").select(
+        "_cid", "_cv", F.coalesce("_w", F.lit(0)).alias("_w")
+    )
+    # local reduction on O(k*oversample) rows (MLlib's k-means|| does the
+    # same collect + local k-means++); independent of corpus size
+    cands = sorted(
+        ((r["_cid"], list(r["_cv"]), int(r["_w"])) for r in weighted.collect()),
+        key=lambda t: t[0],
+    )
+    norms = {cid: math.sqrt(_py_dot(v, v)) for cid, v, _ in cands}
+    first = max(cands, key=lambda t: (t[2], -t[0]))  # max weight, min id
+    chosen = [first]
+    remaining = [c for c in cands if c[0] != first[0]]
+    mind = {
+        c[0]: 1.0 - _py_dot(c[1], first[1]) / (norms[c[0]] * norms[first[0]])
+        for c in remaining
+    }
+    while len(chosen) < k and remaining:
+        best = max(
+            remaining,
+            key=lambda c: (_round_half_away(c[2] * mind[c[0]], 6), -c[0]),
+        )
+        chosen.append(best)
+        remaining = [c for c in remaining if c[0] != best[0]]
+        for c in remaining:
+            d = 1.0 - _py_dot(c[1], best[1]) / (norms[c[0]] * norms[best[0]])
+            if d < mind[c[0]]:
+                mind[c[0]] = d
+    return corpus.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in v]) for cid, v, _ in chosen],
+        "cent_id bigint, _cv array<double>",
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int,
@@ -232,13 +333,18 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    init: str = "kmeans||",
+    oversample: int = 4,
 ) -> DataFrame:
     """Deterministic distributed k-means (cosine assignment, dim-wise mean).
 
-    Init = the k lowest-id vectors (reproducible; swap for k-means|| at
-    scale). Each iteration is two shuffles: broadcast-centroid argmax
-    assignment, then a (cent, dim)-keyed mean reassembled into vectors —
-    the distributed way to average vectors with no driver-side math.
+    Init: ``"kmeans||"`` (default) = salted-hash oversampling + weighted
+    greedy reduction (kmeans_parallel_seeds) — at scale the lowest ids are
+    an arbitrary, often correlated sample that yields bad centroids and
+    skewed IVF buckets; ``"lowest_id"`` keeps the old k-lowest-id seeds.
+    Each iteration is two shuffles: broadcast-centroid argmax assignment,
+    then a (cent, dim)-keyed mean reassembled into vectors — the
+    distributed way to average vectors with no driver-side math.
     Centroid dims are rounded to ``round_dp`` so the fixpoint is
     reproducible across engines (the DuckDB oracle mirrors this). Returns
     (cent_id, centroid array<double>); clusters that lose all members drop
@@ -246,14 +352,19 @@ def kmeans_fit(
     broadcast it without re-running the iterations.
     """
     corpus = df.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
-    # k lowest-id seeds via orderBy+limit = TakeOrderedAndProject: per-
-    # partition top-k merged at the driver, no single-partition global sort
-    # (a Window.orderBy rank would funnel the whole corpus through one task)
-    cents = (
-        corpus.orderBy(F.col(id_col))
-        .limit(k)
-        .select(F.col(id_col).alias("cent_id"), F.col("_v").alias("_cv"))
-    )
+    if init == "kmeans||":
+        cents = kmeans_parallel_seeds(corpus, k, id_col, "_v", oversample)
+    elif init == "lowest_id":
+        # k lowest-id seeds via orderBy+limit = TakeOrderedAndProject: per-
+        # partition top-k merged at the driver, no single-partition global
+        # sort (a Window.orderBy rank would funnel everything through 1 task)
+        cents = (
+            corpus.orderBy(F.col(id_col))
+            .limit(k)
+            .select(F.col(id_col).alias("cent_id"), F.col("_v").alias("_cv"))
+        )
+    else:
+        raise ValueError(f"unknown init {init!r}")
     for _ in range(iters):
         scored = corpus.crossJoin(F.broadcast(cents)).select(
             id_col,

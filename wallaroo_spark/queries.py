@@ -2077,20 +2077,53 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ivf_oracle(k: int = 6, iters: int = 2, nprobe: int = 2, topk: int = 3) -> str:
+def _kmeans_ivf_oracle(
+    k: int = 6, iters: int = 2, nprobe: int = 2, topk: int = 3, oversample: int = 4
+) -> str:
     def cos(a: str, b: str) -> str:
         return (
             f"list_dot_product({a}, {b}) / "
             f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
         )
 
+    # k-means|| init replay (kmeans_parallel_seeds): salted md5-rank
+    # oversample of m candidates, weight = nearest-corpus-point counts, then
+    # k greedy weighted-farthest-point picks — each pick is one CTE block
+    m = k * oversample
     blocks = [
         f"""
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
-    cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM c ORDER BY vec_id LIMIT {k})"""
+    cand AS (SELECT vec_id AS cid, v,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':kmpp'), 1, 15)) AS BIGINT) AS h
+             FROM c ORDER BY h, vec_id LIMIT {m}),
+    wassign AS (SELECT vec_id, cid FROM (
+        SELECT c.vec_id, cd.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY {cos("c.v", "cd.v")} DESC, cd.cid) AS rk
+        FROM c, cand cd) WHERE rk = 1),
+    cw AS MATERIALIZED (SELECT cd.cid, cd.v, coalesce(wc.w, 0) AS w
+           FROM cand cd LEFT JOIN (SELECT cid, count(*) AS w FROM wassign GROUP BY cid) wc USING (cid)),
+    chosen0 AS MATERIALIZED (SELECT cid, v FROM cw ORDER BY w DESC, cid LIMIT 1)"""
     ]
+    # each chosen{j} is MATERIALIZED: it is referenced three times by the
+    # next block, and inlining would re-evaluate the whole chain (3^k blowup)
+    for j in range(1, k):
+        blocks.append(
+            f"""
+    sc{j} AS (
+        SELECT cw.cid, cw.v, cw.w, min(1 - {cos("cw.v", "ch.v")}) AS md
+        FROM cw, chosen{j - 1} ch
+        WHERE cw.cid NOT IN (SELECT cid FROM chosen{j - 1})
+        GROUP BY cw.cid, cw.v, cw.w),
+    pick{j} AS (SELECT cid, v FROM sc{j} ORDER BY round(w * md, 6) DESC, cid LIMIT 1),
+    chosen{j} AS MATERIALIZED (SELECT * FROM chosen{j - 1} UNION ALL SELECT * FROM pick{j})"""
+        )
+    blocks.append(
+        f"""
+    cent0 AS (SELECT cid AS cent_id, v AS cv FROM chosen{k - 1})"""
+    )
     for i in range(iters):
         blocks.append(
             f"""
