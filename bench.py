@@ -46,6 +46,9 @@ HEADLINE = [
     "multi_aggregation_cascade",
     "tpch_q7_nation_volume",
     "tpch_q18_large_orders",
+    # round-3 additions
+    "tpch_q9_product_profit",
+    "tpch_q21_suppliers_kept_waiting",
 ]
 
 

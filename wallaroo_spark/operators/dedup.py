@@ -72,8 +72,16 @@ def _doc_shingles(df: DataFrame, id_col: str, text: str) -> DataFrame:
     return df.select(id_col, F.explode(shingles(F.col(text))).alias("sh"))
 
 
+VOCAB_BROADCAST_MAX = 1_000_000  # distinct shingles above which the frequency
+# dictionary is too big to broadcast (~50-100 B/row => ~100 MB at the cap)
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str = "doc_id", text: str = "text", threshold: float = 0.7
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    threshold: float = 0.7,
+    vocab_broadcast_max: int | None = VOCAB_BROADCAST_MAX,
 ) -> DataFrame:
     """Exact all-near-pairs by shingle Jaccard >= threshold — with lossless
     **prefix filtering** (the standard set-similarity-join optimization; cf.
@@ -100,15 +108,52 @@ def ngram_jaccard_pairs(
     sh = _doc_shingles(df, id_col, text).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
 
-    # global shingle rarity order — dictionary-sized, so broadcast it onto
-    # the shingle rows instead of shuffling the (data-sized) shingle table.
-    # (At a vocabulary too big to broadcast, drop the hint: it degrades to
-    # one extra hash shuffle, the algorithm is unchanged.)
+    # SIZE-AWARE broadcast decision: at 100 TB the shingle vocabulary is tens
+    # of GB and a forced broadcast OOMs the driver, so estimate the distinct
+    # count first (one approx agg that also warms the shingle cache) and
+    # degrade to a plain shuffle join above the threshold — the algorithm is
+    # unchanged either way. vocab_broadcast_max=None always broadcasts.
+    if vocab_broadcast_max is not None:
+        n_vocab = sh.agg(F.approx_count_distinct("sh").alias("v")).first()["v"]
+        bcast = n_vocab <= vocab_broadcast_max
+    else:
+        bcast = True
+    cands = _ngram_candidates(sh, id_col, threshold, broadcast_freq=bcast)
+
+    # exact verification on candidates only (same shape as minhash verify)
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return _materialize_release(out, sh)
+
+
+def _ngram_candidates(
+    sh: DataFrame, id_col: str, threshold: float, broadcast_freq: bool
+) -> DataFrame:
+    """Prefix-filter candidate generation (ppjoin): rank shingles rarest-
+    first, join only each doc's prefix, apply length + positional filters.
+    ``broadcast_freq`` picks broadcast vs shuffle for the global frequency
+    dictionary join (decided size-aware by the caller)."""
     freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+    if broadcast_freq:
+        # dictionary-sized: ship it to the (data-sized) shingle rows
+        freq = F.broadcast(freq)
     # rank + per-doc size in ONE hash shuffle on id_col (window count reuses
     # the row_number exchange) instead of a separate sizes agg + join
     w_id = Window.partitionBy(id_col)
-    ranked = sh.join(F.broadcast(freq), "sh").select(
+    ranked = sh.join(freq, "sh").select(
         id_col,
         "sh",
         F.row_number().over(w_id.orderBy(F.col("f"), F.col("sh"))).alias("_pos"),
@@ -129,7 +174,7 @@ def ngram_jaccard_pairs(
     overlap_bound = 1 + F.least(
         F.col("_sza") - F.col("_pa"), F.col("_szb") - F.col("_pb")
     )
-    cands = (
+    return (
         pa.join(pb, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
@@ -140,24 +185,6 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-
-    # exact verification on candidates only (same shape as minhash verify)
-    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
-    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
-    inter = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
-    return _materialize_release(out, sh)
 
 
 def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -191,31 +218,30 @@ def minhash_lsh_pairs(
     threshold. Linear shuffles; never all-pairs.
     """
     sigs = minhash_signatures(df, id_col, text)
-    # one row per (doc, band): band signature packed into a struct — a single
-    # self-equi-join on (band, sig) replaces LSH_BANDS separate joins (one
-    # shuffle; the standard bucket-join shape that scales linearly in docs)
+    # one row per (doc, band), the band signature PACKED into a single
+    # xxhash64 long (band id folded into the hash): a single self-equi-join
+    # on the 8-byte sig replaces LSH_BANDS separate joins AND shuffles
+    # (sig, doc) rows instead of 4-long structs — the narrowest possible
+    # bucket-join shape. A hash collision can only ADD a false candidate,
+    # which the exact-Jaccard verify below removes, so the output is
+    # identical to the struct-equality join.
     bands = sigs.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.struct(
-                            *[
-                                F.col(f"mh{b * H.LSH_ROWS + r}").alias(f"r{r}")
-                                for r in range(H.LSH_ROWS)
-                            ]
-                        ).alias("sig"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col(f"mh{b * H.LSH_ROWS + r}") for r in range(H.LSH_ROWS)],
                     )
                     for b in range(H.LSH_BANDS)
                 ]
             )
-        ).alias("bs"),
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        ).alias("sig"),
+    )
     cands = (
         bands.alias("a")
-        .join(bands.alias("b"), ["band", "sig"])
+        .join(bands.alias("b"), "sig")
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
