@@ -174,3 +174,82 @@ def test_receiver_idle_flush_on_quiet_connection(tmpdir):
             assert got == 3
     finally:
         rcv.stop()
+
+
+def test_ping_pong_closed_tcp_circle(spark, tmpdir):
+    """Port of the reference's ping_pong app
+    (`testing/correctness/apps/ping_pong/ping_pong.pony`): two pipelines
+    connected sink-to-source in a CLOSED TCP circle — Ping increments a
+    byte and sends it to Pong's source, Pong increments and sends it back.
+    A single seeded frame must keep circulating: the observed payloads form
+    the strictly increasing chain 0,1,2,... split alternately between the
+    two receivers, proving live sink->source composition (frames cross real
+    sockets every hop, exactly once)."""
+    import struct as _struct
+
+    rx_a = FramedTCPReceiver(tmpdir + "/spool_a", flush_every=1).start()
+    rx_b = FramedTCPReceiver(tmpdir + "/spool_b", flush_every=1).start()
+
+    bump = (
+        F.concat(
+            F.lit(_struct.pack(">I", 1)),
+            F.expr(
+                "unhex(lpad(hex(pmod(cast(conv(hex(substring(frame, 5, 1)), 16, 10)"
+                " as int) + 1, 256)), 2, '0'))"
+            ),
+        ).alias("frame")
+    )
+
+    def hop(spool_in, host, port, chk):
+        return (
+            framed_stream(spark, spool_in)
+            .select(bump)
+            .writeStream.foreachBatch(tcp_frame_sink(host, port))
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+
+    q_ping = q_pong = None
+    try:
+        q_ping = hop(tmpdir + "/spool_a", rx_b.host, rx_b.port, tmpdir + "/chk_ping")
+        q_pong = hop(tmpdir + "/spool_b", rx_a.host, rx_a.port, tmpdir + "/chk_pong")
+
+        # seed one frame (payload byte 0) into Ping's source
+        send_frames([_struct.pack(">I", 1) + b"\x00"], rx_a.host, rx_a.port)
+        hops = 6
+        deadline = 120
+        import time as _time
+
+        t0 = _time.monotonic()
+        while (
+            rx_a.frames_received + rx_b.frames_received < hops + 1
+            and _time.monotonic() - t0 < deadline
+        ):
+            _time.sleep(0.2)
+    finally:
+        for q in (q_ping, q_pong):
+            if q is not None:
+                q.stop()
+        rx_a.stop()
+        rx_b.stop()
+
+    a_vals = sorted(
+        r.v
+        for r in framed_batch(spark, tmpdir + "/spool_a")
+        .select(F.expr("cast(conv(hex(substring(frame, 5, 1)), 16, 10) as int)").alias("v"))
+        .collect()
+    )
+    b_vals = sorted(
+        r.v
+        for r in framed_batch(spark, tmpdir + "/spool_b")
+        .select(F.expr("cast(conv(hex(substring(frame, 5, 1)), 16, 10) as int)").alias("v"))
+        .collect()
+    )
+    total = len(a_vals) + len(b_vals)
+    assert total >= hops + 1, (a_vals, b_vals)
+    # the circle increments by one per hop: evens land on A (incl. the
+    # seed 0), odds on B — a strict alternating chain with no loss/dup
+    assert a_vals == list(range(0, 2 * len(a_vals), 2)), a_vals
+    assert b_vals == list(range(1, 2 * len(b_vals), 2)), b_vals
