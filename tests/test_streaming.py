@@ -826,3 +826,60 @@ def test_stream_minhash_evicts_beyond_horizon(spark, tmpdir):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT * FROM t_mh_evict").count() == 0
+
+
+def test_windowed_cms_aggregation_stream_matches_native_batch(spark, tmpdir):
+    """NOTES r2 candidate #1: per-(key,window) CMS with bounded streaming
+    state. The CountMinAggregation (Aggregation facade, watermark-evicted
+    window state) drained over a stream must reproduce the native batch
+    windowed sketch cell-for-cell."""
+    import random
+
+    from wallaroo_spark.api import aggregation as A
+    from wallaroo_spark.operators.sketch import (
+        CountMinAggregation, countmin_build_windowed,
+    )
+
+    rnd = random.Random(5)
+    rows = [
+        Row(
+            k="g",
+            ts=T0 + dt.timedelta(seconds=rnd.randint(0, 7199)),
+            item=f"u{rnd.randint(0, 40)}",
+        )
+        for _ in range(800)
+    ] + [Row(k="g", ts=T0 + dt.timedelta(seconds=7300), item="closer")]
+    df = spark.createDataFrame(rows)
+    df.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+
+    depth, width = 4, 32
+    agg = CountMinAggregation("item", depth=depth, width=width)
+    sdf = spark.readStream.schema(df.schema).parquet(tmpdir + "/in")
+    out = A.windowed_agg_stream(
+        sdf.withWatermark("ts", "0 seconds"), ["k"], "ts", agg,
+        "cells string", 3600,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_cms_win")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start: [int(x) for x in r.cells.split(",")]
+        for r in spark.sql("SELECT * FROM t_cms_win").collect()
+    }
+
+    native = countmin_build_windowed(df, "item", "ts", "1 hour", depth=depth, width=width)
+    want = {}
+    for r in native.collect():
+        ws = int(r.window_start.timestamp())
+        want.setdefault(ws, [0] * (depth * width))[r.row * width + r.col] = r.cnt
+    # the stream emits per-key-watermark-closed windows (the 7300s closer
+    # seals both full hours); native includes the closer's own open window
+    for ws, cells in got.items():
+        assert cells == want[ws], ws
+    assert len(got) == 2  # both full hourly windows closed and emitted

@@ -86,6 +86,87 @@ def countmin_estimate(
     )
 
 
+def countmin_build_windowed(
+    items: DataFrame,
+    item_col: str,
+    ts_col: str,
+    size: str = "1 hour",
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Per-tumbling-window CMS: one sketch per window, still one shuffle
+    whose key space is windows x depth x width — constant per window
+    regardless of item cardinality (the windowed-heavy-hitter scale shape).
+    Output: (window_start, window_end, row, col, cnt)."""
+    cells = items.select(
+        F.window(F.col(ts_col), size).alias("w"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cell_col(F.col(item_col), r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("rc.row").alias("row"),
+        F.col("rc.col").alias("col"),
+    )
+    return cells.groupBy("window_start", "window_end", "row", "col").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+class CountMinAggregation:
+    """Windowed-CMS-as-user-Aggregation: plugs into the `Aggregation`
+    facade (`api/aggregation.py`) so STREAMING tumbling/sliding windows get
+    a bounded depth*width sketch per (key, window) with watermark-evicted
+    state — the streaming complement of ``countmin_build_windowed`` (whose
+    batch path is native column math and stays the fast path).
+
+    Cells use the same md5 + linear-permutation family as ``_cell_col``, so
+    a drained stream reproduces the batch sketch cell-for-cell (parity-
+    tested). Hash constants are captured into the instance at construction:
+    the pickled accumulator closure must not reference this package
+    (executors cannot import wallaroo_spark).
+
+    ``output`` emits the flat row-major cells as a CSV string (schema
+    ``cells string``) — decode with ``split``/``cast`` downstream.
+    """
+
+    def __init__(self, item_field: str, depth: int = DEPTH, width: int = WIDTH):
+        self.item_field = item_field
+        self.depth = depth
+        self.width = width
+        self._m = H.MERSENNE31
+        self._ab = [(H.PERM_A[r], H.PERM_B[r]) for r in range(depth)]
+
+    def name(self) -> str:
+        return f"countmin_{self.item_field}"
+
+    def initial_accumulator(self):
+        return {"cells": [0] * (self.depth * self.width)}
+
+    def update(self, rec, acc) -> None:
+        import hashlib
+
+        h = int(hashlib.md5(str(rec[self.item_field]).encode()).hexdigest()[:15], 16) % self._m
+        cells = acc["cells"]
+        for r, (a, b) in enumerate(self._ab):
+            cells[r * self.width + (a * h + b) % self._m % self.width] += 1
+
+    def combine(self, a, b):
+        return {"cells": [x + y for x, y in zip(a["cells"], b["cells"])]}
+
+    def output(self, key, acc):
+        return {"cells": ",".join(map(str, acc["cells"]))}
+
+
 def countmin_sql_cells(item_expr: str, source_sql: str, depth: int = DEPTH, width: int = WIDTH) -> str:
     """DuckDB CTE body rebuilding the identical sketch (UNION ALL per row)."""
     selects = " UNION ALL ".join(

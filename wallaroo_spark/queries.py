@@ -2426,3 +2426,35 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+def _countmin_windowed_oracle(depth: int = 4, width: int = 64) -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT ws, {r} AS row, {_sketch._cell_sql('item', r, width)} AS col FROM src"
+        for r in range(depth)
+    )
+    return f"""
+    WITH src AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+               CAST(user_id AS VARCHAR) AS item
+        FROM events
+    )
+    SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+           row, col, count(*) AS cnt
+    FROM ({selects})
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@query("countmin_windowed_cells", oracle=_countmin_windowed_oracle())
+def countmin_windowed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tumbling-window count-min sketch (4x64) over the event stream's
+    user ids: one bounded sketch per hour — the windowed-heavy-hitter
+    state shape (NOTES r2 candidate #1; streaming variant =
+    sketch.CountMinAggregation on the Aggregation facade, parity-tested).
+    The shuffle key space is windows x depth x width, constant per window
+    regardless of item cardinality; the oracle rebuilds every cell."""
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", F.col("user_id").cast("string").alias("item")
+    )
+    return _sketch.countmin_build_windowed(ev, "item", "ts", "1 hour", depth=4, width=64)
