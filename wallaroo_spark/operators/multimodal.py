@@ -112,6 +112,28 @@ def frame_sample(df: DataFrame, media_col: str = "media", every: int = 10) -> Da
     return df.mapInPandas(run, schema="doc_id bigint, frame_idx int, frame binary")
 
 
+def resize_media(df: DataFrame, media_col: str = "media", stride: int = 4) -> DataFrame:
+    """media -> downsampled media (stub: keep every stride-th byte).
+
+    The real-decoder version swaps the slice for an image resampler behind
+    the same Arrow-batched mapInPandas shape; bytes never leave executors.
+    Adds ``resized_len``; the media column is replaced in place.
+    """
+
+    def run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            out = [bytes(bytes(m)[::stride]) for m in pdf[media_col]]
+            pdf = pdf.copy()
+            pdf[media_col] = out
+            pdf["resized_len"] = [len(x) for x in out]
+            yield pdf
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(run, schema=f"{fields}, resized_len int")
+
+
 def repartition_for_media(df: DataFrame, media_col: str = "media", parts: int | None = None) -> DataFrame:
     """Spread skewed media rows by content hash before heavy kernels."""
     h = F.xxhash64(F.col(media_col))

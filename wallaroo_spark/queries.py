@@ -1207,6 +1207,35 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    oracle="""
+    SELECT d.doc_id,
+           md5(string_agg(substr(d.text, g.i, 1), '' ORDER BY g.i)) AS resized_md5,
+           CAST(count(*) AS INTEGER) AS resized_len,
+           length(d.text) AS orig_len
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(1, length(d.text), 4)) AS i) g
+    WHERE length(d.text) > 0
+    GROUP BY d.doc_id, length(d.text)
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample kernel over opaque media bytes (stub: every 4th
+    byte; a real resampler swaps in behind the same mapInPandas shape).
+    Output proves content + size: (doc_id, md5 of resized bytes, resized
+    and original lengths); the oracle strides char positions, equal to
+    byte strides on the ASCII-only testdata."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("media"), F.length("text").alias("orig_len")
+    )
+    resized = multimodal.resize_media(media, stride=4)
+    return resized.select(
+        "doc_id", F.md5("media").alias("resized_md5"), "resized_len", "orig_len"
+    )
+
+
+@query(
     "window_lag_lead_rank",
     oracle="""
     SELECT event_id, user_id,
@@ -2458,3 +2487,49 @@ def countmin_windowed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", F.col("user_id").cast("string").alias("item")
     )
     return _sketch.countmin_build_windowed(ev, "item", "ts", "1 hour", depth=4, width=64)
+
+
+@query(
+    "near_dedup_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    cand AS ({_minhash_band_joins()}),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b USING (sh)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+              JOIN sz sa ON sa.doc_id = i.doc_a
+              JOIN sz sb ON sb.doc_id = i.doc_b
+              WHERE round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 4) >= 0.5),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS component_id
+                 FROM reach GROUP BY src),
+    dropped AS (SELECT doc_id FROM clusters WHERE component_id <> doc_id)
+    SELECT d.doc_id, md5(d.text) AS text_md5
+    FROM documents d LEFT JOIN dropped x USING (doc_id)
+    WHERE x.doc_id IS NULL
+    """,
+)
+def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the near-dup dedup: the surviving corpus after dropping every
+    non-canonical member of each MinHash-LSH duplicate cluster (canonical
+    survivor = min doc id, the component id). This is the end-to-end
+    "dedupe my training corpus" operation — cluster computation is
+    pairs-sized, the apply is one left-anti join against the (tiny)
+    dropped-id list, so the full corpus streams through unshuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup.duplicate_clusters(docs, threshold=0.5)
+    dropped = clusters.filter(F.col("component_id") != F.col("doc_id")).select("doc_id")
+    return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
