@@ -883,3 +883,64 @@ def test_windowed_cms_aggregation_stream_matches_native_batch(spark, tmpdir):
     for ws, cells in got.items():
         assert cells == want[ws], ws
     assert len(got) == 2  # both full hourly windows closed and emitted
+
+
+def test_transactional_sink_exactly_once_visibility(spark, tmpdir):
+    """2PC sink: streamed rows are visible exactly once; a redelivered
+    batch (crash-after-commit replay) commits nothing new."""
+    from wallaroo_spark.sinks import TransactionalParquetSink
+
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(100)])
+    df.coalesce(2).write.mode("overwrite").parquet(tmpdir + "/in")
+    sink = TransactionalParquetSink(tmpdir + "/out")
+    sdf = spark.readStream.schema(df.schema).parquet(tmpdir + "/in")
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.k for r in sink.read(spark).collect()) == list(range(100))
+
+    # redeliver batch 0 (the post-crash WAL replay): must be a no-op
+    sink(df, 0)
+    assert sorted(r.k for r in sink.read(spark).collect()) == list(range(100))
+
+
+def test_transactional_sink_orphan_stage_invisible(spark, tmpdir):
+    """Crash BETWEEN prepare and commit: the staged attempt is never
+    visible, the retry commits exactly once, vacuum clears the orphan."""
+    import os
+
+    from wallaroo_spark.sinks import TransactionalParquetSink
+
+    sink = TransactionalParquetSink(tmpdir + "/out")
+    df = spark.createDataFrame([Row(k=i) for i in range(10)])
+
+    # simulate the crash: stage the data but die before the commit record
+    orphan = os.path.join(tmpdir, "out", "_staged", "batch=7-deadbeef")
+    df.write.mode("overwrite").parquet(orphan)
+    # retry of batch 7 after recovery
+    sink(df, 7)
+    rows = sorted(r.k for r in sink.read(spark).collect())
+    assert rows == list(range(10))  # once, not twice
+    assert sink.vacuum() == 1  # the orphan attempt is garbage, now gone
+    assert sorted(r.k for r in sink.read(spark).collect()) == list(range(10))
+
+
+def test_transactional_sink_commit_race_keeps_single_attempt(spark, tmpdir):
+    """Two attempts for the same batchId racing to commit: exactly one
+    wins; the loser's staged files are dropped."""
+    import os
+
+    from wallaroo_spark.sinks import TransactionalParquetSink
+
+    sink = TransactionalParquetSink(tmpdir + "/out")
+    df = spark.createDataFrame([Row(k=i) for i in range(5)])
+    sink(df, 3)
+    first = sink.committed_paths()
+    sink(df, 3)  # second attempt must lose and clean up
+    assert sink.committed_paths() == first
+    staged = os.listdir(os.path.join(tmpdir, "out", "_staged"))
+    assert len(staged) == 1  # only the winning attempt remains
