@@ -253,3 +253,30 @@ def test_ping_pong_closed_tcp_circle(spark, tmpdir):
     # seed 0), odds on B — a strict alternating chain with no loss/dup
     assert a_vals == list(range(0, 2 * len(a_vals), 2)), a_vals
     assert b_vals == list(range(1, 2 * len(b_vals), 2)), b_vals
+
+
+def test_decoder_filter_drops_malformed_frames(spark):
+    """Port of the reference's decoder_filter app semantics: frames the
+    decoder can't parse (truncated, inconsistent lengths, bad utf-8 keys)
+    are FILTERED, not fatal — the live-edge contract when peers send
+    garbage or keepalives."""
+    good = [
+        codec.encode_frame(1000 * (i + 1), f"k{i}".encode(), struct.pack(">q", i))
+        for i in range(5)
+    ]
+    bad = [
+        b"\x00\x01",                                 # truncated header
+        struct.pack(">I", 100) + b"\x00" * 12,       # total past the buffer
+        struct.pack(">IqI", 20, 0, 99) + b"\x00" * 8,  # key length past body
+        struct.pack(">IqI", 14, 0, 2) + b"\xff\xfe",   # invalid utf-8 key
+    ]
+    frames = [f for pair in zip(good, bad + [b"\x00"]) for f in pair]
+    df = spark.createDataFrame([(bytearray(f),) for f in frames], "frame binary")
+
+    out = codec.decode_frames(df, drop_malformed=True).collect()
+    assert sorted(r.key for r in out) == [f"k{i}" for i in range(5)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        codec.decode_frames(df).collect()  # strict mode still surfaces it

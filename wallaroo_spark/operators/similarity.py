@@ -391,6 +391,31 @@ def kmeans_fit(
     return cents.select("cent_id", F.col("_cv").alias(vec_col))
 
 
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(127 * x_i / max|x|).
+
+    The 100 TB ANN storage path — 4x smaller vectors, dot products stay
+    int-exact for re-ranking; the scale factor rides along for dequant.
+    Pure Column math (transform + aggregate), no Python. Empty/zero vectors
+    quantize to zeros with scale 0.
+    """
+    v = F.col(vec_col)
+    mx = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    q = F.when(
+        mx > 0,
+        F.transform(v, lambda x: F.round(x.cast("double") * 127.0 / mx).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        id_col,
+        q.alias("q8"),
+        F.round(mx / 127.0, 6).alias("scale"),
+    )
+
+
 def embedding_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Vector column hygiene stats: dimension + L2 norm (pure map)."""
     return df.select(

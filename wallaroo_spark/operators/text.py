@@ -100,6 +100,32 @@ def deterministic_sample(
     return df.filter(bucket < fraction_pct)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, int],
+    id_col: str = "doc_id",
+    salt: str = "strata",
+) -> DataFrame:
+    """Reproducible per-stratum sampling (class-balanced corpus thinning):
+    each stratum value gets its own percentage; rows in unlisted strata are
+    dropped. Same engine-portable hash contract as `deterministic_sample` —
+    no RNG, no shuffle, replayable anywhere; salting by stratum decorrelates
+    the per-class subsamples."""
+    from wallaroo_spark.functions import hashing as H
+
+    bucket = H.md5int_col(
+        F.concat(F.lit(salt + ":"), F.col(strata_col).cast("string"),
+                 F.lit(":"), F.col(id_col).cast("string"))
+    ) % F.lit(100)
+    pct = None
+    for val, p in sorted(fractions.items()):
+        cond = F.col(strata_col).cast("string") == val
+        pct = F.when(cond, F.lit(p)) if pct is None else pct.when(cond, F.lit(p))
+    pct = pct.otherwise(F.lit(0)) if pct is not None else F.lit(0)
+    return df.filter(bucket < pct)
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2533,3 +2533,62 @@ def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
         "doc_id", F.md5("text").alias("text_md5")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 coalesce((SELECT max(abs(t.x)) FROM unnest(v) AS t(x)), 0) AS mx
+          FROM e)
+    SELECT vec_id,
+           CASE WHEN mx > 0
+                THEN array_to_string(list_transform(v,
+                     x -> CAST(round(x * 127.0 / mx) AS INTEGER)), ',')
+                ELSE array_to_string(list_transform(v, x -> 0), ',') END AS q8,
+           round(mx / 127.0, 6) AS scale
+    FROM m
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (similarity.quantize_int8):
+    the ANN storage path at 100 TB — 4x smaller vectors, int-exact dot
+    products, per-vector scale for dequant. Pure Column math; the int8
+    array is stringified for the hash compare."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.concat_ws(",", F.transform("q8", lambda x: x.cast("string"))).alias("q8"),
+        "scale",
+    )
+
+
+@query(
+    "stratified_sample_counts",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               {H.md5int_sql("'strata:' || lang || ':' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+        FROM documents
+    )
+    SELECT lang, count(*) AS n, min(doc_id) AS first_doc
+    FROM s
+    WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                             WHEN 'fr' THEN 20 ELSE 0 END
+    GROUP BY lang
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced corpus thinning: per-language deterministic sample
+    percentages (text.stratified_sample) — 50% en, 20% de/fr, drop the
+    rest. Hash-bucketed, engine-portable, no RNG, no shuffle (the filter
+    is absorbed by the scan)."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = text.stratified_sample(
+        docs, "lang", {"en": 50, "de": 20, "fr": 20}
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("first_doc")
+    )

@@ -29,8 +29,16 @@ def encode_frame(event_time_ms: int, key: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(body)) + body
 
 
-def decode_frames(df: DataFrame, frame_col: str = "frame") -> DataFrame:
-    """binary frames -> (event_ts timestamp, key string, payload binary)."""
+def decode_frames(
+    df: DataFrame, frame_col: str = "frame", drop_malformed: bool = False
+) -> DataFrame:
+    """binary frames -> (event_ts timestamp, key string, payload binary).
+
+    ``drop_malformed=True`` gives the reference's decoder-filter semantics
+    (`testing/correctness/apps/decoder_filter`): a frame the decoder cannot
+    parse (truncated header, key length past the buffer, invalid utf-8) is
+    silently filtered instead of failing the job — the behavior a live
+    socket edge needs when peers send garbage or keepalives."""
 
     def run(batches):
         import struct as _struct
@@ -41,10 +49,17 @@ def decode_frames(df: DataFrame, frame_col: str = "frame") -> DataFrame:
             out = {"event_ts": [], "key": [], "payload": []}
             for raw in pdf[frame_col]:
                 raw = bytes(raw)
-                (total,) = _struct.unpack(">I", raw[:4])
-                ts_ms, klen = _struct.unpack(">qI", raw[4:16])
-                key = raw[16 : 16 + klen].decode("utf-8")
-                payload = raw[16 + klen : 4 + total]
+                try:
+                    (total,) = _struct.unpack(">I", raw[:4])
+                    ts_ms, klen = _struct.unpack(">qI", raw[4:16])
+                    if 12 + klen > total or 4 + total > len(raw):
+                        raise ValueError("frame lengths inconsistent")
+                    key = raw[16 : 16 + klen].decode("utf-8")
+                    payload = raw[16 + klen : 4 + total]
+                except Exception:
+                    if drop_malformed:
+                        continue
+                    raise
                 out["event_ts"].append(_pd.Timestamp(ts_ms, unit="ms"))
                 out["key"].append(key)
                 out["payload"].append(payload)
