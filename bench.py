@@ -49,6 +49,8 @@ HEADLINE = [
     # round-3 additions
     "tpch_q9_product_profit",
     "tpch_q21_suppliers_kept_waiting",
+    "near_dedup_corpus",
+    "countmin_windowed_cells",
 ]
 
 
