@@ -1,0 +1,73 @@
+"""End-to-end LLM training-data pipeline on the engine's operators.
+
+The 100 TB shape this engine exists for, composed from its pieces:
+
+    documents
+      -> quality filter      (text.quality_score: cheap Column-only gate)
+      -> stratified sample   (per-language deterministic %, no RNG)
+      -> near-dup dedup      (MinHash-LSH clusters -> canonical survivors,
+                              broadcast anti-join: the corpus never shuffles)
+      -> train/val/test tag  (hash split, engine-portable)
+      -> transactional write (2PC parquet sink: staged prepare, put-if-
+                              absent commit, snapshot reads)
+
+Every stage is a narrow transformation or a broadcast join against a
+pairs-sized side table, so the full corpus streams through with ONE
+pass; only the dedup clustering shuffles, and that is bounded by the
+near-dup pair graph, not the corpus.
+
+Run: python examples/training_data_pipeline.py [sf_dir] [out_dir]
+"""
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from wallaroo_spark.operators import dedup, text
+from wallaroo_spark.sinks import TransactionalParquetSink
+from wallaroo_spark.sources import read_table
+
+
+def build_corpus(spark, sf_dir: str, out_dir: str, quality_min: float = 0.5):
+    docs = read_table(spark, sf_dir, "documents")
+
+    # 1. quality gate — pure Column math, absorbed by the scan
+    good_ids = text.quality_score(docs).filter(
+        F.col("quality") >= quality_min
+    ).select("doc_id")
+    kept = docs.join(good_ids, "doc_id", "left_semi")
+
+    # 2. class-balanced thinning — deterministic per-language percentages
+    sampled = text.stratified_sample(
+        kept, "lang", {"en": 100, "de": 80, "fr": 80, "es": 80, "zh": 80}
+    )
+
+    # 3. near-dup dedup — clusters are pairs-sized; the corpus takes one
+    # broadcast anti-join against the non-canonical member list
+    clusters = dedup.duplicate_clusters(sampled, threshold=0.5)
+    dropped = clusters.filter(F.col("component_id") != F.col("doc_id")).select("doc_id")
+    deduped = sampled.join(F.broadcast(dropped), "doc_id", "left_anti")
+
+    # 4. reproducible split tag
+    tagged = text.deterministic_split(deduped)
+
+    # 5. exactly-once visible output
+    sink = TransactionalParquetSink(out_dir)
+    sink(tagged, batch_id=0)
+    return sink
+
+
+if __name__ == "__main__":
+    from wallaroo_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="corpus_")
+    spark = get_spark("training-data-pipeline")
+    sink = build_corpus(spark, sf_dir, out_dir)
+    final = sink.read(spark)
+    final.groupBy("split").count().show()
+    print(f"corpus committed under {out_dir}")

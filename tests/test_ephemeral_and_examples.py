@@ -92,3 +92,30 @@ def test_example_celsius(spark, sf_dir):
     out = build(spark, sf_dir).collect()
     for r in out:
         assert abs(r.fahrenheit - round(r.celsius * 9.0 / 5.0 + 32.0, 4)) < 1e-9
+
+
+def test_training_data_pipeline_example(spark, tmp_path):
+    """End-to-end corpus build: quality gate -> stratified sample -> near-dup
+    dedup -> split -> 2PC commit; the committed snapshot has no non-canonical
+    duplicates, carries split tags, and a replayed commit is a no-op."""
+    from examples.training_data_pipeline import build_corpus
+    from wallaroo_spark.operators import dedup
+
+    out = str(tmp_path / "corpus")
+    sink = build_corpus(spark, "/root/testdata/sf0.001", out)
+    final = sink.read(spark)
+    rows = final.collect()
+    assert rows and set(r.split for r in rows) <= {"train", "val", "test"}
+
+    # no surviving doc is a non-canonical member of a duplicate cluster
+    clusters = dedup.duplicate_clusters(
+        spark.createDataFrame([(r.doc_id, r.text) for r in rows], "doc_id long, text string"),
+        threshold=0.5,
+    )
+    non_canon = clusters.filter("component_id <> doc_id").count()
+    assert non_canon == 0
+
+    # replayed commit (same batch id) changes nothing
+    n_before = len(rows)
+    sink(final.limit(3), 0)
+    assert sink.read(spark).count() == n_before

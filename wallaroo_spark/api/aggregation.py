@@ -458,9 +458,14 @@ def windowed_agg_stream(
             outs.extend(emit_rows(key, wins, [w for w in sorted(wins) if w + size_s <= wm]))
             emit_wm = max(emit_wm, wm)
         gs.update((max_ts, emit_wm, wins))
-        if wins:
-            deadline_ms = int((max_ts + delay_s + size_s) * 1000)
-            gs.setTimeoutTimestamp(max(deadline_ms, gs.getCurrentWatermarkMs() + 1))
+        # always register a timeout: with open windows it drives the idle
+        # flush; with none it clears the (max_ts, emit_wm) tombstone once
+        # the global watermark passes — events that could re-open an
+        # emitted window are globally late by then and Spark drops them,
+        # so removing the guard state is safe and the per-key state stays
+        # bounded even for keys that go quiet forever
+        deadline_ms = int((max_ts + delay_s + size_s) * 1000)
+        gs.setTimeoutTimestamp(max(deadline_ms, gs.getCurrentWatermarkMs() + 1))
         if outs:
             yield pd.DataFrame(outs, columns=cols)
 
