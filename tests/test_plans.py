@@ -198,3 +198,20 @@ def test_q21_decorrelated_semi_anti_no_cartesian(spark):
     assert a.nested_loop_joins == 0
     assert "LeftSemi" in a.text and "LeftAnti" in a.text
     assert a.python_ops == 0
+
+
+def test_windowed_cms_single_shuffle_no_python(spark):
+    """Windowed CMS batch path: one hash shuffle on (window, row, col) with
+    map-side partial agg; key space constant per window; no Python."""
+    a = audit(QUERIES["countmin_windowed_cells"](spark, SF))
+    assert a.exchanges == 1 and a.python_ops == 0
+
+
+def test_quantize_and_stratified_are_scan_speed(spark):
+    """quantize_int8 / stratified_sample: pure Column math — no shuffle,
+    no Python, single scan each."""
+    for name in ("embedding_quantize_int8",):
+        a = audit(QUERIES[name](spark, SF))
+        assert a.exchanges == 0 and a.python_ops == 0 and a.scans == 1, name
+    a = audit(QUERIES["stratified_sample_counts"](spark, SF))
+    assert a.python_ops == 0 and a.scans == 1
