@@ -52,6 +52,12 @@ def get_spark(app_name: str = "wallaroo_spark", cpus: int | None = None) -> Spar
             os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/wallaroo_spark_warehouse"),
         )
         .config("spark.sql.shuffle.spill.compress", "true")
+        # fresh Python worker per task: reused workers accumulate memory
+        # from earlier Arrow stages and a long session's late applyInPandas
+        # stages degrade 5-10x (measured: the aggregation cascade went
+        # 48s -> 5s mid-suite). Fork+import costs ~ms per task — cheap next
+        # to any real Python stage; closures are pickled by value anyway.
+        .config("spark.python.worker.reuse", "false")
         .getOrCreate()
     )
 
