@@ -159,6 +159,27 @@ def ivf_topk(
             cent_id,
             (_dot(F.col(vec_col), F.col("_cv")) / (F.col("_vn") * F.col("_cvn"))).alias("_ccos"),
         )
+        if keep_n == 1:
+            # argmax as a hash aggregate (map-side partial combine) instead
+            # of a Window sort: at scale the window shuffles AND sorts the
+            # full (corpus x centroids) expansion; max_by reduces it map-
+            # side to one row per vector. Tiebreak identical to the ranked
+            # path: max cosine, then min centroid id (-cent_id in the key).
+            return (
+                scored.groupBy(out_id)
+                .agg(
+                    F.max_by(
+                        F.struct(F.col(vec_col), F.col("_vn"), F.col(cent_id)),
+                        F.struct(F.col("_ccos"), -F.col(cent_id)),
+                    ).alias("_best")
+                )
+                .select(
+                    out_id,
+                    F.col(f"_best.{vec_col}").alias(vec_col),
+                    F.col("_best._vn").alias("_vn"),
+                    F.col(f"_best.{cent_id}").alias(cent_id),
+                )
+            )
         w = Window.partitionBy(out_id).orderBy(F.col("_ccos").desc(), F.col(cent_id))
         return (
             scored.withColumn("_crk", F.row_number().over(w))
@@ -285,10 +306,11 @@ def kmeans_parallel_seeds(
     scored = corpus.crossJoin(F.broadcast(cand)).select(
         id_col, "_cid", cosine(F.col(vec_col), F.col("_cv")).alias("_cos")
     )
-    wv = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid"))
+    # nearest-candidate argmax as a map-side max_by (no window sort of the
+    # corpus x candidates expansion); tiebreak = min candidate id
     counts = (
-        scored.withColumn("_rk", F.row_number().over(wv))
-        .filter(F.col("_rk") == 1)
+        scored.groupBy(id_col)
+        .agg(F.max_by(F.col("_cid"), F.struct(F.col("_cos"), -F.col("_cid"))).alias("_cid"))
         .groupBy("_cid")
         .agg(F.count("*").alias("_w"))
     )
@@ -372,11 +394,18 @@ def kmeans_fit(
             "cent_id",
             cosine(F.col("_v"), F.col("_cv")).alias("_cos"),
         )
-        wv = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cent_id"))
+        # argmax assignment as a map-side max_by: no sort-shuffle of the
+        # (corpus x k) expansion; tiebreak = min cent_id, same as the
+        # ranked form the oracle replays
         assigned = (
-            scored.withColumn("_rk", F.row_number().over(wv))
-            .filter(F.col("_rk") == 1)
-            .select("cent_id", "_v")
+            scored.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cent_id"), F.col("_v")),
+                    F.struct(F.col("_cos"), -F.col("cent_id")),
+                ).alias("_best")
+            )
+            .select(F.col("_best.cent_id").alias("cent_id"), F.col("_best._v").alias("_v"))
         )
         dims = assigned.select("cent_id", F.posexplode("_v").alias("dim", "x"))
         means = dims.groupBy("cent_id", "dim").agg(
