@@ -50,9 +50,19 @@ def shingles(c: Column) -> Column:
 
 
 def exact_dedup(df: DataFrame, by: list[str], id_col: str) -> DataFrame:
-    """Keep the first (min id) row per duplicate group. One shuffle."""
-    w = Window.partitionBy(*by).orderBy(F.col(id_col))
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    """Keep the first (min id) row per duplicate group.
+
+    min_by hash aggregate, not a row_number window: both are one shuffle,
+    but the aggregate combines map-side (one surviving row per group per
+    partition crosses the wire) while the window sort-shuffles every
+    duplicate — at 100 TB with heavy duplication that is the difference
+    between shuffling survivors and shuffling the corpus."""
+    cols = df.columns
+    return (
+        df.groupBy(*by)
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_r"))
+        .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
+    )
 
 
 def exact_dedup_stream(sdf: DataFrame, by: list[str], ts_col: str, delay: str) -> DataFrame:
