@@ -526,3 +526,108 @@ def make_sum_agg_v():
             return {"total": acc["total"]}
 
     return SumV()
+
+
+def _mg_check(windows, true_by_win, capacity):
+    """MG guarantees per window: no false negatives above n/capacity;
+    true - n/capacity <= est <= true."""
+    assert windows, "no windows emitted"
+    for ws, (n_seen, items) in windows.items():
+        true = true_by_win[ws]
+        assert n_seen == sum(true.values()), ws
+        est = {}
+        if items:
+            for kv in items.split(","):
+                k, v = kv.rsplit(":", 1)
+                est[k] = int(v)
+        assert len(est) <= capacity
+        err = n_seen / capacity
+        for w, t in true.items():
+            if t > err:
+                assert w in est, (ws, w, t, err)
+        for w, e in est.items():
+            assert true.get(w, 0) - err <= e <= true.get(w, 0), (ws, w)
+
+
+def test_windowed_misra_gries_batch_guarantees(spark):
+    """Per-window MG heavy hitters through the batch Aggregation facade,
+    including the salted pane fold (merge-based combine must keep the
+    guarantee under pane partials)."""
+    import random
+
+    from wallaroo_spark.api import aggregation as A
+    from wallaroo_spark.operators.sketch import MisraGriesAggregation
+
+    rnd = random.Random(9)
+    rows = []
+    for i in range(3000):
+        sec = rnd.randint(0, 7199)
+        item = "hot" if rnd.random() < 0.3 else f"u{rnd.randint(0, 80)}"
+        rows.append(Row(k="g", ts=T0 + dt.timedelta(seconds=sec), item=item))
+    df = spark.createDataFrame(rows)
+    capacity = 12
+    true_by_win = {}
+    for r in rows:
+        ws = int(r.ts.replace(minute=0, second=0, microsecond=0)
+                 .replace(tzinfo=dt.timezone.utc).timestamp())
+        true_by_win.setdefault(ws, {}).setdefault(r.item, 0)
+        true_by_win[ws][r.item] += 1
+
+    for n_salts in (1, 4):
+        out = A.windowed_agg_batch(
+            df, ["k"], "ts", MisraGriesAggregation("item", capacity),
+            "n_seen bigint, items string", 3600, n_salts=n_salts,
+        )
+        windows = {r.window_start: (r.n_seen, r.items) for r in out.collect()}
+        _mg_check(windows, true_by_win, capacity)
+
+
+def test_windowed_misra_gries_stream_guarantees(spark, tmpdir):
+    """Same guarantees on the streaming facade across micro-batches (the
+    merge runs against restored state)."""
+    import random
+
+    from wallaroo_spark.api import aggregation as A
+    from wallaroo_spark.operators.sketch import MisraGriesAggregation
+
+    rnd = random.Random(10)
+    rows = [
+        Row(k="g", ts=T0 + dt.timedelta(seconds=rnd.randint(0, 3599)),
+            item="hot" if rnd.random() < 0.3 else f"u{rnd.randint(0, 50)}")
+        for _ in range(600)
+    ]
+    closer = [Row(k="g", ts=T0 + dt.timedelta(seconds=7200), item="closer")]
+    df1 = spark.createDataFrame(rows[:300])
+    df2 = spark.createDataFrame(rows[300:] + closer)
+    df1.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    df2.coalesce(1).write.mode("append").parquet(tmpdir + "/in")
+    capacity = 10
+    sdf = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir + "/in")
+    )
+    out = A.windowed_agg_stream(
+        sdf.withWatermark("ts", "0 seconds"), ["k"], "ts",
+        MisraGriesAggregation("item", capacity),
+        "n_seen bigint, items string", 3600,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_mg_win")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start: (r.n_seen, r.items)
+        for r in spark.sql("SELECT * FROM t_mg_win").collect()
+    }
+    t0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    true = {}
+    for r in rows:
+        true.setdefault(r.item, 0)
+        true[r.item] += 1
+    _mg_check({t0: got[t0]}, {t0: true}, capacity)

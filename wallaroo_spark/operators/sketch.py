@@ -167,6 +167,67 @@ class CountMinAggregation:
         return {"cells": ",".join(map(str, acc["cells"]))}
 
 
+class MisraGriesAggregation:
+    """Windowed top-k heavy hitters as a user Aggregation: at most
+    ``capacity`` counters per (key, window), streaming-ready through the
+    Aggregation facade with watermark-evicted state — the per-window
+    complement of ``streaming.sketch.heavy_hitters_stream`` (which keeps
+    one RUNNING summary per key).
+
+    ``combine`` is the standard mergeable-summaries MG merge (Agarwal et
+    al., PODS'12): add counters, then subtract the (capacity+1)-th largest
+    count and drop non-positives. It preserves the MG guarantee
+    (true - n/capacity <= est <= true, no false negatives above
+    n/capacity) but is NOT bit-deterministic across different chunk/batch
+    groupings — the guarantee is the contract, so this operator carries
+    guarantee-asserting tests instead of a value-hash oracle.
+
+    Self-contained (no package references in the pickled instance);
+    ``output`` emits ``n_seen`` and the counters as ``item:est`` CSV
+    sorted by (-est, item).
+    """
+
+    def __init__(self, item_field: str, capacity: int = 16):
+        self.item_field = item_field
+        self.capacity = capacity
+
+    def name(self) -> str:
+        return f"misra_gries_{self.item_field}"
+
+    def initial_accumulator(self):
+        return {"n": 0, "c": {}}
+
+    def update(self, rec, acc) -> None:
+        item = str(rec[self.item_field])
+        c = acc["c"]
+        if item in c:
+            c[item] += 1
+        elif len(c) < self.capacity:
+            c[item] = 1
+        else:
+            for k in list(c):
+                c[k] -= 1
+                if c[k] == 0:
+                    del c[k]
+        acc["n"] += 1
+
+    def combine(self, a, b):
+        c = dict(a["c"])
+        for k, v in b["c"].items():
+            c[k] = c.get(k, 0) + v
+        if len(c) > self.capacity:
+            thresh = sorted(c.values(), reverse=True)[self.capacity]
+            c = {k: v - thresh for k, v in c.items() if v - thresh > 0}
+        return {"n": a["n"] + b["n"], "c": c}
+
+    def output(self, key, acc):
+        top = sorted(acc["c"].items(), key=lambda t: (-t[1], t[0]))
+        return {
+            "n_seen": acc["n"],
+            "items": ",".join(f"{k}:{v}" for k, v in top),
+        }
+
+
 def countmin_sql_cells(item_expr: str, source_sql: str, depth: int = DEPTH, width: int = WIDTH) -> str:
     """DuckDB CTE body rebuilding the identical sketch (UNION ALL per row)."""
     selects = " UNION ALL ".join(
