@@ -255,3 +255,30 @@ def test_kmeans_parallel_init_beats_lowest_id_on_skewed_ids():
 
     i_par, i_low = inertia("kmeans||"), inertia("lowest_id")
     assert i_par < i_low * 0.5, (i_par, i_low)
+
+
+def test_multiprobe_lsh_never_worse_than_single_bucket():
+    """Multi-probe candidates are a superset of the single-bucket ones, so
+    per-query results can only improve: every (query, rank) cosine from the
+    plain bucket path is <= the multi-probe cosine at the same rank, and
+    recall vs brute force is monotone."""
+    spark = _get_spark()
+    from wallaroo_spark.operators.similarity import brute_force_topk, bucketed_topk
+    from wallaroo_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    corpus, queries = emb.filter("vec_id >= 10"), emb.filter("vec_id < 10")
+    single = {(r.query_id, r.rank): r.cosine
+              for r in bucketed_topk(corpus, queries, k=3).collect()}
+    multi = {(r.query_id, r.rank): r.cosine
+             for r in bucketed_topk(corpus, queries, k=3, probe_bits=2).collect()}
+    exact = {(r.query_id, r.rank): (r.vec_id, r.cosine)
+             for r in brute_force_topk(corpus, queries, k=3).collect()}
+    assert len(multi) >= len(single)
+    for key, cos in single.items():
+        assert multi[key] >= cos, key
+    # top-1 agreement with brute force can only improve with more probes
+    top1 = {q: c for (q, rk), c in exact.items() if rk == 1}
+    hit_s = sum(1 for q, c in top1.items() if single.get((q, 1)) == c[1])
+    hit_m = sum(1 for q, c in top1.items() if multi.get((q, 1)) == c[1])
+    assert hit_m >= hit_s

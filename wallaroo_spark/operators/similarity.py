@@ -91,12 +91,17 @@ def bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only same-LSH-bucket candidates are scored.
 
     Equi-join on bucket replaces the cross join — at 100 TB this is the
     difference between scanning the corpus once per query batch and an
-    all-pairs blowup. Recall is tunable via bits/multi-probe.
+    all-pairs blowup. ``probe_bits`` is the recall dial (multi-probe LSH):
+    each query also probes the buckets at Hamming distance 1 in its lowest
+    ``probe_bits`` sign bits — near-misses across one hyperplane are
+    recovered at the cost of probing ``1 + probe_bits`` buckets per query
+    (the corpus side is untouched, so the index cost is unchanged).
     """
     c = corpus.select(
         id_col, vec_col,
@@ -109,6 +114,17 @@ def bucketed_topk(
         lsh_bucket(F.col(vec_col)).alias("_bkt"),
         _norm(F.col(vec_col)).alias("_qn"),
     )
+    if probe_bits:
+        if probe_bits > len(LSH_DIMS):
+            raise ValueError(f"probe_bits must be <= {len(LSH_DIMS)}")
+        # a query's probe set = own bucket + one-bit-flip neighbors; a
+        # corpus vector lives in exactly one bucket, so probe buckets are
+        # distinct and no candidate pair repeats (no dedup needed)
+        probes = F.array(
+            F.col("_bkt"),
+            *[F.col("_bkt").bitwiseXOR(F.lit(1 << i)) for i in range(probe_bits)],
+        )
+        q = q.withColumn("_bkt", F.explode(probes))
     joined = c.join(F.broadcast(q), "_bkt")
     scored = joined.select(
         query_id,

@@ -947,6 +947,36 @@ def similarity_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_topk_lsh_multiprobe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_bkt_sql()} AS bkt FROM embeddings),
+    qb AS (SELECT vec_id AS qid, v AS qv, bkt FROM e WHERE vec_id < 10),
+    q AS (SELECT qid, qv, unnest([bkt, xor(bkt, 1), xor(bkt, 2)]) AS bkt FROM qb),
+    c AS (SELECT vec_id, v, bkt FROM e WHERE vec_id >= 10),
+    s AS (SELECT q.qid AS query_id, c.vec_id AS vec_id, {_COS_SQL} AS cos
+          FROM c JOIN q USING (bkt)),
+    r AS (SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM s)
+    SELECT query_id, vec_id, round(cos, 4) AS cosine, rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def similarity_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-3: each query probes its own bucket plus the
+    Hamming-1 neighbors in its two lowest sign bits — the standard recall
+    dial (near-misses across one hyperplane recovered) at 3 probe buckets
+    per query, corpus index untouched."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.bucketed_topk(
+        corpus=emb.filter(F.col("vec_id") >= 10),
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=3,
+        probe_bits=2,
+    )
+
+
+@query(
     "embedding_norms",
     oracle="""
     SELECT vec_id, len(embedding) AS dim,
