@@ -167,6 +167,26 @@ class CountMinAggregation:
         return {"cells": ",".join(map(str, acc["cells"]))}
 
 
+def linear_count_distinct(
+    items: DataFrame, item_col: str, m: int = 4096
+) -> DataFrame:
+    """Linear-counting distinct estimate with a deterministic hash: map
+    items to m bitmap cells (md5 family), count occupied cells V, estimate
+    ``-m * ln((m - V) / m)``. One constant-size aggregation however large
+    the item cardinality — the distinct-counting sketch companion to the
+    CMS (HLL's engine-native variants hash differently per engine; this
+    one is oracle-replayable bit-for-bit). Output: (occupied, est_distinct).
+    """
+    cells = items.select((H.hmod_col(F.col(item_col)) % F.lit(m)).alias("_cell"))
+    occ = cells.agg(F.countDistinct("_cell").alias("occupied"))
+    return occ.select(
+        "occupied",
+        F.round(
+            -float(m) * F.log((F.lit(float(m)) - F.col("occupied")) / F.lit(float(m))), 2
+        ).alias("est_distinct"),
+    )
+
+
 class MisraGriesAggregation:
     """Windowed top-k heavy hitters as a user Aggregation: at most
     ``capacity`` counters per (key, window), streaming-ready through the

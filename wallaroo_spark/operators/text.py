@@ -126,6 +126,38 @@ def stratified_sample(
     return df.filter(bucket < pct)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    m: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis-Spirakis A-Res scheme): each row gets priority
+    ``u ** (1/w)`` with ``u`` a salted md5 uniform in (0,1], and the m
+    largest priorities win — inclusion probability proportional to weight,
+    reproducible on any engine (no RNG). The quality-weighted corpus
+    selection step of a training pipeline. TakeOrdered top-m: per-partition
+    heads merged at the driver, no global sort. Priorities are rounded to
+    9dp before ranking (id tiebreak) so JVM/libm pow ulp differences can't
+    flip the boundary."""
+    from wallaroo_spark.functions import hashing as H
+
+    big = float(H.MERSENNE31)
+    u = (
+        H.md5int_col(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        % F.lit(H.MERSENNE31)
+        + 1
+    ) / F.lit(big + 1.0)
+    pr = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 9)
+    return (
+        df.withColumn("wpriority", pr)
+        .orderBy(F.col("wpriority").desc(), F.col(id_col))
+        .limit(m)
+    )
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2622,3 +2622,65 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("lang").agg(
         F.count("*").alias("n"), F.min("doc_id").alias("first_doc")
     )
+
+
+@query(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               round(0.4 * (CASE WHEN n >= 5 AND n <= 500 THEN 1.0 ELSE 0.0 END)
+                     + 0.4 * (nt / greatest(n, 1))
+                     + 0.2 * least(st * 5.0 / greatest(n, 1), 1.0), 4) AS quality
+        FROM (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
+                   len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS nt,
+                   len(list_filter(string_split(text, ' '),
+                       x -> list_contains(['the','a','of','to','and','in','is','it','for','on'], x))) AS st
+            FROM documents
+        )
+    ),
+    pr AS (
+        SELECT doc_id,
+               round(pow(({H.md5int_sql("'wsample:' || CAST(doc_id AS VARCHAR)")} % {H.MERSENNE31} + 1)
+                         / ({H.MERSENNE31} + 1.0),
+                     1.0 / (quality + 0.01)), 9) AS wpriority
+        FROM q
+    )
+    SELECT doc_id, wpriority FROM pr
+    ORDER BY wpriority DESC, doc_id LIMIT 100
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus selection: deterministic A-Res sampling of
+    100 documents with inclusion probability proportional to the quality
+    score (text.weighted_sample over text.quality_score) — reproducible on
+    any engine, TakeOrdered top-m, no RNG, no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).select(
+        "doc_id", (F.col("quality") + F.lit(0.01)).alias("w")
+    )
+    return text.weighted_sample(scored, "w", m=100).select("doc_id", "wpriority")
+
+
+@query(
+    "distinct_users_linear_count",
+    oracle=f"""
+    WITH cells AS (
+        SELECT DISTINCT ({H.hmod_sql("CAST(user_id AS VARCHAR)")} % 1024) AS cell
+        FROM events
+    ),
+    occ AS (SELECT count(*) AS occupied FROM cells)
+    SELECT occupied,
+           round(-1024.0 * ln((1024.0 - occupied) / 1024.0), 2) AS est_distinct
+    FROM occ
+    """,
+)
+def distinct_users_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct-user estimate (m=1024 bitmap cells, md5
+    family): constant-size aggregation state however large the user
+    cardinality — the distinct-counting sketch companion to the CMS,
+    oracle-rebuilt cell-for-cell."""
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("item"))
+    return _sketch.linear_count_distinct(ev, "item", m=1024)
