@@ -35,18 +35,23 @@ from wallaroo_spark.operators.text import tokens
 SHINGLE_K = 3
 
 
-def shingles(c: Column) -> Column:
-    """Distinct word 3-gram shingles; whole text if < 3 words; token-less
+def kshingles(c: Column, k: int) -> Column:
+    """Distinct word k-gram shingles; whole text if < k words; token-less
     documents yield NO shingles (an empty doc must never match anything)."""
     toks = tokens(c)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(1)))
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.filter(
         F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)))
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
         ),
         lambda x: x != "",
     )
+
+
+def shingles(c: Column) -> Column:
+    """Distinct word 3-gram shingles (the dedup family's default width)."""
+    return kshingles(c, SHINGLE_K)
 
 
 def exact_dedup(df: DataFrame, by: list[str], id_col: str) -> DataFrame:
