@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from wallaroo_spark.functions import epoch_seconds
+
 # Executors do NOT have wallaroo_spark on their path (the engine ships no
 # code to workers — closures travel by value, see streaming/state.py). A user
 # Aggregation subclass would drag this module in by reference through its
@@ -183,7 +185,7 @@ def windowed_agg_batch(
     n_wins = size_s // slide if size_s % slide == 0 else None
     if n_wins is None:
         raise ValueError("window size must be a multiple of slide")
-    ep = F.col(ts_col).cast("double")
+    ep = epoch_seconds(ts_col)
     base = F.floor(ep / slide).cast("long") * slide
     starts = F.array(*[base - F.lit(i * slide) for i in range(n_wins)])
     assigned = df.withColumn(
@@ -268,7 +270,7 @@ def _windowed_agg_batch_salted(
         "_salt",
         F.least(
             F.lit(n_salts - 1),
-            F.floor((F.col(ts_col).cast("double") - F.col("_ws")) / F.lit(pane_len)),
+            F.floor((epoch_seconds(ts_col) - F.col("_ws")) / F.lit(pane_len)),
         ).cast("int"),
     )
     key_types = {f.name: f.dataType.simpleString() for f in assigned.schema.fields}

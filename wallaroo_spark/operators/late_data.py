@@ -37,6 +37,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from wallaroo_spark.functions import epoch_seconds
+
 DROP = "drop"
 FIRE_PER_MESSAGE = "fire_per_message"
 PLACE_IN_OLDEST_WINDOW = "place_in_oldest_window"
@@ -50,7 +52,7 @@ def _with_lateness(
         .orderBy(F.col(arrival_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ep = F.col(ts).cast("double")
+    ep = epoch_seconds(ts)
     wm = F.max(ep).over(w) - F.lit(delay_s)
     own_win = F.floor(ep / size_s) * size_s
     return (

@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wallaroo_spark.functions import epoch_seconds
 from wallaroo_spark.operators import asof, compute, relational, windows
 from wallaroo_spark.sources import read_table
 
@@ -1291,7 +1292,7 @@ def window_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lead("value").over(w), 2).alias("next_value"),
         F.rank().over(wr).alias("value_rank"),
         F.round(
-            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w), 3
+            epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w), 3
         ).alias("secs_since_prev"),
     )
 
