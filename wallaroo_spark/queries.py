@@ -2488,6 +2488,252 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             round(min(l_extendedprice / l_quantity), 2) AS supply_cost
+      FROM lineitem GROUP BY 1, 2),
+    eligible AS (
+      SELECT p.p_partkey, p.p_name, s.s_name, round(s.s_acctbal, 2) AS s_acctbal,
+             n.n_name, c.supply_cost
+      FROM part p JOIN cost c ON c.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_type = 'STANDARD' AND p.p_size <= 15 AND r.r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+    FROM eligible e
+    WHERE supply_cost = (SELECT min(supply_cost) FROM eligible e2
+                         WHERE e2.p_partkey = e.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (testdata-adapted: no partsupp table, so supply cost
+    := min observed unit price per (part, supplier) from lineitem): the
+    correlated MIN subquery decorrelates into a per-part min aggregate
+    joined back. All dims (part/supplier/nation/region and the per-part min
+    table) broadcast; lineitem aggregates once on (partkey, suppkey) —
+    map-side partial agg, one shuffle, then broadcast-only joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("supply_cost")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_name")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"), "s_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    eligible = (
+        cost.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    min_cost = eligible.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("supply_cost").alias("_mc")
+    )
+    return (
+        eligible.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("_pk")) & (F.col("supply_cost") == F.col("_mc")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_part_value",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey AS p_partkey,
+             round(sum(l_extendedprice * l_quantity), 2) AS part_value
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_name IN ('NATION_1','NATION_2','NATION_3'))
+      GROUP BY 1)
+    SELECT p_partkey, part_value
+    FROM val, (SELECT sum(part_value) AS total FROM val) t
+    WHERE part_value > 0.002 * total
+    """,
+)
+def tpch_q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: inventory value := sum of extendedprice x
+    quantity shipped by the nation group's suppliers): group-by-part value,
+    then HAVING against a global scalar — the scalar rides a broadcast
+    single-row agg crossJoin (no driver action), exactly the q22 pattern."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("part_value"))
+    )
+    total = val.agg(F.sum("part_value").alias("_total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 0.002 * F.col("_total"))
+        .select("p_partkey", "part_value")
+    )
+
+
+@query(
+    "tpch_q12_priority_by_ship_class",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+             AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q12_priority_by_ship_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode/commitdate columns — ship
+    class := l_returnflag, late := shipped >60 days after order date):
+    fact-fact equi-join on orderkey with the date-arithmetic residual
+    predicate, then conditional CASE aggregation — both CASE sums fold in
+    one map-side partial agg over a 3-key group."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt_by_part",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = ps.l_partkey
+    WHERE p_brand <> 'Brand#15' AND p_type <> 'MEDIUM'
+      AND p_size IN (1,4,9,14,19,24,29,34,39,44,49)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: part-supplier pairs come from distinct
+    lineitem links; 'complaint' suppliers := negative account balance): the
+    NOT IN subquery decorrelates to a left-anti join against a broadcast
+    (tiny) supplier exclusion list; distinct-pairs dedup and the count
+    DISTINCT both reuse one shuffle on partkey via partial aggregation."""
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#15")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_dominant_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2),
+    tot AS (SELECT l_partkey, sum(qty) AS part_qty FROM sp GROUP BY 1)
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM sp JOIN tot USING (l_partkey)
+                        WHERE qty > 0.5 * part_qty)
+      AND s_nationkey IN (SELECT n_nationkey FROM nation
+                          JOIN region ON r_regionkey = n_regionkey
+                          WHERE r_name = 'ASIA')
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp availqty — a supplier has
+    'excess stock' in a part when it shipped >50% of that part's 1997
+    volume): the two nested IN subqueries decorrelate into (a) a per-
+    (supp, part) aggregate joined to a broadcast per-part total and (b) two
+    left-semi joins climbing to supplier. Both aggregates share the
+    partkey shuffle; the qualifying-supplier list and region dim are tiny
+    and broadcast."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sp = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = sp.groupBy(F.col("l_partkey").alias("_pk")).agg(F.sum("qty").alias("part_qty"))
+    dominant = (
+        sp.join(F.broadcast(tot), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    asia = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
 def _countmin_windowed_oracle(depth: int = 4, width: int = 64) -> str:
     selects = " UNION ALL ".join(
         f"SELECT ws, {r} AS row, {_sketch._cell_sql('item', r, width)} AS col FROM src"
