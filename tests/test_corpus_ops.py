@@ -1,0 +1,92 @@
+"""Edge tests for the round-5 corpus-assembly operators: decontamination,
+repetition signals, PII redaction, target-mixture resampling."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wallaroo_spark.operators import dedup, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_kgrams_short_docs(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b"), (3, "a"), (4, "")])
+    out = {
+        r.doc_id: r.g
+        for r in df.select("doc_id", text.kgrams(F.col("text"), 3).alias("g")).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == [] and out[3] == [] and out[4] == []
+
+
+def test_repetition_signals_flags_looped_text(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam ham " * 30),  # one bigram dominates -> repetitive
+            (2, " ".join(f"w{i}" for i in range(60))),  # all distinct -> clean
+            (3, "x"),  # too short for any gram -> zeros, clean
+        ],
+    )
+    out = {r.doc_id: r for r in text.repetition_signals(df).collect()}
+    assert out[1].repetitive and out[1].top_bigram_frac > 0.4
+    assert not out[2].repetitive and out[2].dup_trigram_frac == 0.0
+    assert not out[3].repetitive
+    assert out[3].top_bigram_frac == 0.0 and out[3].dup_trigram_frac == 0.0
+
+
+def test_decontaminate_hits_exact_overlap_only(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "one two three four five six"),  # shares the 5-gram
+            (2, "totally different words here entirely now"),
+            (3, "two three four five six seven"),  # shifted window still shares
+        ],
+    )
+    test_set = _docs(spark, [(100, "one two three four five six")])
+    hits = {
+        r.doc_id: r.n_hit_shingles
+        for r in dedup.decontaminate_hits(corpus, test_set, k=5).collect()
+    }
+    assert 1 in hits and 3 in hits and 2 not in hits
+
+
+def test_decontaminate_empty_test_set(spark):
+    corpus = _docs(spark, [(1, "a b c d e f")])
+    empty = _docs(spark, [(9, "")]).filter(F.col("doc_id") < 0)
+    assert dedup.decontaminate_hits(corpus, empty, k=5).count() == 0
+
+
+def test_pii_redact_counts_and_scrubs(spark):
+    df = _docs(spark, [(1, "customer key monkeys value"), (2, "nothing here")])
+    out = {r.doc_id: r for r in text.pii_redact(df, r"\b(customer|key|value)\b").collect()}
+    # 'monkeys' must NOT match despite containing 'key' (word boundary)
+    assert out[1].n_redactions == 3
+    assert out[2].n_redactions == 0
+
+
+def test_target_mixture_sample_caps_and_determinism(spark):
+    rows = [(i, f"d{i}", "big" if i < 80 else "rare") for i in range(100)]
+    df = spark.createDataFrame([Row(doc_id=i, text=t, src=s) for i, t, s in rows])
+    # rare stratum: weight pushes its keep-rate past 100% -> capped at 100
+    out = text.target_mixture_sample(
+        df, "src", {"big": 1.0, "rare": 9.0}, budget_frac=0.5, id_col="doc_id"
+    )
+    rates = {r.src: r._pct for r in out.select("src", "_pct").distinct().collect()}
+    assert rates.get("rare") == 100  # 50*0.9/20 -> capped
+    assert 0 < rates["big"] < 100
+    # deterministic: same call returns identical ids
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in text.target_mixture_sample(
+            df, "src", {"big": 1.0, "rare": 9.0}, budget_frac=0.5, id_col="doc_id"
+        ).collect()
+    )
+    assert ids1 == ids2
+    # unlisted strata drop out
+    out2 = text.target_mixture_sample(df, "src", {"big": 1.0}, budget_frac=0.5)
+    assert out2.filter(F.col("src") == "rare").count() == 0

@@ -462,3 +462,31 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFr
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return votes.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def decontaminate_hits(
+    corpus: DataFrame,
+    test_set: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    k-gram with a held-out test set (the standard n-gram-overlap
+    decontamination step before training). Returns one row per contaminated
+    corpus doc with its distinct-overlapping-shingle count.
+
+    Scale shape: the test set is orders of magnitude smaller than the
+    corpus, so its distinct shingle set broadcasts; the corpus side is one
+    explode + broadcast hash join + per-doc count — the corpus is scanned
+    once and never shuffled on raw text. (At a test set too large to
+    broadcast, drop the hint and let AQE pick the join; the plan stays an
+    equi-join on the shingle.)
+    """
+    tsh = test_set.select(F.explode(kshingles(F.col(text), k)).alias("sh")).distinct()
+    csh = corpus.select(id_col, F.explode(kshingles(F.col(text), k)).alias("sh"))
+    return (
+        csh.join(F.broadcast(tsh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_shingles"))
+    )

@@ -179,3 +179,143 @@ def deterministic_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def kgrams(c: Column, k: int) -> Column:
+    """NON-distinct word k-grams, full-length only (docs with < k tokens
+    yield none) — repetition statistics need occurrence counts, unlike the
+    dedup family's distinct `kshingles`."""
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def repetition_signals(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    top_bigram_max: float = 0.08,
+    dup_trigram_max: float = 0.02,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction of
+    bigram occurrences taken by the single most frequent bigram, and the
+    fraction of trigram occurrences that are repeats (count > 1). Documents
+    exceeding either threshold flag ``repetitive`` (the standard cheap
+    filter against looped/boilerplate text before training).
+
+    Scale shape: ONE explode pass tags each gram with its width, one
+    (doc, k, gram) count, one per-doc rollup — two shuffles total, both
+    keyed by doc so AQE coalesces them; no UDFs, no driver actions.
+    """
+    c = F.col(text)
+    tagged = F.concat(
+        F.transform(kgrams(c, 2), lambda g: F.struct(F.lit(2).alias("k"), g.alias("g"))),
+        F.transform(kgrams(c, 3), lambda g: F.struct(F.lit(3).alias("k"), g.alias("g"))),
+    )
+    grams = df.select(id_col, F.explode(tagged).alias("kg")).select(
+        id_col, F.col("kg.k").alias("k"), F.col("kg.g").alias("g")
+    )
+    counts = grams.groupBy(id_col, "k", "g").agg(F.count("*").alias("c"))
+    stats = counts.groupBy(id_col).agg(
+        F.max(F.when(F.col("k") == 2, F.col("c"))).alias("_top2"),
+        F.sum(F.when(F.col("k") == 2, F.col("c")).otherwise(F.lit(0))).alias("_tot2"),
+        F.sum(
+            F.when((F.col("k") == 3) & (F.col("c") > 1), F.col("c")).otherwise(F.lit(0))
+        ).alias("_dup3"),
+        F.sum(F.when(F.col("k") == 3, F.col("c")).otherwise(F.lit(0))).alias("_tot3"),
+    )
+    top_frac = F.round(
+        F.coalesce(F.col("_top2") / F.nullif(F.col("_tot2"), F.lit(0)), F.lit(0.0)), 4
+    )
+    dup_frac = F.round(
+        F.coalesce(F.col("_dup3") / F.nullif(F.col("_tot3"), F.lit(0)), F.lit(0.0)), 4
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(top_frac, F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce(dup_frac, F.lit(0.0)).alias("dup_trigram_frac"),
+            (
+                (F.coalesce(top_frac, F.lit(0.0)) > top_bigram_max)
+                | (F.coalesce(dup_frac, F.lit(0.0)) > dup_trigram_max)
+            ).alias("repetitive"),
+        )
+    )
+
+
+def pii_redact(
+    df: DataFrame,
+    pattern: str,
+    replacement: str = "[REDACTED]",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Regex scrub for sensitive spans (emails, phones, entity terms):
+    returns the redacted text plus the number of redactions per document.
+    Pure JVM regexp columns — runs at scan speed; the pattern must stay in
+    the RE2-compatible subset so Spark (java.util.regex) and the DuckDB
+    oracle (RE2) agree."""
+    c = F.col(text)
+    return df.select(
+        id_col,
+        F.size(F.regexp_extract_all(c, F.lit(pattern), 0)).alias("n_redactions"),
+        F.md5(F.regexp_replace(c, pattern, replacement)).alias("redacted_md5"),
+    )
+
+
+def target_mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    budget_frac: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: given target mixture weights
+    per stratum (domain/source) and a global budget (fraction of the corpus),
+    compute each stratum's integer keep-percentage
+    ``min(100, floor(100 * budget * w_s/Σw / n_s))`` and keep rows by the
+    engine-portable salted md5 bucket — the "sample each domain toward a
+    target mixture" step of corpus assembly, replayable on any engine.
+
+    Scale shape: per-stratum counts are one partial-agged groupBy; the
+    global total rides a broadcast single-row agg (no driver action); the
+    tiny rates table broadcasts back onto the corpus scan, so the sample
+    itself is a pure map-side filter.
+    """
+    from wallaroo_spark.functions import hashing as H
+
+    wsum = float(sum(weights.values()))
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n_stratum"))
+    total = df.agg(F.count("*").alias("_tot"))
+    wcol = None
+    for val, wv in sorted(weights.items()):
+        cond = F.col(strata_col) == val
+        wcol = F.when(cond, F.lit(float(wv))) if wcol is None else wcol.when(cond, F.lit(float(wv)))
+    wcol = wcol.otherwise(F.lit(0.0)) if wcol is not None else F.lit(0.0)
+    pct = F.least(
+        F.lit(100),
+        F.floor(
+            F.lit(100.0)
+            * F.floor(F.lit(budget_frac) * F.col("_tot"))
+            * (wcol / F.lit(wsum))
+            / F.col("_n_stratum")
+        ),
+    ).cast("int")
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        strata_col, "_n_stratum", pct.alias("_pct")
+    )
+    bucket = H.md5int_col(
+        F.concat(
+            F.lit(salt + ":"),
+            F.col(strata_col).cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    ) % F.lit(100)
+    return df.join(F.broadcast(rates), strata_col).filter(bucket < F.col("_pct"))

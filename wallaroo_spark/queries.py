@@ -2931,3 +2931,130 @@ def distinct_users_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-rebuilt cell-for-cell."""
     ev = _t(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("item"))
     return _sketch.linear_count_distinct(ev, "item", m=1024)
+
+
+# ---------------------------------------------------------------------------
+# Training-data corpus assembly (round 5): decontamination, redaction,
+# repetition quality signals, target-mixture resampling
+# ---------------------------------------------------------------------------
+
+_SHINGLES5_CTE = f"""
+    words5 AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    widx5 AS (SELECT doc_id, w,
+                     unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i
+              FROM words5),
+    sh5 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh FROM widx5
+            WHERE array_to_string(w[i:i+4], ' ') <> '')
+"""
+
+
+@query(
+    "decontaminate_testset_overlap",
+    oracle=f"""
+    WITH {_SHINGLES5_CTE},
+    tsh AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id % 50 = 0)
+    SELECT s.doc_id, count(*) AS n_hit_shingles
+    FROM sh5 s JOIN tsh USING (sh)
+    WHERE s.doc_id % 50 <> 0
+    GROUP BY 1
+    """,
+)
+def decontaminate_testset_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 5-gram shingle
+    with the held-out set (doc_id % 50 == 0 stands in for the benchmark).
+    The test set's distinct shingles broadcast; the corpus explodes once
+    and broadcast-joins — no corpus shuffle (`dedup.decontaminate_hits`).
+    Catches exactly the seeded near-duplicates, as decontamination should."""
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate_hits(corpus, test, k=5)
+
+
+_PII_RE = r"\b(customer|key|value)\b"
+
+
+@query(
+    "pii_redact_docs",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_RE.replace(chr(39), chr(39)*2)}')) AS n_redactions,
+           md5(regexp_replace(text, '{_PII_RE.replace(chr(39), chr(39)*2)}', '[REDACTED]', 'g'))
+             AS redacted_md5
+    FROM documents
+    """,
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-span scrub (entity terms stand in for email/phone patterns
+    on this synthetic corpus): per-doc redaction count + md5 of the redacted
+    text. Pure JVM regexp columns at scan speed; the pattern stays in the
+    RE2-compatible subset so Spark and DuckDB agree (`text.pii_redact`)."""
+    return text.pii_redact(_t(spark, sf_dir, "documents"), _PII_RE)
+
+
+@query(
+    "repetition_quality_signals",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    bg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+                 FROM words WHERE len(w) >= 2)),
+    bc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2),
+    bstat AS (SELECT doc_id, max(cnt) AS top2, sum(cnt) AS tot2 FROM bc GROUP BY 1),
+    tg AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+                 FROM words WHERE len(w) >= 3)),
+    tc AS (SELECT doc_id, g, count(*) AS cnt FROM tg GROUP BY 1, 2),
+    tstat AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup3,
+                     sum(cnt) AS tot3 FROM tc GROUP BY 1),
+    fr AS (SELECT d.doc_id,
+                  round(coalesce(top2::DOUBLE / tot2, 0), 4) AS top_bigram_frac,
+                  round(coalesce(dup3::DOUBLE / nullif(tot3, 0), 0), 4) AS dup_trigram_frac
+           FROM documents d
+           LEFT JOIN bstat ON bstat.doc_id = d.doc_id
+           LEFT JOIN tstat ON tstat.doc_id = d.doc_id)
+    SELECT doc_id, top_bigram_frac, dup_trigram_frac,
+           CAST(top_bigram_frac > 0.08 OR dup_trigram_frac > 0.02 AS INT) AS repetitive
+    FROM fr
+    """,
+)
+def repetition_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per doc: top-bigram occupancy and
+    duplicate-trigram occurrence fraction, with the repetitive flag at the
+    empirical ~p90 thresholds (0.08 / 0.02). One tagged explode, two
+    doc-keyed shuffles, no UDFs (`text.repetition_signals`)."""
+    out = text.repetition_signals(_t(spark, sf_dir, "documents"))
+    return out.withColumn("repetitive", F.col("repetitive").cast("int"))
+
+
+@query(
+    "domain_mixture_resample",
+    oracle=f"""
+    WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    t AS (SELECT count(*) AS tot FROM documents),
+    r AS (SELECT source, n_docs,
+                 least(100, CAST(floor(100.0 * floor(0.5 * tot)
+                       * ((CAST(substr(source, 4) AS INT) + 1) / 210.0)
+                       / n_docs) AS INT)) AS pct
+          FROM n, t),
+    s AS (SELECT d.source, count(*) AS n_sampled
+          FROM documents d JOIN r USING (source)
+          WHERE ({H.md5int_sql("'mix:' || source || ':' || CAST(doc_id AS VARCHAR)")} % 100) < pct
+          GROUP BY 1)
+    SELECT r.source, r.n_docs, r.pct, s.n_sampled
+    FROM r JOIN s USING (source)
+    """,
+)
+def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture corpus resampling: each source domain is thinned
+    toward target weight w_i ∝ (i+1) under a 50%-of-corpus budget, via
+    engine-portable salted-hash buckets (`text.target_mixture_sample`).
+    Per-source audit rows: incoming docs, keep-percentage, kept docs."""
+    docs = _t(spark, sf_dir, "documents")
+    weights = {f"src{i}": float(i + 1) for i in range(20)}
+    mixed = text.target_mixture_sample(docs, "source", weights, budget_frac=0.5)
+    return mixed.groupBy("source").agg(
+        F.max("_n_stratum").alias("n_docs"),
+        F.max("_pct").alias("pct"),
+        F.count("*").alias("n_sampled"),
+    )
