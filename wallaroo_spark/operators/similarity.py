@@ -208,7 +208,11 @@ def ivf_topk(
         queries.select(F.col(id_col).alias(query_id), vec_col), query_id, nprobe
     ).select(query_id, F.col(vec_col).alias("_qv"), F.col("_vn").alias("_qn"), cent_id)
 
-    joined = c_assigned.join(q_assigned, cent_id)
+    # query-probe side = |queries| * nprobe rows — always the small side:
+    # broadcast it so the corpus assignment streams through unshuffled
+    # (without the hint its window/groupBy lineage hides its size and the
+    # optimizer falls back to a sort-merge join on cent_id).
+    joined = c_assigned.join(F.broadcast(q_assigned), cent_id)
     scored = joined.select(
         query_id,
         id_col,
