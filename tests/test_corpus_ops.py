@@ -90,3 +90,34 @@ def test_target_mixture_sample_caps_and_determinism(spark):
     # unlisted strata drop out
     out2 = text.target_mixture_sample(df, "src", {"big": 1.0}, budget_frac=0.5)
     assert out2.filter(F.col("src") == "rare").count() == 0
+
+
+def test_duplicate_spans_merges_and_excludes_self_repeats(spark):
+    shared = " ".join(f"s{i}" for i in range(12))  # the duplicated 12-gram run
+    corpus = _docs(
+        spark,
+        [
+            (1, "a b c " + shared + " x y z"),
+            (2, "p q " + shared + " r"),
+            (3, "self " + " ".join(["rep"] * 30)),  # intra-doc repeats only
+            (4, "no duplicates anywhere in this one at all"),
+        ],
+    )
+    out = {r.doc_id: r for r in dedup.duplicate_spans(corpus, k=12).collect()}
+    # docs 1 and 2 each carry exactly one merged span covering the shared run
+    assert out[1].span_start == 3 and out[1].span_len == 12
+    assert out[2].span_start == 2 and out[2].span_len == 12
+    # doc 3's repeats never leave the doc -> not cross-document duplicates
+    assert 3 not in out and 4 not in out
+
+
+def test_duplicate_spans_adjacent_windows_merge(spark):
+    # 14 shared tokens -> three overlapping 12-gram windows -> ONE span of 14
+    shared = " ".join(f"t{i}" for i in range(14))
+    corpus = _docs(spark, [(1, shared + " tail1"), (2, "head2 " + shared)])
+    from wallaroo_spark.operators.dedup import duplicate_spans
+
+    rows = duplicate_spans(corpus, k=12).collect()
+    spans = {r.doc_id: (r.span_start, r.span_end, r.span_len) for r in rows}
+    assert spans[1] == (0, 13, 14)
+    assert spans[2] == (1, 14, 14)

@@ -490,3 +490,62 @@ def decontaminate_hits(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hit_shingles"))
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 12,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document exact-substring duplicate spans (the ExactSubstr dedup
+    mode, k-token-gram approximated): for every document, the merged token
+    intervals whose k-gram windows appear verbatim in at least one OTHER
+    document. Downstream pipelines cut these spans (rather than whole docs)
+    before training.
+
+    Scale shape: one posexplode over the token stream, grams carried as
+    md5-derived 60-bit ints (8-byte shuffle keys, not strings); the
+    ≥2-distinct-docs reduction is a partial-agged groupBy on the hash; hits
+    come back via a hash semi-join; span merge is the classic
+    gaps-and-islands — two window passes over per-doc position lists, keyed
+    by doc so state never exceeds a doc's own positions. No UDFs.
+
+    Output: (id, span_start, span_end, span_len) in token offsets, 0-based
+    inclusive.
+    """
+    from wallaroo_spark.operators.text import kgrams
+
+    # kgrams preserves start order, so posexplode's index IS the 0-based
+    # token offset of each k-gram
+    g = df.select(
+        id_col, F.posexplode(kgrams(F.col(text), k)).alias("pos", "_g")
+    ).select(id_col, "pos", H.md5int_col(F.col("_g")).alias("_h"))
+    dup = (
+        g.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h")
+    )
+    hits = g.join(dup, "_h", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0)
+    )
+    grouped = flagged.withColumn("_grp", F.sum("_new").over(w))
+    return (
+        grouped.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )

@@ -3058,3 +3058,38 @@ def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("_pct").alias("pct"),
         F.count("*").alias("n_sampled"),
     )
+
+
+@query(
+    "duplicate_token_spans",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    g AS (SELECT doc_id, i - 1 AS pos,
+                 {H.md5int_sql("array_to_string(w[i:i+11], ' ')")} AS h
+          FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 11)) AS i
+                FROM words WHERE len(w) >= 12)),
+    dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+    flagged AS (SELECT doc_id, pos,
+                       CASE WHEN pos > coalesce(max(pos + 11) OVER (
+                                 PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             -2) + 1 THEN 1 ELSE 0 END AS newgrp
+                FROM hits),
+    grouped AS (SELECT doc_id, pos,
+                       sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS grp
+                FROM flagged)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 11 AS span_end,
+           max(pos) + 11 - min(pos) + 1 AS span_len
+    FROM grouped GROUP BY doc_id, grp
+    """,
+)
+def duplicate_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate spans: per-doc merged token intervals
+    whose 12-gram windows recur verbatim in another document — the
+    span-level (cut, don't drop) dedup mode complementing the doc-level
+    MinHash/SimHash family (`dedup.duplicate_spans`). Grams shuffle as
+    60-bit md5 ints; span merge is windowed gaps-and-islands per doc."""
+    return dedup.duplicate_spans(_t(spark, sf_dir, "documents"), k=12)
