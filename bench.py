@@ -51,6 +51,13 @@ HEADLINE = [
     "tpch_q21_suppliers_kept_waiting",
     "near_dedup_corpus",
     "countmin_windowed_cells",
+    # round-5 additions
+    "tpch_q2_min_cost_supplier",
+    "duplicate_token_spans",
+    "decontaminate_testset_overlap",
+    "decontaminate_bloom_hits",
+    "repetition_quality_signals",
+    "domain_mixture_resample",
 ]
 
 

@@ -121,3 +121,30 @@ def test_duplicate_spans_adjacent_windows_merge(spark):
     spans = {r.doc_id: (r.span_start, r.span_end, r.span_len) for r in rows}
     assert spans[1] == (0, 13, 14)
     assert spans[2] == (1, 14, 14)
+
+
+def test_bloom_decontamination_superset_of_exact(spark):
+    """Bloom membership can false-positive but never false-negative: every
+    doc the exact overlap finds must appear in the bloom result with at
+    least as many hits."""
+    shared = " ".join(f"s{i}" for i in range(7))
+    corpus = _docs(
+        spark,
+        [
+            (1, "a b " + shared),
+            (2, "unrelated words only here nothing shared at all"),
+            (3, shared + " trailing bits"),
+        ],
+    )
+    test_set = _docs(spark, [(100, shared + " more tail")])
+    exact = {
+        r.doc_id: r.n_hit_shingles
+        for r in dedup.decontaminate_hits(corpus, test_set, k=5).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_bloom_hits
+        for r in dedup.decontaminate_bloom(corpus, test_set, k=5).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for d, n in exact.items():
+        assert bloom[d] >= n

@@ -549,3 +549,81 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
     )
+
+
+BLOOM_M_BITS = 32760  # 520 words of 63 bits; ~6% fill at ~500 elements x 4 hashes
+# 63 (not 64) bits per word: DuckDB's checked BIGINT shift forbids 1<<63, so
+# both engines pack bits 0..62 per long and the bitmaps stay bit-identical
+BLOOM_K = 4
+
+
+def bloom_bitmap(
+    df: DataFrame, col: str, m_bits: int = BLOOM_M_BITS, n_hashes: int = BLOOM_K
+) -> DataFrame:
+    """Deterministic Bloom-filter bitmap over a column, as ONE row holding
+    array<long> (m_bits/63 words). Hash family = the engine-portable md5
+    permutations (`functions/hashing.py`), so DuckDB rebuilds the bitmap
+    bit-for-bit and membership stays oracle-checkable — approximation
+    without losing the correctness gate.
+
+    Scale shape: positions explode map-side (n_hashes rows per value), the
+    word bitmaps partial-agg through bit_or (4KB of state however many
+    values go in), and the final row assembles via map_from_entries — no
+    driver action, broadcastable anywhere."""
+    h = H.hmod_col(F.col(col))
+    pos = F.array(*[H.perm_col(h, j) % F.lit(m_bits) for j in range(n_hashes)])
+    bits = df.select(F.explode(pos).alias("_p")).select(
+        (F.col("_p") / 63).cast("long").alias("_word"),
+        (F.col("_p") % 63).cast("int").alias("_bit"),
+    )
+    words = bits.groupBy("_word").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), _bit))").alias("_bits")
+    )
+    n_words = -(-m_bits // 63)
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("_word", "_bits"))).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("long")), F.lit(0).cast("long")),
+        ).alias("bloom")
+    )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    test_set: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+    m_bits: int = BLOOM_M_BITS,
+    n_hashes: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom-filter decontamination: like `decontaminate_hits` but the test
+    set is compressed to an m_bits bitmap before broadcasting — the 100 TB
+    shape when the benchmark's raw shingle set is too big to broadcast
+    (a 32 KB filter stands in for gigabytes of shingles; false-positive
+    rate set by m_bits/n_hashes, false negatives impossible). The corpus
+    side is a pure map: explode shingles, test n_hashes bits against the
+    broadcast bitmap, count hits per doc."""
+    tsh = test_set.select(F.explode(kshingles(F.col(text), k)).alias("sh")).distinct()
+    bloom = bloom_bitmap(tsh, "sh", m_bits, n_hashes)
+    csh = corpus.select(id_col, F.explode(kshingles(F.col(text), k)).alias("sh"))
+    h = H.hmod_col(F.col("sh"))
+    probed = csh
+    for j in range(n_hashes):
+        p = H.perm_col(h, j) % F.lit(m_bits)
+        probed = probed.withColumn(f"_w{j}", (p / 63).cast("int")).withColumn(
+            f"_b{j}", (p % 63).cast("int")
+        )
+    # shiftright with a COLUMN shift count only exists in SQL form
+    hit = " AND ".join(
+        f"((shiftright(element_at(bloom, _w{j} + 1), _b{j}) & 1) = 1)"
+        for j in range(n_hashes)
+    )
+    return (
+        probed.crossJoin(F.broadcast(bloom))
+        .filter(F.expr(hit))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bloom_hits"))
+    )

@@ -3093,3 +3093,46 @@ def duplicate_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash/SimHash family (`dedup.duplicate_spans`). Grams shuffle as
     60-bit md5 ints; span merge is windowed gaps-and-islands per doc."""
     return dedup.duplicate_spans(_t(spark, sf_dir, "documents"), k=12)
+
+
+def _bloom_oracle(m_bits: int = 32760, n_hashes: int = 4) -> str:
+    hm = H.hmod_sql("sh")
+    n_words = -(-m_bits // 63)
+    pos_list = ",".join(f"({H.perm_sql('h', j)} % {m_bits})" for j in range(n_hashes))
+    perms = ", ".join(f"({H.perm_sql('h', j)} % {m_bits}) AS p{j}" for j in range(n_hashes))
+    tests = " AND ".join(
+        f"((list_extract(bloom, CAST(p{j} // 63 AS INT) + 1)"
+        f" >> CAST(p{j} % 63 AS INT)) & 1) = 1"
+        for j in range(n_hashes)
+    )
+    return f"""
+    WITH {_SHINGLES5_CTE},
+    tsh AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id % 50 = 0),
+    th AS (SELECT {hm} AS h FROM tsh),
+    tpos AS (SELECT unnest([{pos_list}]) AS p FROM th),
+    wordbits AS (SELECT CAST(p // 63 AS INT) AS word,
+                        bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+                 FROM tpos GROUP BY 1),
+    bloomt AS (SELECT list(coalesce(bits, 0) ORDER BY s.i) AS bloom
+               FROM generate_series(0, {n_words - 1}) s(i)
+               LEFT JOIN wordbits ON word = s.i),
+    ch AS (SELECT doc_id, {hm} AS h FROM sh5 WHERE doc_id % 50 <> 0),
+    cpos AS (SELECT doc_id, {perms} FROM ch)
+    SELECT doc_id, count(*) AS n_bloom_hits
+    FROM cpos, bloomt WHERE {tests}
+    GROUP BY 1
+    """
+
+
+@query("decontaminate_bloom_hits", oracle=_bloom_oracle())
+def decontaminate_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (`dedup.decontaminate_bloom`): the test
+    set compresses to a 32 KB md5-family bitmap before broadcasting — the
+    100 TB shape when the benchmark's raw shingle set can't be broadcast.
+    The corpus side is a pure map-side bit test; the oracle rebuilds the
+    bitmap bit-for-bit (63 bits packed per word — DuckDB's checked shift
+    forbids 1<<63), so the approximate structure still hash-gates exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate_bloom(corpus, test, k=5)
