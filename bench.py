@@ -58,6 +58,8 @@ HEADLINE = [
     "decontaminate_bloom_hits",
     "repetition_quality_signals",
     "domain_mixture_resample",
+    "embedding_covariance",
+    "embedding_jl_projection",
 ]
 
 

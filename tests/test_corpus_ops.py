@@ -148,3 +148,45 @@ def test_bloom_decontamination_superset_of_exact(spark):
     assert set(exact) <= set(bloom)
     for d, n in exact.items():
         assert bloom[d] >= n
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from wallaroo_spark.operators.similarity import embedding_covariance
+
+    rng = [[float(((i * 7 + j * 3) % 11) - 5) / 3.0 for j in range(5)] for i in range(40)]
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in enumerate(rng)])
+    got = {(r.i, r.j): r.cov for r in embedding_covariance(df).collect()}
+    want = np.cov(np.array(rng), rowvar=False, bias=True)  # population covariance
+    for i in range(5):
+        for j in range(5):
+            assert abs(got[(i, j)] - round(float(want[i][j]), 4)) < 2e-4, (i, j)
+    # symmetric by construction
+    for (i, j), v in got.items():
+        assert got[(j, i)] == v
+
+
+def test_jl_projection_preserves_relative_distance(spark):
+    """JL sanity: identical vectors project identically; orthogonal-ish far
+    vectors stay farther apart than near-duplicates (distance ordering, the
+    JL lemma's practical content at this dimension)."""
+    import math
+
+    from wallaroo_spark.operators.similarity import jl_project
+
+    base = [1.0 if i % 3 == 0 else -0.5 for i in range(64)]
+    near = list(base)
+    near[0] += 0.01
+    far = [(-1.0) ** i * (1.0 + i / 64.0) for i in range(64)]
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=base), Row(vec_id=1, embedding=near),
+         Row(vec_id=2, embedding=list(base)), Row(vec_id=3, embedding=far)]
+    )
+    ys = {r.vec_id: [r[f"y{j}"] for j in range(8)] for r in jl_project(df).collect()}
+    assert ys[0] == ys[2]  # deterministic: same input -> same projection
+
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    assert d(ys[0], ys[1]) < d(ys[0], ys[3])

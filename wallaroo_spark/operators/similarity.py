@@ -472,3 +472,80 @@ def embedding_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embed
         F.size(vec_col).alias("dim"),
         F.round(_norm(F.col(vec_col)), 4).alias("l2_norm"),
     )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", round_dp: int = 4
+) -> DataFrame:
+    """Distributed covariance (Gram) matrix over a vector column — the
+    one-pass precursor to PCA/whitening in an embedding pipeline.
+
+    Scale shape: each row expands map-side to its d^2 (i, j, x_i*x_j) outer-
+    product cells via nested transforms and ONE explode; the groupBy then
+    partial-aggs so the shuffle carries at most d^2 cells per task — never
+    the corpus. Dimension means ride a tiny broadcast; no UDFs, no driver
+    actions. Output: (i, j, cov) for all d^2 ordered pairs, 0-based dims.
+    """
+    v = F.col(vec_col)
+    seq = F.sequence(F.lit(0), F.size(v) - 1)
+    cell = lambda i, j: F.struct(  # noqa: E731
+        i.alias("i"), j.alias("j"),
+        (F.get(v, i).cast("double") * F.get(v, j).cast("double")).alias("p"),
+    )
+    prods = df.select(
+        F.explode(F.flatten(F.transform(seq, lambda i: F.transform(seq, lambda j: cell(i, j))))).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    sums = prods.groupBy("i", "j").agg(F.sum("p").alias("_sp"))
+    x = df.select(F.posexplode(v).alias("_d", "_x"))
+    means = x.groupBy("_d").agg(F.sum(F.col("_x").cast("double")).alias("_s"))
+    n = df.agg(F.count("*").alias("_n"))
+    mi = means.select(F.col("_d").alias("_di"), F.col("_s").alias("_si"))
+    mj = means.select(F.col("_d").alias("_dj"), F.col("_s").alias("_sj"))
+    return (
+        sums.crossJoin(F.broadcast(n))
+        .join(F.broadcast(mi), F.col("i") == F.col("_di"))
+        .join(F.broadcast(mj), F.col("j") == F.col("_dj"))
+        .select(
+            "i", "j",
+            F.round(
+                F.col("_sp") / F.col("_n")
+                - (F.col("_si") / F.col("_n")) * (F.col("_sj") / F.col("_n")),
+                round_dp,
+            ).alias("cov"),
+        )
+    )
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Deterministic Johnson-Lindenstrauss random projection d -> out_dim:
+    y_j = (1/sqrt(out_dim)) * sum_i x_i * s(i, j), with signs s in {-1, +1}
+    drawn from the engine-portable md5 family — reproducible on any engine
+    or cluster (no RNG), so the compressed embeddings are oracle-checkable.
+
+    Scale shape: one posexplode + one groupBy(id) carrying out_dim partial
+    sums — a single shuffle keyed by vector id; the sign matrix is computed
+    inline, never materialized. The standard cheap compression before
+    storing/searching embeddings at corpus scale.
+    """
+    import math
+
+    from wallaroo_spark.functions import hashing as H
+
+    x = df.select(id_col, F.posexplode(F.col(vec_col)).alias("_i", "_x"))
+    aggs = []
+    for j in range(out_dim):
+        sign = (
+            H.md5int_col(F.concat(F.lit(f"jl:{j}:"), F.col("_i").cast("string"))) % 2
+        ) * 2 - 1
+        aggs.append(
+            F.round(
+                F.sum(F.col("_x").cast("double") * sign) / math.sqrt(out_dim), round_dp
+            ).alias(f"y{j}")
+        )
+    return x.groupBy(id_col).agg(*aggs)

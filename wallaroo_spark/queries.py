@@ -3136,3 +3136,54 @@ def decontaminate_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return dedup.decontaminate_bloom(corpus, test, k=5)
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS xi FROM e),
+    n AS (SELECT count(*) AS n FROM e),
+    m AS (SELECT i, sum(xi) AS s FROM x GROUP BY 1),
+    p AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sp
+          FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2)
+    SELECT p.i, p.j, round(sp / n.n - (ma.s / n.n) * (mb.s / n.n), 4) AS cov
+    FROM p, n
+    JOIN m ma ON ma.i = p.i
+    JOIN m mb ON mb.i = p.j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed d x d covariance (Gram) matrix over the embedding column
+    — the PCA/whitening precursor (`similarity.embedding_covariance`).
+    Outer-product cells expand map-side and partial-agg before the single
+    shuffle, which carries at most d^2 cells per task regardless of corpus
+    size; dimension means ride a broadcast."""
+    return similarity.embedding_covariance(_t(spark, sf_dir, "embeddings"))
+
+
+def _jl_oracle(out_dim: int = 8) -> str:
+    def sign(j: int) -> str:
+        inner = H.md5int_sql(f"'jl:{j}:' || CAST(i AS VARCHAR)")
+        return f"((({inner}) % 2) * 2 - 1)"
+
+    cols = ",\n           ".join(
+        f"round(sum(xi * {sign(j)}) / sqrt({out_dim}), 4) AS y{j}"
+        for j in range(out_dim)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS xi FROM e)
+    SELECT vec_id, {cols}
+    FROM x GROUP BY vec_id
+    """
+
+
+@query("embedding_jl_projection", oracle=_jl_oracle())
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Johnson-Lindenstrauss projection 64 -> 8 dims with
+    md5-family signs (`similarity.jl_project`): one posexplode + one
+    id-keyed shuffle carrying 8 partial sums per vector; the sign matrix is
+    computed inline, never materialized — cheap reproducible embedding
+    compression before storage or ANN search."""
+    return similarity.jl_project(_t(spark, sf_dir, "embeddings"), out_dim=8)
