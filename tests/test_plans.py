@@ -215,3 +215,59 @@ def test_quantize_and_stratified_are_scan_speed(spark):
         assert a.exchanges == 0 and a.python_ops == 0 and a.scans == 1, name
     a = audit(QUERIES["stratified_sample_counts"](spark, SF))
     assert a.python_ops == 0 and a.scans == 1
+
+
+def test_round5_ops_no_driver_actions(spark, monkeypatch):
+    """Round-5 corpus/embedding operators must build their plans without
+    driver-side actions (the global scalars — bloom bitmap, mixture total,
+    covariance n — all ride broadcast single-row aggs)."""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side action during plan construction")
+
+    for action in ("collect", "count", "first", "take", "head"):
+        monkeypatch.setattr(DataFrame, action, boom)
+    for name in (
+        "decontaminate_testset_overlap",
+        "decontaminate_bloom_hits",
+        "domain_mixture_resample",
+        "duplicate_token_spans",
+        "repetition_quality_signals",
+        "embedding_covariance",
+        "embedding_jl_projection",
+        "pii_redact_docs",
+    ):
+        QUERIES[name](spark, SF)
+
+
+def test_decontaminate_broadcasts_test_set(spark):
+    """The corpus side must never shuffle on raw shingles: the test-set
+    shingle list (exact) / bitmap (bloom) is the broadcast side."""
+    a = audit(QUERIES["decontaminate_testset_overlap"](spark, SF))
+    assert a.broadcast_joins >= 1
+    assert a.sort_merge_joins == 0
+    b = audit(QUERIES["decontaminate_bloom_hits"](spark, SF))
+    assert b.nested_loop_joins >= 1  # single-row bitmap crossJoin broadcast
+    assert b.sort_merge_joins == 0
+
+
+def test_mixture_resample_is_map_side_filter(spark):
+    """The rates table broadcasts back onto the corpus: no corpus shuffle
+    before the filter, no sort-merge join anywhere."""
+    a = audit(QUERIES["domain_mixture_resample"](spark, SF))
+    assert a.sort_merge_joins == 0
+    assert a.python_ops == 0
+
+
+def test_pii_redact_scan_speed(spark):
+    a = audit(QUERIES["pii_redact_docs"](spark, SF))
+    assert a.exchanges == 0 and a.python_ops == 0  # pure projection
+    assert a.read_cols == [2]  # doc_id + text only
+
+
+def test_ivf_probe_side_broadcast_no_smj(spark):
+    """Round-5 fix regression guard: the |queries| x nprobe probe table
+    broadcasts; the corpus assignment must not sort-merge-shuffle."""
+    a = audit(QUERIES["similarity_topk_ivf"](spark, SF))
+    assert a.sort_merge_joins == 0
