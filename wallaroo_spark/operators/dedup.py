@@ -570,9 +570,13 @@ def bloom_bitmap(
     word bitmaps partial-agg through bit_or (4KB of state however many
     values go in), and the final row assembles via map_from_entries — no
     driver action, broadcastable anywhere."""
-    h = H.hmod_col(F.col(col))
+    # materialize the md5 hash ONCE per value (inlining it into every
+    # permutation would recompute the md5 n_hashes times)
+    h = F.col("_h")
     pos = F.array(*[H.perm_col(h, j) % F.lit(m_bits) for j in range(n_hashes)])
-    bits = df.select(F.explode(pos).alias("_p")).select(
+    bits = df.select(H.hmod_col(F.col(col)).alias("_h")).select(
+        F.explode(pos).alias("_p")
+    ).select(
         (F.col("_p") / 63).cast("long").alias("_word"),
         (F.col("_p") % 63).cast("int").alias("_bit"),
     )
