@@ -4,9 +4,16 @@ The 100 TB shape this engine exists for, composed from its pieces:
 
     documents
       -> quality filter      (text.quality_score: cheap Column-only gate)
+      -> repetition filter   (Gopher-style top-bigram / dup-trigram gates)
+      -> PII scrub           (scan-speed regex redaction)
+      -> decontamination     (Bloom bitmap of the held-out benchmark's
+                              shingles: a broadcast bit test, never a
+                              corpus shuffle)
       -> stratified sample   (per-language deterministic %, no RNG)
       -> near-dup dedup      (MinHash-LSH clusters -> canonical survivors,
                               broadcast anti-join: the corpus never shuffles)
+      -> mixture resample    (per-source keep-% toward target domain
+                              weights, map-side salted-hash filter)
       -> train/val/test tag  (hash split, engine-portable)
       -> transactional write (2PC parquet sink: staged prepare, put-if-
                               absent commit, snapshot reads)
@@ -32,6 +39,9 @@ from wallaroo_spark.sinks import TransactionalParquetSink
 from wallaroo_spark.sources import read_table
 
 
+PII_PATTERN = r"\b(customer|key|value)\b"
+
+
 def build_corpus(spark, sf_dir: str, out_dir: str, quality_min: float = 0.5):
     docs = read_table(spark, sf_dir, "documents")
 
@@ -40,6 +50,21 @@ def build_corpus(spark, sf_dir: str, out_dir: str, quality_min: float = 0.5):
         F.col("quality") >= quality_min
     ).select("doc_id")
     kept = docs.join(good_ids, "doc_id", "left_semi")
+
+    # 1b. repetition gate — looped/boilerplate text out (Gopher thresholds)
+    rep_ok = text.repetition_signals(kept).filter(~F.col("repetitive")).select("doc_id")
+    kept = kept.join(rep_ok, "doc_id", "left_semi")
+
+    # 1c. PII scrub — scan-speed regexp rewrite of the text itself
+    kept = kept.withColumn("text", F.regexp_replace("text", PII_PATTERN, "[REDACTED]"))
+
+    # 1d. decontamination — the held-out benchmark (stand-in: doc_id%50==0)
+    # compresses to a Bloom bitmap; contaminated corpus docs drop via one
+    # broadcast anti-join, the corpus never shuffles
+    bench_set = docs.filter(F.col("doc_id") % 50 == 0)
+    kept = kept.filter(F.col("doc_id") % 50 != 0)
+    contaminated = dedup.decontaminate_bloom(kept, bench_set, k=5).select("doc_id")
+    kept = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
 
     # 2. class-balanced thinning — deterministic per-language percentages
     sampled = text.stratified_sample(
@@ -52,8 +77,15 @@ def build_corpus(spark, sf_dir: str, out_dir: str, quality_min: float = 0.5):
     dropped = clusters.filter(F.col("component_id") != F.col("doc_id")).select("doc_id")
     deduped = sampled.join(F.broadcast(dropped), "doc_id", "left_anti")
 
+    # 3b. domain-mixture resample toward target source weights under a
+    # 90%-of-corpus budget (rates broadcast; the filter is map-side)
+    weights = {f"src{i}": float(i + 1) for i in range(20)}
+    mixed = text.target_mixture_sample(deduped, "source", weights, budget_frac=0.9).drop(
+        "_n_stratum", "_pct"
+    )
+
     # 4. reproducible split tag
-    tagged = text.deterministic_split(deduped)
+    tagged = text.deterministic_split(mixed)
 
     # 5. exactly-once visible output
     sink = TransactionalParquetSink(out_dir)

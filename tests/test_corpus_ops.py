@@ -190,3 +190,42 @@ def test_jl_projection_preserves_relative_distance(spark):
         return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
 
     assert d(ys[0], ys[1]) < d(ys[0], ys[3])
+
+
+def test_decontaminate_filter_stream_batch_parity(spark, tmp_path):
+    """decontaminate_filter is a pure per-row expression against a broadcast
+    bitmap, so the SAME call works on a file stream in append mode and must
+    keep exactly the docs the batch call keeps."""
+    shared = " ".join(f"s{i}" for i in range(6))
+    rows = [
+        Row(doc_id=1, text="clean words nothing shared one two"),
+        Row(doc_id=2, text="prefix " + shared + " suffix"),
+        Row(doc_id=3, text="another clean doc entirely different tokens"),
+        Row(doc_id=4, text=shared),
+    ]
+    corpus = spark.createDataFrame(rows)
+    test_set = _docs(spark, [(100, shared + " etc")])
+
+    batch_kept = sorted(
+        r.doc_id for r in dedup.decontaminate_filter(corpus, test_set, k=5).collect()
+    )
+    assert batch_kept == [1, 3]
+
+    src = str(tmp_path / "docs")
+    corpus.write.parquet(src)
+    sdf = spark.readStream.schema(corpus.schema).parquet(src)
+    out = dedup.decontaminate_filter(sdf, test_set, k=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decontam_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_kept = sorted(
+            r.doc_id for r in spark.sql("SELECT doc_id FROM decontam_stream").collect()
+        )
+    finally:
+        q.stop()
+    assert stream_kept == batch_kept

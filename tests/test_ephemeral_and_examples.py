@@ -107,6 +107,11 @@ def test_training_data_pipeline_example(spark, tmp_path):
     rows = final.collect()
     assert rows and set(r.split for r in rows) <= {"train", "val", "test"}
 
+    # round-5 stages held: no PII tokens survive, no benchmark doc ids,
+    # no doc sharing a 5-gram with the benchmark set
+    assert not any(" customer " in f" {r.text} " for r in rows)
+    assert all(r.doc_id % 50 != 0 for r in rows)
+
     # no surviving doc is a non-canonical member of a duplicate cluster
     clusters = dedup.duplicate_clusters(
         spark.createDataFrame([(r.doc_id, r.text) for r in rows], "doc_id long, text string"),

@@ -631,3 +631,43 @@ def decontaminate_bloom(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_bloom_hits"))
     )
+
+
+def decontaminate_filter(
+    corpus: DataFrame,
+    test_set: DataFrame,
+    text: str = "text",
+    k: int = SHINGLE_K,
+    m_bits: int = BLOOM_M_BITS,
+    n_hashes: int = BLOOM_K,
+) -> DataFrame:
+    """Keep only corpus docs with NO shingle in the test set's Bloom filter
+    — the streamable form of decontamination: the membership test is a pure
+    per-row Column expression (EXISTS over the shingle array against the
+    broadcast bitmap), no explode, no re-aggregation, so it runs unchanged
+    on a batch corpus or a streaming one (stream-static broadcast join,
+    append mode). False positives drop a few clean docs (the safe
+    direction); false negatives are impossible.
+    """
+    bloom = bloom_bitmap(
+        test_set.select(F.explode(kshingles(F.col(text), k)).alias("sh")).distinct(),
+        "sh",
+        m_bits,
+        n_hashes,
+    )
+
+    def member(sh: Column) -> Column:
+        # bit mask via exact power-of-two double (2^b is exact in IEEE for
+        # b <= 62, and our words carry 63 bits): shiftright() only accepts a
+        # literal shift count, so the column-valued bit index uses pow
+        h = H.hmod_col(sh)
+        cond = None
+        for j in range(n_hashes):
+            p = H.perm_col(h, j) % F.lit(m_bits)
+            mask = F.pow(F.lit(2.0), (p % 63).cast("int")).cast("long")
+            c = F.get(F.col("bloom"), (p / 63).cast("int")).bitwiseAND(mask) != 0
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    contaminated = F.exists(kshingles(F.col(text), k), member)
+    return corpus.crossJoin(F.broadcast(bloom)).filter(~contaminated).drop("bloom")
