@@ -282,3 +282,72 @@ def test_multiprobe_lsh_never_worse_than_single_bucket():
     hit_s = sum(1 for q, c in top1.items() if single.get((q, 1)) == c[1])
     hit_m = sum(1 for q, c in top1.items() if multi.get((q, 1)) == c[1])
     assert hit_m >= hit_s
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(list("abcdef")), min_size=0, max_size=20).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs_strategy)
+def test_bloom_decontamination_never_false_negative(texts):
+    """Insert every doc's shingles into the Bloom filter, then test the SAME
+    docs: the exact-overlap result must be a subset of the bloom result —
+    no member is ever missed, on arbitrary token streams (incl. empty and
+    shorter-than-k docs)."""
+    from wallaroo_spark.operators import dedup
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    exact = {
+        r.doc_id for r in dedup.decontaminate_hits(df, df, k=3).collect()
+    }
+    bloom = {
+        r.doc_id for r in dedup.decontaminate_bloom(df, df, k=3).collect()
+    }
+    assert exact <= bloom
+    # and the streamable filter keeps exactly the complement of bloom hits
+    kept = {r.doc_id for r in dedup.decontaminate_filter(df, df, k=3).collect()}
+    assert kept == set(range(len(texts))) - bloom
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs_strategy)
+def test_duplicate_spans_match_python_reference(texts):
+    """duplicate_spans == a straight-line Python islands reference on
+    arbitrary corpora (k=3)."""
+    from wallaroo_spark.operators import dedup
+
+    k = 3
+    toks = [t.split() if t.strip() else [] for t in texts]
+    grams = [
+        {i: " ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)} for ws in toks
+    ]
+    want = set()
+    for d, g in enumerate(grams):
+        hits = sorted(
+            i
+            for i, gram in g.items()
+            if any(d2 != d and gram in g2.values() for d2, g2 in enumerate(grams))
+        )
+        spans = []
+        for i in hits:
+            if spans and i <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], i + k - 1))
+            else:
+                spans.append((i, i + k - 1))
+        for s, e in spans:
+            want.add((d, s, e, e - s + 1))
+
+    spark = _get_spark()
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in dedup.duplicate_spans(df, k=k).collect()
+    }
+    assert got == want
