@@ -3187,3 +3187,34 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed inline, never materialized — cheap reproducible embedding
     compression before storage or ANN search."""
     return similarity.jl_project(_t(spark, sf_dir, "embeddings"), out_dim=8)
+
+
+@query(
+    "corpus_stats_rollup",
+    oracle=f"""
+    WITH t AS (SELECT lang, source, n_chars, len({_TOKS_SQL}) AS n_toks
+               FROM documents)
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           round(avg(n_toks), 2) AS avg_tokens,
+           round(sum(n_toks), 2) AS total_tokens
+    FROM t GROUP BY ROLLUP (lang, source)
+    """,
+)
+def corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report in ONE pass: per-(lang, source) doc counts and
+    token budgets with rollup subtotals and the grand total — the
+    'how big is my training set, by slice' query. Native rollup partial-
+    aggs every grouping set map-side in a single shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(text.tokens(F.col("text")))
+    return (
+        docs.select("lang", "source", "n_chars", toks.alias("_nt"))
+        .rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg("_nt"), 2).alias("avg_tokens"),
+            F.round(F.sum("_nt"), 2).alias("total_tokens"),
+        )
+    )
