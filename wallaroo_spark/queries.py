@@ -3218,3 +3218,40 @@ def corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("_nt"), 2).alias("total_tokens"),
         )
     )
+
+
+@query(
+    "window_ranking_battery",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           dense_rank() OVER w AS dr,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS pr,
+           round(cume_dist() OVER w, 4) AS cd,
+           round(first_value(value) OVER w, 2) AS first_v,
+           round(nth_value(value, 2) OVER w, 2) AS second_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function battery (§2.6 freebies): dense_rank / ntile /
+    percent_rank / cume_dist / first_value / nth_value over one per-user
+    frame — all six share a single hash exchange + sort."""
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.dense_rank().over(w).alias("dr"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        F.round(F.first("value").over(wf), 2).alias("first_v"),
+        F.round(F.nth_value("value", 2).over(wf), 2).alias("second_v"),
+    )
