@@ -497,8 +497,13 @@ def embedding_covariance(
     ).select("c.i", "c.j", "c.p")
     sums = prods.groupBy("i", "j").agg(F.sum("p").alias("_sp"))
     x = df.select(F.posexplode(v).alias("_d", "_x"))
-    means = x.groupBy("_d").agg(F.sum(F.col("_x").cast("double")).alias("_s"))
-    n = df.agg(F.count("*").alias("_n"))
+    means = x.groupBy("_d").agg(
+        F.sum(F.col("_x").cast("double")).alias("_s"),
+        F.count("*").alias("_c"),
+    )
+    # row count = any dimension's value count — read it off the means pass
+    # instead of a third table scan
+    n = means.agg(F.max("_c").alias("_n"))
     mi = means.select(F.col("_d").alias("_di"), F.col("_s").alias("_si"))
     mj = means.select(F.col("_d").alias("_dj"), F.col("_s").alias("_sj"))
     return (
