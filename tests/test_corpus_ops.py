@@ -229,3 +229,34 @@ def test_decontaminate_filter_stream_batch_parity(spark, tmp_path):
     finally:
         q.stop()
     assert stream_kept == batch_kept
+
+
+def test_interval_join_boundaries_and_buckets(spark):
+    """interval_join: (ts, ts+window] semantics — simultaneous events
+    excluded, exact window-end included, cross-bucket matches found, other
+    keys never matched."""
+    import datetime as dt
+
+    from wallaroo_spark.operators import relational
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, key, secs):
+        return Row(event_id=i, user_id=key, ts=T0 + dt.timedelta(seconds=secs))
+
+    left = spark.createDataFrame([ev(1, 7, 100.0)])
+    right = spark.createDataFrame(
+        [
+            ev(10, 7, 100.0),   # simultaneous -> excluded (strict >)
+            ev(11, 7, 100.5),   # same bucket -> in
+            ev(12, 7, 159.9),   # next bucket -> in (cross-bucket)
+            ev(13, 7, 160.0),   # exactly ts+60 -> in (inclusive end)
+            ev(14, 7, 160.1),   # just past -> out
+            ev(15, 8, 101.0),   # other key -> out
+        ]
+    )
+    out = relational.interval_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts", window_s=60
+    )
+    got = sorted(r.r_event_id for r in out.collect())
+    assert got == [11, 12, 13]

@@ -65,3 +65,57 @@ def top_k_per_group(
     fn = F.dense_rank() if dense else F.row_number()
     w = Window.partitionBy(*keys).orderBy(*order)
     return df.withColumn("rk", fn.over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_s: int,
+    bucket_s: int | None = None,
+) -> DataFrame:
+    """Keyed interval join: pairs where ``right_ts`` falls in
+    ``(left_ts, left_ts + window_s]`` for the same key — the 'what happened
+    in the N seconds after each anchor event' shape.
+
+    A naive inequality join degenerates to a per-key nested loop. Here both
+    sides get a coarse time bucket and the join is an EQUI-join on
+    (key, bucket) with the range as a residual predicate: each left row
+    explodes only the ``window_s/bucket_s + 1`` buckets its window can
+    touch, each right row lives in exactly one bucket (so no pair dedup),
+    and the hash shuffle partitions by (key, bucket) — co-located,
+    skew-splittable by AQE, no nested loop at any scale.
+    """
+    from wallaroo_spark.functions import epoch_seconds
+
+    bucket_s = bucket_s or window_s
+    n_spans = window_s // bucket_s + 1
+    lep = epoch_seconds(left_ts)
+    rep = epoch_seconds(right_ts)
+    l = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(lep / bucket_s) + i).cast("long")
+                    for i in range(n_spans)
+                ]
+            )
+        ),
+    ).withColumn("_lep", lep)
+    r = right.select(
+        F.col(key).alias("_rkey"),
+        F.floor(rep / bucket_s).cast("long").alias("_rbkt"),
+        rep.alias("_rep"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
+    )
+    return (
+        l.join(
+            r,
+            (F.col(key) == F.col("_rkey")) & (F.col("_bkt") == F.col("_rbkt")),
+        )
+        .filter((F.col("_rep") > F.col("_lep")) & (F.col("_rep") <= F.col("_lep") + window_s))
+        .drop("_bkt", "_rkey", "_rbkt")
+    )

@@ -3255,3 +3255,41 @@ def window_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("value").over(wf), 2).alias("first_v"),
         F.round(F.nth_value("value", 2).over(wf), 2).alias("second_v"),
     )
+
+
+@query(
+    "error_followup_counts",
+    oracle="""
+    SELECT a.event_id, count(b.event_id) AS n_followups
+    FROM events a
+    LEFT JOIN events b
+      ON b.user_id = a.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND
+    WHERE a.event_type = 'error'
+    GROUP BY 1
+    """,
+)
+def error_followup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval join (`relational.interval_join`): per error event,
+    the count of same-user events in the following 60 seconds. The range
+    condition rides as a residual on a (key, time-bucket) EQUI-join —
+    hash-shuffled and AQE-skew-splittable, never a per-key nested loop;
+    anchors with no followups come back via one broadcast-right join."""
+    ev = _t(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    followups = relational.interval_join(
+        anchors,
+        ev.select("user_id", F.col("event_id").alias("f_id"), "ts"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        window_s=60,
+    )
+    counts = followups.groupBy("event_id").agg(F.count("*").alias("n_followups"))
+    return (
+        anchors.select("event_id")
+        .join(F.broadcast(counts), "event_id", "left")
+        .select("event_id", F.coalesce("n_followups", F.lit(0)).alias("n_followups"))
+    )
