@@ -60,6 +60,7 @@ HEADLINE = [
     "domain_mixture_resample",
     "embedding_covariance",
     "embedding_jl_projection",
+    "error_followup_counts",
 ]
 
 

@@ -255,3 +255,25 @@ def countmin_sql_cells(item_expr: str, source_sql: str, depth: int = DEPTH, widt
         for r in range(depth)
     )
     return f"SELECT row, col, count(*) AS cnt FROM ({selects}) GROUP BY row, col"
+
+
+def linear_count_distinct_by(
+    items: DataFrame, item_col: str, by: str, m: int = 4096
+) -> DataFrame:
+    """Group-wise linear counting: one m-cell bitmap PER group value, in a
+    single pass — (group, cell) dedup partial-aggs map-side, then a per-
+    group occupied count. State per group is bounded by m whatever the
+    item cardinality, so a skewed group costs the same as a small one —
+    the group-wise form of `linear_count_distinct`, same oracle-replayable
+    md5 cell function. Output: (by, occupied, est_distinct)."""
+    cells = items.select(
+        F.col(by), (H.hmod_col(F.col(item_col)) % F.lit(m)).alias("_cell")
+    )
+    occ = cells.groupBy(by).agg(F.countDistinct("_cell").alias("occupied"))
+    return occ.select(
+        by,
+        "occupied",
+        F.round(
+            -float(m) * F.log((F.lit(float(m)) - F.col("occupied")) / F.lit(float(m))), 2
+        ).alias("est_distinct"),
+    )

@@ -3293,3 +3293,24 @@ def error_followup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(counts), "event_id", "left")
         .select("event_id", F.coalesce("n_followups", F.lit(0)).alias("n_followups"))
     )
+
+
+@query(
+    "distinct_tokens_by_lang_linear_count",
+    oracle=f"""
+    WITH w AS (SELECT lang, unnest({_TOKS_SQL}) AS word FROM documents),
+    cells AS (SELECT DISTINCT lang, ({H.hmod_sql("word")} % 4096) AS cell FROM w),
+    occ AS (SELECT lang, count(*) AS occupied FROM cells GROUP BY 1)
+    SELECT lang, occupied,
+           round(-4096.0 * ln((4096.0 - occupied) / 4096.0), 2) AS est_distinct
+    FROM occ
+    """,
+)
+def distinct_tokens_by_lang_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token estimate via group-wise linear counting
+    (`sketch.linear_count_distinct_by`): one bounded m=4096 bitmap per
+    group in a single pass — skewed groups cost the same as small ones;
+    the oracle rebuilds every cell."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("lang", F.explode(text.tokens(F.col("text"))).alias("word"))
+    return _sketch.linear_count_distinct_by(w, "word", "lang")
