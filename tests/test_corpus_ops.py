@@ -260,3 +260,71 @@ def test_interval_join_boundaries_and_buckets(spark):
     )
     got = sorted(r.r_event_id for r in out.collect())
     assert got == [11, 12, 13]
+
+
+def test_stream_stream_interval_join_parity(spark, tmp_path):
+    """The streaming counterpart of relational.interval_join is Spark's
+    native time-bounded stream-stream join (both sides watermarked, range
+    condition bounds the buffered state). A drained two-stream run must
+    produce exactly the batch operator's pairs."""
+    import datetime as dt
+
+    from wallaroo_spark.operators import relational
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, user_id=i % 3, ts=T0 + dt.timedelta(seconds=7 * i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    batch = sorted(
+        (r.event_id, r.r_event_id)
+        for r in relational.interval_join(
+            df, df, key="user_id", left_ts="ts", right_ts="ts", window_s=60
+        ).collect()
+    )
+    assert batch  # non-vacuous
+
+    src = str(tmp_path / "ev")
+    df.write.parquet(src)
+    a = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.col("user_id").alias("a_key"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    b = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("b_id"),
+            F.col("user_id").alias("b_key"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = a.join(
+        b,
+        F.expr(
+            "a_key = b_key AND b_ts > a_ts AND b_ts <= a_ts + interval 60 seconds"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_interval")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream = sorted(
+            (r.a_id, r.b_id)
+            for r in spark.sql("SELECT a_id, b_id FROM ss_interval").collect()
+        )
+    finally:
+        q.stop()
+    assert stream == batch
