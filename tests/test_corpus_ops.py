@@ -328,3 +328,21 @@ def test_stream_stream_interval_join_parity(spark, tmp_path):
     finally:
         q.stop()
     assert stream == batch
+
+
+def test_histogram_quantiles_approximates_exact(spark):
+    """Histogram p50/p95 must land within one bin width of the exact
+    quantiles, and clamp out-of-range values instead of dropping them."""
+    import numpy as np
+
+    from wallaroo_spark.operators import sketch
+
+    vals = [float(v) for v in np.linspace(1, 400, 300)] + [999.0, -5.0]
+    df = spark.createDataFrame([Row(g="a", value=v) for v in vals])
+    out = {r.q: r.est for r in sketch.histogram_quantiles(
+        df, "value", "g", quantiles=(0.5, 0.95), bins=128, lo=0.0, hi=512.0
+    ).collect()}
+    exact50 = float(np.quantile(np.array(vals), 0.5))
+    exact95 = float(np.quantile(np.array(vals), 0.95))
+    assert abs(out[0.5] - exact50) <= 4.0
+    assert abs(out[0.95] - exact95) <= 4.0

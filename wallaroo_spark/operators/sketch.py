@@ -277,3 +277,47 @@ def linear_count_distinct_by(
             -float(m) * F.log((F.lit(float(m)) - F.col("occupied")) / F.lit(float(m))), 2
         ).alias("est_distinct"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    bins: int = 128,
+    lo: float = 0.0,
+    hi: float = 512.0,
+) -> DataFrame:
+    """Approximate per-group quantiles from a FIXED-width histogram: values
+    clamp into ``bins`` equal buckets over [lo, hi), per-(group, bin)
+    counts partial-agg map-side (state bounded by bins per group however
+    many rows flow in), and each quantile reads off the first bin whose
+    cumulative count reaches q * total, estimated at the bin midpoint.
+    Error is bounded by the bin width — the quantile member of the
+    bounded-state sketch family (CMS = frequency, linear counting =
+    distinct), fully deterministic so the oracle replays it bin-for-bin.
+    Output: (by, q, est) per requested quantile."""
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / width).cast("int")),
+    )
+    counts = df.select(F.col(by), b.alias("_bin")).groupBy(by, "_bin").agg(
+        F.count("*").alias("_cnt")
+    )
+    from pyspark.sql.window import Window as W
+
+    wcum = W.partitionBy(by).orderBy("_bin").rowsBetween(W.unboundedPreceding, 0)
+    wtot = W.partitionBy(by)
+    cum = counts.withColumn("_cum", F.sum("_cnt").over(wcum)).withColumn(
+        "_tot", F.sum("_cnt").over(wtot)
+    )
+    est = F.round(lo + (F.col("_bin") + 0.5) * width, 4)
+    out = None
+    for q in quantiles:
+        part = cum.groupBy(by).agg(
+            F.lit(q).alias("q"),
+            F.min(F.when(F.col("_cum") >= q * F.col("_tot"), est)).alias("est"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

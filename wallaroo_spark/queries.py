@@ -3314,3 +3314,37 @@ def distinct_tokens_by_lang_linear_count(spark: SparkSession, sf_dir: str) -> Da
     docs = _t(spark, sf_dir, "documents")
     w = docs.select("lang", F.explode(text.tokens(F.col("text"))).alias("word"))
     return _sketch.linear_count_distinct_by(w, "word", "lang")
+
+
+@query(
+    "value_quantiles_histogram_sketch",
+    oracle="""
+    WITH c AS (SELECT event_type,
+                      least(127, greatest(0, CAST(floor(value / 4.0) AS INT))) AS bin,
+                      count(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    cum AS (SELECT event_type, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+                   sum(cnt) OVER (PARTITION BY event_type) AS tot
+            FROM c)
+    SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+           min(CASE WHEN cm >= 0.5 * tot
+               THEN round((bin + 0.5) * CAST(4.0 AS DOUBLE), 4) END) AS est
+    FROM cum GROUP BY 1
+    UNION ALL
+    SELECT event_type, CAST(0.95 AS DOUBLE) AS q,
+           min(CASE WHEN cm >= 0.95 * tot
+               THEN round((bin + 0.5) * CAST(4.0 AS DOUBLE), 4) END) AS est
+    FROM cum GROUP BY 1
+    """,
+)
+def value_quantiles_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state approximate quantiles (p50/p95 of event value per
+    type) via a 128-bin fixed-width histogram (`sketch.histogram_quantiles`)
+    — per-group state is bins-bounded however many rows flow in; error
+    bounded by the 4-unit bin width; the oracle replays every bin."""
+    ev = _t(spark, sf_dir, "events")
+    return _sketch.histogram_quantiles(
+        ev, "value", "event_type", quantiles=(0.5, 0.95), bins=128, lo=0.0, hi=512.0
+    )
