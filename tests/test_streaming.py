@@ -944,3 +944,57 @@ def test_transactional_sink_commit_race_keeps_single_attempt(spark, tmpdir):
     assert sink.committed_paths() == first
     staged = os.listdir(os.path.join(tmpdir, "out", "_staged"))
     assert len(staged) == 1  # only the winning attempt remains
+
+
+def test_windowed_histogram_aggregation_stream_matches_batch(spark, tmpdir):
+    """Streaming quantile-sketch path: the HistogramAggregation drained
+    over a stream reproduces the batch per-window clamped-bin counts
+    bin-for-bin (same function histogram_quantiles builds on)."""
+    import random
+
+    from wallaroo_spark.api import aggregation as A
+    from wallaroo_spark.operators.sketch import HistogramAggregation
+
+    rnd = random.Random(11)
+    rows = [
+        Row(k="g", ts=T0 + dt.timedelta(seconds=rnd.randint(0, 7199)),
+            value=rnd.uniform(-10, 600))
+        for _ in range(600)
+    ] + [Row(k="g", ts=T0 + dt.timedelta(seconds=7300), value=1.0)]
+    df = spark.createDataFrame(rows)
+    df.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+
+    bins, lo, hi = 32, 0.0, 512.0
+    agg = HistogramAggregation("value", bins=bins, lo=lo, hi=hi)
+    sdf = spark.readStream.schema(df.schema).parquet(tmpdir + "/in")
+    out = A.windowed_agg_stream(
+        sdf.withWatermark("ts", "0 seconds"), ["k"], "ts", agg, "cells string", 3600
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_hist_win")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start: [int(x) for x in r.cells.split(",")]
+        for r in spark.sql("SELECT * FROM t_hist_win").collect()
+    }
+
+    width = (hi - lo) / bins
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.floor((F.col("value") - lo) / width).cast("int")))
+    native = (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), b.alias("bin"))
+        .count()
+        .collect()
+    )
+    want = {}
+    for r in native:
+        ws = int(r.w.start.timestamp())
+        want.setdefault(ws, [0] * bins)[r.bin] = r["count"]
+    assert len(got) == 2  # both sealed hourly windows
+    for ws, cells in got.items():
+        assert cells == want[ws], ws

@@ -321,3 +321,39 @@ def histogram_quantiles(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+class HistogramAggregation:
+    """Windowed fixed-width histogram as a user Aggregation: ``bins``
+    counters per (key, window) with watermark-evicted state — the
+    streaming path for `histogram_quantiles`' bounded-state quantile
+    sketch (same clamped-bin function, so a drained stream reproduces the
+    batch histogram bin-for-bin). ``combine`` is element-wise addition
+    (trivially mergeable). Parameters are captured into the instance at
+    construction: the pickled closure must not reference this package
+    (executors cannot import wallaroo_spark).
+
+    ``output`` emits the bins as a CSV string (schema ``cells string``).
+    """
+
+    def __init__(self, value_field: str, bins: int = 128, lo: float = 0.0, hi: float = 512.0):
+        self.value_field = value_field
+        self.bins = bins
+        self.lo = lo
+        self.width = (hi - lo) / bins
+
+    def name(self) -> str:
+        return f"histogram_{self.value_field}"
+
+    def initial_accumulator(self):
+        return {"cells": [0] * self.bins}
+
+    def update(self, rec, acc) -> None:
+        b = int((float(rec[self.value_field]) - self.lo) / self.width)
+        acc["cells"][min(self.bins - 1, max(0, b))] += 1
+
+    def combine(self, a, b):
+        return {"cells": [x + y for x, y in zip(a["cells"], b["cells"])]}
+
+    def output(self, key, acc):
+        return {"cells": ",".join(map(str, acc["cells"]))}
