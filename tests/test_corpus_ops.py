@@ -346,3 +346,43 @@ def test_histogram_quantiles_approximates_exact(spark):
     exact95 = float(np.quantile(np.array(vals), 0.95))
     assert abs(out[0.5] - exact50) <= 4.0
     assert abs(out[0.95] - exact95) <= 4.0
+
+
+def test_asof_forward_and_tolerance(spark):
+    import datetime as dt
+
+    from wallaroo_spark.operators import asof
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def r(i, key, secs, **kw):
+        return Row(id=i, k=key, ts=T0 + dt.timedelta(seconds=secs), **kw)
+
+    left = spark.createDataFrame(
+        [r(1, "a", 100.0, x=0), r(2, "a", 300.0, x=0), r(3, "b", 100.0, x=0)]
+    )
+    right = spark.createDataFrame(
+        [r(10, "a", 100.0, v=1.0), r(11, "a", 150.0, v=2.0), r(12, "b", 500.0, v=9.0)]
+    )
+    out = {
+        row.id: row.v_n
+        for row in asof.asof_join(
+            left.drop("x"), right.drop("id"), on=["k"], left_ts="ts", right_ts="ts",
+            right_values=["v"], suffix="_n", direction="forward", tolerance_s=60,
+        ).collect()
+    }
+    assert out[1] == 1.0  # equal ts matches forward (inclusive)
+    assert out[2] is None  # no later right row for key a
+    assert out[3] is None  # right row exists but 400s away > tolerance
+
+    # backward with tolerance: stale enrichment nulls out
+    out_b = {
+        row.id: row.v_n
+        for row in asof.asof_join(
+            left.drop("x"), right.drop("id"), on=["k"], left_ts="ts", right_ts="ts",
+            right_values=["v"], suffix="_n", direction="backward", tolerance_s=60,
+        ).collect()
+    }
+    assert out_b[1] == 1.0
+    assert out_b[2] is None  # latest right (150s) is 150s stale > 60
+    assert out_b[3] is None

@@ -36,11 +36,22 @@ def asof_join(
     right_ts: str,
     right_values: Sequence[str],
     suffix: str = "",
+    direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right-side values with
-    right.ts <= left.ts for the same key. Right values are null when no
-    earlier right row exists (left-outer as-of).
+    """For each left row, attach the nearest right-side values for the same
+    key — ``direction="backward"`` (default) takes the latest right row with
+    right.ts <= left.ts, ``"forward"`` the earliest with right.ts >=
+    left.ts (pandas merge_asof's axis). Right values are null when no
+    qualifying right row exists (left-outer as-of), or when it is farther
+    than ``tolerance_s`` seconds away (max-staleness bound).
+
+    Forward is the same single-shuffle carry pass with the sort reversed;
+    tolerance adds no extra join — the matched right timestamp rides the
+    same window and a Column predicate nulls stale enrichments.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     on = list(on)
     keep_left = [c for c in left.columns]
     val_out = [v + suffix for v in right_values]
@@ -51,6 +62,7 @@ def asof_join(
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns if c not in on],
         *[F.lit(None).cast(right.schema[v].dataType).alias(f"_rv_{v}") for v in right_values],
+        F.lit(None).cast("double").alias("_rv_ts"),
     )
     rt = right.select(
         *on,
@@ -58,18 +70,27 @@ def asof_join(
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
         *[F.col(v).alias(f"_rv_{v}") for v in right_values],
+        F.col(right_ts).cast("timestamp").cast("double").alias("_rv_ts"),
     )
 
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts"), F.col("_side"))
+        .orderBy(ts_order, F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = lt.unionByName(rt)
+    matched_ts = F.last(F.col("_rv_ts"), ignorenulls=True).over(w)
+    if tolerance_s is None:
+        fresh = F.lit(True)
+    else:
+        lep = F.col("_ts").cast("timestamp").cast("double")
+        gap = (lep - matched_ts) if direction == "backward" else (matched_ts - lep)
+        fresh = gap <= tolerance_s
     filled = unioned.select(
         "*",
         *[
-            F.last(F.col(f"_rv_{v}"), ignorenulls=True).over(w).alias(o)
+            F.when(fresh, F.last(F.col(f"_rv_{v}"), ignorenulls=True).over(w)).alias(o)
             for v, o in zip(right_values, val_out)
         ],
     )

@@ -3348,3 +3348,36 @@ def value_quantiles_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFr
     return _sketch.histogram_quantiles(
         ev, "value", "event_type", quantiles=(0.5, 0.95), bins=128, lo=0.0, hi=512.0
     )
+
+
+@query(
+    "asof_forward_next_purchase",
+    oracle="""
+    WITH a AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    b AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT a.event_id, b.value,
+             row_number() OVER (PARTITION BY a.event_id ORDER BY b.ts) AS rn
+      FROM a JOIN b ON b.user_id = a.user_id
+                   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 120 SECOND)
+    SELECT a.event_id, round(p.value, 2) AS next_purchase_value
+    FROM a LEFT JOIN (SELECT event_id, value FROM pairs WHERE rn = 1) p
+    USING (event_id)
+    """,
+)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a staleness bound (`asof.asof_join`
+    direction='forward', tolerance_s=120): each error event is enriched
+    with the next purchase by the same user within two minutes, null
+    otherwise — same single carry-pass shuffle as the backward as-of,
+    sort reversed, tolerance as a pure Column predicate (no extra join)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof.asof_join(
+        errors, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_values=["value"], suffix="_next", direction="forward", tolerance_s=120,
+    )
+    return out.select(
+        "event_id", F.round("value_next", 2).alias("next_purchase_value")
+    )
