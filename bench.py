@@ -61,6 +61,9 @@ HEADLINE = [
     "embedding_covariance",
     "embedding_jl_projection",
     "error_followup_counts",
+    "asof_forward_next_purchase",
+    "value_quantiles_histogram_sketch",
+    "distinct_tokens_by_lang_linear_count",
 ]
 
 
