@@ -671,3 +671,52 @@ def decontaminate_filter(
 
     contaminated = F.exists(kshingles(F.col(text), k), member)
     return corpus.crossJoin(F.broadcast(bloom)).filter(~contaminated).drop("bloom")
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    test_set: DataFrame,
+    k: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level decontamination: the merged token intervals of each corpus
+    doc whose k-grams appear in the test set — so pipelines can CUT the
+    overlapping ranges instead of dropping whole documents (the surgical
+    variant of `decontaminate_hits`; same islands merge as
+    `duplicate_spans`). The test set's distinct gram hashes broadcast; the
+    corpus side is one posexplode + broadcast semi-join + per-doc windowed
+    merge. Output: (id, span_start, span_end, span_len), 0-based inclusive
+    token offsets."""
+    from wallaroo_spark.operators.text import kgrams
+
+    tg = (
+        test_set.select(F.explode(kgrams(F.col(text), k)).alias("_g"))
+        .select(H.md5int_col(F.col("_g")).alias("_h"))
+        .distinct()
+    )
+    g = corpus.select(
+        id_col, F.posexplode(kgrams(F.col(text), k)).alias("pos", "_g")
+    ).select(id_col, "pos", H.md5int_col(F.col("_g")).alias("_h"))
+    hits = g.join(F.broadcast(tg), "_h", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0)
+    )
+    return (
+        flagged.withColumn("_grp", F.sum("_new").over(w))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )

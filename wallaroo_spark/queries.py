@@ -3381,3 +3381,111 @@ def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.round("value_next", 2).alias("next_purchase_value")
     )
+
+
+@query(
+    "decontaminate_spans",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    g AS (SELECT doc_id, i - 1 AS pos,
+                 {H.md5int_sql("array_to_string(w[i:i+4], ' ')")} AS h
+          FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+                FROM words WHERE len(w) >= 5)),
+    th AS (SELECT DISTINCT h FROM g WHERE doc_id % 50 = 0),
+    hits AS (SELECT doc_id, pos FROM g JOIN th USING (h) WHERE doc_id % 50 <> 0),
+    flagged AS (SELECT doc_id, pos,
+                       CASE WHEN pos > coalesce(max(pos + 4) OVER (
+                                 PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             -2) + 1 THEN 1 ELSE 0 END AS newgrp
+                FROM hits),
+    grouped AS (SELECT doc_id, pos,
+                       sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS grp
+                FROM flagged)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+           max(pos) + 4 - min(pos) + 1 AS span_len
+    FROM grouped GROUP BY doc_id, grp
+    """,
+)
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (`dedup.decontaminate_spans`): the merged
+    token intervals of each corpus doc whose 5-grams appear in the held-out
+    set — cut the ranges, keep the doc (the surgical alternative to
+    dropping whole documents). Test-set gram hashes broadcast; islands
+    merge per doc, exactly the duplicate_spans machinery pointed at a
+    foreign gram set."""
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate_spans(corpus, test, k=5)
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    cand AS ({_minhash_band_joins()}),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b USING (sh)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+              JOIN sz sa ON sa.doc_id = i.doc_a
+              JOIN sz sb ON sb.doc_id = i.doc_b
+              WHERE round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 4) >= 0.5),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component_id
+             FROM reach GROUP BY src),
+    toksq AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    mq AS (SELECT doc_id, len(t) AS n,
+                  len(list_distinct(t))::DOUBLE / greatest(len(t), 1) AS ttr,
+                  len(list_filter(t, x -> x IN {_STOP_SQL}))::DOUBLE
+                  / greatest(len(t), 1) AS stop
+           FROM toksq),
+    q AS (SELECT doc_id,
+                 round(0.4 * (CASE WHEN n BETWEEN 5 AND 500 THEN 1.0 ELSE 0.0 END)
+                       + 0.4 * ttr + 0.2 * least(stop * 5, 1.0), 4) AS quality
+          FROM mq),
+    ranked AS (SELECT component_id, comp.doc_id AS doc_id, quality,
+                      row_number() OVER (PARTITION BY component_id
+                                         ORDER BY quality DESC, comp.doc_id) AS rn
+               FROM comp JOIN q ON q.doc_id = comp.doc_id)
+    SELECT component_id, doc_id AS kept_doc_id, quality AS kept_quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: within each near-dup cluster
+    keep the HIGHEST-quality member (tiebreak min id) instead of the first
+    — what corpus pipelines actually do. Clusters come from the MinHash-LSH
+    component operator; the winner is a max_by hash aggregate (map-side
+    partial combine, no window sort over the cluster members)."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup.duplicate_clusters(docs, threshold=0.5)
+    q = text.quality_score(docs).select("doc_id", "quality")
+    merged = clusters.join(q, "doc_id")
+    return (
+        merged.groupBy("component_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("doc_id"), F.col("quality")),
+                F.struct(F.col("quality"), -F.col("doc_id")),
+            ).alias("_b")
+        )
+        .select(
+            "component_id",
+            F.col("_b.doc_id").alias("kept_doc_id"),
+            F.col("_b.quality").alias("kept_quality"),
+        )
+    )
