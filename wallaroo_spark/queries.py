@@ -3489,3 +3489,71 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_b.quality").alias("kept_quality"),
         )
     )
+
+
+@query(
+    "hourly_distinct_users_linear_count",
+    oracle=f"""
+    WITH w AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                      CAST(user_id AS VARCHAR) AS item
+               FROM events),
+    cells AS (SELECT DISTINCT window_start,
+                     ({H.hmod_sql("item")} % 1024) AS cell FROM w),
+    occ AS (SELECT window_start, count(*) AS occupied FROM cells GROUP BY 1)
+    SELECT window_start, occupied,
+           round(-1024.0 * ln((1024.0 - occupied) / 1024.0), 2) AS est_distinct
+    FROM occ
+    """,
+)
+def hourly_distinct_users_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour distinct-user estimates: the group-wise linear-counting
+    sketch keyed by tumbling window (`sketch.linear_count_distinct_by` over
+    a window-start column) — windows x m cells of bounded state, the
+    'unique visitors per hour' dashboard query at any cardinality."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    return _sketch.linear_count_distinct_by(ev, "item", "window_start", m=1024)
+
+
+@query(
+    "signup_purchase_conversion",
+    oracle="""
+    WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+    conv AS (SELECT DISTINCT s.event_id
+             FROM s JOIN events p
+               ON p.user_id = s.user_id AND p.event_type = 'purchase'
+              AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR)
+    SELECT count(*) AS n_signups,
+           (SELECT count(*) FROM conv) AS n_converted,
+           round((SELECT count(*) FROM conv)::DOUBLE / count(*), 4) AS conversion_rate
+    FROM s
+    """,
+)
+def signup_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion (signup -> purchase within 1h, per user): the
+    interval-join operator feeding a scalar rollup — at scale the funnel
+    pairing stays a bucketized hash equi-join (`relational.interval_join`),
+    and the two scalar counts ride one broadcast crossJoin (no driver
+    action)."""
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    converted = (
+        relational.interval_join(
+            signups, purchases, key="user_id", left_ts="ts", right_ts="ts",
+            window_s=3600,
+        )
+        .select("event_id")
+        .distinct()
+        .agg(F.count("*").alias("n_converted"))
+    )
+    totals = signups.agg(F.count("*").alias("n_signups"))
+    return totals.crossJoin(F.broadcast(converted)).select(
+        "n_signups",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_signups"), 4).alias("conversion_rate"),
+    )
