@@ -271,3 +271,24 @@ def test_ivf_probe_side_broadcast_no_smj(spark):
     broadcasts; the corpus assignment must not sort-merge-shuffle."""
     a = audit(QUERIES["similarity_topk_ivf"](spark, SF))
     assert a.sort_merge_joins == 0
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    """The bucketized range join's contract: a (key, bucket) HASH equi-join
+    with the range as residual — zero nested-loop joins at any scale."""
+    a = audit(QUERIES["error_followup_counts"](spark, SF))
+    assert a.nested_loop_joins == 0
+    assert a.python_ops == 0
+
+
+def test_sketch_queries_bounded_exchanges(spark):
+    """Sketch family: state is bins/cells-bounded, so exchanges stay small
+    and few; no Python, no nested loops."""
+    for name in (
+        "value_quantiles_histogram_sketch",
+        "hourly_distinct_users_linear_count",
+        "distinct_tokens_by_lang_linear_count",
+    ):
+        a = audit(QUERIES[name](spark, SF))
+        assert a.python_ops == 0 and a.nested_loop_joins == 0, name
+        assert a.exchanges <= 4, name
