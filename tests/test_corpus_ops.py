@@ -260,6 +260,23 @@ def test_interval_join_boundaries_and_buckets(spark):
     )
     got = sorted(r.r_event_id for r in out.collect())
     assert got == [11, 12, 13]
+    # No internal helper columns leak into the result surface.
+    assert not [c for c in out.columns if c.startswith("_")]
+
+    # Non-divisor bucket_s: window 60s with 45s buckets means a window can
+    # straddle ceil(60/45)+1 = 3 buckets. Floor coverage would explode only
+    # 2 and silently drop a match landing in the last partial bucket:
+    # anchor 88s is bucket 1, window (88, 148] ends in bucket 3.
+    nd = relational.interval_join(
+        spark.createDataFrame([ev(2, 7, 88.0)]),
+        spark.createDataFrame([ev(20, 7, 144.0), ev(21, 7, 148.0), ev(22, 7, 149.0)]),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        window_s=60,
+        bucket_s=45,
+    )
+    assert sorted(r.r_event_id for r in nd.collect()) == [20, 21]
 
 
 def test_stream_stream_interval_join_parity(spark, tmp_path):
@@ -348,6 +365,42 @@ def test_histogram_quantiles_approximates_exact(spark):
     assert abs(out[0.95] - exact95) <= 4.0
 
 
+def test_linear_count_saturation_matches_duckdb(spark):
+    """A fully occupied bitmap (occupied == m) must give the same FINITE
+    clamped estimate in both engines — Spark's log(0) is NULL while
+    DuckDB's ln(0) is -inf, so without the m-1 clamp a saturated hot group
+    hash-mismatches the oracle."""
+    import math
+
+    import duckdb
+
+    from wallaroo_spark.operators import sketch as SK
+    from wallaroo_spark.functions import hashing as H
+
+    m = 16
+    df = spark.createDataFrame([Row(item=f"u{i}", g="hot") for i in range(400)])
+    row = SK.linear_count_distinct(df, "item", m=m).collect()[0]
+    assert row.occupied == m
+    expect = round(-m * math.log(1.0 / m), 2)
+    assert row.est_distinct == expect
+
+    grouped = SK.linear_count_distinct_by(df, "item", "g", m=m).collect()[0]
+    assert grouped.est_distinct == expect
+
+    con = duckdb.connect()
+    (d_est,) = con.execute(
+        f"""
+        WITH cells AS (
+            SELECT DISTINCT ({H.hmod_sql("item")} % {m}) AS cell
+            FROM (SELECT 'u' || CAST(range AS VARCHAR) AS item FROM range(400))
+        ), occ AS (SELECT count(*) AS occupied FROM cells)
+        SELECT round(-{m}.0 * ln(({m}.0 - least(occupied, {m-1})) / {m}.0), 2)
+        FROM occ
+        """
+    ).fetchone()
+    assert d_est == row.est_distinct
+
+
 def test_asof_forward_and_tolerance(spark):
     import datetime as dt
 
@@ -386,3 +439,36 @@ def test_asof_forward_and_tolerance(spark):
     assert out_b[1] == 1.0
     assert out_b[2] is None  # latest right (150s) is 150s stale > 60
     assert out_b[3] is None
+
+
+def test_asof_tolerance_null_right_value_is_atomic(spark):
+    """A right row with a NULL value column still IS the match: the carried
+    (ts, value) pair is atomic, so a fresh NULL-valued row yields NULL (not
+    a resurrected stale value), and the tolerance gap is measured against
+    the matched row's own timestamp."""
+    import datetime as dt
+
+    from wallaroo_spark.operators import asof
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def r(i, key, secs, **kw):
+        return Row(id=i, k=key, ts=T0 + dt.timedelta(seconds=secs), **kw)
+
+    left = spark.createDataFrame([r(1, "a", 200.0), r(2, "a", 130.0)])
+    right = spark.createDataFrame(
+        [r(10, "a", 100.0, v=1.0), r(11, "a", 190.0, v=None)]
+    ).select("k", "ts", F.col("v").cast("double").alias("v"))
+    out = {
+        row.id: row.v_n
+        for row in asof.asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_values=["v"], suffix="_n", direction="backward", tolerance_s=60,
+        ).collect()
+    }
+    # left@200: latest right is the NULL-valued row @190 (fresh, gap 10s) —
+    # the value is NULL; the stale 1.0 @100 must NOT leak through, and the
+    # NULL row's freshness must not validate the older value.
+    assert out[1] is None
+    # left@130: latest right is 1.0 @100 (gap 30s <= 60) — still matched.
+    assert out[2] == 1.0

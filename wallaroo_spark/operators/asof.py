@@ -49,28 +49,41 @@ def asof_join(
     Forward is the same single-shuffle carry pass with the sort reversed;
     tolerance adds no extra join — the matched right timestamp rides the
     same window and a Column predicate nulls stale enrichments.
+
+    The matched right row is carried ATOMICALLY as one struct (timestamp +
+    all value columns together): a right row whose value column is NULL
+    still advances the match, and the tolerance gap is always measured
+    against the timestamp of the very row that supplied the values — never
+    a newer row's timestamp paired with an older row's value.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    from pyspark.sql import types as T
+
     on = list(on)
     keep_left = [c for c in left.columns]
     val_out = [v + suffix for v in right_values]
 
+    rv_type = T.StructType(
+        [T.StructField("ts", T.DoubleType())]
+        + [T.StructField(v, right.schema[v].dataType) for v in right_values]
+    )
     lt = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns if c not in on],
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_rv_{v}") for v in right_values],
-        F.lit(None).cast("double").alias("_rv_ts"),
+        F.lit(None).cast(rv_type).alias("_rv"),
     )
     rt = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
-        *[F.col(v).alias(f"_rv_{v}") for v in right_values],
-        F.col(right_ts).cast("timestamp").cast("double").alias("_rv_ts"),
+        F.struct(
+            F.col(right_ts).cast("timestamp").cast("double").alias("ts"),
+            *[F.col(v).alias(v) for v in right_values],
+        ).alias("_rv"),
     )
 
     ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
@@ -80,18 +93,18 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = lt.unionByName(rt)
-    matched_ts = F.last(F.col("_rv_ts"), ignorenulls=True).over(w)
+    # One atomic carry: the struct is NULL on left rows and non-null on
+    # every right row, so ignorenulls skips exactly the left rows — value
+    # and matched-timestamp always come from the same right row.
+    carried = F.last(F.col("_rv"), ignorenulls=True).over(w)
     if tolerance_s is None:
         fresh = F.lit(True)
     else:
         lep = F.col("_ts").cast("timestamp").cast("double")
-        gap = (lep - matched_ts) if direction == "backward" else (matched_ts - lep)
+        gap = (lep - carried["ts"]) if direction == "backward" else (carried["ts"] - lep)
         fresh = gap <= tolerance_s
     filled = unioned.select(
         "*",
-        *[
-            F.when(fresh, F.last(F.col(f"_rv_{v}"), ignorenulls=True).over(w)).alias(o)
-            for v, o in zip(right_values, val_out)
-        ],
+        *[F.when(fresh, carried[v]).alias(o) for v, o in zip(right_values, val_out)],
     )
     return filled.filter(F.col("_side") == 1).select(*keep_left, *val_out)

@@ -83,7 +83,7 @@ def interval_join(
     A naive inequality join degenerates to a per-key nested loop. Here both
     sides get a coarse time bucket and the join is an EQUI-join on
     (key, bucket) with the range as a residual predicate: each left row
-    explodes only the ``window_s/bucket_s + 1`` buckets its window can
+    explodes only the ``ceil(window_s/bucket_s) + 1`` buckets its window can
     touch, each right row lives in exactly one bucket (so no pair dedup),
     and the hash shuffle partitions by (key, bucket) — co-located,
     skew-splittable by AQE, no nested loop at any scale.
@@ -91,7 +91,11 @@ def interval_join(
     from wallaroo_spark.functions import epoch_seconds
 
     bucket_s = bucket_s or window_s
-    n_spans = window_s // bucket_s + 1
+    # Ceiling coverage: a window of window_s seconds anchored anywhere can
+    # straddle ceil(window_s/bucket_s)+1 buckets (the anchor's bucket plus a
+    # partial tail bucket). Floor division under-explodes when bucket_s does
+    # not divide window_s, silently dropping matches in the last partial span.
+    n_spans = -(-window_s // bucket_s) + 1
     lep = epoch_seconds(left_ts)
     rep = epoch_seconds(right_ts)
     l = left.withColumn(
@@ -117,5 +121,5 @@ def interval_join(
             (F.col(key) == F.col("_rkey")) & (F.col("_bkt") == F.col("_rbkt")),
         )
         .filter((F.col("_rep") > F.col("_lep")) & (F.col("_rep") <= F.col("_lep") + window_s))
-        .drop("_bkt", "_rkey", "_rbkt")
+        .drop("_bkt", "_rkey", "_rbkt", "_lep", "_rep")
     )

@@ -176,13 +176,23 @@ def linear_count_distinct(
     the item cardinality — the distinct-counting sketch companion to the
     CMS (HLL's engine-native variants hash differently per engine; this
     one is oracle-replayable bit-for-bit). Output: (occupied, est_distinct).
+
+    A fully saturated bitmap (occupied == m) would take ln(0), where Spark
+    yields NULL but DuckDB -inf; ``occupied`` is clamped to m-1 inside the
+    estimate (capping it at m·ln(m), the sketch's resolution limit) so both
+    engines agree at the boundary. The oracle SQL applies the same clamp.
     """
     cells = items.select((H.hmod_col(F.col(item_col)) % F.lit(m)).alias("_cell"))
     occ = cells.agg(F.countDistinct("_cell").alias("occupied"))
     return occ.select(
         "occupied",
         F.round(
-            -float(m) * F.log((F.lit(float(m)) - F.col("occupied")) / F.lit(float(m))), 2
+            -float(m)
+            * F.log(
+                (F.lit(float(m)) - F.least(F.col("occupied"), F.lit(m - 1)))
+                / F.lit(float(m))
+            ),
+            2,
         ).alias("est_distinct"),
     )
 
@@ -265,7 +275,9 @@ def linear_count_distinct_by(
     group occupied count. State per group is bounded by m whatever the
     item cardinality, so a skewed group costs the same as a small one —
     the group-wise form of `linear_count_distinct`, same oracle-replayable
-    md5 cell function. Output: (by, occupied, est_distinct)."""
+    md5 cell function, same saturation clamp (a hot group that fills its
+    bitmap caps at m·ln(m) instead of diverging between engines).
+    Output: (by, occupied, est_distinct)."""
     cells = items.select(
         F.col(by), (H.hmod_col(F.col(item_col)) % F.lit(m)).alias("_cell")
     )
@@ -274,7 +286,12 @@ def linear_count_distinct_by(
         by,
         "occupied",
         F.round(
-            -float(m) * F.log((F.lit(float(m)) - F.col("occupied")) / F.lit(float(m))), 2
+            -float(m)
+            * F.log(
+                (F.lit(float(m)) - F.least(F.col("occupied"), F.lit(m - 1)))
+                / F.lit(float(m))
+            ),
+            2,
         ).alias("est_distinct"),
     )
 

@@ -2920,7 +2920,7 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     occ AS (SELECT count(*) AS occupied FROM cells)
     SELECT occupied,
-           round(-1024.0 * ln((1024.0 - occupied) / 1024.0), 2) AS est_distinct
+           round(-1024.0 * ln((1024.0 - least(occupied, 1023)) / 1024.0), 2) AS est_distinct
     FROM occ
     """,
 )
@@ -3302,7 +3302,7 @@ def error_followup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells AS (SELECT DISTINCT lang, ({H.hmod_sql("word")} % 4096) AS cell FROM w),
     occ AS (SELECT lang, count(*) AS occupied FROM cells GROUP BY 1)
     SELECT lang, occupied,
-           round(-4096.0 * ln((4096.0 - occupied) / 4096.0), 2) AS est_distinct
+           round(-4096.0 * ln((4096.0 - least(occupied, 4095)) / 4096.0), 2) AS est_distinct
     FROM occ
     """,
 )
@@ -3501,7 +3501,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ({H.hmod_sql("item")} % 1024) AS cell FROM w),
     occ AS (SELECT window_start, count(*) AS occupied FROM cells GROUP BY 1)
     SELECT window_start, occupied,
-           round(-1024.0 * ln((1024.0 - occupied) / 1024.0), 2) AS est_distinct
+           round(-1024.0 * ln((1024.0 - least(occupied, 1023)) / 1024.0), 2) AS est_distinct
     FROM occ
     """,
 )
