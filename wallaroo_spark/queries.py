@@ -1920,7 +1920,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n1 ON c_nationkey = n1.n_nationkey
     JOIN nation n2 ON s_nationkey = n2.n_nationkey
     JOIN region ON n1.n_regionkey = r_regionkey
-    WHERE r_name = 'REGION_0'
+    WHERE r_name = 'AFRICA'
     GROUP BY 1
     """,
 )
@@ -1933,7 +1933,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
     n1 = n.select(F.col("n_nationkey").alias("_ck"), "n_regionkey")
     n2 = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("_sn"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
