@@ -135,12 +135,28 @@ def test_q8_seven_way_star_broadcasts_all_dims(spark):
     assert a.python_ops == 0
 
 
-def test_q15_single_lineitem_scan(spark):
-    """The scalar max is a window over the aggregated revenue table, so
-    lineitem is scanned exactly once (a scalar-agg branch would re-scan)."""
+def test_q15_two_phase_max_single_runtime_scan(spark):
+    """The scalar max is a two-phase aggregate branch (partial max per
+    partition -> one scalar, broadcast back) — NO partition-less Window —
+    and the shared revenue shuffle is deduped by AQE's ReuseExchange at
+    runtime, so lineitem is still scanned once per execution."""
     a = audit(QUERIES["tpch_q15_top_supplier"](spark, SF))
-    assert a.scans == 2  # lineitem once + supplier once
+    assert a.partitionless_windows == 0
     assert a.python_ops == 0
+    df = QUERIES["tpch_q15_top_supplier"](spark, SF)
+    df.collect()  # finalize the adaptive plan
+    assert "ReusedExchange" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_partitionless_window_in_any_query(spark):
+    """Suite-wide scale assertion: no query's plan may contain a Window
+    with an empty partition spec (WindowExec's 'No Partition Defined'
+    single-task path). Global extremes must be two-phase aggregates."""
+    bad = []
+    for name, fn in QUERIES.items():
+        if audit(fn(spark, SF)).partitionless_windows:
+            bad.append(name)
+    assert bad == []
 
 
 def test_ngram_vocab_broadcast_auto_degrades(spark):

@@ -24,6 +24,8 @@ class PlanAudit:
     sort_merge_joins: int = 0
     nested_loop_joins: int = 0
     python_ops: int = 0
+    windows: int = 0
+    partitionless_windows: int = 0
     text: str = ""
 
 
@@ -50,4 +52,21 @@ def audit(df: DataFrame) -> PlanAudit:
         + plan.count("MapInPandas")
         + plan.count("BatchEvalPython")
     )
+    # A Window with an empty partition spec funnels every input row through
+    # ONE task (WindowExec's "No Partition Defined" path) — a serialization
+    # point no plan should carry at scale. Counted from the optimized
+    # logical plan, where partitionSpec is directly inspectable (the
+    # physical string renders partition and order specs ambiguously).
+    for node in _walk(df._jdf.queryExecution().optimizedPlan()):
+        if node.nodeName() == "Window":
+            a.windows += 1
+            if node.partitionSpec().isEmpty():
+                a.partitionless_windows += 1
     return a
+
+
+def _walk(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk(children.apply(i))

@@ -1969,16 +1969,20 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: revenue view + scalar-max filter. The max is a
-    global window over the ALREADY-AGGREGATED revenue table (supplier-sized,
-    tiny vs lineitem), so the plan scans lineitem exactly once — a separate
-    scalar-agg branch would re-scan it at static planning time (AQE's
-    exchange reuse only kicks in at runtime)."""
-    from pyspark.sql.window import Window
-
+    """TPC-H Q15 shape: revenue view + scalar-max filter, TWO-PHASE: the max
+    is a separate aggregate branch of the same revenue subtree (partial max
+    per partition -> one scalar), broadcast back against the revenue rows.
+    No partition-less Window anywhere — that path funnels every revenue row
+    through a single task, a needless serialization point at 100x supplier
+    cardinality. Spark's ReuseExchange dedupes the shared revenue subtree's
+    shuffle, so lineitem is still scanned once."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        # mirrored on both branches so the shared shuffle canonicalizes
+        # identically (the join would push IsNotNull into only one scan,
+        # defeating ReuseExchange)
+        & F.col("l_suppkey").isNotNull()
     )
     s = _t(spark, sf_dir, "supplier")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
@@ -1986,10 +1990,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    mx = F.max("total_revenue").over(Window.partitionBy())
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
     return (
-        rev.withColumn("_mx", mx)
-        .filter(F.col("total_revenue") == F.col("_mx"))
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
