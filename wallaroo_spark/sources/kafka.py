@@ -34,15 +34,11 @@ def source_options(
     return opts
 
 
-def kafka_source(
-    spark: SparkSession, brokers: str, topic: str, value_format: str = "string", **kw
-) -> DataFrame:
-    """Streaming source: key/value decoded from Kafka's binary columns plus
-    event-time = Kafka timestamp (the reference frame's event_time_ms)."""
-    reader = spark.readStream.format("kafka")
-    for k, v in source_options(brokers, topic, **kw).items():
-        reader = reader.option(k, v)
-    df = reader.load()
+def normalize_stream(df: DataFrame, value_format: str = "string") -> DataFrame:
+    """Kafka's native column set (key/value binary, timestamp, topic,
+    partition, offset) -> the engine's source surface. Shared by the real
+    connector path AND the embedded protocol mock (`kafka_mock`), so the
+    e2e tests exercise the exact production column mapping."""
     value = (
         F.col("value").cast("string") if value_format == "string" else F.col("value")
     )
@@ -54,6 +50,17 @@ def kafka_source(
         "partition",
         "offset",
     )
+
+
+def kafka_source(
+    spark: SparkSession, brokers: str, topic: str, value_format: str = "string", **kw
+) -> DataFrame:
+    """Streaming source: key/value decoded from Kafka's binary columns plus
+    event-time = Kafka timestamp (the reference frame's event_time_ms)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in source_options(brokers, topic, **kw).items():
+        reader = reader.option(k, v)
+    return normalize_stream(reader.load(), value_format)
 
 
 def sink_options(brokers: str, topic: str) -> dict[str, str]:
