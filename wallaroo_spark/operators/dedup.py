@@ -505,11 +505,18 @@ def duplicate_spans(
     before training.
 
     Scale shape: one posexplode over the token stream, grams carried as
-    md5-derived 60-bit ints (8-byte shuffle keys, not strings); the
-    ≥2-distinct-docs reduction is a partial-agged groupBy on the hash; hits
-    come back via a hash semi-join; span merge is the classic
-    gaps-and-islands — two window passes over per-doc position lists, keyed
-    by doc so state never exceeds a doc's own positions. No UDFs.
+    md5-derived 60-bit ints (8-byte shuffle keys, not strings). The
+    ≥2-distinct-docs test is ``min(doc) != max(doc)`` — equivalent to
+    ``count_distinct(doc) >= 2`` but a single partial-agged exchange on the
+    gram hash (no two-level distinct rewrite), and the map-side partials
+    compress every within-partition repeat, so singleton grams cross the
+    wire once each (the irreducible ExactSubstr floor: every token must
+    meet its twins once). The duplicated-gram set is corpus-dup-sized (tiny
+    on mostly-unique corpora), so AQE converts the semi-join back to a
+    BROADCAST at runtime — the gram stream is never shuffled a second
+    time. Span merge is the classic gaps-and-islands — two window passes
+    over per-doc position lists, keyed by doc so state never exceeds a
+    doc's own positions. No UDFs.
 
     Output: (id, span_start, span_end, span_len) in token offsets, 0-based
     inclusive.
@@ -523,8 +530,8 @@ def duplicate_spans(
     ).select(id_col, "pos", H.md5int_col(F.col("_g")).alias("_h"))
     dup = (
         g.groupBy("_h")
-        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-        .filter(F.col("_nd") >= 2)
+        .agg(F.min(id_col).alias("_d0"), F.max(id_col).alias("_d1"))
+        .filter(F.col("_d0") != F.col("_d1"))
         .select("_h")
     )
     hits = g.join(dup, "_h", "left_semi").select(id_col, "pos")
