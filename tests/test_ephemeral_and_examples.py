@@ -61,6 +61,115 @@ def test_ephemeral_stream_matches_batch(spark, tmp_path):
     assert [g for g in got if g[2]] == closed_batch
 
 
+def test_ephemeral_late_policy_batch_semantics(spark):
+    """Reference-exact S8xS11 composition (`ephemeral_window.pony:104-166`):
+    update-then-trigger (triggering row included), post-trigger rows get
+    the policy, state deleted at remove_point, a post-removal row opens a
+    fresh window. place_in_oldest_window is the reference's Fail()."""
+    import pytest
+
+    # trigger=10, post=5; key watermark = event ts:
+    #   0,4: accumulate; 12: included THEN triggers (n=3, closed)
+    #   13: late (policy); 15: late AND wm reaches remove_point -> state gone
+    #   20: fresh window; 26: accumulates (26 <= 20+10: no trigger yet);
+    #   40: included, triggers (n=3) and instantly passes remove_point
+    df = _df(spark, [0, 4, 12, 13, 15, 20, 26, 40])
+    drop = (
+        E.ephemeral_windows_batch(df, ["key"], "ts", "v", 10, 5, late_policy="drop")
+        .orderBy("window_start")
+        .collect()
+    )
+    assert [(r.n_events, r.closed, r.is_late_fire) for r in drop] == [
+        (3, True, False),
+        (3, True, False),
+    ]
+    assert [r.window_start for r in drop] == [
+        T0.timestamp(),
+        (T0 + dt.timedelta(seconds=20)).timestamp(),
+    ]
+
+    fire = (
+        E.ephemeral_windows_batch(
+            df, ["key"], "ts", "v", 10, 5, late_policy="fire_per_message"
+        )
+        .orderBy("window_start")
+        .collect()
+    )
+    # late rows 13, 15 become singletons at their own event_ts
+    assert [(r.window_start - T0.timestamp(), r.n_events, r.is_late_fire) for r in fire] == [
+        (0.0, 3, False),
+        (13.0, 1, True),
+        (15.0, 1, True),
+        (20.0, 3, False),
+    ]
+
+    with pytest.raises(ValueError, match="place_in_oldest_window|late_policy"):
+        E.ephemeral_windows_batch(
+            df, ["key"], "ts", "v", 10, 5, late_policy="place_in_oldest_window"
+        )
+
+
+def test_ephemeral_late_policy_stream_matches_batch(spark, tmp_path):
+    """S8xS11 stream-vs-batch parity, patterned on the late.py tests:
+    multi-key, multi-batch (state round-trips), both policies."""
+    secs_by_key = {
+        "a": [0, 4, 12, 13, 15, 20, 26, 40, 90],
+        "b": [0, 11, 14, 30, 41, 44, 46, 100],
+    }
+    rows = [
+        Row(key=k, ts=T0 + dt.timedelta(seconds=s), v=float(s + 1))
+        for k, secs in secs_by_key.items()
+        for s in secs
+    ]
+    df = spark.createDataFrame(rows)
+    # two SINGLE-FILE parquet segments -> exactly two micro-batches under
+    # maxFilesPerTrigger=1 (multi-file segments would shred arrival order),
+    # forcing state persistence between them
+    df.filter(F.col("ts") < T0 + dt.timedelta(seconds=30)).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "seg1")
+    )
+    df.filter(F.col("ts") >= T0 + dt.timedelta(seconds=30)).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "seg2")
+    )
+
+    for policy in ("drop", "fire_per_message"):
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "in" / "seg*"))
+        )
+        out = E.ephemeral_windows_stream(
+            sdf.withWatermark("ts", "0 seconds"),
+            ["key"], "ts", "v", 10, 5, late_policy=policy,
+        )
+        name = f"t_eph_{policy}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"chk_{policy}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            (r.key, r.window_start, r.n_events, r.total_value, r.closed, r.is_late_fire)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        batch = sorted(
+            (r.key, r.window_start, r.n_events, r.total_value, r.closed, r.is_late_fire)
+            for r in E.ephemeral_windows_batch(
+                df, ["key"], "ts", "v", 10, 5, late_policy=policy
+            ).collect()
+        )
+        # stream never emits batch's unclosed tails (state/timer pending)
+        closed_batch = [b for b in batch if b[4]]
+        assert [g for g in got if g[4]] == closed_batch, policy
+        assert got == [g for g in got if g[4]], policy  # stream emits closed only
+
+
 def test_example_word_count(spark, sf_dir):
     from examples.word_count import totals
 

@@ -54,6 +54,62 @@ def test_salted_join_spreads_hot_key(spark):
     assert len(hot) == 8  # the hot key occupies all salt buckets
 
 
+def test_interval_join_hot_key_power_law(spark):
+    """Skew contract for interval_join/funnel: one user carrying 20% of all
+    events must not degenerate — the (key, time-bucket) equi-join spreads a
+    hot key across its time buckets (bucketing IS the salt), so the plan
+    stays a hash join (never a nested loop) and completes in bounded time.
+    Pair counts are verified against an independent two-pointer reference."""
+    import bisect
+    import datetime as dt
+    import time
+
+    from wallaroo_spark.operators import relational
+    from wallaroo_spark.plans import audit
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # hot user: 10_000 events at 1s spacing = 20% of the corpus, spanning
+    # ~167 one-minute buckets (the power-law head)
+    for i in range(10_000):
+        rows.append(Row(user_id="hot", ts=T0 + dt.timedelta(seconds=i), event_id=i))
+    # long tail: 40_000 events over 2_000 users
+    for i in range(40_000):
+        rows.append(
+            Row(
+                user_id=f"u{i % 2000}",
+                ts=T0 + dt.timedelta(seconds=(i * 7) % 10_000),
+                event_id=100_000 + i,
+            )
+        )
+    df = spark.createDataFrame(rows)
+
+    t0 = time.perf_counter()
+    joined = relational.interval_join(
+        df, df, key="user_id", left_ts="ts", right_ts="ts", window_s=60
+    )
+    n_pairs = joined.count()
+    elapsed = time.perf_counter() - t0
+    assert audit(joined).nested_loop_joins == 0
+    # degenerate per-key nested loop over the hot key would be 1e8 pair
+    # tests; the bucketized join does ~60 per event. Generous bound for a
+    # throttled shared host:
+    assert elapsed < 120, f"hot-key interval join took {elapsed:.1f}s"
+
+    # independent reference: per-key two-pointer count of (ts, ts+60] pairs
+    by_key: dict[str, list[float]] = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append(r.ts.timestamp())
+    expected = 0
+    for ts_list in by_key.values():
+        ts_list.sort()
+        for t in ts_list:
+            lo = bisect.bisect_right(ts_list, t)
+            hi = bisect.bisect_right(ts_list, t + 60)
+            expected += hi - lo
+    assert n_pairs == expected
+
+
 def test_example_alerts(spark, sf_dir):
     from examples.alerts import stateless, stateful_running, windowed
     from wallaroo_spark.sources import read_table
