@@ -998,3 +998,65 @@ def test_windowed_histogram_aggregation_stream_matches_batch(spark, tmpdir):
     assert len(got) == 2  # both sealed hourly windows
     for ws, cells in got.items():
         assert cells == want[ws], ws
+
+
+def test_idle_heartbeat_fires_stalled_native_windows(spark, tmpdir):
+    """Idle-upstream mitigation (reference watermarks.pony:73-123): with no
+    heartbeat, an idle source freezes the watermark and the trailing native
+    window never fires in append mode; with heartbeat ticks unioned in, the
+    watermark passes it and the window emits — and no heartbeat row leaks
+    into the aggregation."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from wallaroo_spark.streaming.heartbeat import with_idle_heartbeat
+
+    T0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [Row(k="a", ts=T0 + dt.timedelta(seconds=s), v=1.0) for s in (10, 40, 70, 100)]
+    )
+    events.coalesce(1).write.parquet(tmpdir + "/ev")
+
+    def run(name, hb_df):
+        sdf = spark.readStream.schema(events.schema).parquet(tmpdir + "/ev")
+        src = (
+            with_idle_heartbeat(sdf, "ts", "0 seconds", heartbeats=hb_df)
+            if hb_df is not None
+            else sdf.withWatermark("ts", "0 seconds")
+        )
+        agg = (
+            src.groupBy(F.window("ts", "60 seconds"), "k")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("ws"), "k", "n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tmpdir + f"/ck_{name}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            (r.ws, r.k): r.n for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    # idle source, no heartbeat: watermark stops at 100s -> only [0,60) fires
+    assert run("no_hb", None) == {(T0, "a"): 2}
+
+    # heartbeat ticks past the stall (wall-clock stand-ins at +200s/+300s):
+    # watermark advances while the source idles -> [60,120) fires too
+    hb = spark.createDataFrame(
+        [Row(ts=T0 + dt.timedelta(seconds=s)) for s in (200, 300)]
+    )
+    hb.coalesce(1).write.parquet(tmpdir + "/hb")
+    hb_stream = spark.readStream.schema(hb.schema).parquet(tmpdir + "/hb")
+    got = run("with_hb", hb_stream)
+    assert got == {
+        (T0, "a"): 2,
+        (T0 + dt.timedelta(seconds=60), "a"): 2,
+    }  # all rows are REAL events; heartbeat rows never reach the agg
