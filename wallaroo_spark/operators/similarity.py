@@ -554,3 +554,82 @@ def jl_project(
             ).alias(f"y{j}")
         )
     return x.groupBy(id_col).agg(*aggs)
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 6,
+    iters: int = 2,
+    tau: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023 shape):
+    cluster embeddings with the deterministic distributed k-means, then
+    within each cluster mark as duplicates all vectors that have a
+    same-cluster neighbor with cosine >= tau and a smaller id; the min-id
+    member of every near-duplicate neighborhood survives. (The paper keeps
+    the member farthest from the centroid; we keep min-id so the rule is
+    total, engine-portable, and oracle-checkable — documented divergence.)
+
+    Not in the reference (no reference analog — extension operator).
+
+    100 TB shape: the quadratic step is confined WITHIN clusters via a
+    cent_id equi-join (co-partitioned, never all-pairs); k grows with the
+    corpus so per-cluster sizes stay bounded — exactly the paper's recipe.
+    Centroids are broadcast for assignment; norms are computed once per
+    vector, so each candidate pair costs a single array dot.
+
+    Returns (id, cent_id, kept) for every input row, kept in {0, 1}.
+    """
+    cents = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    corpus = df.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+    scored = corpus.crossJoin(
+        F.broadcast(cents.select("cent_id", F.col(vec_col).alias("_cv")))
+    ).select(
+        id_col, "_v", "cent_id", cosine(F.col("_v"), F.col("_cv")).alias("_cos")
+    )
+    # nearest-centroid argmax as a map-side max_by (tiebreak min cent_id) —
+    # the same assignment rule kmeans_fit iterates, so the oracle replays it
+    assigned = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col("cent_id"), F.col("_v")),
+                F.struct(F.col("_cos"), -F.col("cent_id")),
+            ).alias("_best")
+        )
+        .select(
+            id_col,
+            F.col("_best.cent_id").alias("cent_id"),
+            F.col("_best._v").alias("_v"),
+        )
+    )
+    a = assigned.withColumn("_n", _norm(F.col("_v")))
+    lo = a.select(
+        F.col(id_col).alias("_ida"), "cent_id",
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+    )
+    hi = a.select(
+        F.col(id_col).alias("_idb"), "cent_id",
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    removed = (
+        lo.join(hi, "cent_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4)
+            >= tau
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        a.join(removed, id_col, "left")
+        .select(
+            id_col,
+            "cent_id",
+            F.when(F.col("_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+        )
+    )

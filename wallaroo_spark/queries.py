@@ -2140,15 +2140,20 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ivf_oracle(
-    k: int = 6, iters: int = 2, nprobe: int = 2, topk: int = 3, oversample: int = 4
-) -> str:
-    def cos(a: str, b: str) -> str:
-        return (
-            f"list_dot_product({a}, {b}) / "
-            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-        )
+def _kmeans_cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
 
+
+def _kmeans_cent_blocks(
+    k: int, iters: int, oversample: int, corpus_where: str = "vec_id >= 10"
+) -> list[str]:
+    """Shared DuckDB CTE chain replaying kmeans_parallel_seeds + kmeans_fit
+    (similarity.py): defines e, c (the fit corpus), cand .. cent{iters}.
+    Used by every kmeans-based oracle (IVF top-k, semdedup)."""
+    cos = _kmeans_cos_sql
     # k-means|| init replay (kmeans_parallel_seeds): salted md5-rank
     # oversample of m candidates, weight = nearest-corpus-point counts, then
     # k greedy weighted-farthest-point picks — each pick is one CTE block
@@ -2156,8 +2161,7 @@ def _kmeans_ivf_oracle(
     blocks = [
         f"""
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
-    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    c AS (SELECT vec_id, v FROM e WHERE {corpus_where}),
     cand AS (SELECT vec_id AS cid, v,
              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':kmpp'), 1, 15)) AS BIGINT) AS h
              FROM c ORDER BY h, vec_id LIMIT {m}),
@@ -2200,6 +2204,18 @@ def _kmeans_ivf_oracle(
     a{i} AS (SELECT cent_id, dim, round(avg(x), 6) AS mv FROM d{i} GROUP BY 1, 2),
     cent{i + 1} AS (SELECT cent_id, list(mv ORDER BY dim) AS cv FROM a{i} GROUP BY cent_id)"""
         )
+    return blocks
+
+
+def _kmeans_ivf_oracle(
+    k: int = 6, iters: int = 2, nprobe: int = 2, topk: int = 3, oversample: int = 4
+) -> str:
+    cos = _kmeans_cos_sql
+    blocks = _kmeans_cent_blocks(k, iters, oversample)
+    blocks.append(
+        """
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)"""
+    )
     final = f"""
     c_assign AS (
         SELECT vec_id, v, cent_id FROM (
@@ -3560,3 +3576,39 @@ def signup_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_converted",
         F.round(F.col("n_converted") / F.col("n_signups"), 4).alias("conversion_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: semantic dedup, corpus budgeting, bigram quality, snapshot dedup
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_oracle(k: int = 6, iters: int = 2, tau: float = 0.30) -> str:
+    cos = _kmeans_cos_sql
+    blocks = _kmeans_cent_blocks(k, iters, oversample=4, corpus_where="TRUE")
+    final = f"""
+    asg AS (
+        SELECT vec_id, v, cent_id FROM (
+            SELECT c.vec_id, c.v, ct.cent_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY {cos("c.v", "ct.cv")} DESC, ct.cent_id) AS rk
+            FROM c, cent{iters} ct) WHERE rk = 1),
+    rem AS (
+        SELECT DISTINCT y.vec_id
+        FROM asg x JOIN asg y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+        WHERE round({cos("x.v", "y.v")}, 4) >= {tau})
+    SELECT a.vec_id, a.cent_id,
+           CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM asg a LEFT JOIN rem r USING (vec_id)"""
+    return "WITH " + ",".join(blocks) + "," + final
+
+
+@query("semdedup_embeddings", oracle=_semdedup_oracle())
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: deterministic k-means clusters the
+    embedding corpus, then within-cluster cosine >= 0.30 neighborhoods keep
+    only their min-id member (similarity.semdedup). No reference analog —
+    extension operator; the oracle replays the k-means via the shared CTE
+    chain and the same argmax-assignment + pair rules."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb, k=6, iters=2, tau=0.30)
