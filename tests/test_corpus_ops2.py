@@ -1,0 +1,103 @@
+"""Edge tests for the round-6 corpus operators: semantic dedup (SemDeDup),
+chunk-level dedup, snapshot novelty, token-budget fill, bigram surprisal."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wallaroo_spark.operators import dedup, similarity, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_doc_chunks_alignment_and_edges(spark):
+    df = _docs(spark, [(1, " ".join(f"w{i}" for i in range(25))), (2, "a b"), (3, "")])
+    out = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", dedup.doc_chunks(F.col("text"), 10).alias("c")
+        ).collect()
+    }
+    assert len(out[1]) == 3  # 10 + 10 + 5
+    assert out[1][0].split(" ") == [f"w{i}" for i in range(10)]
+    assert out[1][2].split(" ") == [f"w{i}" for i in range(20, 25)]
+    assert out[2] == ["a b"]
+    assert out[3] == []
+
+
+def test_chunk_dedup_keeps_first_occurrence(spark):
+    shared = " ".join(f"s{i}" for i in range(10))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(10))
+    df = _docs(
+        spark,
+        [
+            (1, shared + " " + uniq("a")),  # owns the shared chunk (min doc_id)
+            (2, shared + " " + uniq("b")),  # loses it
+            (3, uniq("c")),
+        ],
+    )
+    out = {r.doc_id: r for r in dedup.chunk_dedup(df, width=10).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_kept == 2
+    assert out[2].n_chunks == 2 and out[2].n_kept == 1
+    assert abs(out[2].dup_ratio - 0.5) < 1e-9
+    assert out[3].n_chunks == 1 and out[3].n_kept == 1
+
+
+def test_chunk_dedup_intra_doc_repeat(spark):
+    block = " ".join(f"r{i}" for i in range(10))
+    df = _docs(spark, [(7, block + " " + block)])
+    out = dedup.chunk_dedup(df, width=10).collect()[0]
+    assert out.n_chunks == 2 and out.n_kept == 1  # second copy loses to idx 0
+
+
+def test_snapshot_novelty_bounds_and_no_false_negatives(spark):
+    old_block = " ".join(f"o{i}" for i in range(10))
+    new_block = " ".join(f"n{i}" for i in range(10))
+    old = _docs(spark, [(1, old_block)])
+    new = _docs(spark, [(4, old_block + " " + new_block)])
+    out = dedup.snapshot_novelty(old, new, width=10).collect()[0]
+    # the chunk copied from the old corpus can NEVER count as novel
+    assert out.n_chunks == 2 and out.n_novel <= 1
+    assert 0.0 <= out.novelty_ratio <= 0.5
+
+
+def test_token_budget_fill_respects_budget(spark):
+    rows = [
+        Row(doc_id=i, source=f"s{i % 2}", text=" ".join(["w"] * 30)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.source: r for r in text.token_budget_fill(df, budget=300).collect()}
+    for src, r in out.items():
+        assert r.tokens_kept <= 300
+        assert r.n_docs_kept >= 1
+        assert r.tokens_kept == r.n_docs_kept * 30
+
+
+def test_bigram_surprisal_orders_quality(spark):
+    repetitive = "a b " * 40  # one dominant bigram -> low surprisal
+    diverse = " ".join(f"w{i}" for i in range(80))  # all-unique bigrams -> high
+    df = _docs(spark, [(1, repetitive.strip()), (2, diverse), (3, "solo")])
+    out = {r.doc_id: r for r in text.bigram_surprisal(df).collect()}
+    assert out[1].avg_bits < out[2].avg_bits
+    assert out[1].n_bigrams == 79 and out[2].n_bigrams == 79
+    assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_semdedup_marks_only_clustered_neighbors(spark):
+    # two tight groups + one isolate; k=2 clusters must keep one rep per group
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.02]),
+        Row(vec_id=1, embedding=[1.0, 0.01, 0.0, 0.0]),  # near-dup of 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.01]),
+        Row(vec_id=3, embedding=[0.01, 1.0, 0.0, 0.0]),  # near-dup of 2
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.vec_id: r for r in similarity.semdedup(df, k=2, iters=2, tau=0.95).collect()}
+    assert len(out) == 5
+    assert out[0].kept == 1 and out[1].kept == 0  # min-id survives
+    assert out[2].kept == 1 and out[3].kept == 0
+    assert out[4].kept == 1  # isolate always survives
+    kept_total = sum(r.kept for r in out.values())
+    assert kept_total == 3

@@ -727,3 +727,116 @@ def decontaminate_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
     )
+
+
+def doc_chunks(c: Column, width: int) -> Column:
+    """Aligned fixed-width token chunks of a text column (last chunk may be
+    short); empty docs yield no chunks. Pure map-side array math — the unit
+    of chunk-level (paragraph-style) dedup when documents have no newline
+    structure."""
+    toks = tokens(c)
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(width)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    return F.filter(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width))
+        ),
+        lambda x: x != "",
+    )
+
+
+def chunk_dedup(
+    df: DataFrame, width: int = 10, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Chunk-level (paragraph-style) exact dedup with per-document stats:
+    split every doc into aligned ``width``-token chunks, dedup chunks
+    corpus-wide keeping the first occurrence (min (doc_id, chunk_idx)), and
+    report per doc how many of its chunks survive — the "cut duplicated
+    passages, keep the document" mode between full-doc dedup and
+    ExactSubstr span cutting.
+
+    100 TB shape: chunks travel as 60-bit md5 ints plus (doc_id, idx); one
+    hash-partitioned groupBy picks winners map-side (min partial agg), one
+    doc-keyed agg rebuilds stats. Nothing quadratic, no raw-text shuffle.
+
+    Output: (id_col, n_chunks, n_kept, dup_ratio).
+    """
+    ch = df.select(
+        id_col, F.posexplode(doc_chunks(F.col(text), width)).alias("_idx", "_c")
+    ).select(id_col, "_idx", H.md5int_col(F.col("_c")).alias("_h"))
+    winners = ch.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col), F.col("_idx"))).alias("_w")
+    )
+    return (
+        ch.join(winners, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                (
+                    (F.col(f"_w.{id_col}") == F.col(id_col))
+                    & (F.col("_w._idx") == F.col("_idx"))
+                ).cast("long")
+            ).alias("n_kept"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_kept",
+            F.round(1 - F.col("n_kept") / F.col("n_chunks"), 4).alias("dup_ratio"),
+        )
+    )
+
+
+def snapshot_novelty(
+    old: DataFrame,
+    new: DataFrame,
+    width: int = 10,
+    text: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = BLOOM_M_BITS,
+    n_hashes: int = BLOOM_K,
+) -> DataFrame:
+    """Incremental snapshot dedup: how much of a NEW crawl/snapshot is novel
+    relative to the existing corpus? The old corpus's chunk set compresses
+    to a Bloom bitmap (broadcast, constant size); each new doc's chunks are
+    probed map-side. A chunk is "novel" iff the Bloom misses (false
+    positives can only UNDERcount novelty — never a contaminated keep).
+
+    The 100 TB path for continuous corpus refresh: the old side reduces to
+    one bitmap however large the corpus; the new side is a pure map + one
+    doc-keyed agg — no old-vs-new join, no re-shuffle of the old corpus.
+
+    Output per new doc: (id_col, n_chunks, n_novel, novelty_ratio).
+    """
+    och = old.select(F.explode(doc_chunks(F.col(text), width)).alias("_c")).distinct()
+    bloom = bloom_bitmap(och, "_c", m_bits, n_hashes)
+    nch = new.select(
+        id_col, F.explode(doc_chunks(F.col(text), width)).alias("_c")
+    )
+    h = H.hmod_col(F.col("_c"))
+    probed = nch
+    for j in range(n_hashes):
+        p = H.perm_col(h, j) % F.lit(m_bits)
+        probed = probed.withColumn(f"_w{j}", (p / 63).cast("int")).withColumn(
+            f"_b{j}", (p % 63).cast("int")
+        )
+    hit = " AND ".join(
+        f"((shiftright(element_at(bloom, _w{j} + 1), _b{j}) & 1) = 1)"
+        for j in range(n_hashes)
+    )
+    return (
+        probed.crossJoin(F.broadcast(bloom))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((~F.expr(hit)).cast("long")).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_chunks"), 4).alias("novelty_ratio"),
+        )
+    )

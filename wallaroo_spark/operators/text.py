@@ -319,3 +319,102 @@ def target_mixture_sample(
         )
     ) % F.lit(100)
     return df.join(F.broadcast(rates), strata_col).filter(bucket < F.col("_pct"))
+
+
+def token_budget_fill(
+    df,
+    budget: int,
+    domain: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+):
+    """Deterministic per-domain token-budget sampling ("give me ~N tokens of
+    each source"): docs are assigned a salted md5 bucket; per domain the
+    bucket-wise token histogram is cumulated in bucket order and the cutoff
+    is the last whole bucket that still fits the budget. Keep = bucket <=
+    cutoff, so the selection is reproducible on any engine and never
+    exceeds the budget.
+
+    100 TB shape: the sequential "fill until the budget" scan happens on
+    the (domain x n_buckets) histogram — tiny, whatever the corpus size —
+    never on the corpus itself; the corpus sees one pre-agg pass and one
+    map-side filter against broadcast cutoffs. A naive per-domain
+    cumulative-sum window over the docs would serialize each domain through
+    one task; the histogram two-phase keeps every stage parallel.
+
+    Output per domain: (domain, cutoff_bucket, n_docs_kept, tokens_kept).
+    """
+    from pyspark.sql.window import Window
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":budget"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    ).alias("_bkt")
+    d = df.select(
+        F.col(domain).alias("_dom"), bucket, F.size(tokens(F.col(text))).alias("_nt")
+    )
+    hist = d.groupBy("_dom", "_bkt").agg(
+        F.sum("_nt").alias("_btok"), F.count("*").alias("_bdocs")
+    )
+    w = (
+        Window.partitionBy("_dom")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_btok").over(w))
+    return (
+        cum.filter(F.col("_cum") <= budget)
+        .groupBy(F.col("_dom").alias(domain))
+        .agg(
+            F.max("_bkt").alias("cutoff_bucket"),
+            F.sum("_bdocs").alias("n_docs_kept"),
+            F.sum("_btok").alias("tokens_kept"),
+        )
+    )
+
+
+def bigram_surprisal(df, text: str = "text", id_col: str = "doc_id", round_dp: int = 4):
+    """Corpus-LM quality score: average bigram surprisal (-log2 p) of each
+    document under the corpus's own bigram distribution — the cheap,
+    self-supervised stand-in for a perplexity filter (docs full of rare
+    token transitions score high; repetitive/templated docs score low).
+
+    Two passes: (1) explode adjacent-token bigrams, count into the
+    distribution table; (2) re-explode and join each doc's bigrams against
+    it, averaging per doc. The synthetic vocabulary keeps the table tiny
+    (broadcast); with a real 50k-token vocab the table exceeds broadcast
+    range — cap it to the top-K bigrams via frequency sketch (Misra-Gries,
+    `operators/sketch.py`) and back off unseen bigrams to a floor count,
+    keeping the join broadcastable. Single-token docs have no bigrams and
+    drop out (n_bigrams would be 0).
+
+    Output: (id_col, n_bigrams, avg_bits).
+    """
+    toks = tokens(F.col(text))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    b = df.select(id_col, F.explode(bigrams).alias("_bg"))
+    cnt = b.groupBy("_bg").agg(F.count("*").alias("_c"))
+    tot = cnt.agg(F.sum("_c").alias("_n"))
+    dist = cnt.crossJoin(F.broadcast(tot))
+    return (
+        b.join(F.broadcast(dist), "_bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log2(F.col("_c") / F.col("_n"))), round_dp
+            ).alias("avg_bits"),
+        )
+    )

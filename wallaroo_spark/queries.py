@@ -3612,3 +3612,137 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain and the same argmax-assignment + pair rules."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.semdedup(emb, k=6, iters=2, tau=0.30)
+
+
+_CHUNKS10_CTE = f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    tok AS (SELECT doc_id, generate_subscripts(tk, 1) AS s, unnest(tk) AS w FROM t),
+    chtext AS (SELECT doc_id, (s - 1) // 10 AS idx, string_agg(w, ' ' ORDER BY s) AS c
+               FROM tok GROUP BY doc_id, (s - 1) // 10)"""
+
+
+@query(
+    "chunk_dedup_stats",
+    oracle=f"""
+    WITH {_CHUNKS10_CTE},
+    ch AS (SELECT doc_id, idx, {H.md5int_sql("c")} AS h FROM chtext),
+    win AS (SELECT doc_id, idx, h,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rk
+            FROM ch)
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(1 - sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+               AS dup_ratio
+    FROM win GROUP BY 1
+    """,
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (paragraph-style) exact dedup (`dedup.chunk_dedup`):
+    aligned 10-token chunks dedup corpus-wide keeping the first occurrence;
+    per-doc surviving-chunk stats. Chunks shuffle as 60-bit md5 ints; the
+    winner pick is a map-side min partial agg. No reference analog —
+    training-data extension operator."""
+    return dedup.chunk_dedup(_t(spark, sf_dir, "documents"), width=10)
+
+
+def _snapshot_novelty_oracle(m_bits: int = 32760, n_hashes: int = 4) -> str:
+    hm = H.hmod_sql("c")
+    n_words = -(-m_bits // 63)
+    pos_list = ",".join(f"({H.perm_sql('h', j)} % {m_bits})" for j in range(n_hashes))
+    perms = ", ".join(
+        f"({H.perm_sql('h', j)} % {m_bits}) AS p{j}" for j in range(n_hashes)
+    )
+    tests = " AND ".join(
+        f"((list_extract(bloom, CAST(p{j} // 63 AS INT) + 1)"
+        f" >> CAST(p{j} % 63 AS INT)) & 1) = 1"
+        for j in range(n_hashes)
+    )
+    return f"""
+    WITH {_CHUNKS10_CTE},
+    och AS (SELECT DISTINCT c FROM chtext WHERE doc_id % 5 <> 4),
+    th AS (SELECT {hm} AS h FROM och),
+    tpos AS (SELECT unnest([{pos_list}]) AS p FROM th),
+    wordbits AS (SELECT CAST(p // 63 AS INT) AS word,
+                        bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+                 FROM tpos GROUP BY 1),
+    bloomt AS (SELECT list(coalesce(bits, 0) ORDER BY s.i) AS bloom
+               FROM generate_series(0, {n_words - 1}) s(i)
+               LEFT JOIN wordbits ON word = s.i),
+    nh AS (SELECT doc_id, {hm} AS h FROM chtext WHERE doc_id % 5 = 4),
+    npos AS (SELECT doc_id, {perms} FROM nh)
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN NOT ({tests}) THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN NOT ({tests}) THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS novelty_ratio
+    FROM npos, bloomt GROUP BY 1
+    """
+
+
+@query("snapshot_novelty", oracle=_snapshot_novelty_oracle())
+def snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot dedup (`dedup.snapshot_novelty`): the existing
+    corpus (doc_id % 5 != 4) compresses its 10-token-chunk set to a Bloom
+    bitmap; each new-snapshot doc (doc_id % 5 == 4) reports how many of its
+    chunks are novel (Bloom miss — false positives only undercount). The
+    100 TB continuous-refresh shape: old corpus becomes one broadcast row,
+    new side is a pure map + one doc-keyed agg."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.snapshot_novelty(
+        docs.filter(F.col("doc_id") % 5 != 4),
+        docs.filter(F.col("doc_id") % 5 == 4),
+        width=10,
+    )
+
+
+@query(
+    "token_budget_fill",
+    oracle=f"""
+    WITH d AS (SELECT source,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 15))
+                           AS BIGINT) % 256 AS bkt,
+                      len({_TOKS_SQL}) AS nt
+               FROM documents),
+    hist AS (SELECT source, bkt, sum(nt) AS btok, count(*) AS bdocs
+             FROM d GROUP BY 1, 2),
+    cum AS (SELECT *, sum(btok) OVER (PARTITION BY source ORDER BY bkt
+                                      ROWS UNBOUNDED PRECEDING) AS cm
+            FROM hist)
+    SELECT source, max(bkt) AS cutoff_bucket,
+           CAST(sum(bdocs) AS BIGINT) AS n_docs_kept,
+           CAST(sum(btok) AS BIGINT) AS tokens_kept
+    FROM cum WHERE cm <= 1000 GROUP BY 1
+    """,
+)
+def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic token-budget sampling
+    (`text.token_budget_fill`): salted md5 buckets, bucket-histogram cumsum
+    per source, keep whole buckets under the budget. The budget-fill scan
+    runs on the tiny histogram, never the corpus — the scale-safe version
+    of 'sample each domain down to N tokens'."""
+    return text.token_budget_fill(
+        _t(spark, sf_dir, "documents"), budget=1000, domain="source"
+    )
+
+
+@query(
+    "bigram_surprisal_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    tok AS (SELECT doc_id, generate_subscripts(tk, 1) AS s, unnest(tk) AS w FROM t),
+    bg AS (SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY s) AS b,
+                  lead(w) OVER (PARTITION BY doc_id ORDER BY s) AS nx
+           FROM tok),
+    b2 AS (SELECT doc_id, b FROM bg WHERE nx IS NOT NULL),
+    cnt AS (SELECT b, count(*) AS c FROM b2 GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(-log2(c / n)), 4) AS avg_bits
+    FROM b2 JOIN cnt USING (b), tot GROUP BY 1
+    """,
+)
+def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised corpus-LM quality score (`text.bigram_surprisal`):
+    average bigram surprisal of each doc under the corpus's own bigram
+    distribution — the cheap perplexity-filter stand-in. Distribution table
+    broadcast (top-K sketch fallback documented for real vocabularies)."""
+    return text.bigram_surprisal(_t(spark, sf_dir, "documents"))
