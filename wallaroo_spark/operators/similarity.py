@@ -633,3 +633,66 @@ def semdedup(
             F.when(F.col("_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
         )
     )
+
+
+def int8_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    coarse_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Two-stage ANN over a quantized corpus: (1) coarse scan — asymmetric
+    distance against the int8-quantized vectors (the per-vector scale
+    cancels out of cosine, so the coarse score is cosine(query, q8));
+    (2) exact re-rank — only the coarse top-``coarse_k`` candidates per
+    query fetch their float vectors for exact cosine.
+
+    The production memory/recall dial at 100 TB: the full corpus is scanned
+    at 1/4 the bytes (int8), full-precision vectors are touched for
+    |queries| x coarse_k rows only. The candidate set is broadcast back
+    against the corpus — the big side never shuffles. Deterministic
+    end-to-end (quantization and dots are engine-portable), so the whole
+    two-stage pipeline oracle-checks exactly.
+
+    Output: (query_id, vec_id, cosine, rank) — exact cosine, final rank.
+    """
+    qz = quantize_int8(corpus, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), F.col("q8")
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    coarse = qz.crossJoin(F.broadcast(q)).select(
+        query_id,
+        id_col,
+        (
+            _dot(F.col("_qv"), F.transform("q8", lambda x: x.cast("double")))
+            / (F.col("_qn") * _norm(F.transform("q8", lambda x: x.cast("double"))))
+        ).alias("_s8"),
+    )
+    wc = Window.partitionBy(query_id).orderBy(F.desc("_s8"), F.col(id_col))
+    cand = (
+        coarse.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= coarse_k)
+        .select(query_id, id_col)
+    )
+    exact = corpus.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("_v")
+    ).join(F.broadcast(cand), id_col)
+    scored = exact.join(F.broadcast(q), query_id).select(
+        query_id,
+        id_col,
+        (_dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * _norm(F.col("_v")))).alias(
+            "_cos"
+        ),
+    )
+    wr = Window.partitionBy(query_id).orderBy(F.desc("_cos"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, F.round("_cos", 4).alias("cosine"), "rank")
+    )

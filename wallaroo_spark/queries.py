@@ -3746,3 +3746,47 @@ def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution — the cheap perplexity-filter stand-in. Distribution table
     broadcast (top-K sketch fallback documented for real vocabularies)."""
     return text.bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+def _int8_rerank_oracle(k: int = 3, coarse_k: int = 10) -> str:
+    cos = _kmeans_cos_sql
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    qz AS (SELECT vec_id,
+                  CASE WHEN mx > 0
+                       THEN list_transform(v, x -> CAST(round(x * 127.0 / mx) AS DOUBLE))
+                       ELSE list_transform(v, x -> 0.0) END AS q8
+           FROM (SELECT vec_id, v,
+                        coalesce((SELECT max(abs(t.x)) FROM unnest(v) AS t(x)), 0) AS mx
+                 FROM c)),
+    coarse AS (SELECT query_id, vec_id FROM (
+        SELECT q.query_id, z.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {cos("q.qv", "z.q8")} DESC, z.vec_id) AS rn
+        FROM qz z, q) WHERE rn <= {coarse_k}),
+    exact AS (SELECT cd.query_id, cd.vec_id, {cos("q.qv", "c.v")} AS cs
+              FROM coarse cd JOIN c USING (vec_id) JOIN q USING (query_id)),
+    r AS (SELECT query_id, vec_id, cs,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY cs DESC, vec_id) AS rank
+          FROM exact)
+    SELECT query_id, vec_id, round(cs, 4) AS cosine, rank FROM r WHERE rank <= {k}
+    """
+
+
+@query("similarity_topk_int8_rerank", oracle=_int8_rerank_oracle())
+def similarity_topk_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized ANN (`similarity.int8_topk_rerank`): coarse scan
+    over the int8-quantized corpus (1/4 the bytes; per-vector scale cancels
+    out of cosine), exact float re-rank of the coarse top-10 only. The
+    production memory/recall dial; deterministic end-to-end so both stages
+    oracle-check exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.int8_topk_rerank(
+        corpus=emb.filter(F.col("vec_id") >= 10),
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=3,
+        coarse_k=10,
+    )
