@@ -1,0 +1,100 @@
+"""ManifestTable (Delta-lite versioned manifest log): atomicity, time
+travel, compaction, crash windows, commit races."""
+
+import os
+
+from pyspark.sql import Row
+
+from wallaroo_spark.sinks.manifest import ManifestTable
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame([Row(i=i, v=f"v{i}") for i in range(lo, hi)])
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    v0 = t.append(_df(spark, 0, 5))
+    v1 = t.append(_df(spark, 5, 8))
+    assert (v0, v1) == (0, 1)
+    assert sorted(r.i for r in t.read(spark).collect()) == list(range(8))
+    assert sorted(r.i for r in t.read(spark, version=0).collect()) == list(range(5))
+
+
+def test_overwrite_replaces_snapshot_keeps_history(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    t.overwrite(_df(spark, 100, 103))
+    assert sorted(r.i for r in t.read(spark).collect()) == [100, 101, 102]
+    # history intact
+    assert sorted(r.i for r in t.read(spark, version=0).collect()) == list(range(5))
+
+
+def test_crash_before_commit_is_invisible_and_vacuumable(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))
+    # a writer that crashed after writing data but before the log link
+    t._write_parts(_df(spark, 50, 60))
+    assert sorted(r.i for r in t.read(spark).collect()) == [0, 1, 2]
+    assert t.vacuum() == 1
+    assert sorted(r.i for r in t.read(spark).collect()) == [0, 1, 2]
+
+
+def test_compact_preserves_rows_single_swap(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    for k in range(3):
+        t.append(_df(spark, 10 * k, 10 * k + 10))
+    before_files = len(t.snapshot_files())
+    assert before_files >= 3
+    pre_version = t.versions()[-1]
+    t.compact(n_files=1)
+    assert len(t.snapshot_files()) == 1
+    assert sorted(r.i for r in t.read(spark).collect()) == sorted(
+        i for k in range(3) for i in range(10 * k, 10 * k + 10)
+    )
+    # exactly one atomic entry; pre-compaction snapshot still readable
+    assert t.versions()[-1] == pre_version + 1
+    assert len(t.snapshot_files(version=pre_version)) == before_files
+    assert sorted(r.i for r in t.read(spark, version=pre_version).collect()) == sorted(
+        i for k in range(3) for i in range(10 * k, 10 * k + 10)
+    )
+
+
+def test_commit_race_serializes_both_commits(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 2))
+    # two writers race for version 1: pre-place a competing log entry the
+    # instant before _commit links, by hijacking versions() once
+    a_files = t._write_parts(_df(spark, 10, 12))
+    b_files = t._write_parts(_df(spark, 20, 22))
+    real_versions = t.versions
+    calls = {"n": 0}
+
+    def racy_versions():
+        vs = real_versions()
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # competitor lands version 1 between our read and our link
+            t._commit_competitor(b_files)
+        return vs
+
+    def commit_competitor(files):
+        t.versions = real_versions
+        t._commit(adds=files, removes=[])
+        t.versions = racy_versions
+
+    t._commit_competitor = commit_competitor
+    t.versions = racy_versions
+    t._commit(adds=a_files, removes=[])
+    t.versions = real_versions
+    assert t.versions() == [0, 1, 2]
+    assert sorted(r.i for r in t.read(spark).collect()) == [0, 1, 10, 11, 20, 21]
+
+
+def test_read_empty_raises(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    try:
+        t.read(spark)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
