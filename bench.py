@@ -64,6 +64,13 @@ HEADLINE = [
     "asof_forward_next_purchase",
     "value_quantiles_histogram_sketch",
     "distinct_tokens_by_lang_linear_count",
+    # round-6 additions
+    "semdedup_embeddings",
+    "chunk_dedup_stats",
+    "snapshot_novelty",
+    "token_budget_fill",
+    "bigram_surprisal_quality",
+    "similarity_topk_int8_rerank",
 ]
 
 

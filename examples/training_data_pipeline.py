@@ -12,8 +12,15 @@ The 100 TB shape this engine exists for, composed from its pieces:
       -> stratified sample   (per-language deterministic %, no RNG)
       -> near-dup dedup      (MinHash-LSH clusters -> canonical survivors,
                               broadcast anti-join: the corpus never shuffles)
+      -> semantic dedup      (SemDeDup: k-means clusters the embeddings,
+                              within-cluster cosine neighborhoods keep one
+                              representative; quadratic work stays inside
+                              clusters)
       -> mixture resample    (per-source keep-% toward target domain
                               weights, map-side salted-hash filter)
+      -> token budget        (per-domain budget fill on a salted-bucket
+                              histogram; the sequential scan never touches
+                              the corpus)
       -> train/val/test tag  (hash split, engine-portable)
       -> transactional write (2PC parquet sink: staged prepare, put-if-
                               absent commit, snapshot reads)
@@ -34,7 +41,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import functions as F
 
-from wallaroo_spark.operators import dedup, text
+from wallaroo_spark.operators import dedup, similarity, text
 from wallaroo_spark.sinks import TransactionalParquetSink
 from wallaroo_spark.sources import read_table
 
@@ -77,12 +84,30 @@ def build_corpus(spark, sf_dir: str, out_dir: str, quality_min: float = 0.5):
     dropped = clusters.filter(F.col("component_id") != F.col("doc_id")).select("doc_id")
     deduped = sampled.join(F.broadcast(dropped), "doc_id", "left_anti")
 
-    # 3b. domain-mixture resample toward target source weights under a
+    # 3b. semantic dedup — SemDeDup over the survivors' embeddings (vec_id
+    # aligns with doc_id in the testdata); the quadratic pair work stays
+    # inside k-means clusters, survivors anti-join map-side
+    emb = read_table(spark, sf_dir, "embeddings")
+    sem_emb = emb.join(
+        deduped.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sem_dropped = (
+        similarity.semdedup(sem_emb, k=6, iters=2, tau=0.30)
+        .filter(F.col("kept") == 0)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    deduped = deduped.join(F.broadcast(sem_dropped), "doc_id", "left_anti")
+
+    # 3c. domain-mixture resample toward target source weights under a
     # 90%-of-corpus budget (rates broadcast; the filter is map-side)
     weights = {f"src{i}": float(i + 1) for i in range(20)}
     mixed = text.target_mixture_sample(deduped, "source", weights, budget_frac=0.9).drop(
         "_n_stratum", "_pct"
     )
+
+    # 3d. hard per-domain token budget — the cutoff scan runs on the tiny
+    # bucket histogram, the corpus sees one map-side comparison
+    mixed = text.token_budget_filter(mixed, budget=1000)
 
     # 4. reproducible split tag
     tagged = text.deterministic_split(mixed)

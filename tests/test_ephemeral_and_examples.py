@@ -229,6 +229,18 @@ def test_training_data_pipeline_example(spark, tmp_path):
     non_canon = clusters.filter("component_id <> doc_id").count()
     assert non_canon == 0
 
+    # round-6 stages held: per-source token budget is a hard cap
+    from wallaroo_spark.operators.text import tokens as _toks
+
+    budgets = (
+        spark.createDataFrame([(r.source, r.text) for r in rows], "source string, text string")
+        .select("source", F.size(_toks(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .sum("nt")
+        .collect()
+    )
+    assert budgets and all(b["sum(nt)"] <= 1000 for b in budgets)
+
     # replayed commit (same batch id) changes nothing
     n_before = len(rows)
     sink(final.limit(3), 0)

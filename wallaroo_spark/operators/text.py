@@ -321,6 +321,19 @@ def target_mixture_sample(
     return df.join(F.broadcast(rates), strata_col).filter(bucket < F.col("_pct"))
 
 
+def _budget_bucket(id_col: str, n_buckets: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":budget"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+
+
 def token_budget_fill(
     df,
     budget: int,
@@ -347,16 +360,7 @@ def token_budget_fill(
     """
     from pyspark.sql.window import Window
 
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":budget"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % n_buckets
-    ).alias("_bkt")
+    bucket = _budget_bucket(id_col, n_buckets).alias("_bkt")
     d = df.select(
         F.col(domain).alias("_dom"), bucket, F.size(tokens(F.col(text))).alias("_nt")
     )
@@ -417,4 +421,27 @@ def bigram_surprisal(df, text: str = "text", id_col: str = "doc_id", round_dp: i
                 F.avg(-F.log2(F.col("_c") / F.col("_n"))), round_dp
             ).alias("avg_bits"),
         )
+    )
+
+
+def token_budget_filter(
+    df,
+    budget: int,
+    domain: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+):
+    """Doc-level form of `token_budget_fill`: return the documents inside
+    each domain's token budget. The per-domain cutoffs (a domain-sized
+    table) broadcast back; the corpus itself sees one pre-agg pass and one
+    map-side bucket comparison — no corpus shuffle, no ordering."""
+    cuts = token_budget_fill(df, budget, domain, text, id_col, n_buckets).select(
+        domain, "cutoff_bucket"
+    )
+    return (
+        df.withColumn("_bkt", _budget_bucket(id_col, n_buckets))
+        .join(F.broadcast(cuts), domain)
+        .filter(F.col("_bkt") <= F.col("cutoff_bucket"))
+        .drop("_bkt", "cutoff_bucket")
     )
