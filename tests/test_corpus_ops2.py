@@ -101,3 +101,40 @@ def test_semdedup_marks_only_clustered_neighbors(spark):
     assert out[4].kept == 1  # isolate always survives
     kept_total = sum(r.kept for r in out.values())
     assert kept_total == 3
+
+
+def test_snapshot_novelty_stream_batch_parity(spark, tmp_path):
+    """The probe side is a pure map (in-row array math), so the SAME
+    operator runs on a streaming snapshot feed via a stream-static
+    broadcast join — no state, no watermark. Stream output must equal the
+    batch output row-for-row."""
+    import os
+
+    old = _docs(spark, [(1, " ".join(f"o{i}" for i in range(30)))])
+    new_rows = [
+        (10, " ".join(f"o{i}" for i in range(10)) + " " + " ".join(f"x{i}" for i in range(10))),
+        (11, " ".join(f"y{i}" for i in range(25))),
+    ]
+    new = _docs(spark, new_rows)
+    batch = {r.doc_id: r for r in dedup.snapshot_novelty(old, new, width=10).collect()}
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    new.write.parquet(src)
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = dedup.snapshot_novelty(old, sdf, width=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("novelty_stream")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = {r.doc_id: r for r in spark.sql("SELECT * FROM novelty_stream").collect()}
+    assert set(stream) == set(batch)
+    for k in batch:
+        assert (stream[k].n_chunks, stream[k].n_novel, stream[k].novelty_ratio) == (
+            batch[k].n_chunks, batch[k].n_novel, batch[k].novelty_ratio
+        )

@@ -805,38 +805,45 @@ def snapshot_novelty(
     positives can only UNDERcount novelty — never a contaminated keep).
 
     The 100 TB path for continuous corpus refresh: the old side reduces to
-    one bitmap however large the corpus; the new side is a pure map + one
-    doc-keyed agg — no old-vs-new join, no re-shuffle of the old corpus.
+    one bitmap however large the corpus; the new side is a PURE MAP — the
+    chunk array never explodes and the doc row never shuffles (the whole
+    probe is in-row array math), so the operator runs at scan speed and is
+    directly usable on a streaming snapshot feed (stream-static broadcast
+    join, no watermark or state needed).
 
-    Output per new doc: (id_col, n_chunks, n_novel, novelty_ratio).
+    Output per new doc: (id_col, n_chunks, n_novel, novelty_ratio); docs
+    with no chunks (empty text) are dropped.
     """
     och = old.select(F.explode(doc_chunks(F.col(text), width)).alias("_c")).distinct()
     bloom = bloom_bitmap(och, "_c", m_bits, n_hashes)
-    nch = new.select(
-        id_col, F.explode(doc_chunks(F.col(text), width)).alias("_c")
-    )
-    h = H.hmod_col(F.col("_c"))
-    probed = nch
-    for j in range(n_hashes):
-        p = H.perm_col(h, j) % F.lit(m_bits)
-        probed = probed.withColumn(f"_w{j}", (p / 63).cast("int")).withColumn(
-            f"_b{j}", (p % 63).cast("int")
-        )
-    hit = " AND ".join(
-        f"((shiftright(element_at(bloom, _w{j} + 1), _b{j}) & 1) = 1)"
-        for j in range(n_hashes)
-    )
+
+    def bloom_hit(c: Column) -> Column:
+        h = H.hmod_col(c)
+        cond = None
+        for j in range(n_hashes):
+            p = H.perm_col(h, j) % F.lit(m_bits)
+            word = F.element_at(F.col("bloom"), (p / 63).cast("int") + 1)
+            bit = (
+                F.call_function("shiftright", word, (p % 63).cast("int"))
+                .bitwiseAND(F.lit(1))
+                == 1
+            )
+            cond = bit if cond is None else (cond & bit)
+        return cond
+
+    chunks = doc_chunks(F.col(text), width)
     return (
-        probed.crossJoin(F.broadcast(bloom))
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum((~F.expr(hit)).cast("long")).alias("n_novel"),
-        )
+        new.crossJoin(F.broadcast(bloom))
         .select(
             id_col,
-            "n_chunks",
-            "n_novel",
+            F.size(chunks).alias("n_chunks"),
+            F.size(F.filter(chunks, lambda c: ~bloom_hit(c))).alias("n_novel"),
+        )
+        .filter(F.col("n_chunks") > 0)
+        .select(
+            id_col,
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_novel").cast("long").alias("n_novel"),
             F.round(F.col("n_novel") / F.col("n_chunks"), 4).alias("novelty_ratio"),
         )
     )
