@@ -138,3 +138,36 @@ def test_snapshot_novelty_stream_batch_parity(spark, tmp_path):
         assert (stream[k].n_chunks, stream[k].n_novel, stream[k].novelty_ratio) == (
             batch[k].n_chunks, batch[k].n_novel, batch[k].novelty_ratio
         )
+
+
+def test_range_join_boundaries_and_bucket_straddle(spark):
+    from wallaroo_spark.operators import relational
+
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 4.999), (3, 5.0), (4, 19.999), (5, 20.0), (6, 31.5)],
+        "pid long, v double",
+    )
+    ivs = spark.createDataFrame(
+        [("a", 0.0, 5.0), ("b", 5.0, 20.0), ("c", 19.0, 32.0)],  # c overlaps b
+        "band string, lo double, hi double",
+    )
+    out = relational.range_join(pts, ivs, "v", "lo", "hi", bucket=7.0)
+    got = sorted((r.pid, r.band) for r in out.collect())
+    # start inclusive, end exclusive; overlapping intervals both match
+    assert got == [
+        (1, "a"), (2, "a"), (3, "b"), (4, "b"), (4, "c"), (5, "c"), (6, "c"),
+    ]
+
+
+def test_range_join_plan_is_equi_join(spark):
+    from wallaroo_spark.operators import relational
+    from wallaroo_spark.plans import audit
+
+    pts = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    ivs = spark.createDataFrame(
+        [(i, float(i * 10), float(i * 10 + 10)) for i in range(10)],
+        "band long, lo double, hi double",
+    )
+    a = audit(relational.range_join(pts, ivs, "v", "lo", "hi", bucket=8.0))
+    assert a.nested_loop_joins == 0
+    assert a.python_ops == 0

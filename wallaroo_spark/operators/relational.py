@@ -123,3 +123,49 @@ def interval_join(
         .filter((F.col("_rep") > F.col("_lep")) & (F.col("_rep") <= F.col("_lep") + window_s))
         .drop("_bkt", "_rkey", "_rbkt", "_lep", "_rep")
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: float,
+) -> DataFrame:
+    """Point-in-interval range join: pairs where ``start <= point < end``.
+    Completes the join family the reference lacks by design (SURVEY §2.6)
+    next to as-of and keyed-interval joins.
+
+    A naive inequality join is a nested loop over |points| x |intervals|.
+    Bucketization turns it into an equi-join: every interval explodes to
+    the coarse buckets it overlaps, every point lives in exactly ONE bucket
+    (no pair dedup needed), and the residual range predicate runs on
+    equi-matched rows only. The shuffle hash-partitions by bucket —
+    co-located, AQE-skew-splittable, never quadratic. ``bucket`` trades
+    explode factor (long intervals span more buckets) against candidate
+    precision; when the interval side is dim-table-small, a plain
+    broadcast inequality join is cheaper — this operator is the
+    both-sides-large path.
+
+    Interval columns are taken from the interval side as-is; point columns
+    keep their names (collisions: caller renames).
+    """
+    p = points.withColumn("_pbkt", F.floor(F.col(point_col) / bucket).cast("long"))
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket).cast("long"),
+                F.floor((F.col(end_col) - 1e-9) / bucket).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, p["_pbkt"] == iv["_bkt"])
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("_pbkt", "_bkt")
+    )

@@ -3790,3 +3790,40 @@ def similarity_topk_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         coarse_k=10,
     )
+
+
+_VALUE_BANDS = [
+    ("micro", 0.0, 5.0),
+    ("small", 5.0, 20.0),
+    ("mid", 20.0, 50.0),
+    ("large", 50.0, 100.0),
+    ("huge", 100.0, 512.0),
+]
+
+
+@query(
+    "value_band_range_join",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES
+        {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _VALUE_BANDS)}),
+    j AS (SELECT b.band, e.value FROM events e JOIN bands b
+          ON e.value >= b.lo AND e.value < b.hi)
+    SELECT band, count(*) AS n_events, round(avg(value), 4) AS avg_value
+    FROM j GROUP BY 1
+    """,
+)
+def value_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic point-in-interval range join (`relational.range_join`):
+    events classified into non-uniform value bands via bucketized
+    equi-join + residual — the both-sides-large shape (never a broadcast
+    nested loop), completing the join family next to as-of and keyed
+    interval joins."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(_VALUE_BANDS, "band string, lo double, hi double")
+    j = relational.range_join(
+        ev, bands, point_col="value", start_col="lo", end_col="hi", bucket=16.0
+    )
+    return j.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
