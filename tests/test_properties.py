@@ -351,3 +351,78 @@ def test_duplicate_spans_match_python_reference(texts):
         for r in dedup.duplicate_spans(df, k=k).collect()
     }
     assert got == want
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=90),   # lo
+        st.integers(min_value=1, max_value=40),   # length
+    ),
+    min_size=1,
+    max_size=12,
+)
+points_strategy = st.lists(
+    st.floats(min_value=0.0, max_value=140.0, allow_nan=False), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(points_strategy, intervals_strategy, st.sampled_from([3.0, 7.0, 16.0]))
+def test_range_join_matches_naive_join(pts, ivs, bucket):
+    """Bucketized range join == naive inequality join, for any bucket size
+    (including non-divisors of interval lengths)."""
+    from wallaroo_spark.operators import relational
+
+    spark = _get_spark()
+    p = spark.createDataFrame(
+        [Row(pid=i, v=float(v)) for i, v in enumerate(pts)]
+    )
+    iv = spark.createDataFrame(
+        [Row(iid=i, lo=float(lo), hi=float(lo + ln)) for i, (lo, ln) in enumerate(ivs)]
+    )
+    fast = sorted(
+        (r.pid, r.iid)
+        for r in relational.range_join(p, iv, "v", "lo", "hi", bucket=bucket).collect()
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in p.join(iv, (p["v"] >= iv["lo"]) & (p["v"] < iv["hi"])).collect()
+    )
+    assert fast == naive
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=30),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_chunk_dedup_matches_python_reference(token_lists):
+    """chunk_dedup == a straight-line Python first-occurrence scan for any
+    corpus (including empty docs and intra-doc repeats)."""
+    from wallaroo_spark.operators import dedup
+
+    spark = _get_spark()
+    width = 3
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(token_lists)]
+    )
+    got = {r.doc_id: (r.n_chunks, r.n_kept) for r in dedup.chunk_dedup(df, width=width).collect()}
+
+    seen: set[str] = set()
+    want: dict[int, tuple[int, int]] = {}
+    for i, toks in enumerate(token_lists):
+        chunks = [
+            " ".join(toks[j : j + width]) for j in range(0, len(toks), width)
+        ]
+        chunks = [c for c in chunks if c]
+        kept = 0
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept += 1
+        if chunks:
+            want[i] = (len(chunks), kept)
+    assert got == want
