@@ -401,44 +401,69 @@ def simhash_near_pairs(
     (hash shuffle on the band value, linear in docs), then the exact
     popcount verify runs on candidates only — never all-pairs.
     """
-    if max_hamming >= SIMHASH_BANDS:
-        raise ValueError("banding is lossless only for max_hamming < SIMHASH_BANDS")
     fp = simhash(df, id_col, text)
-    width = SIMHASH_BITS // SIMHASH_BANDS
-    # band rows CARRY the full fingerprint (+8 bytes/row): the popcount
-    # verify runs inline on the band join and the hamming filter lands
-    # BEFORE the distinct — no separate fingerprint re-joins, and the
-    # distinct dedupes only the (small) surviving pair set rather than the
-    # hot-bucket candidate blowup
-    bands = fp.select(
+    return hamming_pairs(
+        fp, "simhash", max_hamming, bits=SIMHASH_BITS, bands=SIMHASH_BANDS,
+        id_col=id_col,
+    )
+
+
+def hamming_pairs(
+    fp: DataFrame,
+    hash_col: str,
+    max_hamming: int,
+    bits: int,
+    bands: int,
+    id_col: str = "doc_id",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """All id pairs whose ``bits``-wide fingerprints are within Hamming
+    distance ``max_hamming`` — the generic banded-pigeonhole engine behind
+    SimHash text near-dup and perceptual-hash media near-dup.
+
+    The fingerprint splits into ``bands`` equal bands; a pair within
+    distance d < bands differs in at most d bands, so it must agree EXACTLY
+    on >= 1 band (pigeonhole — lossless). Candidates are a per-band
+    equi-join (hash shuffle on the band value, linear in rows), exact
+    popcount verify on candidates only — never all-pairs. Band rows CARRY
+    the full fingerprint (+8 bytes/row): the verify runs inline on the
+    band join and the hamming filter lands BEFORE the distinct, so the
+    distinct dedupes only the surviving pair set, not the hot-bucket
+    candidate blowup.
+    """
+    if max_hamming >= bands:
+        raise ValueError("banding is lossless only for max_hamming < bands")
+    width = bits // bands
+    bdf = fp.select(
         id_col,
-        "simhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * width)
+                        F.shiftright(F.col(hash_col), b * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("val"),
                     )
-                    for b in range(SIMHASH_BANDS)
+                    for b in range(bands)
                 ]
             )
         ).alias("bv"),
-    ).select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-    a = bands.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"), "band", "val"
+    ).select(id_col, hash_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bdf.select(
+        F.col(id_col).alias(out_a), F.col(hash_col).alias("_ha"), "band", "val"
     )
-    b = bands.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"), "band", "val"
+    b = bdf.select(
+        F.col(id_col).alias(out_b), F.col(hash_col).alias("_hb"), "band", "val"
     )
     return (
         a.join(b, ["band", "val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col(out_a) < F.col(out_b))
         .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select(out_a, out_b, "hamming")
         .distinct()
     )
 

@@ -138,3 +138,69 @@ def repartition_for_media(df: DataFrame, media_col: str = "media", parts: int | 
     """Spread skewed media rows by content hash before heavy kernels."""
     h = F.xxhash64(F.col(media_col))
     return df.repartition(parts, h) if parts else df.repartition(h)
+
+
+AHASH_BITS = 32
+AHASH_BANDS = 8
+
+
+def image_ahash(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:
+    """media -> 32-bit average-hash perceptual fingerprint (aHash shape).
+
+    STUB kernel (no imaging libs in this container): instead of decoded
+    8x8 luma, the payload's raw bytes split into 32 equal segments; bit i
+    is set iff segment i's mean byte exceeds the payload mean. All
+    comparisons are cross-multiplied integers (seg_sum * n > tot_sum *
+    seg_len), exact on any engine — no float means. Swap the segment loop
+    for decode + DCT and nothing else changes.
+
+    Plumbing is the multimodal family's production shape: Arrow-batched
+    mapInPandas, bytes never leave the executor. Output: (id_col, ahash).
+    """
+
+    def run(batches):
+        import pandas as _pd
+
+        def ah(raw):
+            raw = bytes(raw)
+            n = len(raw)
+            if n == 0:
+                raise NotImplementedError("empty media payload — real decoder required")
+            tot = sum(raw)
+            ssum = [0] * AHASH_BITS
+            scnt = [0] * AHASH_BITS
+            for k, byte in enumerate(raw):
+                s = (k * AHASH_BITS) // n
+                ssum[s] += byte
+                scnt[s] += 1
+            h = 0
+            for i in range(AHASH_BITS):
+                if scnt[i] and ssum[i] * n > tot * scnt[i]:
+                    h |= 1 << i
+            return h
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], "ahash": [ah(m) for m in pdf[media_col]]}
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} long, ahash long")
+
+
+def ahash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 5,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual near-duplicate media pairs: aHash fingerprints paired by
+    the generic banded-pigeonhole engine (8 bands of 4 bits — lossless for
+    Hamming distance < 8). The media-dedup tie-in for the multimodal
+    family: fingerprints are 8 bytes/row however large the blobs, so the
+    pairing never touches media bytes again."""
+    from wallaroo_spark.operators.dedup import hamming_pairs
+
+    fp = image_ahash(df, media_col, id_col)
+    return hamming_pairs(
+        fp, "ahash", max_hamming, bits=AHASH_BITS, bands=AHASH_BANDS, id_col=id_col
+    )

@@ -3827,3 +3827,37 @@ def value_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+def _ahash_oracle(max_hamming: int = 5) -> str:
+    return """
+    WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents
+                  WHERE length(text) > 0),
+    ch AS (SELECT doc_id, len, g.i AS pos, ascii(substr(text, g.i, 1)) AS b
+           FROM docs, LATERAL (SELECT unnest(generate_series(1, len)) AS i) g),
+    seg AS (SELECT doc_id, CAST(((pos - 1) * 32) // len AS INT) AS s,
+                   sum(b) AS ssum, count(*) AS scnt
+            FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(b) AS tsum, count(*) AS n FROM ch GROUP BY 1),
+    bits AS (SELECT seg.doc_id, s,
+                    CASE WHEN ssum * n > tsum * scnt THEN 1 ELSE 0 END AS bit
+             FROM seg JOIN tot USING (doc_id)),
+    fp AS (SELECT doc_id, sum(CAST(bit AS BIGINT) << s) AS ahash FROM bits GROUP BY 1)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.ahash, b.ahash)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= {d}
+    """.format(d=max_hamming)
+
+
+@query("multimodal_ahash_near_dup", oracle=_ahash_oracle())
+def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media near-dup (`multimodal.ahash_near_pairs`):
+    stub aHash over the media bytes (exact integer comparisons, engine-
+    portable) paired by the generic banded-pigeonhole engine — 8-byte
+    fingerprints however large the blobs, candidates only, never
+    all-pairs. The oracle verifies losslessness literally: it computes
+    ALL pairs within the distance with a naive join."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    return multimodal.ahash_near_pairs(media, max_hamming=5)
