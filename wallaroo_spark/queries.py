@@ -3861,3 +3861,46 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
     return multimodal.ahash_near_pairs(media, max_hamming=5)
+
+
+@query(
+    "lsh_recall_audit",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    cand AS ({_minhash_band_joins()}),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b USING (sh)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    truth AS (SELECT doc_a, doc_b
+              FROM inter i
+              JOIN sz sa ON sa.doc_id = i.doc_a
+              JOIN sz sb ON sb.doc_id = i.doc_b
+              WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.5)
+    SELECT CAST(count(*) AS BIGINT) AS n_true,
+           CAST(count(c.doc_a) AS BIGINT) AS n_caught,
+           round(count(c.doc_a) / CAST(count(*) AS DOUBLE), 4) AS recall
+    FROM truth t
+    LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM cand) c
+           ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    """,
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality audit: MinHash(16)+LSH(4x4) recall against the
+    exact Jaccard>=0.5 ground truth (ppjoin). The honest-measurement query
+    every approximate dedup deployment needs — run it on a sample before
+    trusting the banding parameters at corpus scale. Output one row:
+    (n_true, n_caught, recall)."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    caught = (
+        dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .withColumn("_c", F.lit(1))
+    )
+    return truth.join(caught, ["doc_a", "doc_b"], "left").agg(
+        F.count("*").alias("n_true"),
+        F.count("_c").alias("n_caught"),
+        F.round(F.count("_c") / F.count("*").cast("double"), 4).alias("recall"),
+    )
