@@ -3904,3 +3904,67 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_c").alias("n_caught"),
         F.round(F.count("_c") / F.count("*").cast("double"), 4).alias("recall"),
     )
+
+
+_BM25_TERMS = ("table", "window", "fast")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "bm25_retrieval_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    q(word) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+    tf AS (SELECT t.doc_id, t.word, count(*) AS tf
+           FROM toks t JOIN q USING (word) GROUP BY 1, 2),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks JOIN q USING (word) GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+               ) AS score
+        FROM tf JOIN df USING (word) JOIN dl ON dl.doc_id = tf.doc_id, stats s
+        GROUP BY 1)
+    SELECT doc_id, round(score, 4) AS bm25
+    FROM scored
+    QUALIFY row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) <= 10
+    """,
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query term set,
+    top-10 docs. Completes the retrieval-scoring family next to TF-IDF:
+    doc lengths and term stats are two shuffles, the query-term tf table is
+    tiny (terms x docs-containing), the corpus stats ride in as a
+    broadcast single-row agg. Ranking happens on the ROUNDED score (doc_id
+    tiebreak) so engine log/ulp differences can't flip the boundary;
+    TakeOrdered top-10 — no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("word"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    q = F.col("word").isin(*_BM25_TERMS)
+    tf = toks.filter(q).groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = toks.filter(q).groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(1 + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf") * (k1 + 1)
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl")))
+            ).alias("score")
+        )
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(10)
+    )
