@@ -71,6 +71,10 @@ HEADLINE = [
     "token_budget_fill",
     "bigram_surprisal_quality",
     "similarity_topk_int8_rerank",
+    "value_band_range_join",
+    "multimodal_ahash_near_dup",
+    "lsh_recall_audit",
+    "bm25_retrieval_topk",
 ]
 
 
