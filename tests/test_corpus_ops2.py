@@ -171,3 +171,37 @@ def test_range_join_plan_is_equi_join(spark):
     a = audit(relational.range_join(pts, ivs, "v", "lo", "hi", bucket=8.0))
     assert a.nested_loop_joins == 0
     assert a.python_ops == 0
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    """bpe_train == the classic sequential BPE loop on a tiny corpus where
+    merged symbols must win later rounds ('l'+'o' -> 'lo', then 'lo'+'w')."""
+    df = _docs(spark, [(1, "low low low low lower lower newest newest")])
+    out = [(r.step, r.left, r.right, r.pair_count) for r in
+           text.bpe_train(df, iters=3).collect()]
+
+    def seq_bpe(words, iters):
+        import collections
+        seqs = {w: list(w) for w in words}
+        cnt = collections.Counter(words)
+        merges = []
+        for step in range(iters):
+            pc = collections.Counter()
+            for w, c in cnt.items():
+                s = seqs[w]
+                for a, b in zip(s, s[1:]):
+                    pc[(a, b)] += c
+            (x, y), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, x, y, c))
+            for w in seqs:
+                s, ns, i = seqs[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and (s[i], s[i + 1]) == (x, y):
+                        ns.append(x + y); i += 2
+                    else:
+                        ns.append(s[i]); i += 1
+                seqs[w] = ns
+        return merges
+
+    want = seq_bpe("low low low low lower lower newest newest".split(), 3)
+    assert out == want

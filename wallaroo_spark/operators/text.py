@@ -445,3 +445,70 @@ def token_budget_filter(
         .filter(F.col("_bkt") <= F.col("cutoff_bucket"))
         .drop("_bkt", "cutoff_bucket")
     )
+
+
+def bpe_train(df, iters: int = 4, text: str = "text"):
+    """Distributed BPE vocabulary training (the merge loop of Sennrich et
+    al., 2016): learn ``iters`` merges by repeatedly taking the most
+    frequent adjacent symbol pair (count desc, lexicographic tiebreak) and
+    fusing it corpus-wide.
+
+    The working set is the classic one: the WORD-TYPE frequency table, not
+    the corpus — one corpus pass builds (word, count), and every iteration
+    runs on word types only (at 100 TB the type table is millions of rows
+    against trillions of tokens). Each iteration is one pair-count shuffle
+    + a driver reduce on exactly ONE row (the argmax — the same O(1)
+    driver reduction MLlib's k-means|| does) + a map-side guarded string
+    replace; the type table is re-materialized per iteration to cut
+    lineage. Symbol sequences ride as '|'-delimited strings so the merge
+    is a plain non-overlapping replace — identical left-to-right semantics
+    on any engine, which is what makes the whole training replayable by
+    the DuckDB oracle.
+
+    Returns the learned merge table: (step, left, right, pair_count).
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(F.col(text))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    seqs = words.select(
+        F.concat(
+            F.lit("|"),
+            F.array_join(F.filter(F.split("w", ""), lambda x: x != ""), "|"),
+            F.lit("|"),
+        ).alias("seq"),
+        "cnt",
+    ).localCheckpoint(eager=True)
+    merges = []
+    for step in range(iters):
+        arr = F.filter(F.split(F.col("seq"), r"\|"), lambda x: x != "")
+        n = F.size(arr)
+        pairs = seqs.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice(arr, 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                )
+            ).alias("p"),
+        )
+        counts = pairs.groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y")).agg(
+            F.sum("cnt").alias("c")
+        )
+        top = counts.orderBy(F.col("c").desc(), "x", "y").limit(1).collect()
+        if not top:
+            break
+        x, y, c = top[0]["x"], top[0]["y"], int(top[0]["c"])
+        merges.append((step, x, y, c))
+        seqs = seqs.select(
+            F.replace(
+                F.col("seq"), F.lit(f"|{x}|{y}|"), F.lit(f"|{x}{y}|")
+            ).alias("seq"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count long"
+    )

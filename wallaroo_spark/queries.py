@@ -3968,3 +3968,46 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(10)
     )
+
+
+def _bpe_oracle(iters: int = 4) -> str:
+    blocks = [
+        f"""
+    w0 AS (SELECT w, count(*) AS cnt
+           FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY 1),
+    s0 AS MATERIALIZED (SELECT '|' || array_to_string(
+               list_filter(string_split(w, ''), x -> x <> ''), '|') || '|' AS seq, cnt
+           FROM w0)"""
+    ]
+    for i in range(iters):
+        blocks.append(
+            f"""
+    pc{i} AS (SELECT arr[k] AS x, arr[k + 1] AS y, sum(cnt) AS c
+              FROM (SELECT list_filter(string_split(seq, '|'), z -> z <> '') AS arr,
+                           cnt, generate_subscripts(
+                               list_filter(string_split(seq, '|'), z -> z <> ''), 1) AS k
+                    FROM s{i})
+              WHERE k < len(arr) GROUP BY 1, 2),
+    top{i} AS MATERIALIZED (SELECT {i} AS step, x, y, c FROM pc{i}
+                            ORDER BY c DESC, x, y LIMIT 1),
+    s{i + 1} AS MATERIALIZED (
+        SELECT replace(seq, '|' || x || '|' || y || '|', '|' || x || y || '|') AS seq,
+               cnt
+        FROM s{i}, top{i})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT step, x AS left, y AS right, CAST(c AS BIGINT) AS pair_count FROM top{i}"
+        for i in range(iters)
+    )
+    return "WITH " + ",".join(blocks) + f" {union}"
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (`text.bpe_train`, 4 merges):
+    iterative most-frequent-adjacent-pair fusion over the word-TYPE
+    frequency table (one corpus pass; iterations never touch the corpus).
+    The oracle replays every iteration — pair counting, argmax with
+    lexicographic tiebreak, and the delimiter-guarded merge replace —
+    proving the distributed loop equals the sequential algorithm."""
+    return text.bpe_train(_t(spark, sf_dir, "documents"), iters=4)
