@@ -75,6 +75,8 @@ HEADLINE = [
     "multimodal_ahash_near_dup",
     "lsh_recall_audit",
     "bm25_retrieval_topk",
+    "bpe_train_merges",
+    "bpe_encode_stats",
 ]
 
 

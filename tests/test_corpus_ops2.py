@@ -205,3 +205,13 @@ def test_bpe_train_matches_sequential_reference(spark):
 
     want = seq_bpe("low low low low lower lower newest newest".split(), 3)
     assert out == want
+
+
+def test_bpe_encode_compresses_and_respects_word_boundaries(spark):
+    df = _docs(spark, [(1, "low low lower"), (2, "w o")])
+    merges = [("l", "o"), ("lo", "w")]
+    out = {r.doc_id: r for r in text.bpe_encode(df, merges).collect()}
+    # 'low' -> ['low'] (two merges chain), 'lower' -> ['low','e','r']
+    assert out[1].n_ws_tokens == 3 and out[1].n_bpe_tokens == 1 + 1 + 3
+    # 'w o' must NOT merge across the word boundary into 'wo' (nor 'lo')
+    assert out[2].n_ws_tokens == 2 and out[2].n_bpe_tokens == 2

@@ -512,3 +512,49 @@ def bpe_train(df, iters: int = 4, text: str = "text"):
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count long"
     )
+
+
+def bpe_encode(df, merges, text: str = "text", id_col: str = "doc_id"):
+    """Apply a learned BPE merge table to the corpus: every word becomes
+    its merged symbol sequence; returns per-doc token statistics under the
+    learned vocabulary — (id_col, n_ws_tokens, n_bpe_tokens, ratio).
+
+    ``merges`` is the (step, left, right, ...) DataFrame from `bpe_train`
+    (or an equivalent list of (left, right) pairs). The merge list is
+    driver-collected (it is vocabulary-sized by definition) and compiled
+    into a chain of guarded replaces applied in merge order — a pure
+    map-side expression; the corpus sees one pass, no shuffle beyond the
+    final doc agg (which is itself in-row array math, so actually ZERO
+    shuffles)."""
+    if hasattr(merges, "collect"):
+        pairs = [(r["left"], r["right"]) for r in merges.orderBy("step").collect()]
+    else:
+        pairs = list(merges)
+    toks = tokens(F.col(text))
+    seq = F.concat(
+        F.lit("|"),
+        F.array_join(
+            F.transform(
+                toks,
+                lambda w: F.concat(
+                    F.lit("|"),
+                    F.array_join(F.filter(F.split(w, ""), lambda x: x != ""), "|"),
+                    F.lit("|"),
+                ),
+            ),
+            "",
+        ),
+    )
+    # NB: words are separated by '||' (adjacent guards), so merges can
+    # never fuse across a word boundary — same invariant as bpe_train's
+    # per-word sequences
+    for x, y in pairs:
+        seq = F.replace(seq, F.lit(f"|{x}|{y}|"), F.lit(f"|{x}{y}|"))
+    n_bpe = F.size(F.filter(F.split(seq, r"\|"), lambda s: s != ""))
+    n_ws = F.size(toks)
+    return df.select(
+        id_col,
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(n_bpe / F.greatest(n_ws, F.lit(1)), 4).alias("ratio"),
+    )

@@ -3970,7 +3970,7 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(iters: int = 4) -> str:
+def _bpe_blocks(iters: int = 4) -> list[str]:
     blocks = [
         f"""
     w0 AS (SELECT w, count(*) AS cnt
@@ -3995,11 +3995,15 @@ def _bpe_oracle(iters: int = 4) -> str:
                cnt
         FROM s{i}, top{i})"""
         )
+    return blocks
+
+
+def _bpe_oracle(iters: int = 4) -> str:
     union = " UNION ALL ".join(
         f"SELECT step, x AS left, y AS right, CAST(c AS BIGINT) AS pair_count FROM top{i}"
         for i in range(iters)
     )
-    return "WITH " + ",".join(blocks) + f" {union}"
+    return "WITH " + ",".join(_bpe_blocks(iters)) + f" {union}"
 
 
 @query("bpe_train_merges", oracle=_bpe_oracle())
@@ -4011,3 +4015,45 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic tiebreak, and the delimiter-guarded merge replace —
     proving the distributed loop equals the sequential algorithm."""
     return text.bpe_train(_t(spark, sf_dir, "documents"), iters=4)
+
+
+def _bpe_encode_oracle(iters: int = 4) -> str:
+    word_seq = (
+        "'|' || array_to_string(list_transform(" + _TOKS_SQL + ", "
+        "w -> '|' || array_to_string(list_filter(string_split(w, ''), x -> x <> ''), '|') || '|'"
+        "), '')"
+    )
+    enc = "seq"
+    for i in range(iters):
+        enc = (
+            f"replace({enc}, '|' || t{i}.x || '|' || t{i}.y || '|', "
+            f"'|' || t{i}.x || t{i}.y || '|')"
+        )
+    tops = ", ".join(f"top{i} t{i}" for i in range(iters))
+    return (
+        "WITH "
+        + ",".join(_bpe_blocks(iters))
+        + f""",
+    docseq AS (SELECT doc_id, {word_seq} AS seq,
+                      len({_TOKS_SQL}) AS n_ws FROM documents),
+    enc AS (SELECT doc_id, n_ws, {enc} AS eseq FROM docseq, {tops})
+    SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws_tokens,
+           CAST(len(list_filter(string_split(eseq, '|'), x -> x <> '')) AS BIGINT)
+               AS n_bpe_tokens,
+           round(len(list_filter(string_split(eseq, '|'), x -> x <> ''))
+                 / CAST(greatest(n_ws, 1) AS DOUBLE), 4) AS ratio
+    FROM enc
+    """
+    )
+
+
+@query("bpe_encode_stats", oracle=_bpe_encode_oracle())
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the tokenizer loop: encode the corpus with the merges learned
+    by `bpe_train` (`text.bpe_encode` — merge chain compiled into map-side
+    guarded replaces, zero corpus shuffles) and report per-doc token
+    counts under the learned vocabulary. Oracle replays training AND
+    encoding."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, iters=4)
+    return text.bpe_encode(docs, merges)
