@@ -215,3 +215,37 @@ def test_bpe_encode_compresses_and_respects_word_boundaries(spark):
     assert out[1].n_ws_tokens == 3 and out[1].n_bpe_tokens == 1 + 1 + 3
     # 'w o' must NOT merge across the word boundary into 'wo' (nor 'lo')
     assert out[2].n_ws_tokens == 2 and out[2].n_bpe_tokens == 2
+
+
+def test_round6_query_plans_stay_scale_shaped(spark):
+    """Plan facts for the round-6 headline queries: no nested-loop joins
+    anywhere, no Python in any hot path, and the broadcast structures
+    (Bloom row, centroids, candidate sets, term stats) actually broadcast."""
+    from wallaroo_spark.plans import audit
+    from wallaroo_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "semdedup_embeddings",
+        "similarity_topk_int8_rerank",
+        "snapshot_novelty",
+        "bm25_retrieval_topk",
+        "chunk_dedup_stats",
+        "bigram_surprisal_quality",
+    ):
+        a = audit(QUERIES[name](spark, sf))
+        # tiny-side broadcast crossJoins (centroids / Bloom row / corpus
+        # stats) legitimately plan as BroadcastNestedLoopJoin; the scale
+        # hazard is a NON-broadcast cartesian — forbid exactly that
+        assert "CartesianProduct" not in a.text, name
+        for line in a.text.splitlines():
+            if "NestedLoopJoin" in line:
+                assert "Broadcast" in line, (name, line)
+        assert a.python_ops == 0, name
+        assert a.partitionless_windows == 0, name
+    # snapshot_novelty's new side must be shuffle-free: the bitmap arrives
+    # via a broadcast cross (1 row), and the only exchanges in the plan
+    # belong to the (tiny) Bloom-build side
+    a = audit(QUERIES["snapshot_novelty"](spark, sf))
+    assert "BroadcastNestedLoopJoin" in a.text
+    assert a.exchanges <= 3, a.exchanges
