@@ -426,3 +426,48 @@ def test_chunk_dedup_matches_python_reference(token_lists):
         if chunks:
             want[i] = (len(chunks), kept)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["p", "q", "r", "s"]), min_size=3, max_size=24),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.lists(st.sampled_from(["p", "q", "r", "s"]), min_size=3, max_size=24),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_snapshot_novelty_never_false_negative(old_lists, new_lists):
+    """A new-doc chunk that literally exists in the old corpus can never be
+    counted novel (Bloom has no false negatives); counts stay in bounds."""
+    from wallaroo_spark.operators import dedup
+
+    spark = _get_spark()
+    width = 3
+    old = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(t)) for i, t in enumerate(old_lists)]
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=" ".join(t)) for i, t in enumerate(new_lists)]
+    )
+    out = {r.doc_id: r for r in dedup.snapshot_novelty(old, new, width=width).collect()}
+
+    old_chunks = set()
+    for t in old_lists:
+        for j in range(0, len(t), width):
+            c = " ".join(t[j : j + width])
+            if c:
+                old_chunks.add(c)
+    for i, t in enumerate(new_lists):
+        chunks = [" ".join(t[j : j + width]) for j in range(0, len(t), width)]
+        chunks = [c for c in chunks if c]
+        r = out[100 + i]
+        assert r.n_chunks == len(chunks)
+        assert 0 <= r.n_novel <= r.n_chunks
+        # upper bound: chunks found in the old set are DEFINITELY not novel
+        n_definitely_old = sum(1 for c in chunks if c in old_chunks)
+        assert r.n_novel <= r.n_chunks - n_definitely_old
