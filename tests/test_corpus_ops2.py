@@ -249,3 +249,44 @@ def test_round6_query_plans_stay_scale_shaped(spark):
     a = audit(QUERIES["snapshot_novelty"](spark, sf))
     assert "BroadcastNestedLoopJoin" in a.text
     assert a.exchanges <= 3, a.exchanges
+
+
+def test_streaming_chunk_dedup_across_batches(spark, tmp_path):
+    """Chunk-level dedup composes with streaming: exploded chunk hashes
+    through streaming dropDuplicates carry state ACROSS micro-batches — a
+    chunk first seen in batch 1 is suppressed when batch 2 repeats it."""
+    import os
+    from wallaroo_spark.functions import hashing as H
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    block_a = " ".join(f"a{i}" for i in range(10))
+    block_b = " ".join(f"b{i}" for i in range(10))
+
+    out_dir = str(tmp_path / "out")
+
+    def run_round():
+        sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+        chunks = sdf.select(
+            F.explode(dedup.doc_chunks(F.col("text"), 10)).alias("_c")
+        ).select(H.md5int_col(F.col("_c")).alias("_h"))
+        q = (
+            chunks.dropDuplicates(["_h"])
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _docs(spark, [(1, block_a)]).write.mode("append").parquet(src)
+    run_round()
+    # batch 2 repeats block_a (must dedup against batch-1 state) + new block_b
+    _docs(spark, [(2, block_a + " " + block_b)]).write.mode("append").parquet(src)
+    run_round()
+    survivors = spark.read.parquet(out_dir).count()
+    assert survivors == 2  # block_a once (from batch 1) + block_b once

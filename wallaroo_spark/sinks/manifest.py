@@ -140,3 +140,56 @@ class ManifestTable:
                 shutil.rmtree(d, ignore_errors=True)
                 removed += 1
         return removed
+
+
+class ManifestStreamWriter:
+    """foreachBatch writer making ManifestTable an exactly-once streaming
+    table sink (the Delta txn-version pattern): every committed log entry
+    records the (query_id, batch_id) that produced it; a replayed batch
+    finds its id already in the log and appends NOTHING — idempotent under
+    crash/restart replay from the checkpoint WAL, atomic per batch via the
+    manifest commit."""
+
+    def __init__(self, table: ManifestTable, query_id: str = "q"):
+        self.table = table
+        self.query_id = query_id
+
+    def _committed_batches(self) -> set:
+        seen = set()
+        for v in self.table.versions():
+            e = self.table._entry(v)
+            txn = e.get("txn")
+            if txn and txn.get("query_id") == self.query_id:
+                seen.add(txn["batch_id"])
+        return seen
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        if batch_id in self._committed_batches():
+            return  # replayed batch: already visible, append nothing
+        adds = self.table._write_parts(df)
+        # embed the txn marker through the same atomic put-if-absent commit
+        while True:
+            vs = self.table.versions()
+            v = (vs[-1] + 1) if vs else 0
+            record = os.path.join(self.table._log, f"{v}.json")
+            tmp = record + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "version": v,
+                        "adds": adds,
+                        "removes": [],
+                        "txn": {"query_id": self.query_id, "batch_id": batch_id},
+                    },
+                    f,
+                )
+            try:
+                os.link(tmp, record)
+                return
+            except FileExistsError:
+                # lost a race; if the winner was OUR replayed batch, stop
+                if batch_id in self._committed_batches():
+                    return
+                continue
+            finally:
+                os.unlink(tmp)
