@@ -343,6 +343,8 @@ def kmeans_parallel_seeds(
         ((r["_cid"], list(r["_cv"]), int(r["_w"])) for r in weighted.collect()),
         key=lambda t: t[0],
     )
+    if not cands:
+        raise ValueError("k-means on an empty corpus (no candidate seeds)")
     norms = {cid: math.sqrt(_py_dot(v, v)) for cid, v, _ in cands}
     first = max(cands, key=lambda t: (t[2], -t[0]))  # max weight, min id
     chosen = [first]
