@@ -290,3 +290,45 @@ def test_streaming_chunk_dedup_across_batches(spark, tmp_path):
     run_round()
     survivors = spark.read.parquet(out_dir).count()
     assert survivors == 2  # block_a once (from batch 1) + block_b once
+
+
+def test_semdedup_probe_stream_batch_parity(spark, tmp_path):
+    """Online semantic-dup probe: per-row centroid argmax + stream-static
+    cluster join — identical results on a stream and in batch."""
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+            Row(vec_id=3, embedding=[0.9, 0.1, 0.0]),
+        ]
+    )
+    cents = spark.createDataFrame(
+        [Row(cent_id=0, embedding=[1.0, 0.0, 0.0]), Row(cent_id=1, embedding=[0.0, 1.0, 0.0])]
+    )
+    incoming = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[0.95, 0.05, 0.0]),  # dups of 1 and 3
+            Row(vec_id=11, embedding=[0.0, 0.0, 1.0]),    # no dup anywhere
+        ]
+    )
+    batch = sorted(
+        (r.in_id, r.dup_of, r.cosine)
+        for r in similarity.semdedup_probe(corpus, incoming, cents, tau=0.9).collect()
+    )
+    assert [(i, d) for i, d, _ in batch] == [(10, 1), (10, 3)]
+
+    src = str(tmp_path / "src"); ck = str(tmp_path / "ck")
+    incoming.write.parquet(src)
+    sdf = spark.readStream.schema("vec_id long, embedding array<double>").parquet(src)
+    out = similarity.semdedup_probe(corpus, sdf, cents, tau=0.9)
+    q = (
+        out.writeStream.format("memory").queryName("sem_probe")
+        .option("checkpointLocation", ck).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    stream = sorted(
+        (r.in_id, r.dup_of, r.cosine)
+        for r in spark.sql("SELECT * FROM sem_probe").collect()
+    )
+    assert stream == batch

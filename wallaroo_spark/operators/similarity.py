@@ -698,3 +698,80 @@ def int8_topk_rerank(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, F.round("_cos", 4).alias("cosine"), "rank")
     )
+
+
+def semdedup_probe(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    cents: DataFrame,
+    tau: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_in: str = "in_id",
+    out_dup: str = "dup_of",
+) -> DataFrame:
+    """Online semantic-dup probe: match INCOMING vectors (batch or stream)
+    against a STATIC reference corpus under fixed k-means centroids —
+    the streaming-ingest counterpart of `semdedup` (which is corpus ×
+    corpus). Each incoming vector is assigned to its nearest centroid
+    (broadcast cents, pure map) and compared only against the corpus
+    members of that cluster via a cent_id equi-join — a stream-static
+    join Spark executes per micro-batch with no state, no watermark.
+
+    Emits (out_in, out_dup, cosine) for every corpus member within tau —
+    downstream either drops matched incoming rows or routes them to a
+    duplicate log. Works unchanged on a streaming `incoming`.
+    """
+
+    def assign(df: DataFrame, out: str) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(out),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).crossJoin(F.broadcast(cents.select("cent_id", F.col(vec_col).alias("_cv"))))
+        return (
+            scored.withColumn("_cos", cosine(F.col("_v"), F.col("_cv")))
+            .groupBy(out)
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cent_id"), F.col("_v")),
+                    F.struct(F.col("_cos"), -F.col("cent_id")),
+                ).alias("_best")
+            )
+            .select(out, F.col("_best.cent_id").alias("cent_id"), F.col("_best._v").alias("_v"))
+        )
+
+    ref = assign(corpus, out_dup).select(
+        out_dup, "cent_id", F.col("_v").alias("_rv"), _norm(F.col("_v")).alias("_rn")
+    )
+    # incoming side: the argmax must stay per-ROW on a stream (a groupBy
+    # would demand watermark/output-mode machinery) — compute it with
+    # array_max over the centroid list instead, fully map-side
+    cent_rows = [
+        (int(r["cent_id"]), [float(x) for x in r[vec_col]]) for r in cents.collect()
+    ]
+    best = None
+    for cid, cv in cent_rows:
+        cur = F.struct(
+            cosine(F.col("_v"), F.array(*[F.lit(x) for x in cv])).alias("c"),
+            F.lit(-cid).alias("negid"),
+        )
+        best = cur if best is None else F.when(
+            (cur["c"] > best["c"])
+            | ((cur["c"] == best["c"]) & (cur["negid"] > best["negid"])),
+            cur,
+        ).otherwise(best)
+    inc = incoming.select(
+        F.col(id_col).alias(out_in),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("cent_id", (-best["negid"]).cast("long")).withColumn(
+        "_in_n", _norm(F.col("_v"))
+    )
+    return (
+        inc.join(ref, "cent_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("_v"), F.col("_rv")) / (F.col("_in_n") * F.col("_rn")), 4),
+        )
+        .filter(F.col("cosine") >= tau)
+        .select(out_in, out_dup, "cosine")
+    )
