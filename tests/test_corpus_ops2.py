@@ -332,3 +332,45 @@ def test_semdedup_probe_stream_batch_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sem_probe").collect()
     )
     assert stream == batch
+
+
+def test_ann_index_build_persist_query_refresh(spark, tmp_path):
+    """Persisted IVF index lifecycle: the probe over the LOADED index must
+    equal the direct ivf_topk over the same centroids (assignment skipped,
+    not changed); a refresh appends under frozen centroids atomically."""
+    from examples.ann_index import (
+        build_index, load_assignments, load_centroids, query_index, refresh_index,
+    )
+    from wallaroo_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    t = build_index(spark, corpus, str(tmp_path / "idx"))
+    got = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in query_index(spark, t, queries).collect()
+    )
+    direct = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_topk(
+            corpus=corpus,
+            queries=queries,
+            centroids=load_centroids(spark, t).withColumnRenamed("cent_id", "vec_id"),
+            k=3,
+            nprobe=2,
+        ).collect()
+    )
+    assert got == direct and len(got) == 30
+
+    n0 = load_assignments(spark, t).count()
+    v0 = t.versions()[-1]
+    extra = spark.createDataFrame(
+        [Row(vec_id=9000, embedding=[0.1] * 64)],
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    refresh_index(spark, t, extra)
+    assert load_assignments(spark, t).count() == n0 + 1
+    assert t.versions()[-1] == v0 + 1  # one atomic version per refresh
+    assert load_centroids(spark, t).count() == 6  # centroids frozen

@@ -149,6 +149,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     cent_id: str = "cent_id",
+    corpus_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
@@ -157,7 +158,10 @@ def ivf_topk(
     this is the partition/bucketing key, written once. Search: each query
     probes its ``nprobe`` nearest centroids and scores only those clusters.
     Centroids here are caller-supplied (deterministic for tests); swap in
-    k-means means only the centroid DataFrame changes.
+    k-means means only the centroid DataFrame changes. Pass
+    ``corpus_assigned`` (id, vec, cent_id — e.g. loaded from a persisted
+    index, examples/ann_index.py) to skip the build-side assignment
+    entirely: at scale the index is written once and probed many times.
     """
     cents = centroids.select(
         F.col(id_col).alias(cent_id),
@@ -203,7 +207,14 @@ def ivf_topk(
             .drop("_ccos", "_crk")
         )
 
-    c_assigned = assign(corpus.select(id_col, vec_col), id_col, 1)
+    if corpus_assigned is not None:
+        # persisted-index path: assignments were computed once at build
+        # time (examples/ann_index.py); recompute only the norm column
+        c_assigned = corpus_assigned.select(
+            id_col, vec_col, cent_id
+        ).withColumn("_vn", _norm(F.col(vec_col)))
+    else:
+        c_assigned = assign(corpus.select(id_col, vec_col), id_col, 1)
     q_assigned = assign(
         queries.select(F.col(id_col).alias(query_id), vec_col), query_id, nprobe
     ).select(query_id, F.col(vec_col).alias("_qv"), F.col("_vn").alias("_qn"), cent_id)
