@@ -4057,3 +4057,81 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = text.bpe_train(docs, iters=4)
     return text.bpe_encode(docs, merges)
+
+
+@query(
+    "corpus_zipf_heaps_stats",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS word FROM documents),
+    cnts AS (SELECT word, count(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types FROM cnts),
+    top10 AS (SELECT word, c FROM cnts ORDER BY c DESC, word LIMIT 10),
+    ranked AS (SELECT a.word, a.c,
+                      (SELECT count(*) FROM top10 b
+                       WHERE b.c > a.c OR (b.c = a.c AND b.word < a.word)) + 1 AS rk
+               FROM top10 a),
+    fit AS (SELECT
+                (avg(ln(rk) * ln(c)) - avg(ln(rk)) * avg(ln(c)))
+                / (avg(ln(rk) * ln(rk)) - avg(ln(rk)) * avg(ln(rk))) AS slope,
+                CAST(sum(c) AS BIGINT) AS top10_tokens
+            FROM ranked)
+    SELECT t.n_tokens, t.n_types,
+           round(t.n_types / CAST(t.n_tokens AS DOUBLE), 6) AS type_token_ratio,
+           round(f.top10_tokens / CAST(t.n_tokens AS DOUBLE), 6) AS top10_mass,
+           round(f.slope, 4) AS zipf_slope_top10
+    FROM tot t, fit f
+    """,
+)
+def corpus_zipf_heaps_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostics: token/type counts (Heaps), mass share of
+    the 10 most frequent types, and the fitted log-log Zipf slope over
+    those top-10 (least squares as plain aggregates — no window). Ranks
+    come from a count-based self-join on the 10-row top table, so the
+    plan has no partition-less WindowExec (TakeOrdered gets the top-10;
+    everything corpus-sized is one token scan + one groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("word"))
+    cnts = toks.groupBy("word").agg(F.count("*").alias("c"))
+    tot = cnts.agg(
+        F.sum("c").alias("n_tokens"), F.count("*").alias("n_types")
+    )
+    top10 = cnts.orderBy(F.col("c").desc(), F.col("word")).limit(10)
+    a = top10.select(F.col("word").alias("_w"), F.col("c").alias("_c"))
+    ranked = (
+        a.crossJoin(F.broadcast(top10))
+        .filter(
+            (F.col("c") > F.col("_c"))
+            | ((F.col("c") == F.col("_c")) & (F.col("word") < F.col("_w")))
+        )
+        .groupBy("_w", "_c")
+        .agg(F.count("*").alias("_higher"))
+        # words with rank 1 have NO higher entry and drop from the join —
+        # re-join against the full top10 with a 0 default
+    )
+    ranked = (
+        a.join(ranked, ["_w", "_c"], "left")
+        .select(
+            "_w", "_c", (F.coalesce(F.col("_higher"), F.lit(0)) + 1).alias("_rk")
+        )
+    )
+    x = F.log(F.col("_rk"))
+    y = F.log(F.col("_c"))
+    fit = ranked.agg(
+        (
+            (F.avg(x * y) - F.avg(x) * F.avg(y))
+            / (F.avg(x * x) - F.avg(x) * F.avg(x))
+        ).alias("_slope"),
+        F.sum("_c").alias("_top10_tokens"),
+    )
+    return tot.crossJoin(F.broadcast(fit)).select(
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") / F.col("n_tokens").cast("double"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.col("_top10_tokens") / F.col("n_tokens").cast("double"), 6).alias(
+            "top10_mass"
+        ),
+        F.round("_slope", 4).alias("zipf_slope_top10"),
+    )
