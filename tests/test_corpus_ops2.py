@@ -374,3 +374,22 @@ def test_ann_index_build_persist_query_refresh(spark, tmp_path):
     assert load_assignments(spark, t).count() == n0 + 1
     assert t.versions()[-1] == v0 + 1  # one atomic version per refresh
     assert load_centroids(spark, t).count() == 6  # centroids frozen
+
+
+def test_model_rerank_swappable_kernel_and_candidate_scope(spark):
+    """model_rerank only scores CANDIDATE texts (never the corpus), and a
+    real model_fn drops in unchanged (here: length-as-score)."""
+    from wallaroo_spark.operators import inference
+
+    docs = _docs(spark, [(i, "w " * (i + 1)) for i in range(20)])
+    cand = spark.createDataFrame(
+        [(3, 1.0), (7, 0.9), (15, 0.8)], "doc_id long, retrieval_score double"
+    )
+    def length_model(texts):
+        return [float(len(t)) for t in texts]
+
+    out = inference.model_rerank(cand, docs, k=2, model_fn=length_model).collect()
+    # longest candidate text wins; corpus docs outside the candidate set
+    # were never scored
+    assert [r.doc_id for r in out] == [15, 7]
+    assert [r.rank for r in out] == [1, 2]

@@ -4135,3 +4135,51 @@ def corpus_zipf_heaps_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("_slope", 4).alias("zipf_slope_top10"),
     )
+
+
+from wallaroo_spark.operators import inference as _inference
+
+
+@query(
+    "model_quality_rerank",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    q(word) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+    tf AS (SELECT t.doc_id, t.word, count(*) AS tf
+           FROM toks t JOIN q USING (word) GROUP BY 1, 2),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks JOIN q USING (word) GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+               ) AS score
+        FROM tf JOIN df USING (word) JOIN dl ON dl.doc_id = tf.doc_id, stats s
+        GROUP BY 1),
+    cand AS (SELECT doc_id, round(score, 4) AS retrieval_score
+             FROM scored
+             QUALIFY row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) <= 10),
+    model AS (SELECT c.doc_id, c.retrieval_score,
+                     (CAST(('0x' || substr(md5(d.text), 1, 15)) AS BIGINT) % 10000)
+                         / 10000.0 AS ms
+              FROM cand c JOIN documents d USING (doc_id)),
+    top AS (SELECT doc_id, retrieval_score, round(ms, 4) AS model_score,
+                   row_number() OVER (ORDER BY ms DESC, doc_id) AS rank
+            FROM model)
+    SELECT doc_id, retrieval_score, model_score, rank FROM top WHERE rank <= 5
+    """,
+)
+def model_quality_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-in-the-loop retrieval (`inference.model_rerank`): BM25 top-10
+    candidates fetch their text via broadcast semi-join and pass through
+    the Arrow-batched model kernel (deterministic stub — a real
+    classifier/cross-encoder drops in unchanged); final top-5 by model
+    score. The 100 TB shape: the corpus is never model-scored wholesale,
+    only the cheap ranker's candidates are."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = bm25_retrieval_topk(spark, sf_dir).select(
+        "doc_id", F.col("bm25").alias("retrieval_score")
+    )
+    return _inference.model_rerank(cand, docs, k=5)
