@@ -77,6 +77,8 @@ HEADLINE = [
     "bm25_retrieval_topk",
     "bpe_train_merges",
     "bpe_encode_stats",
+    "corpus_zipf_heaps_stats",
+    "model_quality_rerank",
 ]
 
 

@@ -77,7 +77,9 @@ def model_rerank(
     scored = score_documents(cand_docs, model_fn, text, id_col)
     return (
         candidates.join(scored, id_col)
-        .orderBy(F.col("model_score").desc(), F.col(id_col))
+        # rank on the ROUNDED score (id tiebreak) so float ulp differences
+        # can't flip the cut between engines — same rule as BM25
+        .orderBy(F.round("model_score", 4).desc(), F.col(id_col))
         .limit(k)
         .select(
             id_col,

@@ -4166,7 +4166,7 @@ from wallaroo_spark.operators import inference as _inference
                          / 10000.0 AS ms
               FROM cand c JOIN documents d USING (doc_id)),
     top AS (SELECT doc_id, retrieval_score, round(ms, 4) AS model_score,
-                   row_number() OVER (ORDER BY ms DESC, doc_id) AS rank
+                   row_number() OVER (ORDER BY round(ms, 4) DESC, doc_id) AS rank
             FROM model)
     SELECT doc_id, retrieval_score, model_score, rank FROM top WHERE rank <= 5
     """,
