@@ -30,29 +30,10 @@ from wallaroo_spark.sources import read_table
 
 
 def _assign(vectors, cents):
-    """Nearest-centroid assignment (broadcast cents, map-side argmax)."""
-    scored = vectors.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    ).crossJoin(
-        F.broadcast(cents.select("cent_id", F.col("embedding").alias("_cv")))
-    )
-    return (
-        scored.withColumn(
-            "_cos", similarity.cosine(F.col("embedding"), F.col("_cv"))
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct(F.col("cent_id"), F.col("embedding")),
-                F.struct(F.col("_cos"), -F.col("cent_id")),
-            ).alias("_best")
-        )
-        .select(
-            "vec_id",
-            F.col("_best.embedding").alias("embedding"),
-            F.col("_best.cent_id").alias("cent_id"),
-        )
-    )
+    """Nearest-centroid assignment — the ONE shared rule
+    (`similarity.assign_nearest`), so the persisted index can never
+    desynchronize from the in-engine assignment/oracle contract."""
+    return similarity.assign_nearest(vectors, cents)
 
 
 def build_index(spark, corpus, index_dir: str, k: int = 6, iters: int = 2):

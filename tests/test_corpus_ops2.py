@@ -393,3 +393,50 @@ def test_model_rerank_swappable_kernel_and_candidate_scope(spark):
     # were never scored
     assert [r.doc_id for r in out] == [15, 7]
     assert [r.rank for r in out] == [1, 2]
+
+
+def test_token_budget_fill_overflow_domain_is_visible_not_dropped(spark):
+    """A domain whose first bucket alone exceeds the budget must emit an
+    explicit zero-kept marker (cutoff -1), not silently vanish; the filter
+    form then drops its docs — visibly accounted for."""
+    rows = [Row(doc_id=i, source="big", text=" ".join(["w"] * 500)) for i in range(50)]
+    rows += [Row(doc_id=100 + i, source="small", text="w w w") for i in range(3)]
+    df = spark.createDataFrame(rows)
+    out = {r.source: r for r in text.token_budget_fill(df, budget=100).collect()}
+    assert out["big"].cutoff_bucket == -1
+    assert out["big"].n_docs_kept == 0 and out["big"].tokens_kept == 0
+    assert out["small"].tokens_kept <= 100 and out["small"].n_docs_kept >= 1
+    kept = text.token_budget_filter(df, budget=100).collect()
+    assert all(r.source == "small" for r in kept)
+
+
+def test_range_join_boundary_epsilon_and_inverted_intervals(spark):
+    from wallaroo_spark.operators import relational
+
+    pts = spark.createDataFrame(
+        [(1, 10.0000000002), (2, 9.999999999)], "pid long, v double"
+    )
+    ivs = spark.createDataFrame(
+        [("x", 9.0, 10.0000000005), ("bad", 1e9, 0.0), ("empty", 5.0, 5.0)],
+        "band string, lo double, hi double",
+    )
+    out = relational.range_join(pts, ivs, "v", "lo", "hi", bucket=5.0)
+    got = sorted((r.pid, r.band) for r in out.collect())
+    # a point within 1e-9 of the interval end must still match; inverted
+    # and empty intervals are dropped without exploding bucket sequences
+    assert got == [(1, "x"), (2, "x")]
+
+
+def test_bpe_train_self_pair_run_semantics_pinned(spark):
+    """Self-pair runs merge every OTHER occurrence per pass (delimiter-
+    consumed single-pass replace) — the documented divergence from classic
+    BPE. 'aaaa aaaa': (a,a) counts 6 (= Sennrich get_stats); merge 1
+    leaves 'aa a a' per word (classic BPE: 'aa aa'); round 2 still sees
+    (a,a) with count 2 and, winning the lexicographic tiebreak over
+    (aa,a), completes the run to 'aa aa' — convergent, one round later."""
+    df = _docs(spark, [(1, "aaaa aaaa")])
+    out = [(r.step, r.left, r.right, r.pair_count) for r in
+           text.bpe_train(df, iters=3).collect()]
+    assert out[0] == (0, "a", "a", 6)
+    assert out[1] == (1, "a", "a", 2)
+    assert out[2][:3] == (2, "aa", "aa")  # runs fully merged by round 3

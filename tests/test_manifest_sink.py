@@ -36,7 +36,8 @@ def test_crash_before_commit_is_invisible_and_vacuumable(spark, tmp_path):
     # a writer that crashed after writing data but before the log link
     t._write_parts(_df(spark, 50, 60))
     assert sorted(r.i for r in t.read(spark).collect()) == [0, 1, 2]
-    assert t.vacuum() == 1
+    assert t.vacuum() == 0  # retention: fresh dirs are never vacuumed
+    assert t.vacuum(min_age_s=0) == 1
     assert sorted(r.i for r in t.read(spark).collect()) == [0, 1, 2]
 
 
@@ -132,3 +133,58 @@ def test_stream_writer_exactly_once_across_restart(spark, tmp_path):
     assert sorted(r.i for r in t.read(spark).collect()) == list(range(9))
     # and the table's history shows exactly 2 committed txn batches
     assert len(w._committed_batches()) == 2
+
+
+def test_overwrite_race_is_last_writer_wins(spark, tmp_path):
+    """A lost overwrite race must re-evaluate removes: the retry removes
+    the racer's snapshot too (last-writer-wins), never a silent merge."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))
+    b_files = t._write_parts(_df(spark, 20, 22))
+    real_versions = t.versions
+    fired = {"done": False}
+
+    def racy_versions():
+        vs = real_versions()
+        if not fired["done"]:
+            fired["done"] = True
+            t.versions = real_versions
+            t._commit(adds=b_files, removes=[])  # racer appends 20,21
+            t.versions = racy_versions
+        return vs
+
+    t.versions = racy_versions
+    t.overwrite(_df(spark, 100, 102))
+    t.versions = real_versions
+    # the winner of the final version is the overwrite; the racer's data
+    # must NOT survive alongside it
+    assert sorted(r.i for r in t.read(spark).collect()) == [100, 101]
+
+
+def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))
+    extra = t._write_parts(_df(spark, 50, 52))
+    real_versions = t.versions
+    fired = {"done": False}
+
+    def racy_versions():
+        vs = real_versions()
+        if not fired["done"]:
+            fired["done"] = True
+            t.versions = real_versions
+            t._commit(adds=extra, removes=[])
+            t.versions = racy_versions
+        return vs
+
+    t.versions = racy_versions
+    try:
+        try:
+            t.compact()
+            assert False, "expected ValueError on concurrent commit"
+        except ValueError:
+            pass
+    finally:
+        t.versions = real_versions
+    # nothing lost: both commits' data intact, compaction simply didn't land
+    assert sorted(r.i for r in t.read(spark).collect()) == [0, 1, 2, 50, 51]

@@ -1060,3 +1060,42 @@ def test_idle_heartbeat_fires_stalled_native_windows(spark, tmpdir):
         (T0, "a"): 2,
         (T0 + dt.timedelta(seconds=60), "a"): 2,
     }  # all rows are REAL events; heartbeat rows never reach the agg
+
+
+def test_idle_heartbeat_default_rate_source_starts(spark, tmpdir):
+    """The DEFAULT heartbeat path (no injected heartbeats DF) must build a
+    valid rate source and actually run a batch — guards the rowsPerSecond
+    option format (the rate source Long-parses it; a float string crashes
+    at stream start)."""
+    import time
+
+    from wallaroo_spark.streaming.heartbeat import with_idle_heartbeat
+
+    src = tmpdir + "/src"
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "k long, ts timestamp"
+    ).write.parquet(src)
+    sdf = spark.readStream.schema("k long, ts timestamp").parquet(src)
+    merged = with_idle_heartbeat(sdf, "ts", "10 seconds", tick_s=0.25)
+    q = (
+        merged.groupBy("k")
+        .count()
+        .writeStream.format("memory")
+        .queryName("hb_default")
+        .option("checkpointLocation", tmpdir + "/ck")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.lastProgress and q.lastProgress["batchId"] >= 1:
+                break
+            if q.exception() is not None:
+                raise AssertionError(q.exception())
+            time.sleep(0.5)
+        assert q.exception() is None
+        rows = spark.sql("SELECT * FROM hb_default").collect()
+        assert [(r.k, r["count"]) for r in rows if r.k is not None] == [(1, 1)]
+    finally:
+        q.stop()

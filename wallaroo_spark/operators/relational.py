@@ -152,12 +152,19 @@ def range_join(
     keep their names (collisions: caller renames).
     """
     p = points.withColumn("_pbkt", F.floor(F.col(point_col) / bucket).cast("long"))
-    iv = intervals.withColumn(
+    # end bucket = floor(end / bucket) exactly: every point < end satisfies
+    # floor(p/b) <= floor(end/b), so no match is ever missed (an end sitting
+    # exactly on a bucket boundary explodes one extra candidate bucket — the
+    # residual filter discards it). An epsilon here would MISS points within
+    # epsilon of end. Empty/inverted intervals (end <= start) are dropped
+    # up front — otherwise a malformed row would explode a huge descending
+    # sequence before the residual could reject it.
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "_bkt",
         F.explode(
             F.sequence(
                 F.floor(F.col(start_col) / bucket).cast("long"),
-                F.floor((F.col(end_col) - 1e-9) / bucket).cast("long"),
+                F.floor(F.col(end_col) / bucket).cast("long"),
             )
         ),
     )

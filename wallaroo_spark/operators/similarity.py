@@ -569,6 +569,41 @@ def jl_project(
     return x.groupBy(id_col).agg(*aggs)
 
 
+def assign_nearest(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """THE nearest-centroid assignment rule (broadcast centroids, map-side
+    max_by argmax, tiebreak min cent_id) — single source shared by
+    semdedup, semdedup_probe, and the persisted-index build
+    (examples/ann_index.py); identical to the rule kmeans_fit iterates and
+    the DuckDB oracles replay, so every path stays oracle-consistent.
+    Returns (id_col, vec_col as array<double>, cent_id)."""
+    scored = df.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("_v")
+    ).crossJoin(
+        F.broadcast(
+            cents.select("cent_id", F.col(vec_col).cast("array<double>").alias("_cv"))
+        )
+    ).select(id_col, "_v", "cent_id", cosine(F.col("_v"), F.col("_cv")).alias("_cos"))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col("cent_id"), F.col("_v")),
+                F.struct(F.col("_cos"), -F.col("cent_id")),
+            ).alias("_best")
+        )
+        .select(
+            id_col,
+            F.col("_best._v").alias(vec_col),
+            F.col("_best.cent_id").alias("cent_id"),
+        )
+    )
+
+
 def semdedup(
     df: DataFrame,
     k: int = 6,
@@ -596,27 +631,8 @@ def semdedup(
     Returns (id, cent_id, kept) for every input row, kept in {0, 1}.
     """
     cents = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    corpus = df.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
-    scored = corpus.crossJoin(
-        F.broadcast(cents.select("cent_id", F.col(vec_col).alias("_cv")))
-    ).select(
-        id_col, "_v", "cent_id", cosine(F.col("_v"), F.col("_cv")).alias("_cos")
-    )
-    # nearest-centroid argmax as a map-side max_by (tiebreak min cent_id) —
-    # the same assignment rule kmeans_fit iterates, so the oracle replays it
-    assigned = (
-        scored.groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.struct(F.col("cent_id"), F.col("_v")),
-                F.struct(F.col("_cos"), -F.col("cent_id")),
-            ).alias("_best")
-        )
-        .select(
-            id_col,
-            F.col("_best.cent_id").alias("cent_id"),
-            F.col("_best._v").alias("_v"),
-        )
+    assigned = assign_nearest(df, cents, id_col, vec_col).withColumnRenamed(
+        vec_col, "_v"
     )
     a = assigned.withColumn("_n", _norm(F.col("_v")))
     lo = a.select(
@@ -672,8 +688,16 @@ def int8_topk_rerank(
 
     Output: (query_id, vec_id, cosine, rank) — exact cosine, final rank.
     """
-    qz = quantize_int8(corpus, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col), F.col("q8")
+    # the int8->double view and its norm are per-VECTOR quantities: compute
+    # them once here, not inside the |corpus| x |queries| pair loop — the
+    # coarse scan then costs exactly one O(d) dot per pair
+    qz = (
+        quantize_int8(corpus, id_col=id_col, vec_col=vec_col)
+        .select(
+            F.col(id_col),
+            F.transform("q8", lambda x: x.cast("double")).alias("_q8d"),
+        )
+        .withColumn("_q8n", _norm(F.col("_q8d")))
     )
     q = queries.select(
         F.col(id_col).alias(query_id),
@@ -683,8 +707,7 @@ def int8_topk_rerank(
         query_id,
         id_col,
         (
-            _dot(F.col("_qv"), F.transform("q8", lambda x: x.cast("double")))
-            / (F.col("_qn") * _norm(F.transform("q8", lambda x: x.cast("double"))))
+            _dot(F.col("_qv"), F.col("_q8d")) / (F.col("_qn") * F.col("_q8n"))
         ).alias("_s8"),
     )
     wc = Window.partitionBy(query_id).orderBy(F.desc("_s8"), F.col(id_col))
@@ -734,25 +757,10 @@ def semdedup_probe(
     duplicate log. Works unchanged on a streaming `incoming`.
     """
 
-    def assign(df: DataFrame, out: str) -> DataFrame:
-        scored = df.select(
-            F.col(id_col).alias(out),
-            F.col(vec_col).cast("array<double>").alias("_v"),
-        ).crossJoin(F.broadcast(cents.select("cent_id", F.col(vec_col).alias("_cv"))))
-        return (
-            scored.withColumn("_cos", cosine(F.col("_v"), F.col("_cv")))
-            .groupBy(out)
-            .agg(
-                F.max_by(
-                    F.struct(F.col("cent_id"), F.col("_v")),
-                    F.struct(F.col("_cos"), -F.col("cent_id")),
-                ).alias("_best")
-            )
-            .select(out, F.col("_best.cent_id").alias("cent_id"), F.col("_best._v").alias("_v"))
-        )
-
-    ref = assign(corpus, out_dup).select(
-        out_dup, "cent_id", F.col("_v").alias("_rv"), _norm(F.col("_v")).alias("_rn")
+    ref = (
+        assign_nearest(corpus, cents, id_col, vec_col)
+        .select(F.col(id_col).alias(out_dup), "cent_id", F.col(vec_col).alias("_rv"))
+        .withColumn("_rn", _norm(F.col("_rv")))
     )
     # incoming side: the argmax must stay per-ROW on a stream (a groupBy
     # would demand watermark/output-mode machinery) — compute it with

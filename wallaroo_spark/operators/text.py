@@ -373,13 +373,27 @@ def token_budget_fill(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.withColumn("_cum", F.sum("_btok").over(w))
-    return (
+    filled = (
         cum.filter(F.col("_cum") <= budget)
-        .groupBy(F.col("_dom").alias(domain))
+        .groupBy("_dom")
         .agg(
             F.max("_bkt").alias("cutoff_bucket"),
             F.sum("_bdocs").alias("n_docs_kept"),
             F.sum("_btok").alias("tokens_kept"),
+        )
+    )
+    # a domain whose FIRST bucket already exceeds the budget would silently
+    # vanish (no cum <= budget rows) and token_budget_filter would drop the
+    # whole domain with no trace — emit an explicit zero-kept marker row
+    # (cutoff_bucket = -1) instead, so "nothing fits" is visible output
+    domains = d.select("_dom").distinct()
+    return (
+        domains.join(filled, "_dom", "left")
+        .select(
+            F.col("_dom").alias(domain),
+            F.coalesce("cutoff_bucket", F.lit(-1)).alias("cutoff_bucket"),
+            F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
         )
     )
 
@@ -453,6 +467,17 @@ def bpe_train(df, iters: int = 4, text: str = "text"):
     frequent adjacent symbol pair (count desc, lexicographic tiebreak) and
     fusing it corpus-wide.
 
+    Merge semantics — documented divergence: the fuse is ONE left-to-right
+    non-overlapping pass of the guarded replace, whose matches consume the
+    shared delimiter. On a run of immediately-repeated symbols one pass
+    merges every OTHER occurrence ('a a a a' -> 'aa a a', where classic
+    BPE gives 'aa aa'); the leftover self-pairs win again in later rounds
+    (lexicographic tiebreak), so runs converge one round late and the
+    learned MERGE TABLE can differ from Sennrich's on self-pair runs —
+    rare in word-type tables. Pair COUNTS match Sennrich's get_stats
+    exactly. The rule is deterministic and replayed verbatim by the DuckDB
+    oracle (test pins the 'aaaa' case).
+
     The working set is the classic one: the WORD-TYPE frequency table, not
     the corpus — one corpus pass builds (word, count), and every iteration
     runs on word types only (at 100 TB the type table is millions of rows
@@ -520,7 +545,9 @@ def bpe_encode(df, merges, text: str = "text", id_col: str = "doc_id"):
     learned vocabulary — (id_col, n_ws_tokens, n_bpe_tokens, ratio).
 
     ``merges`` is the (step, left, right, ...) DataFrame from `bpe_train`
-    (or an equivalent list of (left, right) pairs). The merge list is
+    (or an equivalent list of (left, right) pairs); each merge applies with
+    the same single-pass guarded-replace semantics as training (see
+    `bpe_train` for the self-pair-run divergence note). The merge list is
     driver-collected (it is vocabulary-sized by definition) and compiled
     into a chain of guarded replaces applied in merge order — a pure
     map-side expression; the corpus sees one pass, no shuffle beyond the

@@ -3706,11 +3706,16 @@ def snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM d GROUP BY 1, 2),
     cum AS (SELECT *, sum(btok) OVER (PARTITION BY source ORDER BY bkt
                                       ROWS UNBOUNDED PRECEDING) AS cm
-            FROM hist)
-    SELECT source, max(bkt) AS cutoff_bucket,
-           CAST(sum(bdocs) AS BIGINT) AS n_docs_kept,
-           CAST(sum(btok) AS BIGINT) AS tokens_kept
-    FROM cum WHERE cm <= 1000 GROUP BY 1
+            FROM hist),
+    filled AS (SELECT source, max(bkt) AS cutoff_bucket,
+                      CAST(sum(bdocs) AS BIGINT) AS n_docs_kept,
+                      CAST(sum(btok) AS BIGINT) AS tokens_kept
+               FROM cum WHERE cm <= 1000 GROUP BY 1)
+    SELECT s.source,
+           coalesce(f.cutoff_bucket, -1) AS cutoff_bucket,
+           CAST(coalesce(f.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+           CAST(coalesce(f.tokens_kept, 0) AS BIGINT) AS tokens_kept
+    FROM (SELECT DISTINCT source FROM d) s LEFT JOIN filled f USING (source)
     """,
 )
 def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3857,7 +3862,13 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable) paired by the generic banded-pigeonhole engine — 8-byte
     fingerprints however large the blobs, candidates only, never
     all-pairs. The oracle verifies losslessness literally: it computes
-    ALL pairs within the distance with a naive join."""
+    ALL pairs within the distance with a naive join.
+
+    Oracle note: the oracle models the byte-level stub with character
+    functions (ascii over char positions), valid because the testdata
+    documents are ASCII-only (verified at every SF) — same documented
+    caveat as the other multimodal oracles; the OPERATOR itself is
+    byte-correct for arbitrary media."""
     docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
     return multimodal.ahash_near_pairs(media, max_hamming=5)

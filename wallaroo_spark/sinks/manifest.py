@@ -74,18 +74,40 @@ class ManifestTable:
         return files
 
     # -- commit (optimistic put-if-absent) ----------------------------------
-    def _commit(self, adds: list[str], removes: list[str]) -> int:
+    def _commit(
+        self,
+        adds: list[str],
+        removes=None,
+        txn: dict | None = None,
+        skip_if=None,
+    ) -> int | None:
+        """Commit one log entry at the next free version.
+
+        ``removes`` may be a list OR a zero-arg callable; a callable is
+        re-evaluated on every retry so a lost race never commits a stale
+        removes set computed against a superseded snapshot (the callable
+        may also raise to abort, e.g. compact on concurrent change).
+        ``skip_if`` (zero-arg callable) is checked after a lost race; if
+        truthy the commit is abandoned and None returned — the idempotent
+        replay path for the streaming writer.
+        """
         while True:
             vs = self.versions()
             v = (vs[-1] + 1) if vs else 0
+            rm = removes() if callable(removes) else (removes or [])
             record = os.path.join(self._log, f"{v}.json")
             tmp = record + f".tmp-{uuid.uuid4().hex}"
+            entry = {"version": v, "adds": adds, "removes": rm}
+            if txn is not None:
+                entry["txn"] = txn
             with open(tmp, "w") as f:
-                json.dump({"version": v, "adds": adds, "removes": removes}, f)
+                json.dump(entry, f)
             try:
                 os.link(tmp, record)  # atomic put-if-absent
                 return v
             except FileExistsError:
+                if skip_if is not None and skip_if():
+                    return None
                 continue  # lost the race: re-read the log, retry on top
             finally:
                 os.unlink(tmp)
@@ -106,18 +128,32 @@ class ManifestTable:
         return self._commit(adds=self._write_parts(df), removes=[])
 
     def overwrite(self, df: DataFrame) -> int:
+        # removes as a CALLABLE: if we lose the version race, the retry
+        # removes the racer's snapshot too — last-writer-wins, never a
+        # silent merge of both datasets
         adds = self._write_parts(df)
-        return self._commit(adds=adds, removes=self.snapshot_files())
+        return self._commit(adds=adds, removes=self.snapshot_files)
 
     def compact(self, n_files: int = 1) -> int:
         """Rewrite the current snapshot into ``n_files`` files; one atomic
-        swap entry — readers see the old or the new file set, never both."""
+        swap entry — readers see the old or the new file set, never both.
+        Aborts (ValueError) if another commit lands mid-compaction: the
+        rewritten data would no longer represent the live snapshot."""
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
         old = self.snapshot_files()
         adds = self._write_parts(spark.read.parquet(*old), n_files=n_files)
-        return self._commit(adds=adds, removes=old)
+
+        def removes_or_abort():
+            cur = self.snapshot_files()
+            if cur != old:
+                raise ValueError(
+                    "concurrent commit during compact(); rerun compaction"
+                )
+            return old
+
+        return self._commit(adds=adds, removes=removes_or_abort)
 
     # -- readers ------------------------------------------------------------
     def read(self, spark, version: int | None = None) -> DataFrame:
@@ -126,19 +162,34 @@ class ManifestTable:
             raise ValueError("empty table snapshot")
         return spark.read.parquet(*files)
 
-    def vacuum(self) -> int:
-        """Remove data dirs no log entry references (crashed writers)."""
+    def vacuum(self, min_age_s: float = 3600.0) -> int:
+        """Remove data dirs no log entry references (crashed writers).
+
+        Only dirs older than ``min_age_s`` are eligible (mtime-based
+        retention, the Delta-style guard): an IN-FLIGHT writer that has
+        staged files but not yet linked its log entry must never be
+        vacuumed out from under its about-to-succeed commit. Pass 0 only
+        when no writer can be active (tests, offline maintenance)."""
+        import time
+
         referenced: set[str] = set()
         for v in self.versions():
             e = self._entry(v)
             for f in e.get("adds", []):
                 referenced.add(os.path.dirname(f))
+        now = time.time()
         removed = 0
         for name in os.listdir(self._data):
             d = os.path.join(self._data, name)
-            if d not in referenced:
-                shutil.rmtree(d, ignore_errors=True)
-                removed += 1
+            if d in referenced:
+                continue
+            try:
+                if now - os.path.getmtime(d) < min_age_s:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
         return removed
 
 
@@ -167,29 +218,11 @@ class ManifestStreamWriter:
         if batch_id in self._committed_batches():
             return  # replayed batch: already visible, append nothing
         adds = self.table._write_parts(df)
-        # embed the txn marker through the same atomic put-if-absent commit
-        while True:
-            vs = self.table.versions()
-            v = (vs[-1] + 1) if vs else 0
-            record = os.path.join(self.table._log, f"{v}.json")
-            tmp = record + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(
-                    {
-                        "version": v,
-                        "adds": adds,
-                        "removes": [],
-                        "txn": {"query_id": self.query_id, "batch_id": batch_id},
-                    },
-                    f,
-                )
-            try:
-                os.link(tmp, record)
-                return
-            except FileExistsError:
-                # lost a race; if the winner was OUR replayed batch, stop
-                if batch_id in self._committed_batches():
-                    return
-                continue
-            finally:
-                os.unlink(tmp)
+        # same atomic put-if-absent commit, with the txn marker embedded;
+        # skip_if handles the lost-race-to-our-own-replay case
+        self.table._commit(
+            adds=adds,
+            removes=[],
+            txn={"query_id": self.query_id, "batch_id": batch_id},
+            skip_if=lambda: batch_id in self._committed_batches(),
+        )

@@ -48,9 +48,15 @@ def with_idle_heartbeat(
     """
     spark = sdf.sparkSession
     if heartbeats is None:
+        # the rate source parses rowsPerSecond with Long.parseLong — a
+        # float string crashes at stream start. Sub-second ticks round up
+        # to >=1 row/s (extra heartbeats are harmless: they only advance
+        # the watermark); slower ticks become 1 row/s + numPartitions=1.
+        rows_per_sec = max(1, round(1.0 / tick_s))
         heartbeats = (
             spark.readStream.format("rate")
-            .option("rowsPerSecond", str(1.0 / tick_s))
+            .option("rowsPerSecond", str(int(rows_per_sec)))
+            .option("numPartitions", "1")
             .load()
             .select(F.col("timestamp").alias(ts_col))
         )
