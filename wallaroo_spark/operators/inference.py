@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def _stub_scores(texts):
@@ -75,7 +74,7 @@ def model_rerank(
     """
     cand_docs = docs.join(F.broadcast(candidates.select(id_col)), id_col)
     scored = score_documents(cand_docs, model_fn, text, id_col)
-    return (
+    top = (
         candidates.join(scored, id_col)
         # rank on the ROUNDED score (id tiebreak) so float ulp differences
         # can't flip the cut between engines — same rule as BM25
@@ -86,14 +85,28 @@ def model_rerank(
             "retrieval_score",
             F.round("model_score", 4).alias("model_score"),
         )
-        .withColumn(
-            "rank",
-            # k rows after the limit; constant partition key avoids the
-            # partition-less WindowExec path the plan audits forbid
-            F.row_number().over(
-                Window.partitionBy(F.lit(1)).orderBy(
-                    F.col("model_score").desc(), F.col(id_col)
-                )
-            ),
+    )
+    # rank via count-of-strictly-ahead on the k-row table (broadcast self-
+    # join) — a global row_number window would be the partition-less
+    # WindowExec single-task path the suite-wide plan assertion forbids
+    rhs = top.select(
+        F.col(id_col).alias("_oid"), F.col("model_score").alias("_os")
+    )
+    ahead = (
+        top.crossJoin(F.broadcast(rhs))
+        .filter(
+            (F.col("_os") > F.col("model_score"))
+            | ((F.col("_os") == F.col("model_score")) & (F.col("_oid") < F.col(id_col)))
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_ahead"))
+    )
+    return (
+        top.join(ahead, id_col, "left")
+        .select(
+            id_col,
+            "retrieval_score",
+            "model_score",
+            (F.coalesce("_ahead", F.lit(0)) + 1).cast("int").alias("rank"),
         )
     )
