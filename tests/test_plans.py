@@ -198,6 +198,28 @@ def test_ngram_vocab_broadcast_auto_degrades(spark):
     assert got_b == got_s and got_b
 
 
+def test_shared_shingles_param_identical_results(spark):
+    """``shingles_df=`` (round-7 #1): passing a caller-persisted shared
+    shingle table to ngram_jaccard_pairs / minhash_lsh_pairs returns pairs
+    identical to the self-computed path, and leaves the caller's cache
+    intact (the operator must not unpersist a table it does not own)."""
+    from wallaroo_spark.operators.dedup import (
+        doc_shingles, minhash_lsh_pairs, ngram_jaccard_pairs,
+    )
+    from wallaroo_spark.sources import read_table
+
+    docs = read_table(spark, SF, "documents")
+    sh = doc_shingles(docs).persist()
+    try:
+        for fn in (ngram_jaccard_pairs, minhash_lsh_pairs):
+            own = sorted(map(tuple, fn(docs, threshold=0.5).collect()))
+            shared = sorted(map(tuple, fn(docs, threshold=0.5, shingles_df=sh).collect()))
+            assert own == shared and own
+            assert sh.is_cached  # operator must not release the shared cache
+    finally:
+        sh.unpersist()
+
+
 def test_q9_multi_fact_profit_dims_broadcast(spark):
     """Q9: part/supplier/nation broadcast; lineitem<->orders is the only
     fact-fact join; no Python anywhere."""

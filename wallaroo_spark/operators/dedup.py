@@ -87,6 +87,14 @@ def _doc_shingles(df: DataFrame, id_col: str, text: str) -> DataFrame:
     return df.select(id_col, F.explode(shingles(F.col(text))).alias("sh"))
 
 
+def doc_shingles(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Public (id, sh) shingle table — persist it and pass as ``shingles_df``
+    to ``ngram_jaccard_pairs`` / ``minhash_lsh_pairs`` to share ONE explode
+    across several similarity passes (e.g. an exact-truth + LSH recall
+    audit). The caller owns the cache lifecycle of a shared table."""
+    return _doc_shingles(df, id_col, text)
+
+
 VOCAB_BROADCAST_MAX = 1_000_000  # distinct shingles above which the frequency
 # dictionary is too big to broadcast (~50-100 B/row => ~100 MB at the cap)
 
@@ -97,6 +105,7 @@ def ngram_jaccard_pairs(
     text: str = "text",
     threshold: float = 0.7,
     vocab_broadcast_max: int | None = VOCAB_BROADCAST_MAX,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact all-near-pairs by shingle Jaccard >= threshold — with lossless
     **prefix filtering** (the standard set-similarity-join optimization; cf.
@@ -119,8 +128,13 @@ def ngram_jaccard_pairs(
     Verification then computes exact Jaccard on candidates only, so the
     result is identical to the naive all-pairs join (the oracle checks
     this literally).
+
+    ``shingles_df``: optional pre-computed ``doc_shingles`` table (already
+    persisted by the caller) — shares one shingle explode across operators;
+    the caller then owns its cache lifecycle.
     """
-    sh = _doc_shingles(df, id_col, text).persist()
+    owns_cache = shingles_df is None
+    sh = _doc_shingles(df, id_col, text).persist() if owns_cache else shingles_df
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
 
     # SIZE-AWARE broadcast decision: at 100 TB the shingle vocabulary is tens
@@ -151,7 +165,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return _materialize_release(out, sh)
+    return _materialize_release(out, *([sh] if owns_cache else []))
 
 
 def _ngram_candidates(
@@ -215,24 +229,37 @@ def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
     return res
 
 
-def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
     """k=16 minhash values per document (columns mh0..mh15)."""
     # project the md5 hash ONCE per shingle row, then run the 16 cheap
     # arithmetic permutations over that column — not 16 md5 calls per row
-    sh = _doc_shingles(df, id_col, text).select(id_col, H.hmod_col(F.col("sh")).alias("h"))
+    base = _doc_shingles(df, id_col, text) if shingles_df is None else shingles_df
+    sh = base.select(id_col, H.hmod_col(F.col("sh")).alias("h"))
     aggs = [F.min(H.perm_col(F.col("h"), i)).alias(f"mh{i}") for i in range(H.N_PERM)]
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str = "doc_id", text: str = "text", threshold: float = 0.5
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    threshold: float = 0.5,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, verified with exact shingle Jaccard.
 
     Bands of 4 rows: candidates = equal on any band; then exact verify >=
     threshold. Linear shuffles; never all-pairs.
+
+    ``shingles_df``: optional pre-computed persisted ``doc_shingles`` table
+    shared with other similarity passes (caller owns its cache lifecycle).
     """
-    sigs = minhash_signatures(df, id_col, text)
+    sigs = minhash_signatures(df, id_col, text, shingles_df=shingles_df)
     # one row per (doc, band), the band signature PACKED into a single
     # xxhash64 long (band id folded into the hash): a single self-equi-join
     # on the 8-byte sig replaces LSH_BANDS separate joins AND shuffles
@@ -266,7 +293,8 @@ def minhash_lsh_pairs(
     # to (pair, shingle) via two equi-joins — cost |cands| * shingles/doc,
     # never the all-pairs shingle blowup (hot shingles in a small vocabulary
     # make the naive sh⋈sh join quadratic)
-    sh = _doc_shingles(df, id_col, text).persist()
+    owns_cache = shingles_df is None
+    sh = _doc_shingles(df, id_col, text).persist() if owns_cache else shingles_df
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     # lossless length filter BEFORE the shingle-expansion verify: J >= t
     # forces t*|A| <= |B| <= |A|/t, so size-mismatched candidates never pay
@@ -302,7 +330,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return _materialize_release(out, sh)
+    return _materialize_release(out, *([sh] if owns_cache else []))
 
 
 def duplicate_clusters(

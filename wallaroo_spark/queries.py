@@ -3902,14 +3902,24 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard>=0.5 ground truth (ppjoin). The honest-measurement query
     every approximate dedup deployment needs — run it on a sample before
     trusting the banding parameters at corpus scale. Output one row:
-    (n_true, n_caught, recall)."""
+    (n_true, n_caught, recall).
+
+    The truth and candidate pipelines SHARE one persisted shingle table
+    (``doc_shingles`` + ``shingles_df=``) — the explode+distinct over the
+    corpus runs once, not once per pipeline; both operators localCheckpoint
+    their pair lists eagerly, so the cache is released here right after
+    construction."""
     docs = _t(spark, sf_dir, "documents")
-    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    sh = dedup.doc_shingles(docs).persist()
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.5, shingles_df=sh).select(
+        "doc_a", "doc_b"
+    )
     caught = (
-        dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        dedup.minhash_lsh_pairs(docs, threshold=0.5, shingles_df=sh)
         .select("doc_a", "doc_b")
         .withColumn("_c", F.lit(1))
     )
+    sh.unpersist()
     return truth.join(caught, ["doc_a", "doc_b"], "left").agg(
         F.count("*").alias("n_true"),
         F.count("_c").alias("n_caught"),
