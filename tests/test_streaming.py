@@ -1099,3 +1099,89 @@ def test_idle_heartbeat_default_rate_source_starts(spark, tmpdir):
         assert [(r.k, r["count"]) for r in rows if r.k is not None] == [(1, 1)]
     finally:
         q.stop()
+
+
+def test_stream_token_budget_admit_matches_batch(spark, tmpdir):
+    """Streaming budget admission (round-7 #3): feed the documents stream in
+    the batch operator's salted-bucket-then-id order; the drained admitted
+    set must equal batch token_budget_admit exactly (same prefix cut, same
+    cum_tokens)."""
+    from wallaroo_spark.operators.text import _budget_bucket, token_budget_admit
+    from wallaroo_spark.sources import read_table
+    from wallaroo_spark.streaming.admission import token_budget_admit_stream
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "source", "doc_id", "text",
+        (
+            F.lit(T0)
+            + F.make_interval(
+                secs=_budget_bucket("doc_id", 256) * 100000 + F.col("doc_id")
+            )
+        ).alias("ts"),
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    sdf = spark.readStream.schema(docs.schema).parquet(tmpdir + "/in")
+    out = token_budget_admit_stream(sdf, budget=1500, domain="source")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_budget_stream")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.source, r.doc_id): (r.n_tokens, r.cum_tokens)
+        for r in spark.sql("SELECT * FROM t_budget_stream").collect()
+    }
+    want = {
+        (r.source, r.doc_id): (r.n_tokens, r.cum_tokens)
+        for r in token_budget_admit(
+            read_table(spark, "/root/testdata/sf0.001", "documents"),
+            budget=1500,
+            domain="source",
+        ).collect()
+    }
+    assert got == want and want
+
+
+def test_stream_token_budget_prefix_cut_across_batches(spark, tmpdir):
+    """The budget counter must survive micro-batch boundaries, and the cut
+    is a PREFIX cut: a rejected doc still consumes budget, so a later
+    smaller doc is NOT back-filled (matches the batch filter cum<=budget)."""
+    from wallaroo_spark.streaming.admission import token_budget_admit_stream
+
+    def doc(i, words, ts_off):
+        return Row(
+            source="s", doc_id=i, text=" ".join(["w"] * words),
+            ts=T0 + dt.timedelta(seconds=ts_off),
+        )
+
+    b1 = spark.createDataFrame([doc(1, 5, 0), doc(2, 5, 1)])
+    b2 = spark.createDataFrame([doc(3, 5, 2), doc(4, 1, 3)])
+    b1.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    b2.coalesce(1).write.mode("append").parquet(tmpdir + "/in")
+    sdf = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir + "/in")
+    )
+    # budget 12: docs 1,2 admitted (10); doc 3 overflows (15) and is
+    # rejected but still counts; doc 4 (1 token, total 16) must NOT be
+    # admitted even though 10+1 <= 12 — prefix-cut, not bin-packing.
+    out = token_budget_admit_stream(sdf, budget=12, domain="source")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_budget_prefix")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_budget_prefix ORDER BY doc_id").collect()
+    assert [(r.doc_id, r.n_tokens, r.cum_tokens) for r in rows] == [
+        (1, 5, 5),
+        (2, 5, 10),
+    ]

@@ -398,6 +398,65 @@ def token_budget_fill(
     )
 
 
+def token_budget_admit(
+    df,
+    budget: int,
+    domain: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+):
+    """Exact doc-level token-budget admission as a DISTRIBUTED PREFIX SCAN.
+
+    Where `token_budget_fill` keeps whole buckets (cheapest; bucket-granular
+    cut), this admits documents ONE BY ONE in the deterministic
+    salted-bucket-then-id order until each domain's budget is exactly
+    exhausted: a doc is admitted iff its running token total (in that
+    order) stays <= budget. The salted-md5 bucket order makes admission a
+    reproducible pseudo-random sample rather than a lowest-id bias.
+
+    100 TB shape — the classic two-phase scan: (1) per-(domain, bucket)
+    token sums form a tiny histogram, cumulated per domain in bucket order
+    to give each bucket its start OFFSET; (2) within each (domain, bucket)
+    a window cumsum ordered by id, shifted by the broadcast offset. A naive
+    ``sum() OVER (PARTITION BY domain ORDER BY id)`` serializes each domain
+    through ONE task; here the only per-domain-sequential work is the
+    n_buckets-row histogram cumsum, and every corpus-sized stage is
+    parallel across (domain x bucket). The oracle IS the naive window —
+    proving the scan exact.
+
+    Output: admitted docs (domain, id_col, n_tokens, cum_tokens).
+    """
+    from pyspark.sql.window import Window
+
+    d = df.select(
+        F.col(domain).alias("_dom"),
+        F.col(id_col),
+        F.size(tokens(F.col(text))).alias("n_tokens"),
+        _budget_bucket(id_col, n_buckets).alias("_bkt"),
+    )
+    hist = d.groupBy("_dom", "_bkt").agg(F.sum("n_tokens").alias("_btok"))
+    w_hist = (
+        Window.partitionBy("_dom")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = hist.withColumn(
+        "_off", F.sum("_btok").over(w_hist) - F.col("_btok")
+    ).select("_dom", "_bkt", "_off")
+    w_in = (
+        Window.partitionBy("_dom", "_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(offsets), ["_dom", "_bkt"])
+        .withColumn("cum_tokens", F.col("_off") + F.sum("n_tokens").over(w_in))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(F.col("_dom").alias(domain), id_col, "n_tokens", "cum_tokens")
+    )
+
+
 def bigram_surprisal(df, text: str = "text", id_col: str = "doc_id", round_dp: int = 4):
     """Corpus-LM quality score: average bigram surprisal (-log2 p) of each
     document under the corpus's own bigram distribution — the cheap,

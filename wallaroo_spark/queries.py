@@ -3730,6 +3730,33 @@ def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_budget_admit",
+    oracle=f"""
+    WITH d AS (SELECT source, doc_id,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 15))
+                           AS BIGINT) % 256 AS bkt,
+                      len({_TOKS_SQL}) AS n_tokens
+               FROM documents),
+    c AS (SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY bkt, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM d)
+    SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 1500
+    """,
+)
+def token_budget_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level exact budget admission (`text.token_budget_admit`): the
+    distributed two-phase prefix scan (bucket-histogram offsets + parallel
+    within-bucket cumsum) vs the oracle's naive serial window — proving the
+    scan exact while every corpus-sized stage stays parallel."""
+    return text.token_budget_admit(
+        _t(spark, sf_dir, "documents"), budget=1500, domain="source"
+    )
+
+
+@query(
     "bigram_surprisal_quality",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),

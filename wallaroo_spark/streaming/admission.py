@@ -1,0 +1,99 @@
+"""Streaming token-budget admission: per-domain budget state over an
+unbounded document stream.
+
+The streaming counterpart of ``operators.text.token_budget_admit`` (round-7
+candidate #3): an ingestion front-door that admits documents into a training
+corpus until each domain's token budget is exhausted, then closes the gate —
+without ever re-scanning what was already admitted.
+
+- **token counting is stateless column math** (``F.size(tokens(text))``)
+  before the stateful op — the Python state function never touches text;
+- **state is one BIGINT per domain** (tokens seen so far): bounded by the
+  number of domains, not the stream. ``GroupStateTimeout.NoTimeout`` — a
+  budget is a forever fact, so the counter must outlive any horizon;
+- **admission order**: arrival order, made deterministic within a
+  micro-batch by sorting on (event-ts, id). The batch operator admits in
+  salted-bucket-then-id order instead; feed the stream in that order (or
+  any fixed order shared by both) and the drained result is identical —
+  parity-tested in ``tests/test_streaming.py``;
+- **prefix-cut semantics** (matches batch exactly): the running total
+  counts EVERY document seen, including rejected ones, and a doc is
+  admitted iff the total including it stays <= budget. With non-negative
+  token counts the admitted set is a strict prefix of the domain's arrival
+  order, so "budget exhausted" is a stable, monotone state.
+
+Reference parity: this is the reference's keyed state-computation shape
+(`lib/wallaroo/core/state/state.pony:27`, SURVEY §2.1 S3) applied to corpus
+admission — per-key state mutated per message, emitting 0/1 outputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from wallaroo_spark.operators.text import tokens
+
+# executors never import wallaroo_spark — serialize closures by value
+import sys as _sys
+
+try:  # pragma: no cover - vendored cloudpickle always present in pyspark>=3.3
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
+
+def token_budget_admit_stream(
+    sdf: DataFrame,
+    budget: int,
+    domain: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Admit streaming docs per-domain until ``budget`` tokens have been
+    seen (prefix-cut; see module docstring). Output one row per ADMITTED
+    doc: (domain, id_col, n_tokens, cum_tokens)."""
+    d = sdf.select(
+        F.col(domain).alias("_dom"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(ts_col).alias("_ts"),
+        F.size(tokens(F.col(text))).cast("long").alias("_nt"),
+    )
+    out_schema = (
+        f"{domain} string, {id_col} bigint, n_tokens bigint, cum_tokens bigint"
+    )
+    state_schema = "used bigint"
+    budget = int(budget)
+
+    def run(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], gs: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        used = gs.get[0] if gs.exists else 0
+        (dom,) = key
+        rows = []
+        for pdf in pdf_iter:
+            # deterministic in-batch order: event time, then id
+            pdf = pdf.sort_values(["_ts", "_id"], kind="mergesort")
+            for did, nt in zip(pdf["_id"], pdf["_nt"]):
+                used += int(nt)
+                if used <= budget:
+                    rows.append((dom, int(did), int(nt), used))
+        gs.update((used,))
+        if rows:
+            yield _pd.DataFrame(
+                rows, columns=[domain, id_col, "n_tokens", "cum_tokens"]
+            )
+
+    return d.groupBy("_dom").applyInPandasWithState(
+        run, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
