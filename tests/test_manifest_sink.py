@@ -188,3 +188,66 @@ def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
         t.versions = real_versions
     # nothing lost: both commits' data intact, compaction simply didn't land
     assert sorted(r.i for r in t.read(spark).collect()) == [0, 1, 2, 50, 51]
+
+
+def test_log_checkpoint_seeds_reads_and_time_travel(spark, tmp_path):
+    """Log checkpointing (round-7 #2): with checkpoint_interval=3 the table
+    auto-checkpoints; current reads seed from the checkpoint (proven by
+    tampering: log entries at-or-below the checkpoint are moved aside and
+    the snapshot is still correct), while time travel BELOW the oldest
+    checkpoint replays the prefix as before."""
+    t = ManifestTable(str(tmp_path / "t"), checkpoint_interval=3)
+    t.append(_df(spark, 0, 3))        # v0
+    t.overwrite(_df(spark, 10, 14))   # v1
+    t.append(_df(spark, 14, 16))      # v2 -> auto-checkpoint @2
+    t.append(_df(spark, 16, 18))      # v3
+    assert t._checkpoint_versions() == [2]
+    want_now = sorted(r.i for r in t.read(spark).collect())
+    assert want_now == list(range(10, 18))
+    # time travel below the checkpoint: full-prefix replay
+    assert sorted(r.i for r in t.read(spark, version=0).collect()) == [0, 1, 2]
+
+    # tamper: hide entries <= checkpoint; current snapshot must still
+    # resolve (checkpoint-seeded), proving reads do NOT replay them
+    for v in (0, 1, 2):
+        os.rename(
+            str(tmp_path / "t" / "_log" / f"{v}.json"),
+            str(tmp_path / "t" / "_log" / f"{v}.hidden"),
+        )
+    assert sorted(r.i for r in t.read(spark).collect()) == want_now
+    assert t.versions() == [3]
+
+
+def test_explicit_checkpoint_and_race_harmless(spark, tmp_path):
+    """Manual checkpoint(): idempotent (second call at the same version is
+    a no-op race) and snapshot-equivalent before/after."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 4))
+    t.append(_df(spark, 4, 6))
+    before = sorted(r.i for r in t.read(spark).collect())
+    assert t.checkpoint() == 1
+    assert t.checkpoint() == 1  # same version again: put-if-absent no-op
+    assert t._checkpoint_versions() == [1]
+    assert sorted(r.i for r in t.read(spark).collect()) == before
+    # empty table checkpoints to None
+    t2 = ManifestTable(str(tmp_path / "t2"))
+    assert t2.checkpoint() is None
+
+
+def test_stream_writer_txns_survive_checkpoint(spark, tmp_path):
+    """Exactly-once marker continuity: a batch committed BEFORE a log
+    checkpoint must still be recognized as committed afterwards (txn
+    markers ride into the checkpoint), even with its log entry hidden."""
+    from wallaroo_spark.sinks.manifest import ManifestStreamWriter
+
+    t = ManifestTable(str(tmp_path / "t"))
+    w = ManifestStreamWriter(t, query_id="q1")
+    w(_df(spark, 0, 5), batch_id=0)  # v0 with txn marker
+    t.checkpoint()
+    os.rename(
+        str(tmp_path / "t" / "_log" / "0.json"),
+        str(tmp_path / "t" / "_log" / "0.hidden"),
+    )
+    w(_df(spark, 0, 5), batch_id=0)  # replay: must append NOTHING
+    assert sorted(r.i for r in t.read(spark).collect()) == list(range(5))
+    assert t.committed_txns("q1") == {0}

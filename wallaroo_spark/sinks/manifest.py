@@ -27,8 +27,17 @@ Design (the Delta/Iceberg shape, minimum viable):
   ``vacuum()`` removes dirs no log entry references.
 
 The log itself stays tiny (one JSON per commit); at extreme commit counts
-the standard fix is checkpointing the replayed state every N versions —
-noted, not needed at this scale.
+replaying every entry on every read becomes the bottleneck, so the table
+supports **log checkpoints** (the Delta `_last_checkpoint` shape): every
+``checkpoint_interval`` commits (or on explicit ``checkpoint()``) the
+replayed state — current file set plus seen txn markers — is written to
+``_checkpoints/<version>.json`` with the same put-if-absent primitive.
+Readers seed from the newest checkpoint at-or-below the requested version
+and replay only the newer entries, so reads are O(interval), not O(total
+commits); time travel below the oldest checkpoint still replays from the
+start (log entries are never deleted). Checkpoint content is a pure
+deterministic function of the log prefix, so concurrent checkpointers
+racing on the same version are harmless.
 """
 
 from __future__ import annotations
@@ -42,12 +51,15 @@ from pyspark.sql import DataFrame
 
 
 class ManifestTable:
-    def __init__(self, base_dir: str):
+    def __init__(self, base_dir: str, checkpoint_interval: int | None = None):
         self.base = base_dir
         self._log = os.path.join(base_dir, "_log")
         self._data = os.path.join(base_dir, "_data")
+        self._ckpt = os.path.join(base_dir, "_checkpoints")
+        self.checkpoint_interval = checkpoint_interval
         os.makedirs(self._log, exist_ok=True)
         os.makedirs(self._data, exist_ok=True)
+        os.makedirs(self._ckpt, exist_ok=True)
 
     # -- log replay ---------------------------------------------------------
     def versions(self) -> list[int]:
@@ -61,17 +73,72 @@ class ManifestTable:
         with open(os.path.join(self._log, f"{v}.json")) as f:
             return json.load(f)
 
-    def snapshot_files(self, version: int | None = None) -> list[str]:
-        """Current (or as-of ``version``) data-file set = log replay."""
+    def _checkpoint_versions(self) -> list[int]:
+        return sorted(
+            int(n[: -len(".json")])
+            for n in os.listdir(self._ckpt)
+            if n.endswith(".json")
+        )
+
+    def _replay(self, version: int | None = None) -> tuple[list[str], list[dict]]:
+        """(file set, txn markers) as of ``version`` — seeded from the
+        newest checkpoint at-or-below it, replaying only newer entries."""
+        cps = self._checkpoint_versions()
+        base_v = max(
+            (c for c in cps if version is None or c <= version), default=None
+        )
         files: list[str] = []
+        txns: list[dict] = []
+        if base_v is not None:
+            with open(os.path.join(self._ckpt, f"{base_v}.json")) as f:
+                cp = json.load(f)
+            files, txns = list(cp["files"]), list(cp.get("txns", []))
         for v in self.versions():
+            if base_v is not None and v <= base_v:
+                continue
             if version is not None and v > version:
                 break
             e = self._entry(v)
             removed = set(e.get("removes", []))
             files = [f for f in files if f not in removed]
             files.extend(e.get("adds", []))
-        return files
+            if e.get("txn"):
+                txns.append(e["txn"])
+        return files, txns
+
+    def snapshot_files(self, version: int | None = None) -> list[str]:
+        """Current (or as-of ``version``) data-file set = log replay."""
+        return self._replay(version)[0]
+
+    def committed_txns(self, query_id: str) -> set:
+        """Batch ids committed by ``query_id`` (checkpoint-seeded replay)."""
+        return {
+            t["batch_id"]
+            for t in self._replay()[1]
+            if t.get("query_id") == query_id
+        }
+
+    def checkpoint(self) -> int | None:
+        """Write the replayed state at the CURRENT latest version to
+        ``_checkpoints/<version>.json`` (put-if-absent; deterministic
+        content makes checkpoint races harmless). Returns the checkpointed
+        version, or None on an empty log."""
+        vs = self.versions()
+        if not vs:
+            return None
+        v = vs[-1]
+        files, txns = self._replay(version=v)
+        record = os.path.join(self._ckpt, f"{v}.json")
+        tmp = record + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "files": files, "txns": txns}, f)
+        try:
+            os.link(tmp, record)
+        except FileExistsError:
+            pass  # a racer wrote the identical state
+        finally:
+            os.unlink(tmp)
+        return v
 
     # -- commit (optimistic put-if-absent) ----------------------------------
     def _commit(
@@ -104,6 +171,11 @@ class ManifestTable:
                 json.dump(entry, f)
             try:
                 os.link(tmp, record)  # atomic put-if-absent
+                if (
+                    self.checkpoint_interval
+                    and (v + 1) % self.checkpoint_interval == 0
+                ):
+                    self.checkpoint()
                 return v
             except FileExistsError:
                 if skip_if is not None and skip_if():
@@ -206,13 +278,9 @@ class ManifestStreamWriter:
         self.query_id = query_id
 
     def _committed_batches(self) -> set:
-        seen = set()
-        for v in self.table.versions():
-            e = self.table._entry(v)
-            txn = e.get("txn")
-            if txn and txn.get("query_id") == self.query_id:
-                seen.add(txn["batch_id"])
-        return seen
+        # checkpoint-seeded: txn markers survive into log checkpoints, so
+        # idempotence holds even when old log entries sit below a checkpoint
+        return self.table.committed_txns(self.query_id)
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
         if batch_id in self._committed_batches():
