@@ -427,14 +427,27 @@ def token_budget_admit(
 
     Output: admitted docs (domain, id_col, n_tokens, cum_tokens).
     """
-    from pyspark.sql.window import Window
-
     d = df.select(
         F.col(domain).alias("_dom"),
         F.col(id_col),
         F.size(tokens(F.col(text))).alias("n_tokens"),
         _budget_bucket(id_col, n_buckets).alias("_bkt"),
     )
+    return (
+        _scan_cum_tokens(d, id_col)
+        .filter(F.col("cum_tokens") <= budget)
+        .select(F.col("_dom").alias(domain), id_col, "n_tokens", "cum_tokens")
+    )
+
+
+def _scan_cum_tokens(d, id_col: str):
+    """Distributed prefix scan: per-_dom running token total in (_bkt,
+    id_col) order, via bucket-histogram offsets + parallel within-bucket
+    window cumsum (see `token_budget_admit` for the 100 TB rationale).
+    ``d`` must have columns (_dom, id_col, n_tokens, _bkt); adds
+    ``cum_tokens``."""
+    from pyspark.sql.window import Window
+
     hist = d.groupBy("_dom", "_bkt").agg(F.sum("n_tokens").alias("_btok"))
     w_hist = (
         Window.partitionBy("_dom")
@@ -449,11 +462,53 @@ def token_budget_admit(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        d.join(F.broadcast(offsets), ["_dom", "_bkt"])
-        .withColumn("cum_tokens", F.col("_off") + F.sum("n_tokens").over(w_in))
-        .filter(F.col("cum_tokens") <= budget)
-        .select(F.col("_dom").alias(domain), id_col, "n_tokens", "cum_tokens")
+    return d.join(F.broadcast(offsets), ["_dom", "_bkt"]).withColumn(
+        "cum_tokens", F.col("_off") + F.sum("n_tokens").over(w_in)
+    )
+
+
+def pack_sequences(
+    df,
+    seq_len: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+):
+    """Concat-then-chunk sequence packing: lay every document end-to-end in
+    the deterministic salted-bucket-then-id order and cut the token stream
+    into fixed ``seq_len`` training contexts — the standard GPT-style
+    packing (documents split across context boundaries; no padding). Each
+    doc's placement is pure arithmetic on its global token offset, so the
+    full corpus->training-sequence layout is computed WITHOUT materializing
+    a token stream: one distributed prefix scan (`_scan_cum_tokens` — every
+    corpus-sized stage parallel across buckets) and a map-side projection.
+
+    Output per non-empty doc: (id_col, n_tokens, seq_id, seq_offset,
+    n_seqs) — the sequence its first token lands in, the offset inside it,
+    and how many consecutive sequences the doc spans. Token-less docs
+    occupy no space and are dropped. ``sum(n_tokens)/seq_len`` sequences
+    come out fully packed by construction; a writer task can then fetch its
+    sequence range by ``seq_id`` partition pruning.
+    """
+    d = df.select(
+        F.lit("_").alias("_dom"),
+        F.col(id_col),
+        F.size(tokens(F.col(text))).alias("n_tokens"),
+        _budget_bucket(id_col, n_buckets).alias("_bkt"),
+    )
+    c = (
+        _scan_cum_tokens(d, id_col)
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("_st", F.col("cum_tokens") - F.col("n_tokens"))
+        .withColumn("_en", F.col("cum_tokens") - 1)
+    )
+    L = int(seq_len)
+    return c.select(
+        id_col,
+        "n_tokens",
+        F.expr(f"_st div {L}").alias("seq_id"),
+        (F.col("_st") % L).alias("seq_offset"),
+        (F.expr(f"_en div {L}") - F.expr(f"_st div {L}") + 1).alias("n_seqs"),
     )
 
 

@@ -3757,6 +3757,32 @@ def token_budget_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_sequences",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 15))
+                           AS BIGINT) % 256 AS bkt,
+                      len({_TOKS_SQL}) AS n
+               FROM documents),
+    c AS (SELECT doc_id, n,
+                 sum(n) OVER (ORDER BY bkt, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST((cum - n) // 512 AS BIGINT) AS seq_id,
+           CAST((cum - n) % 512 AS BIGINT) AS seq_offset,
+           CAST((cum - 1) // 512 - (cum - n) // 512 + 1 AS BIGINT) AS n_seqs
+    FROM c WHERE n > 0
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (`text.pack_sequences`): every doc's
+    (seq_id, seq_offset, n_seqs) placement in 512-token training contexts,
+    computed by the distributed prefix scan + map-side arithmetic — no
+    token stream materialized. Oracle is the naive serial window."""
+    return text.pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
+@query(
     "bigram_surprisal_quality",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
