@@ -321,6 +321,119 @@ def target_mixture_sample(
     return df.join(F.broadcast(rates), strata_col).filter(bucket < F.col("_pct"))
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.3,
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual-training
+    alpha-smoothing: sample strata proportional to ``n_s^alpha`` instead of
+    ``n_s``, upweighting rare languages/sources). Keep probability per
+    stratum is ``(n_s / n_min)^(alpha-1)`` — 100% for the rarest stratum,
+    decreasing for common ones — applied as the engine-portable salted md5
+    bucket filter, so the sample replays identically anywhere.
+
+    Scale shape (same as `target_mixture_sample`): per-stratum counts are
+    one partial-agged groupBy; the min count rides a broadcast single-row
+    agg (never a partition-less window); the tiny rates table broadcasts
+    onto the corpus scan — the sample itself is a map-side filter. The keep
+    percentage is rounded to 4dp before the bucket comparison so Spark and
+    oracle ``pow`` agree at the boundary.
+    """
+    from wallaroo_spark.functions import hashing as H
+
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n_stratum"))
+    nmin = counts.agg(F.min("_n_stratum").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        strata_col,
+        F.round(
+            F.lit(100.0)
+            * F.pow(F.col("_n_stratum") / F.col("_nmin"), F.lit(alpha - 1.0)),
+            4,
+        ).alias("_pct"),
+    )
+    bucket = H.md5int_col(
+        F.concat(
+            F.lit(salt + ":"),
+            F.col(strata_col).cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    ) % F.lit(100)
+    return df.join(F.broadcast(rates), strata_col).filter(bucket < F.col("_pct"))
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_hash: int = 1024,
+    round_dp: int = 4,
+) -> DataFrame:
+    """DSIR-style data selection (hashed-n-gram importance resampling, after
+    Xie et al. 2023's public method): score each raw document by the
+    log-likelihood ratio of its tokens under a TARGET unigram model vs the
+    RAW corpus model — both over an ``n_hash``-bucket hashed vocabulary
+    with add-1 smoothing — and keep the top-k (the docs that look most like
+    the target distribution).
+
+    100 TB shape: both models are fixed-size (n_hash rows) however large
+    the corpora; the scored pass is one token explode joined against the
+    BROADCAST log-weight table and a per-doc sum — no corpus-vs-corpus
+    join anywhere. Ranking uses the ROUNDED score (doc_id tiebreak) so
+    engine log/ulp differences can't flip the cut; TakeOrdered top-k — no
+    global sort.
+
+    Output: (id_col, n_tokens, dsir_weight), the k best raw docs.
+    """
+    from wallaroo_spark.functions import hashing as H
+
+    def bkt(c):
+        return H.md5int_col(c) % F.lit(n_hash)
+
+    # explode first, hash after (generators can't nest inside expressions)
+    tb = target.select(F.explode(tokens(F.col(text))).alias("_w")).select(
+        bkt(F.col("_w")).alias("_b")
+    )
+    rb = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text))).alias("_w")
+    ).select(id_col, bkt(F.col("_w")).alias("_b"))
+    ct = tb.groupBy("_b").agg(F.count("*").alias("_ct"))
+    cr = rb.groupBy("_b").agg(F.count("*").alias("_cr"))
+    nt = tb.agg(F.count("*").alias("_nt"))
+    nr = rb.agg(F.count("*").alias("_nr"))
+    dist = (
+        ct.join(cr, "_b", "full")
+        .select(
+            "_b",
+            F.coalesce("_ct", F.lit(0)).alias("_ct"),
+            F.coalesce("_cr", F.lit(0)).alias("_cr"),
+        )
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "_b",
+            (
+                F.log((F.col("_ct") + 1) / (F.col("_nt") + n_hash))
+                - F.log((F.col("_cr") + 1) / (F.col("_nr") + n_hash))
+            ).alias("_lw"),
+        )
+    )
+    scored = (
+        rb.join(F.broadcast(dist), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("_lw"), round_dp).alias("dsir_weight"),
+        )
+    )
+    return scored.orderBy(F.col("dsir_weight").desc(), id_col).limit(k)
+
+
 def _budget_bucket(id_col: str, n_buckets: int):
     return (
         F.conv(

@@ -3783,6 +3783,79 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsir_importance_select",
+    oracle=f"""
+    WITH tb AS (SELECT ({H.md5int_sql('w')} % 1024) AS b
+                FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents
+                      WHERE source = 'src0')),
+    rb AS (SELECT doc_id, ({H.md5int_sql('w')} % 1024) AS b
+           FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+                 WHERE source <> 'src0')),
+    ct AS (SELECT b, count(*) AS c FROM tb GROUP BY 1),
+    cr AS (SELECT b, count(*) AS c FROM rb GROUP BY 1),
+    nt AS (SELECT count(*) AS n FROM tb),
+    nr AS (SELECT count(*) AS n FROM rb),
+    dist AS (SELECT coalesce(ct.b, cr.b) AS b,
+                    ln((coalesce(ct.c, 0) + 1) / CAST(nt.n + 1024 AS DOUBLE))
+                  - ln((coalesce(cr.c, 0) + 1) / CAST(nr.n + 1024 AS DOUBLE)) AS lw
+             FROM ct FULL JOIN cr ON ct.b = cr.b, nt, nr),
+    scored AS (SELECT rb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                      round(sum(lw), 4) AS dsir_weight
+               FROM rb JOIN dist ON rb.b = dist.b GROUP BY 1)
+    SELECT doc_id, n_tokens, dsir_weight
+    FROM scored
+    QUALIFY row_number() OVER (ORDER BY dsir_weight DESC, doc_id) <= 20
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-n-gram importance selection (`text.dsir_select`):
+    target model = src0 docs, raw model = the rest; top-20 raw docs by
+    log-likelihood ratio. Both models are fixed-size broadcast tables
+    (1024 hash buckets) whatever the corpus size; rounded-score ranking,
+    TakeOrdered — no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.dsir_select(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=20,
+    )
+
+
+@query(
+    "temperature_mixture_lang",
+    oracle=f"""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    nmin AS (SELECT min(n) AS m FROM counts),
+    rates AS (SELECT lang, round(100.0 * pow(n / CAST(m AS DOUBLE), 0.3 - 1.0), 4) AS pct
+              FROM counts, nmin),
+    kept AS (SELECT d.doc_id, d.lang
+             FROM documents d JOIN rates r USING (lang)
+             WHERE ({H.md5int_sql("'temp:' || d.lang || ':' || CAST(d.doc_id AS VARCHAR)")} % 100)
+                   < r.pct)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(count(*)) OVER () AS BIGINT) AS n_total_kept
+    FROM kept GROUP BY 1
+    """,
+)
+def temperature_mixture_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling over languages (`text.temperature_mixture_sample`,
+    alpha=0.3 — the multilingual-training smoothing): rarest language kept
+    whole, common ones subsampled toward n^alpha. Per-lang kept counts plus
+    the total (a lang-count-sized window, not a corpus one)."""
+    kept = text.temperature_mixture_sample(
+        _t(spark, sf_dir, "documents"), "lang", alpha=0.3
+    )
+    counts = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    # window over the per-lang counts table (a handful of rows) — the
+    # partition-less-window sweep exempts nothing, so ride a broadcast
+    # single-row agg instead
+    total = counts.agg(F.sum("n_kept").alias("n_total_kept"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "lang", "n_kept", "n_total_kept"
+    )
+
+
+@query(
     "bigram_surprisal_quality",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
