@@ -558,18 +558,31 @@ def _scan_cum_tokens(d, id_col: str):
     id_col) order, via bucket-histogram offsets + parallel within-bucket
     window cumsum (see `token_budget_admit` for the 100 TB rationale).
     ``d`` must have columns (_dom, id_col, n_tokens, _bkt); adds
-    ``cum_tokens``."""
+    ``cum_tokens``.
+
+    Bucket offsets come from a broadcast TRIANGULAR self-join on the tiny
+    (domains x n_buckets) histogram — each bucket sums the strictly-earlier
+    buckets of its domain — rather than a cumsum window: a single-domain
+    caller (pack_sequences' constant _dom) would constant-fold the window's
+    partition spec into WindowExec's single-task 'No Partition Defined'
+    path, and at <=65k histogram pairs per domain the join is free."""
     from pyspark.sql.window import Window
 
     hist = d.groupBy("_dom", "_bkt").agg(F.sum("n_tokens").alias("_btok"))
-    w_hist = (
-        Window.partitionBy("_dom")
-        .orderBy("_bkt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    earlier = hist.select(
+        F.col("_dom").alias("_dom2"),
+        F.col("_bkt").alias("_bkt2"),
+        F.col("_btok").alias("_btok2"),
     )
-    offsets = hist.withColumn(
-        "_off", F.sum("_btok").over(w_hist) - F.col("_btok")
-    ).select("_dom", "_bkt", "_off")
+    offsets = (
+        hist.join(
+            F.broadcast(earlier),
+            (F.col("_dom") == F.col("_dom2")) & (F.col("_bkt2") < F.col("_bkt")),
+            "left",
+        )
+        .groupBy("_dom", "_bkt")
+        .agg(F.coalesce(F.sum("_btok2"), F.lit(0)).alias("_off"))
+    )
     w_in = (
         Window.partitionBy("_dom", "_bkt")
         .orderBy(id_col)
