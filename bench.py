@@ -79,6 +79,11 @@ HEADLINE = [
     "bpe_encode_stats",
     "corpus_zipf_heaps_stats",
     "model_quality_rerank",
+    # round-6b additions
+    "token_budget_admit",
+    "pack_sequences",
+    "dsir_importance_select",
+    "temperature_mixture_lang",
 ]
 
 
