@@ -84,6 +84,7 @@ HEADLINE = [
     "pack_sequences",
     "dsir_importance_select",
     "temperature_mixture_lang",
+    "pack_manifest",
 ]
 
 

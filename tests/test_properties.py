@@ -471,3 +471,106 @@ def test_snapshot_novelty_never_false_negative(old_lists, new_lists):
         # upper bound: chunks found in the old set are DEFINITELY not novel
         n_definitely_old = sum(1 for c in chunks if c in old_chunks)
         assert r.n_novel <= r.n_chunks - n_definitely_old
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=99),  # doc id
+            st.integers(min_value=0, max_value=30),  # token count
+            st.sampled_from(["s0", "s1"]),           # domain
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=200),  # budget / seq_len
+)
+def test_prefix_scan_family_matches_python_reference(docs, knob):
+    """token_budget_admit + pack_sequences vs a straight-line Python scan
+    over the same deterministic (salted-bucket, id) order — the distributed
+    two-phase offsets must be EXACTLY the serial cumsum, including empty
+    docs, budget boundaries, and docs spanning many sequences."""
+    import hashlib
+
+    from wallaroo_spark.operators.text import pack_sequences, token_budget_admit
+
+    spark = _get_spark()
+    rows = [
+        Row(doc_id=i, source=s, text=" ".join(["w"] * n))
+        for i, n, s in docs
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, source string, text string")
+
+    def bkt(i):
+        return int(hashlib.md5(f"{i}:budget".encode()).hexdigest()[:15], 16) % 256
+
+    order = sorted(docs, key=lambda t: (bkt(t[0]), t[0]))
+
+    # --- token_budget_admit (per domain) vs serial scan
+    want_admit = {}
+    cums = {}
+    for i, n, s in order:
+        cums[s] = cums.get(s, 0) + n
+        if cums[s] <= knob:
+            want_admit[(s, i)] = (n, cums[s])
+    got_admit = {
+        (r.source, r.doc_id): (r.n_tokens, r.cum_tokens)
+        for r in token_budget_admit(df, budget=knob, domain="source").collect()
+    }
+    assert got_admit == want_admit
+
+    # --- pack_sequences (global) vs serial scan
+    want_pack = {}
+    cum = 0
+    for i, n, _ in order:
+        st_, cum = cum, cum + n
+        if n > 0:
+            want_pack[i] = (n, st_ // knob, st_ % knob, (cum - 1) // knob - st_ // knob + 1)
+    got_pack = {
+        r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset, r.n_seqs)
+        for r in pack_sequences(df, seq_len=knob).collect()
+    }
+    assert got_pack == want_pack
+
+
+def test_pack_manifest_sequences_exactly_full():
+    """Every packed sequence except the last is exactly seq_len full, parts
+    tile each sequence with no gaps/overlaps, and every non-empty doc's
+    tokens appear exactly once across all parts."""
+    from wallaroo_spark.operators.text import pack_manifest
+    from wallaroo_spark.sources import read_table
+
+    spark = _get_spark()
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    L = 128
+    rows = pack_manifest(docs, seq_len=L).collect()
+    by_seq = {r.seq_id: r for r in rows}
+    last = max(by_seq)
+    doc_tokens = {}
+    for r in rows:
+        assert r.n_tokens_filled == (L if r.seq_id != last else r.n_tokens_filled)
+        cursor = 0
+        for part in r.parts.split(","):
+            off, doc, frm, n = (int(x) for x in part.split(":"))
+            assert off == cursor  # tiles with no gap/overlap
+            cursor += n
+            doc_tokens.setdefault(doc, []).append((r.seq_id, frm, n))
+        assert cursor == r.n_tokens_filled
+    # each doc's parts cover [0, n_doc_tokens) contiguously in seq order
+    from wallaroo_spark.operators.text import tokens as _tok
+
+    want = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", F.size(_tok(F.col("text"))).alias("n")).collect()
+        if r.n > 0
+    }
+    for doc, parts in doc_tokens.items():
+        parts.sort()
+        covered = 0
+        for _, frm, n in parts:
+            assert frm == covered
+            covered += n
+        assert covered == want[doc]
+    assert set(doc_tokens) == set(want)

@@ -321,6 +321,59 @@ def target_mixture_sample(
     return df.join(F.broadcast(rates), strata_col).filter(bucket < F.col("_pct"))
 
 
+def pack_manifest(
+    df,
+    seq_len: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+):
+    """Writer-ready sequence assembly manifest: one row per training
+    sequence with the ordered (offset-in-seq, doc, from-token, n-tokens)
+    parts that fill it — the materialization step after `pack_sequences`
+    decides placements. A doc spanning k sequences explodes into k part
+    rows (fan-out bounded by doc_len/seq_len + 1, never quadratic); parts
+    are assembled per sequence with one groupBy. Every sequence except the
+    last is exactly full by construction (asserted in tests).
+
+    Parts are encoded in a deterministic zero-padded string (engine-
+    portable, hash-comparable): "offset:doc:from:n" joined by ",". A real
+    writer would carry a struct array instead; the layout math is
+    identical.
+
+    Output: (seq_id, n_parts, n_tokens_filled, parts).
+    """
+    L = int(seq_len)
+    p = (
+        pack_sequences(df, seq_len, text=text, id_col=id_col, n_buckets=n_buckets)
+        .withColumn("_st", F.col("seq_id") * L + F.col("seq_offset"))
+        .withColumn("_en", F.col("_st") + F.col("n_tokens") - 1)
+        .withColumn(
+            "_s", F.explode(F.sequence(F.col("seq_id"), F.col("seq_id") + F.col("n_seqs") - 1))
+        )
+    )
+    seq_start = F.col("_s") * L
+    part_from = F.greatest(seq_start - F.col("_st"), F.lit(0))
+    part_n = (
+        F.least(F.col("_en"), seq_start + (L - 1))
+        - F.greatest(F.col("_st"), seq_start)
+        + 1
+    )
+    part_off = F.greatest(F.col("_st"), seq_start) - seq_start
+    parts = p.select(
+        F.col("_s").alias("seq_id"),
+        F.format_string(
+            "%06d:%d:%d:%d", part_off, F.col(id_col), part_from, part_n
+        ).alias("_part"),
+        part_n.alias("_n"),
+    )
+    return parts.groupBy("seq_id").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("_n").alias("n_tokens_filled"),
+        F.array_join(F.array_sort(F.collect_list("_part")), ",").alias("parts"),
+    )
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     strata_col: str,

@@ -3783,6 +3783,41 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_manifest",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 15))
+                           AS BIGINT) % 256 AS bkt,
+                      len({_TOKS_SQL}) AS n
+               FROM documents),
+    c AS (SELECT doc_id, n,
+                 sum(n) OVER (ORDER BY bkt, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d),
+    pl AS (SELECT doc_id, n, CAST(cum - n AS BIGINT) AS st,
+                  CAST(cum - 1 AS BIGINT) AS en
+           FROM c WHERE n > 0),
+    parts AS (SELECT s.s AS seq_id,
+                     greatest(st, s.s * 512) - s.s * 512 AS part_off,
+                     doc_id,
+                     greatest(s.s * 512 - st, 0) AS part_from,
+                     least(en, s.s * 512 + 511) - greatest(st, s.s * 512) + 1 AS part_n
+              FROM pl, unnest(generate_series(st // 512, en // 512)) AS s(s))
+    SELECT seq_id, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(part_n) AS BIGINT) AS n_tokens_filled,
+           string_agg(format('{{:06d}}:{{}}:{{}}:{{}}', part_off, doc_id, part_from, part_n),
+                      ',' ORDER BY part_off) AS parts
+    FROM parts GROUP BY 1
+    """,
+)
+def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence assembly manifests (`text.pack_manifest`): per 512-token
+    training sequence, the ordered (offset:doc:from:n) parts that fill it.
+    Every sequence except the last is exactly full; a writer task fetches
+    its sequences by seq_id partition pruning."""
+    return text.pack_manifest(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
+@query(
     "dsir_importance_select",
     oracle=f"""
     WITH tb AS (SELECT ({H.md5int_sql('w')} % 1024) AS b
