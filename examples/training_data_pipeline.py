@@ -24,6 +24,10 @@ The 100 TB shape this engine exists for, composed from its pieces:
       -> train/val/test tag  (hash split, engine-portable)
       -> transactional write (2PC parquet sink: staged prepare, put-if-
                               absent commit, snapshot reads)
+      -> sequence packing    (GPT-style concat-then-chunk layout of the
+                              train split; writer-ready per-sequence part
+                              manifests committed to a versioned
+                              ManifestTable — atomic + time-travelable)
 
 Every stage is a narrow transformation or a broadcast join against a
 pairs-sized side table, so the full corpus streams through with ONE
@@ -115,7 +119,18 @@ def build_corpus(spark, sf_dir: str, out_dir: str, quality_min: float = 0.5):
     # 5. exactly-once visible output
     sink = TransactionalParquetSink(out_dir)
     sink(tagged, batch_id=0)
-    return sink
+
+    # 6. training-sequence layout: pack the train split into 256-token
+    # contexts (no token stream materialized — one distributed prefix scan)
+    # and commit the writer-facing manifests to a versioned manifest table
+    from wallaroo_spark.sinks.manifest import ManifestTable
+
+    packed = text.pack_manifest(
+        tagged.filter(F.col("split") == "train"), seq_len=256
+    )
+    seqs = ManifestTable(out_dir + "_sequences")
+    seqs.append(packed)
+    return sink, seqs
 
 
 if __name__ == "__main__":
@@ -124,7 +139,8 @@ if __name__ == "__main__":
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="corpus_")
     spark = get_spark("training-data-pipeline")
-    sink = build_corpus(spark, sf_dir, out_dir)
+    sink, seqs = build_corpus(spark, sf_dir, out_dir)
     final = sink.read(spark)
     final.groupBy("split").count().show()
     print(f"corpus committed under {out_dir}")
+    print(f"{seqs.read(spark).count()} training sequences under {out_dir}_sequences")

@@ -165,6 +165,10 @@ def test_embedding_covariance_matches_numpy(spark):
     # symmetric by construction
     for (i, j), v in got.items():
         assert got[(j, i)] == v
+    # static-dim fast path (row-index explode + stacked product columns)
+    # is cell-for-cell identical to the generic outer-product path
+    fast = {(r.i, r.j): r.cov for r in embedding_covariance(df, dim=5).collect()}
+    assert fast == got
 
 
 def test_jl_projection_preserves_relative_distance(spark):

@@ -211,7 +211,7 @@ def test_training_data_pipeline_example(spark, tmp_path):
     from wallaroo_spark.operators import dedup
 
     out = str(tmp_path / "corpus")
-    sink = build_corpus(spark, "/root/testdata/sf0.001", out)
+    sink, seqs = build_corpus(spark, "/root/testdata/sf0.001", out)
     final = sink.read(spark)
     rows = final.collect()
     assert rows and set(r.split for r in rows) <= {"train", "val", "test"}
@@ -240,6 +240,20 @@ def test_training_data_pipeline_example(spark, tmp_path):
         .collect()
     )
     assert budgets and all(b["sum(nt)"] <= 1000 for b in budgets)
+
+    # round-6b stage held: the committed sequence manifests cover exactly
+    # the train split's tokens, every sequence but the last exactly full
+    from wallaroo_spark.operators.text import tokens as _tk
+
+    man = seqs.read(spark).collect()
+    last = max(r.seq_id for r in man)
+    assert all(r.n_tokens_filled == 256 for r in man if r.seq_id != last)
+    train_tokens = (
+        final.filter(F.col("split") == "train")
+        .agg(F.sum(F.size(_tk(F.col("text")))))
+        .first()[0]
+    )
+    assert sum(r.n_tokens_filled for r in man) == train_tokens
 
     # replayed commit (same batch id) changes nothing
     n_before = len(rows)

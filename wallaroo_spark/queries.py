@@ -3175,10 +3175,11 @@ def decontaminate_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed d x d covariance (Gram) matrix over the embedding column
     — the PCA/whitening precursor (`similarity.embedding_covariance`).
-    Outer-product cells expand map-side and partial-agg before the single
-    shuffle, which carries at most d^2 cells per task regardless of corpus
-    size; dimension means ride a broadcast."""
-    return similarity.embedding_covariance(_t(spark, sf_dir, "embeddings"))
+    Static-dim fast path (embedding width is a model constant = 64): one
+    row-index explode, d codegen'd product-sum columns per group, stack
+    unpivot — the shuffle carries d groups x d columns, never a d^2-cell
+    explode; dimension means ride a broadcast."""
+    return similarity.embedding_covariance(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
 def _jl_oracle(out_dim: int = 8) -> str:
