@@ -330,3 +330,42 @@ def test_sketch_queries_bounded_exchanges(spark):
         a = audit(QUERIES[name](spark, SF))
         assert a.python_ops == 0 and a.nested_loop_joins == 0, name
         assert a.exchanges <= 4, name
+
+
+def test_plan_shape_no_regression(spark):
+    """Scale-regression gate: every query's physical plan is compared to
+    the committed PLANS.json snapshot. A plan may only get CHEAPER —
+    more shuffles (exchanges), new Python ops, new sort-merge or
+    nested-loop joins, more scans, or any partition-less window fails the
+    suite. Intentional changes are made by regenerating the snapshot
+    (python tools/plan_snapshot.py) and committing the diff, which then
+    documents the plan change for review."""
+    import json
+    import os
+
+    snap_path = os.path.join(os.path.dirname(__file__), "..", "PLANS.json")
+    with open(snap_path) as f:
+        snap = json.load(f)
+
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_snapshot import snapshot
+
+    live = snapshot(spark, SF)
+    missing = sorted(set(live) - set(snap))
+    assert not missing, (
+        f"queries missing from PLANS.json (run tools/plan_snapshot.py): {missing}"
+    )
+    # metrics where an INCREASE is a scale regression
+    worse_if_more = (
+        "exchanges", "python_ops", "sort_merge_joins",
+        "nested_loop_joins", "scans", "partitionless_windows",
+    )
+    problems = []
+    for name, m in live.items():
+        base = snap[name]
+        for k in worse_if_more:
+            if m[k] > base[k]:
+                problems.append(f"{name}: {k} {base[k]} -> {m[k]}")
+    assert not problems, "plan-shape regressions:\n" + "\n".join(problems)

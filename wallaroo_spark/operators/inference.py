@@ -72,6 +72,10 @@ def model_rerank(
     through the model kernel; final order = model_score desc, id asc.
     Output: (id_col, retrieval_score, model_score, rank).
     """
+    # candidates is candidates-sized by contract: materialize once — it
+    # feeds both the text fetch and the score join, and every reuse of a
+    # lazy plan re-runs the entire cheap-ranker pipeline that produced it
+    candidates = candidates.localCheckpoint(eager=True)
     cand_docs = docs.join(F.broadcast(candidates.select(id_col)), id_col)
     scored = score_documents(cand_docs, model_fn, text, id_col)
     top = (
@@ -85,6 +89,9 @@ def model_rerank(
             "retrieval_score",
             F.round("model_score", 4).alias("model_score"),
         )
+        # k rows; three consumers below — without this the model kernel
+        # and the whole candidate pipeline run once per consumer
+        .localCheckpoint(eager=True)
     )
     # rank via count-of-strictly-ahead on the k-row table (broadcast self-
     # join) — a global row_number window would be the partition-less

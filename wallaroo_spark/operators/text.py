@@ -397,7 +397,14 @@ def temperature_mixture_sample(
     """
     from wallaroo_spark.functions import hashing as H
 
-    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n_stratum"))
+    # materialize the strata-sized counts once: nmin and rates both derive
+    # from it, and without the checkpoint each consumer re-runs the corpus
+    # count scan (Spark plans share nothing across DataFrame branches)
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count("*").alias("_n_stratum"))
+        .localCheckpoint(eager=True)
+    )
     nmin = counts.agg(F.min("_n_stratum").alias("_nmin"))
     rates = counts.crossJoin(F.broadcast(nmin)).select(
         strata_col,
@@ -455,16 +462,23 @@ def dsir_select(
     rb = df.select(
         F.col(id_col), F.explode(tokens(F.col(text))).alias("_w")
     ).select(id_col, bkt(F.col("_w")).alias("_b"))
-    ct = tb.groupBy("_b").agg(F.count("*").alias("_ct"))
-    cr = rb.groupBy("_b").agg(F.count("*").alias("_cr"))
-    nt = tb.agg(F.count("*").alias("_nt"))
-    nr = rb.agg(F.count("*").alias("_nr"))
+    # the n_hash-row models are materialized once (every branch below would
+    # otherwise re-run its corpus explode), and the corpus totals derive
+    # from the models by summation — two corpus passes total, not four
+    ct = tb.groupBy("_b").agg(F.count("*").alias("_ct")).localCheckpoint(eager=True)
+    cr = rb.groupBy("_b").agg(F.count("*").alias("_cr")).localCheckpoint(eager=True)
+    nt = ct.agg(F.sum("_ct").alias("_nt"))
+    nr = cr.agg(F.sum("_cr").alias("_nr"))
+    # LEFT join, raw side first: a bucket absent from the raw corpus can
+    # never match a raw token, so the full-outer form adds only dead rows —
+    # and a left join keeps the (fixed-size) target model broadcastable
+    # instead of forcing a sort-merge join
     dist = (
-        ct.join(cr, "_b", "full")
+        cr.join(F.broadcast(ct), "_b", "left")
         .select(
             "_b",
             F.coalesce("_ct", F.lit(0)).alias("_ct"),
-            F.coalesce("_cr", F.lit(0)).alias("_cr"),
+            F.col("_cr"),
         )
         .crossJoin(F.broadcast(nt))
         .crossJoin(F.broadcast(nr))

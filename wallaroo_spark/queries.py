@@ -2290,7 +2290,13 @@ def countmin_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("word"))
     cms = _sketch.countmin_build(toks, "word")
-    counts = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    # vocabulary-sized exact counts, used by total/heavy/est branches:
+    # materialize once instead of re-running the corpus explode per branch
+    counts = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     total = counts.agg(F.sum("cnt").cast("double").alias("_n"))
     heavy = (
         counts.crossJoin(F.broadcast(total))
@@ -3829,12 +3835,12 @@ def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHERE source <> 'src0')),
     ct AS (SELECT b, count(*) AS c FROM tb GROUP BY 1),
     cr AS (SELECT b, count(*) AS c FROM rb GROUP BY 1),
-    nt AS (SELECT count(*) AS n FROM tb),
-    nr AS (SELECT count(*) AS n FROM rb),
-    dist AS (SELECT coalesce(ct.b, cr.b) AS b,
+    nt AS (SELECT sum(c) AS n FROM ct),
+    nr AS (SELECT sum(c) AS n FROM cr),
+    dist AS (SELECT cr.b AS b,
                     ln((coalesce(ct.c, 0) + 1) / CAST(nt.n + 1024 AS DOUBLE))
-                  - ln((coalesce(cr.c, 0) + 1) / CAST(nr.n + 1024 AS DOUBLE)) AS lw
-             FROM ct FULL JOIN cr ON ct.b = cr.b, nt, nr),
+                  - ln((cr.c + 1) / CAST(nr.n + 1024 AS DOUBLE)) AS lw
+             FROM cr LEFT JOIN ct ON ct.b = cr.b, nt, nr),
     scored AS (SELECT rb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                       round(sum(lw), 4) AS dsir_weight
                FROM rb JOIN dist ON rb.b = dist.b GROUP BY 1)
@@ -3881,7 +3887,13 @@ def temperature_mixture_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = text.temperature_mixture_sample(
         _t(spark, sf_dir, "documents"), "lang", alpha=0.3
     )
-    counts = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    # lang-sized: materialize so the total below reuses it instead of
+    # re-running the kept-filter scan
+    counts = (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .localCheckpoint(eager=True)
+    )
     # window over the per-lang counts table (a handful of rows) — the
     # partition-less-window sweep exempts nothing, so ride a broadcast
     # single-row agg instead
@@ -4131,8 +4143,18 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("_n"), F.avg("dl").alias("_avgdl")
     )
     q = F.col("word").isin(*_BM25_TERMS)
-    tf = toks.filter(q).groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dfreq = toks.filter(q).groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # tf is (query terms x docs-containing)-sized: materialize it once so
+    # the df-derivation below re-uses it instead of re-running the corpus
+    # explode (branches share no subplans in Spark)
+    tf = (
+        toks.filter(q)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    # document frequency derives from tf (one row per (doc, word)) — no
+    # second corpus scan/explode
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     k1, b = _BM25_K1, _BM25_B
     scored = (
         tf.join(F.broadcast(dfreq), "word")
@@ -4275,7 +4297,12 @@ def corpus_zipf_heaps_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything corpus-sized is one token scan + one groupBy)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("word"))
-    cnts = toks.groupBy("word").agg(F.count("*").alias("c"))
+    # vocabulary-sized (bounded however large the corpus): materialize once
+    # — totals, top-10 and the rank self-join all branch from it, and each
+    # branch would otherwise re-run the corpus explode
+    cnts = (
+        toks.groupBy("word").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+    )
     tot = cnts.agg(
         F.sum("c").alias("n_tokens"), F.count("*").alias("n_types")
     )
