@@ -85,6 +85,8 @@ HEADLINE = [
     "dsir_importance_select",
     "temperature_mixture_lang",
     "pack_manifest",
+    "hard_negative_mining",
+    "knn_label_purity",
 ]
 
 

@@ -76,6 +76,110 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k most
+    cosine-similar corpus vectors with a DIFFERENT label — similar enough
+    to be confusable, labeled differently, exactly what a retrieval /
+    embedding trainer wants as negatives.
+
+    Same scale shape as `brute_force_topk` (broadcast query side, corpus
+    streams unshuffled, one per-query top-k window); at corpus scale swap
+    the candidate generation for `ivf_topk`'s coarse quantizer and keep the
+    label filter — the ranking stage is unchanged. Ranks on the ROUNDED
+    cosine (id tiebreak) so engine ulp differences can't flip the cut.
+
+    Output: (query_id, query_label, vec_id, label, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        id_col, label_col, vec_col, _norm(F.col(vec_col)).alias("_cn")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col("query_label"))
+        .select(
+            query_id,
+            "query_label",
+            id_col,
+            label_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("_qv")) / (F.col("_cn") * F.col("_qn")), 4
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_label_purity(
+    df: DataFrame,
+    k: int,
+    sample_mod: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-quality diagnostic: for a deterministic sample of vectors
+    (id % sample_mod == 0), the fraction of their k nearest neighbors
+    (cosine, self excluded) sharing their label, averaged per label — the
+    standard kNN-consistency health check before trusting an embedding
+    space for semantic dedup / clustering / retrieval.
+
+    The sampled probe side broadcasts (corpus/sample_mod rows); the corpus
+    streams through once unshuffled. Run on a sample by design — the
+    metric is an estimate, the honest-measurement companion to
+    `lsh_recall_audit`. Output: (label, n_queries, avg_purity).
+    """
+    probes = df.filter(F.col(id_col) % sample_mod == 0)
+    q = probes.select(
+        F.col(id_col).alias("_qid"),
+        F.col(label_col).alias("_qlabel"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = df.select(id_col, label_col, vec_col, _norm(F.col(vec_col)).alias("_cn"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            "_qid",
+            "_qlabel",
+            id_col,
+            label_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("_qv")) / (F.col("_cn") * F.col("_qn")), 4
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col(id_col))
+    nn = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    per_query = nn.groupBy("_qid", "_qlabel").agg(
+        (F.sum((F.col(label_col) == F.col("_qlabel")).cast("int")) / F.count("*")).alias(
+            "_purity"
+        )
+    )
+    return per_query.groupBy(F.col("_qlabel").alias(label_col)).agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg("_purity"), 4).alias("avg_purity"),
+    )
+
+
 def lsh_bucket(vec: Column) -> Column:
     """Sign-bit bucket id from fixed dimensions (2^len(LSH_DIMS) buckets)."""
     b = F.lit(0)

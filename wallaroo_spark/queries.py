@@ -3790,6 +3790,61 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv FROM e WHERE vec_id < 10),
+    c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 10),
+    s AS (SELECT q.query_id, q.query_label, c.vec_id, c.label,
+                 round({_kmeans_cos_sql('c.v', 'q.qv')}, 4) AS cosine
+          FROM c, q WHERE c.label <> q.query_label),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rank
+          FROM s)
+    SELECT query_id, query_label, vec_id, label, cosine, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives (`similarity.hard_negative_topk`):
+    per query vector, the 5 most cosine-similar corpus vectors with a
+    DIFFERENT label. Broadcast probe side, corpus streams unshuffled,
+    rounded-score ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_topk(
+        emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@query(
+    "knn_label_purity",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id % 20 = 0),
+    s AS (SELECT q.qid, q.qlabel, e2.vec_id, e2.label,
+                 round({_kmeans_cos_sql('e2.v', 'q.qv')}, 4) AS cs
+          FROM e e2, q WHERE e2.vec_id <> q.qid),
+    r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rk
+          FROM s),
+    pq AS (SELECT qid, qlabel,
+                  CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) AS purity
+           FROM r WHERE rk <= 5 GROUP BY 1, 2)
+    SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(purity), 4) AS avg_purity
+    FROM pq GROUP BY 1
+    """,
+)
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health diagnostic (`similarity.knn_label_purity`): label
+    agreement of each sampled vector's 5 nearest neighbors, averaged per
+    label — the kNN-consistency check run before trusting the space for
+    semantic dedup/retrieval (the embedding-side companion to
+    `lsh_recall_audit`)."""
+    return similarity.knn_label_purity(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+@query(
     "pack_manifest",
     oracle=f"""
     WITH d AS (SELECT doc_id,
