@@ -440,3 +440,21 @@ def test_bpe_train_self_pair_run_semantics_pinned(spark):
     assert out[0] == (0, "a", "a", 6)
     assert out[1] == (1, "a", "a", 2)
     assert out[2][:3] == (2, "aa", "aa")  # runs fully merged by round 3
+
+
+def test_prefix_scan_input_guards(spark):
+    """token_budget_admit rejects negative budgets and pack_sequences
+    rejects non-positive context lengths with clear errors (not silent
+    empty/garbage layouts)."""
+    import pytest as _pytest
+
+    from wallaroo_spark.operators.text import pack_sequences, token_budget_admit
+    from wallaroo_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    with _pytest.raises(ValueError, match="budget"):
+        token_budget_admit(docs, budget=-1)
+    with _pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(docs, seq_len=0)
+    # budget=0 is legal and admits nothing (vacuous but well-defined)
+    assert token_budget_admit(docs, budget=0).count() == 0

@@ -607,6 +607,8 @@ def token_budget_admit(
 
     Output: admitted docs (domain, id_col, n_tokens, cum_tokens).
     """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
     d = df.select(
         F.col(domain).alias("_dom"),
         F.col(id_col),
@@ -683,6 +685,8 @@ def pack_sequences(
     come out fully packed by construction; a writer task can then fetch its
     sequence range by ``seq_id`` partition pruning.
     """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     d = df.select(
         F.lit("_").alias("_dom"),
         F.col(id_col),
