@@ -1185,3 +1185,48 @@ def test_stream_token_budget_prefix_cut_across_batches(spark, tmpdir):
         (1, 5, 5),
         (2, 5, 10),
     ]
+
+
+def test_stream_token_budget_state_survives_restart(spark, tmpdir):
+    """Budget-counter checkpoint recovery: docs arriving AFTER a query
+    restart must count against the budget already spent before it — the
+    admission gate is a durable fact of the corpus, not of the query run."""
+    from wallaroo_spark.streaming.admission import token_budget_admit_stream
+
+    def doc(i, words, ts_off):
+        return Row(
+            source="s", doc_id=i, text=" ".join(["w"] * words),
+            ts=T0 + dt.timedelta(seconds=ts_off),
+        )
+
+    b1 = spark.createDataFrame([doc(1, 4, 0), doc(2, 4, 1)])
+    b2 = spark.createDataFrame([doc(3, 4, 2), doc(4, 4, 3)])
+
+    sink = idempotent_parquet_sink(tmpdir + "/out")
+
+    def start():
+        sdf = spark.readStream.schema(b1.schema).parquet(tmpdir + "/in")
+        out = token_budget_admit_stream(sdf, budget=10, domain="source")
+        return (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", tmpdir + "/chk")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    b1.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    q = start()
+    q.awaitTermination(120)
+    b2.coalesce(1).write.mode("append").parquet(tmpdir + "/in")
+    q2 = start()
+    q2.awaitTermination(120)
+    rows = sorted(
+        (r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(tmpdir + "/out")
+        .collect()
+    )
+    # budget 10: docs 1,2 fit (8); doc 3 (12) and doc 4 (16) rejected —
+    # doc 3's rejection depends entirely on restored pre-restart state
+    assert rows == [(1, 4, 4), (2, 4, 8)]
