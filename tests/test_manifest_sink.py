@@ -251,3 +251,41 @@ def test_stream_writer_txns_survive_checkpoint(spark, tmp_path):
     w(_df(spark, 0, 5), batch_id=0)  # replay: must append NOTHING
     assert sorted(r.i for r in t.read(spark).collect()) == list(range(5))
     assert t.committed_txns("q1") == {0}
+
+
+def test_expire_log_retains_current_and_blocks_expired_travel(spark, tmp_path):
+    """expire_log removes entries at-or-below the newest checkpoint; current
+    reads and at-checkpoint time travel still work, commits continue with
+    correct version numbers, and travel BELOW the horizon raises instead of
+    silently replaying a truncated log."""
+    import pytest as _pytest
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))       # v0
+    t.overwrite(_df(spark, 10, 13))  # v1
+    t.append(_df(spark, 13, 15))     # v2
+    t.checkpoint()                   # @2
+    t.append(_df(spark, 15, 17))     # v3
+    assert t.expire_log() == 3       # v0..v2 gone
+    assert t.versions() == [3]
+    assert sorted(r.i for r in t.read(spark).collect()) == list(range(10, 17))
+    assert sorted(r.i for r in t.read(spark, version=2).collect()) == list(range(10, 15))
+    with _pytest.raises(ValueError, match="expired"):
+        t.read(spark, version=1)
+    # commits continue above the checkpoint horizon even after full expiry
+    t.checkpoint()                   # @3
+    assert t.expire_log() == 1       # v3 gone; log now empty
+    v = t.append(_df(spark, 17, 18))
+    assert v == 4                    # NOT 0 — checkpoint horizon respected
+    assert sorted(r.i for r in t.read(spark).collect()) == list(range(10, 18))
+
+
+def test_vacuum_keeps_checkpoint_referenced_dirs(spark, tmp_path):
+    """After expire_log, files referenced ONLY via checkpoints must survive
+    vacuum — otherwise expiry would tear live data out of the table."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 4))   # v0
+    t.checkpoint()               # @0
+    t.expire_log()               # v0's log entry gone; adds live in the checkpoint
+    assert t.vacuum(min_age_s=0) == 0
+    assert sorted(r.i for r in t.read(spark).collect()) == list(range(4))

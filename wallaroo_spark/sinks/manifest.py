@@ -93,6 +93,16 @@ class ManifestTable:
             with open(os.path.join(self._ckpt, f"{base_v}.json")) as f:
                 cp = json.load(f)
             files, txns = list(cp["files"]), list(cp.get("txns", []))
+        elif cps:
+            # checkpoints exist but none at-or-below the requested version:
+            # if the log prefix was expired, replaying the surviving tail
+            # would silently produce a WRONG snapshot — refuse instead
+            vs = self.versions()
+            if not vs or vs[0] != 0:
+                raise ValueError(
+                    f"version {version} predates the oldest checkpoint "
+                    f"({cps[0]}) and its log prefix has been expired"
+                )
         for v in self.versions():
             if base_v is not None and v <= base_v:
                 continue
@@ -140,6 +150,28 @@ class ManifestTable:
             os.unlink(tmp)
         return v
 
+    def expire_log(self) -> int:
+        """Delete log entries at-or-below the NEWEST checkpoint (the Delta
+        log-retention shape): reads seed from checkpoints, so those entries
+        are dead weight once one exists. Time travel remains available at
+        and above the oldest RETAINED horizon — `snapshot_files(version)`
+        below every checkpoint raises a clear error instead of silently
+        replaying a truncated log. Returns the number of entries removed.
+
+        Note version numbering is unaffected: `versions()` keeps counting
+        from the live tail, and `_commit`'s next-version scan never reads
+        expired entries."""
+        cps = self._checkpoint_versions()
+        if not cps:
+            return 0
+        horizon = cps[-1]
+        removed = 0
+        for v in self.versions():
+            if v <= horizon:
+                os.unlink(os.path.join(self._log, f"{v}.json"))
+                removed += 1
+        return removed
+
     # -- commit (optimistic put-if-absent) ----------------------------------
     def _commit(
         self,
@@ -160,7 +192,13 @@ class ManifestTable:
         """
         while True:
             vs = self.versions()
-            v = (vs[-1] + 1) if vs else 0
+            cps = self._checkpoint_versions()
+            # after expire_log() the live log tail may be empty or start
+            # above 0 — the next version must clear the checkpoints too,
+            # or a new v0 would be silently skipped by checkpoint-seeded
+            # replay (base_v > 0 skips every v <= base_v)
+            last = max(vs[-1] if vs else -1, cps[-1] if cps else -1)
+            v = last + 1
             rm = removes() if callable(removes) else (removes or [])
             record = os.path.join(self._log, f"{v}.json")
             tmp = record + f".tmp-{uuid.uuid4().hex}"
@@ -249,6 +287,13 @@ class ManifestTable:
             e = self._entry(v)
             for f in e.get("adds", []):
                 referenced.add(os.path.dirname(f))
+        # checkpoint file sets count as references too: after expire_log()
+        # the adds below the oldest checkpoint exist ONLY in checkpoints,
+        # and vacuuming those dirs would tear live data out of the table
+        for cv in self._checkpoint_versions():
+            with open(os.path.join(self._ckpt, f"{cv}.json")) as f:
+                for fp in json.load(f)["files"]:
+                    referenced.add(os.path.dirname(fp))
         now = time.time()
         removed = 0
         for name in os.listdir(self._data):
