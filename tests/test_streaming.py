@@ -1230,3 +1230,33 @@ def test_stream_token_budget_state_survives_restart(spark, tmpdir):
     # budget 10: docs 1,2 fit (8); doc 3 (12) and doc 4 (16) rejected —
     # doc 3's rejection depends entirely on restored pre-restart state
     assert rows == [(1, 4, 4), (2, 4, 8)]
+
+
+def test_read_table_stream_matches_batch_reader(spark, tmpdir):
+    """`read_table_stream` (streaming scan of a testdata table): drained
+    rows equal the batch reader's, and the normalized timestamp column has
+    the same type (ns->us truncated, NTZ cast to watermark-able TIMESTAMP
+    under the pinned-UTC session)."""
+    from wallaroo_spark.sources import read_table, read_table_stream
+
+    sf = "/root/testdata/sf0.001"
+    sdf = read_table_stream(spark, sf, "events")
+    assert dict(sdf.dtypes)["ts"] == "timestamp"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_src_stream")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.ts, r.user_id, r.value)
+        for r in spark.sql("SELECT * FROM t_src_stream").collect()
+    }
+    want = {
+        (r.event_id, r.ts, r.user_id, r.value)
+        for r in read_table(spark, sf, "events").collect()
+    }
+    assert got == want and want

@@ -58,5 +58,49 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _stream_dir(path: str) -> str:
+    """Directory view of a single parquet file (symlink in a temp dir) —
+    the shape Spark's file-stream source requires. Cached per path."""
+    import os
+    import tempfile
+
+    if not os.path.isfile(path):
+        return path
+    if path not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="ws_streamdir_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        _STREAM_DIRS[path] = d
+    return _STREAM_DIRS[path]
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming scan of a testdata table with the same nanosecond
+    normalization as `read_table` (the file-stream source needs an explicit
+    schema, taken footer-only from the batch reader)."""
+    path = f"{sf_dir}/{name}.parquet"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ncols = _nanos_cols(path)
+    if ncols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # the file-stream source requires a DIRECTORY; testdata tables are
+    # single files, so expose each through a cached symlink directory
+    sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    for c in ncols:
+        sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # TIMESTAMP_NTZ columns can't carry a watermark — cast to TIMESTAMP
+    # (session TZ pinned UTC above, so the wall-clock values are unchanged
+    # and match the batch reader's type)
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            sdf = sdf.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return sdf
