@@ -87,6 +87,7 @@ HEADLINE = [
     "pack_manifest",
     "hard_negative_mining",
     "knn_label_purity",
+    "dsir_score_filter",
 ]
 
 

@@ -1260,3 +1260,44 @@ def test_read_table_stream_matches_batch_reader(spark, tmpdir):
         for r in read_table(spark, sf, "events").collect()
     }
     assert got == want and want
+
+
+def test_dsir_score_filter_stream_matches_batch(spark, tmpdir):
+    """Streamable DSIR gate: the SAME dsir_score_filter call on a streaming
+    probe (stream-static broadcast join, append mode) must keep exactly the
+    batch-kept docs with identical weights — in-row scoring has no state to
+    diverge."""
+    from wallaroo_spark.operators.text import dsir_score_filter, dsir_score_map
+    from wallaroo_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents")
+    raw = docs.filter(F.col("source") != "src0")
+    model = dsir_score_map(raw, docs.filter(F.col("source") == "src0"))
+
+    want = {
+        (r.doc_id, r.dsir_weight)
+        for r in dsir_score_filter(raw, model, min_score=-25.0)
+        .select("doc_id", "dsir_weight")
+        .collect()
+    }
+
+    raw.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    sraw = spark.readStream.schema(raw.schema).parquet(tmpdir + "/in")
+    out = dsir_score_filter(sraw, model, min_score=-25.0).select(
+        "doc_id", "dsir_weight"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dsir_stream")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.dsir_weight)
+        for r in spark.sql("SELECT * FROM t_dsir_stream").collect()
+    }
+    assert got == want and want

@@ -501,6 +501,98 @@ def dsir_select(
     return scored.orderBy(F.col("dsir_weight").desc(), id_col).limit(k)
 
 
+def dsir_score_map(
+    df: DataFrame,
+    target: DataFrame,
+    text: str = "text",
+    n_hash: int = 1024,
+) -> DataFrame:
+    """The DSIR importance model as ONE broadcastable row: a complete
+    ``map<bucket, log-weight>`` over all ``n_hash`` hashed-vocabulary
+    buckets (absent buckets carry the add-1 smoothing weight, so scoring
+    is defined for tokens never seen when the model was built — the case a
+    STREAM will hit). Build once from static corpora; ship everywhere."""
+    from wallaroo_spark.functions import hashing as H
+
+    def bkt(c):
+        return H.md5int_col(c) % F.lit(n_hash)
+
+    tb = target.select(F.explode(tokens(F.col(text))).alias("_w")).select(
+        bkt(F.col("_w")).alias("_b")
+    )
+    rb = df.select(F.explode(tokens(F.col(text))).alias("_w")).select(
+        bkt(F.col("_w")).alias("_b")
+    )
+    ct = tb.groupBy("_b").agg(F.count("*").alias("_ct")).localCheckpoint(eager=True)
+    cr = rb.groupBy("_b").agg(F.count("*").alias("_cr")).localCheckpoint(eager=True)
+    nt = ct.agg(F.sum("_ct").alias("_nt"))
+    nr = cr.agg(F.sum("_cr").alias("_nr"))
+    domain = df.sparkSession.range(n_hash).select(F.col("id").alias("_b"))
+    dist = (
+        domain.join(F.broadcast(ct), "_b", "left")
+        .join(F.broadcast(cr), "_b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "_b",
+            (
+                F.log((F.coalesce("_ct", F.lit(0)) + 1) / (F.col("_nt") + n_hash))
+                - F.log((F.coalesce("_cr", F.lit(0)) + 1) / (F.col("_nr") + n_hash))
+            ).alias("_lw"),
+        )
+    )
+    return dist.agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_lw"))).alias("dsir_map")
+    )
+
+
+def dsir_score_filter(
+    probe: DataFrame,
+    model_row: DataFrame,
+    min_score: float,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_hash: int = 1024,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Streamable DSIR data selection: score each probe doc against the
+    broadcast model map and keep docs with weight >= min_score — the
+    online quality gate of a training-data front door (pair with
+    `streaming.admission.token_budget_admit_stream` for quality + budget
+    admission).
+
+    The score is PURE IN-ROW array math (transform tokens -> map lookup ->
+    aggregate sum): no explode, no shuffle, no state — so it runs
+    unchanged on a batch corpus or a streaming one (stream-static
+    broadcast join, append mode), exactly like `decontaminate_filter`.
+    Scores equal `dsir_select`'s dsir_weight (same model, same rounding).
+
+    Output: probe columns + dsir_weight (docs >= min_score only).
+    """
+    from wallaroo_spark.functions import hashing as H
+
+    toks = tokens(F.col(text))
+    score = F.round(
+        F.aggregate(
+            F.transform(
+                toks,
+                lambda w: F.element_at(
+                    F.col("dsir_map"), H.md5int_col(w) % F.lit(n_hash)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        round_dp,
+    )
+    return (
+        probe.crossJoin(F.broadcast(model_row))
+        .withColumn("dsir_weight", score)
+        .filter(F.col("dsir_weight") >= min_score)
+        .drop("dsir_map")
+    )
+
+
 def _budget_bucket(id_col: str, n_buckets: int):
     return (
         F.conv(

@@ -3817,6 +3817,44 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsir_score_filter",
+    oracle=f"""
+    WITH tb AS (SELECT ({H.md5int_sql('w')} % 1024) AS b
+                FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents
+                      WHERE source = 'src0')),
+    rb AS (SELECT doc_id, ({H.md5int_sql('w')} % 1024) AS b
+           FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+                 WHERE source <> 'src0')),
+    ct AS (SELECT b, count(*) AS c FROM tb GROUP BY 1),
+    cr AS (SELECT b, count(*) AS c FROM rb GROUP BY 1),
+    nt AS (SELECT sum(c) AS n FROM ct),
+    nr AS (SELECT sum(c) AS n FROM cr),
+    dist AS (SELECT cr.b AS b,
+                    ln((coalesce(ct.c, 0) + 1) / CAST(nt.n + 1024 AS DOUBLE))
+                  - ln((cr.c + 1) / CAST(nr.n + 1024 AS DOUBLE)) AS lw
+             FROM cr LEFT JOIN ct ON ct.b = cr.b, nt, nr)
+    SELECT rb.doc_id, round(sum(lw), 4) AS dsir_weight
+    FROM rb JOIN dist ON rb.b = dist.b
+    GROUP BY 1 HAVING round(sum(lw), 4) >= -25.0
+    """,
+)
+def dsir_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamable DSIR selection (`text.dsir_score_filter`): the importance
+    model compressed to ONE broadcast map row, each doc scored by pure
+    in-row array math (no explode, no shuffle, no state — runs unchanged
+    on a stream) and kept iff above the selection threshold (-25, ~the
+    corpus median — scores on this synthetic corpus are all negative).
+    The online quality gate pairing with streaming token-budget
+    admission."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("source") != "src0")
+    model = text.dsir_score_map(raw, docs.filter(F.col("source") == "src0"))
+    return text.dsir_score_filter(
+        raw.filter(F.size(text.tokens(F.col("text"))) > 0), model, min_score=-25.0
+    ).select("doc_id", "dsir_weight")
+
+
+@query(
     "knn_label_purity",
     oracle=f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
