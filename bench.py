@@ -172,7 +172,10 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
+        if not finished:  # stalled drain: stop before touching its checkpoint
+            q.stop()
+            raise RuntimeError("structured streaming drain exceeded 600s")
         ss_times.append(time.perf_counter() - t0)
         shutil.rmtree(ck, ignore_errors=True)
     timings["structured_streaming_window"] = round(min(ss_times), 3)

@@ -476,3 +476,17 @@ def test_asof_tolerance_null_right_value_is_atomic(spark):
     assert out[1] is None
     # left@130: latest right is 1.0 @100 (gap 30s <= 60) — still matched.
     assert out[2] == 1.0
+
+
+def test_embedding_covariance_dim_mismatch_raises(spark):
+    """The static-dim fast path must fail loudly on a dim that disagrees
+    with the data (review finding: it silently truncated / null-padded)."""
+    import pytest as _pytest
+
+    from wallaroo_spark.operators.similarity import embedding_covariance
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0, 2.0]) for i in range(5)]
+    )
+    with _pytest.raises(Exception, match="width"):
+        embedding_covariance(df, dim=4).collect()

@@ -289,3 +289,27 @@ def test_vacuum_keeps_checkpoint_referenced_dirs(spark, tmp_path):
     t.expire_log()               # v0's log entry gone; adds live in the checkpoint
     assert t.vacuum(min_age_s=0) == 0
     assert sorted(r.i for r in t.read(spark).collect()) == list(range(4))
+
+
+def test_time_travel_between_checkpoints_after_expiry_raises(spark, tmp_path):
+    """Review finding: with TWO checkpoints, expire_log removes everything
+    at-or-below the NEWEST; travel to a version between the checkpoints
+    must raise (its replay entries are gone), not silently return the
+    older checkpoint's state."""
+    import pytest as _pytest
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 2))    # v0
+    t.append(_df(spark, 2, 4))    # v1
+    t.checkpoint()                # @1
+    t.append(_df(spark, 4, 6))    # v2
+    t.append(_df(spark, 6, 8))    # v3
+    t.checkpoint()                # @3
+    t.expire_log()                # v0..v3 gone
+    # at-checkpoint travel still fine
+    assert sorted(r.i for r in t.read(spark, version=1).collect()) == list(range(4))
+    assert sorted(r.i for r in t.read(spark, version=3).collect()) == list(range(8))
+    # BETWEEN checkpoints: v2's entry is expired and checkpoint @1 cannot
+    # stand in for it
+    with _pytest.raises(ValueError, match="expired"):
+        t.read(spark, version=2)

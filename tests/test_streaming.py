@@ -1301,3 +1301,48 @@ def test_dsir_score_filter_stream_matches_batch(spark, tmpdir):
         for r in spark.sql("SELECT * FROM t_dsir_stream").collect()
     }
     assert got == want and want
+
+
+def test_stream_token_budget_order_stable_across_arrow_chunks(spark, tmpdir):
+    """Review finding: a group spanning multiple Arrow chunks must still be
+    admitted in global (ts, id) order — the state fn concatenates chunks
+    before sorting. Forced with a tiny maxRecordsPerBatch and a file whose
+    row order INVERTS event time."""
+    from wallaroo_spark.streaming.admission import token_budget_admit_stream
+
+    n = 40
+    rows = [  # file order = descending ts, so chunk order fights ts order
+        Row(
+            source="s", doc_id=i, text=" ".join(["w"] * 3),
+            ts=T0 + dt.timedelta(seconds=n - i),
+        )
+        for i in range(n)
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        tmpdir + "/in"
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        sdf = spark.readStream.schema(
+            spark.read.parquet(tmpdir + "/in").schema
+        ).parquet(tmpdir + "/in")
+        out = token_budget_admit_stream(sdf, budget=30, domain="source")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_budget_chunks")
+            .outputMode("update")
+            .option("checkpointLocation", tmpdir + "/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in spark.sql("SELECT * FROM t_budget_chunks").collect()
+    )
+    # ts ascending = doc_id descending: the LAST 10 ids are admitted
+    want = [(i, (n - i) * 3) for i in range(n - 10, n)]
+    assert got == want

@@ -617,7 +617,19 @@ def embedding_covariance(
     """
     v = F.col(vec_col)
     if dim is not None:
-        xi = df.select(F.posexplode(v).alias("_i", "_x"), v.alias("_v"))
+        # a dim that disagrees with the data would silently truncate (or
+        # null-pad) the matrix — fail loudly instead; the filter keeps the
+        # runtime assertion un-prunable
+        guarded = df.where(
+            F.assert_true(
+                F.size(v) == dim,
+                F.concat(
+                    F.lit(f"embedding width != dim={dim}: found "),
+                    F.size(v).cast("string"),
+                ),
+            ).isNull()
+        )
+        xi = guarded.select(F.posexplode(v).alias("_i", "_x"), v.alias("_v"))
         agg = xi.groupBy("_i").agg(
             F.sum(F.col("_x").cast("double")).alias("_si"),
             F.count("*").alias("_c"),

@@ -288,8 +288,6 @@ def target_mixture_sample(
     tiny rates table broadcasts back onto the corpus scan, so the sample
     itself is a pure map-side filter.
     """
-    from wallaroo_spark.functions import hashing as H
-
     wsum = float(sum(weights.values()))
     counts = df.groupBy(strata_col).agg(F.count("*").alias("_n_stratum"))
     total = df.agg(F.count("*").alias("_tot"))
@@ -310,6 +308,17 @@ def target_mixture_sample(
     rates = counts.crossJoin(F.broadcast(total)).select(
         strata_col, "_n_stratum", pct.alias("_pct")
     )
+    return _salted_keep_filter(df, rates, strata_col, id_col, salt)
+
+
+def _salted_keep_filter(df, rates, strata_col: str, id_col: str, salt: str):
+    """Keep rows whose salted md5 bucket (0..99) falls under their
+    stratum's broadcast ``_pct`` — the engine-portable resample filter
+    shared by `target_mixture_sample` and `temperature_mixture_sample`
+    (the bucket encoding must stay in lockstep with both oracles, so it
+    lives exactly once)."""
+    from wallaroo_spark.functions import hashing as H
+
     bucket = H.md5int_col(
         F.concat(
             F.lit(salt + ":"),
@@ -360,10 +369,12 @@ def pack_manifest(
         + 1
     )
     part_off = F.greatest(F.col("_st"), seq_start) - seq_start
+    # 12-digit zero padding keeps lexicographic == numeric part order for
+    # any seq_len < 10^12 (6 digits would mis-order offsets past 10^6)
     parts = p.select(
         F.col("_s").alias("seq_id"),
         F.format_string(
-            "%06d:%d:%d:%d", part_off, F.col(id_col), part_from, part_n
+            "%012d:%d:%d:%d", part_off, F.col(id_col), part_from, part_n
         ).alias("_part"),
         part_n.alias("_n"),
     )
@@ -395,8 +406,6 @@ def temperature_mixture_sample(
     percentage is rounded to 4dp before the bucket comparison so Spark and
     oracle ``pow`` agree at the boundary.
     """
-    from wallaroo_spark.functions import hashing as H
-
     # materialize the strata-sized counts once: nmin and rates both derive
     # from it, and without the checkpoint each consumer re-runs the corpus
     # count scan (Spark plans share nothing across DataFrame branches)
@@ -414,15 +423,7 @@ def temperature_mixture_sample(
             4,
         ).alias("_pct"),
     )
-    bucket = H.md5int_col(
-        F.concat(
-            F.lit(salt + ":"),
-            F.col(strata_col).cast("string"),
-            F.lit(":"),
-            F.col(id_col).cast("string"),
-        )
-    ) % F.lit(100)
-    return df.join(F.broadcast(rates), strata_col).filter(bucket < F.col("_pct"))
+    return _salted_keep_filter(df, rates, strata_col, id_col, salt)
 
 
 def dsir_select(
@@ -450,45 +451,16 @@ def dsir_select(
 
     Output: (id_col, n_tokens, dsir_weight), the k best raw docs.
     """
-    from wallaroo_spark.functions import hashing as H
-
-    def bkt(c):
-        return H.md5int_col(c) % F.lit(n_hash)
-
-    # explode first, hash after (generators can't nest inside expressions)
-    tb = target.select(F.explode(tokens(F.col(text))).alias("_w")).select(
-        bkt(F.col("_w")).alias("_b")
-    )
-    rb = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text))).alias("_w")
-    ).select(id_col, bkt(F.col("_w")).alias("_b"))
-    # the n_hash-row models are materialized once (every branch below would
-    # otherwise re-run its corpus explode), and the corpus totals derive
-    # from the models by summation — two corpus passes total, not four
-    ct = tb.groupBy("_b").agg(F.count("*").alias("_ct")).localCheckpoint(eager=True)
-    cr = rb.groupBy("_b").agg(F.count("*").alias("_cr")).localCheckpoint(eager=True)
-    nt = ct.agg(F.sum("_ct").alias("_nt"))
-    nr = cr.agg(F.sum("_cr").alias("_nr"))
+    rb, ct, cr, nt, nr = _dsir_models(df, target, text, n_hash, id_col=id_col)
     # LEFT join, raw side first: a bucket absent from the raw corpus can
     # never match a raw token, so the full-outer form adds only dead rows —
     # and a left join keeps the (fixed-size) target model broadcastable
     # instead of forcing a sort-merge join
     dist = (
         cr.join(F.broadcast(ct), "_b", "left")
-        .select(
-            "_b",
-            F.coalesce("_ct", F.lit(0)).alias("_ct"),
-            F.col("_cr"),
-        )
         .crossJoin(F.broadcast(nt))
         .crossJoin(F.broadcast(nr))
-        .select(
-            "_b",
-            (
-                F.log((F.col("_ct") + 1) / (F.col("_nt") + n_hash))
-                - F.log((F.col("_cr") + 1) / (F.col("_nr") + n_hash))
-            ).alias("_lw"),
-        )
+        .select("_b", _dsir_log_weight(n_hash).alias("_lw"))
     )
     scored = (
         rb.join(F.broadcast(dist), "_b")
@@ -499,6 +471,46 @@ def dsir_select(
         )
     )
     return scored.orderBy(F.col("dsir_weight").desc(), id_col).limit(k)
+
+
+def _dsir_models(df, target, text: str, n_hash: int, id_col: str | None = None):
+    """Shared DSIR model construction (one formula, one encoding — the
+    score parity between `dsir_select` and `dsir_score_map` depends on
+    both building from exactly this): hashed-bucket token tables, per-
+    bucket counts materialized once (every consumer branch would otherwise
+    re-run its corpus explode), totals derived from the counts by
+    summation. Returns (rb, ct, cr, nt, nr); ``rb`` carries ``id_col``
+    when given (the scoring join needs it), else buckets only."""
+    from wallaroo_spark.functions import hashing as H
+
+    def bkt(c):
+        return H.md5int_col(c) % F.lit(n_hash)
+
+    # explode first, hash after (generators can't nest inside expressions)
+    tb = target.select(F.explode(tokens(F.col(text))).alias("_w")).select(
+        bkt(F.col("_w")).alias("_b")
+    )
+    if id_col is not None:
+        rb = df.select(
+            F.col(id_col), F.explode(tokens(F.col(text))).alias("_w")
+        ).select(id_col, bkt(F.col("_w")).alias("_b"))
+    else:
+        rb = df.select(F.explode(tokens(F.col(text))).alias("_w")).select(
+            bkt(F.col("_w")).alias("_b")
+        )
+    ct = tb.groupBy("_b").agg(F.count("*").alias("_ct")).localCheckpoint(eager=True)
+    cr = rb.groupBy("_b").agg(F.count("*").alias("_cr")).localCheckpoint(eager=True)
+    nt = ct.agg(F.sum("_ct").alias("_nt"))
+    nr = cr.agg(F.sum("_cr").alias("_nr"))
+    return rb, ct, cr, nt, nr
+
+
+def _dsir_log_weight(n_hash: int):
+    """Add-1-smoothed log-likelihood-ratio column over (_ct, _cr, _nt,
+    _nr); null counts (bucket absent on that side) smooth to zero."""
+    return F.log(
+        (F.coalesce("_ct", F.lit(0)) + 1) / (F.col("_nt") + n_hash)
+    ) - F.log((F.coalesce("_cr", F.lit(0)) + 1) / (F.col("_nr") + n_hash))
 
 
 def dsir_score_map(
@@ -512,34 +524,14 @@ def dsir_score_map(
     buckets (absent buckets carry the add-1 smoothing weight, so scoring
     is defined for tokens never seen when the model was built — the case a
     STREAM will hit). Build once from static corpora; ship everywhere."""
-    from wallaroo_spark.functions import hashing as H
-
-    def bkt(c):
-        return H.md5int_col(c) % F.lit(n_hash)
-
-    tb = target.select(F.explode(tokens(F.col(text))).alias("_w")).select(
-        bkt(F.col("_w")).alias("_b")
-    )
-    rb = df.select(F.explode(tokens(F.col(text))).alias("_w")).select(
-        bkt(F.col("_w")).alias("_b")
-    )
-    ct = tb.groupBy("_b").agg(F.count("*").alias("_ct")).localCheckpoint(eager=True)
-    cr = rb.groupBy("_b").agg(F.count("*").alias("_cr")).localCheckpoint(eager=True)
-    nt = ct.agg(F.sum("_ct").alias("_nt"))
-    nr = cr.agg(F.sum("_cr").alias("_nr"))
+    _, ct, cr, nt, nr = _dsir_models(df, target, text, n_hash)
     domain = df.sparkSession.range(n_hash).select(F.col("id").alias("_b"))
     dist = (
         domain.join(F.broadcast(ct), "_b", "left")
         .join(F.broadcast(cr), "_b", "left")
         .crossJoin(F.broadcast(nt))
         .crossJoin(F.broadcast(nr))
-        .select(
-            "_b",
-            (
-                F.log((F.coalesce("_ct", F.lit(0)) + 1) / (F.col("_nt") + n_hash))
-                - F.log((F.coalesce("_cr", F.lit(0)) + 1) / (F.col("_nr") + n_hash))
-            ).alias("_lw"),
-        )
+        .select("_b", _dsir_log_weight(n_hash).alias("_lw"))
     )
     return dist.agg(
         F.map_from_entries(F.collect_list(F.struct("_b", "_lw"))).alias("dsir_map")

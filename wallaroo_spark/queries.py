@@ -3904,7 +3904,7 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM pl, unnest(generate_series(st // 512, en // 512)) AS s(s))
     SELECT seq_id, CAST(count(*) AS BIGINT) AS n_parts,
            CAST(sum(part_n) AS BIGINT) AS n_tokens_filled,
-           string_agg(format('{{:06d}}:{{}}:{{}}:{{}}', part_off, doc_id, part_from, part_n),
+           string_agg(format('{{:012d}}:{{}}:{{}}:{{}}', part_off, doc_id, part_from, part_n),
                       ',' ORDER BY part_off) AS parts
     FROM parts GROUP BY 1
     """,

@@ -82,7 +82,13 @@ class ManifestTable:
 
     def _replay(self, version: int | None = None) -> tuple[list[str], list[dict]]:
         """(file set, txn markers) as of ``version`` — seeded from the
-        newest checkpoint at-or-below it, replaying only newer entries."""
+        newest checkpoint at-or-below it, replaying only newer entries.
+
+        Version numbers are DENSE by construction (next = last + 1), so a
+        time travel needs every integer version in (seed, version] to be
+        present in the live log; any gap means `expire_log()` removed an
+        entry the replay depends on, and the read must REFUSE rather than
+        silently return the seed checkpoint's (older) state."""
         cps = self._checkpoint_versions()
         base_v = max(
             (c for c in cps if version is None or c <= version), default=None
@@ -93,17 +99,22 @@ class ManifestTable:
             with open(os.path.join(self._ckpt, f"{base_v}.json")) as f:
                 cp = json.load(f)
             files, txns = list(cp["files"]), list(cp.get("txns", []))
-        elif cps:
-            # checkpoints exist but none at-or-below the requested version:
-            # if the log prefix was expired, replaying the surviving tail
-            # would silently produce a WRONG snapshot — refuse instead
-            vs = self.versions()
-            if not vs or vs[0] != 0:
+        live = self.versions()
+        if version is not None:
+            hi = min(
+                version,
+                max(max(live, default=-1), max(cps, default=-1)),
+            )
+            start = base_v if base_v is not None else -1
+            vset = set(live)
+            missing = [v for v in range(start + 1, hi + 1) if v not in vset]
+            if missing:
                 raise ValueError(
-                    f"version {version} predates the oldest checkpoint "
-                    f"({cps[0]}) and its log prefix has been expired"
+                    f"version {version} needs expired log entries {missing} "
+                    f"(no checkpoint covers them); time travel below the "
+                    f"retention horizon is gone after expire_log()"
                 )
-        for v in self.versions():
+        for v in live:
             if base_v is not None and v <= base_v:
                 continue
             if version is not None and v > version:

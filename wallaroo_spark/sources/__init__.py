@@ -71,7 +71,9 @@ def _stream_dir(path: str) -> str:
         return path
     if path not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="ws_streamdir_")
-        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        # absolute target: a relative one would resolve against the temp
+        # dir and dangle
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         _STREAM_DIRS[path] = d
     return _STREAM_DIRS[path]
 

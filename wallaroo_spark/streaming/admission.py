@@ -81,10 +81,16 @@ def token_budget_admit_stream(
         used = gs.get[0] if gs.exists else 0
         (dom,) = key
         rows = []
-        for pdf in pdf_iter:
-            # deterministic in-batch order: event time, then id
-            pdf = pdf.sort_values(["_ts", "_id"], kind="mergesort")
-            for did, nt in zip(pdf["_id"], pdf["_nt"]):
+        # deterministic in-batch order: event time, then id — over the
+        # WHOLE micro-batch. A large group arrives as multiple Arrow
+        # chunks in arbitrary order; sorting per-chunk would make the
+        # admission prefix depend on chunking and break batch parity.
+        pdfs = list(pdf_iter)
+        if pdfs:
+            batch = _pd.concat(pdfs, ignore_index=True).sort_values(
+                ["_ts", "_id"], kind="mergesort"
+            )
+            for did, nt in zip(batch["_id"], batch["_nt"]):
                 used += int(nt)
                 if used <= budget:
                     rows.append((dom, int(did), int(nt), used))
