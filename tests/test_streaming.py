@@ -1346,3 +1346,45 @@ def test_stream_token_budget_order_stable_across_arrow_chunks(spark, tmpdir):
     # ts ascending = doc_id descending: the LAST 10 ids are admitted
     want = [(i, (n - i) * 3) for i in range(n - 10, n)]
     assert got == want
+
+
+def test_stream_pack_sequences_matches_batch(spark, tmpdir):
+    """Online packing parity: feed documents in the batch operator's
+    salted-bucket-then-id order; the drained streaming placements must
+    equal batch pack_sequences exactly (same seq_id/offset/spans)."""
+    from wallaroo_spark.operators.text import _budget_bucket, pack_sequences
+    from wallaroo_spark.sources import read_table
+    from wallaroo_spark.streaming.admission import pack_sequences_stream
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text",
+        (
+            F.lit(T0)
+            + F.make_interval(
+                secs=_budget_bucket("doc_id", 256) * 100000 + F.col("doc_id")
+            )
+        ).alias("ts"),
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    sdf = spark.readStream.schema(docs.schema).parquet(tmpdir + "/in")
+    out = pack_sequences_stream(sdf, seq_len=512)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_pack_stream")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset, r.n_seqs)
+        for r in spark.sql("SELECT * FROM t_pack_stream").collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset, r.n_seqs)
+        for r in pack_sequences(
+            read_table(spark, "/root/testdata/sf0.001", "documents"), seq_len=512
+        ).collect()
+    }
+    assert got == want and want

@@ -103,3 +103,52 @@ def token_budget_admit_stream(
     return d.groupBy("_dom").applyInPandasWithState(
         run, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def pack_sequences_stream(
+    sdf: DataFrame,
+    seq_len: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ONLINE GPT-style sequence packing: assign each arriving document its
+    training-context placement (seq_id, seq_offset, n_seqs) as the stream
+    flows — the streaming counterpart of ``text.pack_sequences``.
+
+    The insight: concat-then-chunk placement is pure arithmetic on a doc's
+    global token START OFFSET, and the admission machinery already
+    maintains exactly that — a running token total in arrival order. So
+    this is ``token_budget_admit_stream`` with an unbounded budget (the
+    counter state is one bigint) under a single constant domain, plus a
+    map-side projection of the placement math. The stateful op touches
+    only (id, ts, n_tokens) rows; token counting stays native upstream.
+
+    Order note (same contract as the batch operator's salted-bucket order):
+    placements follow the admission order — (event-ts, id) within each
+    micro-batch, micro-batches in arrival order. Feed the stream in the
+    batch operator's order and the layout is identical (parity-tested).
+    Token-less docs occupy no space and are dropped.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    L = int(seq_len)
+    adm = token_budget_admit_stream(
+        sdf.withColumn("_g", F.lit("_")),
+        budget=(1 << 62),  # unbounded: packing admits everything
+        domain="_g",
+        text=text,
+        id_col=id_col,
+        ts_col=ts_col,
+    )
+    return adm.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        "n_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {L}").alias("seq_id"),
+        ((F.col("cum_tokens") - F.col("n_tokens")) % L).alias("seq_offset"),
+        (
+            F.expr(f"(cum_tokens - 1) div {L}")
+            - F.expr(f"(cum_tokens - n_tokens) div {L}")
+            + 1
+        ).alias("n_seqs"),
+    )
