@@ -88,6 +88,7 @@ HEADLINE = [
     "hard_negative_mining",
     "knn_label_purity",
     "dsir_score_filter",
+    "hard_negative_mining_ivf",
 ]
 
 

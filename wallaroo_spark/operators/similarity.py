@@ -254,6 +254,7 @@ def ivf_topk(
     query_id: str = "query_id",
     cent_id: str = "cent_id",
     corpus_assigned: DataFrame | None = None,
+    exclude_label: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
@@ -266,18 +267,26 @@ def ivf_topk(
     ``corpus_assigned`` (id, vec, cent_id — e.g. loaded from a persisted
     index, examples/ann_index.py) to skip the build-side assignment
     entirely: at scale the index is written once and probed many times.
-    """
+
+    ``exclude_label``: name of a label column present on BOTH sides —
+    candidates sharing the query's label are filtered before ranking,
+    turning the probe into IVF-backed HARD-NEGATIVE MINING (the corpus-
+    scale form of `hard_negative_topk`: same ranking stage, candidate
+    generation through the index instead of a full scan). Output then adds
+    (query_label, ``exclude_label``)."""
     cents = centroids.select(
         F.col(id_col).alias(cent_id),
         F.col(vec_col).alias("_cv"),
         _norm(F.col(vec_col)).alias("_cvn"),
     )
+    extras = [exclude_label] if exclude_label else []
 
     def assign(df: DataFrame, out_id: str, keep_n: int) -> DataFrame:
         # norms precomputed per vector/centroid: one dot per (vec, centroid)
         d = df.withColumn("_vn", _norm(F.col(vec_col)))
         scored = d.crossJoin(F.broadcast(cents)).select(
             F.col(out_id),
+            *extras,
             vec_col,
             "_vn",
             cent_id,
@@ -293,7 +302,10 @@ def ivf_topk(
                 scored.groupBy(out_id)
                 .agg(
                     F.max_by(
-                        F.struct(F.col(vec_col), F.col("_vn"), F.col(cent_id)),
+                        F.struct(
+                            F.col(vec_col), F.col("_vn"), F.col(cent_id),
+                            *[F.col(x) for x in extras],
+                        ),
                         F.struct(F.col("_ccos"), -F.col(cent_id)),
                     ).alias("_best")
                 )
@@ -302,6 +314,7 @@ def ivf_topk(
                     F.col(f"_best.{vec_col}").alias(vec_col),
                     F.col("_best._vn").alias("_vn"),
                     F.col(f"_best.{cent_id}").alias(cent_id),
+                    *[F.col(f"_best.{x}").alias(x) for x in extras],
                 )
             )
         w = Window.partitionBy(out_id).orderBy(F.col("_ccos").desc(), F.col(cent_id))
@@ -315,29 +328,48 @@ def ivf_topk(
         # persisted-index path: assignments were computed once at build
         # time (examples/ann_index.py); recompute only the norm column
         c_assigned = corpus_assigned.select(
-            id_col, vec_col, cent_id
+            id_col, vec_col, cent_id, *extras
         ).withColumn("_vn", _norm(F.col(vec_col)))
     else:
-        c_assigned = assign(corpus.select(id_col, vec_col), id_col, 1)
+        c_assigned = assign(corpus.select(id_col, vec_col, *extras), id_col, 1)
     q_assigned = assign(
-        queries.select(F.col(id_col).alias(query_id), vec_col), query_id, nprobe
-    ).select(query_id, F.col(vec_col).alias("_qv"), F.col("_vn").alias("_qn"), cent_id)
+        queries.select(F.col(id_col).alias(query_id), vec_col, *extras),
+        query_id,
+        nprobe,
+    ).select(
+        query_id,
+        F.col(vec_col).alias("_qv"),
+        F.col("_vn").alias("_qn"),
+        cent_id,
+        *[F.col(x).alias("_qlabel") for x in extras],
+    )
 
     # query-probe side = |queries| * nprobe rows — always the small side:
     # broadcast it so the corpus assignment streams through unshuffled
     # (without the hint its window/groupBy lineage hides its size and the
     # optimizer falls back to a sort-merge join on cent_id).
     joined = c_assigned.join(F.broadcast(q_assigned), cent_id)
+    if exclude_label:
+        joined = joined.filter(F.col(exclude_label) != F.col("_qlabel"))
+    out_extras = (
+        [F.col("_qlabel").alias("query_label"), F.col(exclude_label)]
+        if exclude_label
+        else []
+    )
     scored = joined.select(
         query_id,
+        *out_extras,
         id_col,
         (_dot(F.col(vec_col), F.col("_qv")) / (F.col("_vn") * F.col("_qn"))).alias("_cos"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(id_col))
+    final_cols = [query_id]
+    if exclude_label:
+        final_cols += ["query_label", exclude_label]
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id, id_col, F.round("_cos", 4).alias("cosine"), "rank")
+        .select(*final_cols, id_col, F.round("_cos", 4).alias("cosine"), "rank")
     )
 
 

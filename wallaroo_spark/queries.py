@@ -2238,6 +2238,66 @@ def _kmeans_ivf_oracle(
     return "WITH " + ",".join(blocks) + "," + final
 
 
+def _hard_negative_ivf_oracle(
+    k: int = 6, iters: int = 2, nprobe: int = 2, topk: int = 5, oversample: int = 4
+) -> str:
+    cos = _kmeans_cos_sql
+    blocks = _kmeans_cent_blocks(k, iters, oversample)
+    blocks.append(
+        """
+    q AS (SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 10)"""
+    )
+    final = f"""
+    c_assign AS (
+        SELECT vec_id, v, label, cent_id FROM (
+            SELECT c.vec_id, c.v, emb.label, ct.cent_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY {cos("c.v", "ct.cv")} DESC, ct.cent_id) AS rk
+            FROM c JOIN embeddings emb ON emb.vec_id = c.vec_id, cent{iters} ct)
+        WHERE rk = 1),
+    q_probe AS (
+        SELECT qid, qlabel, qv, cent_id FROM (
+            SELECT q.qid, q.qlabel, q.qv, ct.cent_id,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY {cos("q.qv", "ct.cv")} DESC, ct.cent_id) AS rk
+            FROM q, cent{iters} ct) WHERE rk <= {nprobe}),
+    s AS (SELECT qp.qid AS query_id, qp.qlabel AS query_label,
+                 ca.vec_id AS vec_id, ca.label AS label,
+                 {cos("qp.qv", "ca.v")} AS cos
+          FROM c_assign ca JOIN q_probe qp USING (cent_id)
+          WHERE ca.label <> qp.qlabel),
+    r AS (SELECT query_id, query_label, vec_id, label, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM s)
+    SELECT query_id, query_label, vec_id, label, round(cos, 4) AS cosine, rank
+    FROM r WHERE rank <= {topk}"""
+    return "WITH " + ",".join(blocks) + "," + final
+
+
+@query("hard_negative_mining_ivf", oracle=_hard_negative_ivf_oracle())
+def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale hard-negative mining (round-7 #1 closed): candidates
+    come through the learned-centroid IVF index (`ivf_topk` with
+    ``exclude_label``) instead of a full scan — the corpus streams through
+    its cluster assignment once, cross-label filtering and ranking happen
+    on probed clusters only. Oracle replays the k-means fit + probe with
+    the label exclusion."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cents = similarity.kmeans_fit(corpus, k=6, iters=2).withColumnRenamed(
+        "cent_id", "vec_id"
+    )
+    return similarity.ivf_topk(
+        corpus=corpus,
+        queries=emb.filter(F.col("vec_id") < 10),
+        centroids=cents,
+        k=5,
+        nprobe=2,
+        exclude_label="label",
+    )
+
+
 @query("kmeans_ivf_topk", oracle=_kmeans_ivf_oracle())
 def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with LEARNED centroids: deterministic distributed k-means (k=6,
