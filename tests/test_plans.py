@@ -208,10 +208,12 @@ def test_shared_shingles_param_identical_results(spark):
     )
     from wallaroo_spark.sources import read_table
 
+    from wallaroo_spark.operators.dedup import duplicate_clusters
+
     docs = read_table(spark, SF, "documents")
     sh = doc_shingles(docs).persist()
     try:
-        for fn in (ngram_jaccard_pairs, minhash_lsh_pairs):
+        for fn in (ngram_jaccard_pairs, minhash_lsh_pairs, duplicate_clusters):
             own = sorted(map(tuple, fn(docs, threshold=0.5).collect()))
             shared = sorted(map(tuple, fn(docs, threshold=0.5, shingles_df=sh).collect()))
             assert own == shared and own

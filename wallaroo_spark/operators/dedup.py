@@ -334,7 +334,11 @@ def minhash_lsh_pairs(
 
 
 def duplicate_clusters(
-    df: DataFrame, id_col: str = "doc_id", text: str = "text", threshold: float = 0.5
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    threshold: float = 0.5,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate clusters: connected components over the MinHash-LSH
     pair graph; component id = min doc id (the canonical survivor).
@@ -346,7 +350,9 @@ def duplicate_clusters(
     driver-side graph). Output: (doc_id, component_id) for docs that have at
     least one near-duplicate.
     """
-    pairs = minhash_lsh_pairs(df, id_col, text, threshold).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(
+        df, id_col, text, threshold, shingles_df=shingles_df
+    ).select("doc_a", "doc_b")
     # undirected edge list keeps every paired node present (pairs are already
     # materialized + lineage-truncated by minhash_lsh_pairs)
     edges = (
