@@ -363,6 +363,7 @@ def test_plan_shape_no_regression(spark):
     worse_if_more = (
         "exchanges", "python_ops", "sort_merge_joins",
         "nested_loop_joins", "scans", "partitionless_windows",
+        "read_cols_total",
     )
     problems = []
     for name, m in live.items():

@@ -24,6 +24,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 TRACKED = (
+    "read_cols_total",
     "scans",
     "exchanges",
     "broadcast_joins",
@@ -42,7 +43,11 @@ def snapshot(spark, sf_dir: str) -> dict[str, dict[str, int]]:
     out: dict[str, dict[str, int]] = {}
     for name in sorted(QUERIES):
         a = audit(QUERIES[name](spark, sf_dir))
-        out[name] = {k: getattr(a, k) for k in TRACKED}
+        m = {k: getattr(a, k) for k in TRACKED if k != "read_cols_total"}
+        # total columns leaving all scans: an increase = column-pruning
+        # regression (a projection stopped reaching the reader)
+        m["read_cols_total"] = sum(a.read_cols)
+        out[name] = m
     return out
 
 
