@@ -313,3 +313,28 @@ def test_time_travel_between_checkpoints_after_expiry_raises(spark, tmp_path):
     # stand in for it
     with _pytest.raises(ValueError, match="expired"):
         t.read(spark, version=2)
+
+
+def test_expire_log_keep_checkpoints_preserves_travel_window(spark, tmp_path):
+    """keep_checkpoints=2: entries above the second-newest checkpoint
+    survive, so time travel works at EVERY version >= that horizon; below
+    it still raises."""
+    import pytest as _pytest
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 2))    # v0
+    t.checkpoint()                # @0
+    t.append(_df(spark, 2, 4))    # v1
+    t.append(_df(spark, 4, 6))    # v2
+    t.checkpoint()                # @2
+    t.append(_df(spark, 6, 8))    # v3
+    assert t.expire_log(keep_checkpoints=2) == 1  # only v0 falls at/below @0
+    # full travel window back to the older checkpoint's horizon
+    for v, hi in [(0, 2), (1, 4), (2, 6), (3, 8)]:
+        assert sorted(r.i for r in t.read(spark, version=v).collect()) == list(range(hi))
+    # minimum retention afterwards: horizon jumps to the newest checkpoint
+    assert t.expire_log() == 2  # v1, v2
+    with _pytest.raises(ValueError, match="expired"):
+        t.read(spark, version=1)
+    with _pytest.raises(ValueError):
+        t.expire_log(keep_checkpoints=0)

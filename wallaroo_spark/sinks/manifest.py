@@ -161,21 +161,26 @@ class ManifestTable:
             os.unlink(tmp)
         return v
 
-    def expire_log(self) -> int:
-        """Delete log entries at-or-below the NEWEST checkpoint (the Delta
-        log-retention shape): reads seed from checkpoints, so those entries
-        are dead weight once one exists. Time travel remains available at
-        and above the oldest RETAINED horizon — `snapshot_files(version)`
-        below every checkpoint raises a clear error instead of silently
-        replaying a truncated log. Returns the number of entries removed.
+    def expire_log(self, keep_checkpoints: int = 1) -> int:
+        """Delete log entries at-or-below the retention horizon (the Delta
+        log-retention shape): reads seed from checkpoints, so entries below
+        one are dead weight. The horizon is the ``keep_checkpoints``-th
+        newest checkpoint — keep_checkpoints=1 (default) retains only the
+        newest (minimum retention); larger values keep older checkpoints
+        AND the entries between them, preserving full time travel back to
+        the oldest retained checkpoint. Travel below the horizon raises a
+        clear error instead of silently replaying a truncated log (gap
+        check in ``_replay``). Returns the number of entries removed.
 
         Note version numbering is unaffected: `versions()` keeps counting
         from the live tail, and `_commit`'s next-version scan never reads
         expired entries."""
+        if keep_checkpoints < 1:
+            raise ValueError("keep_checkpoints must be >= 1")
         cps = self._checkpoint_versions()
         if not cps:
             return 0
-        horizon = cps[-1]
+        horizon = cps[-min(keep_checkpoints, len(cps))]
         removed = 0
         for v in self.versions():
             if v <= horizon:
