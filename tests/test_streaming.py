@@ -1463,3 +1463,45 @@ def test_online_packing_into_manifest_table_exactly_once(spark, tmpdir):
             want.add((r.doc_id, cum // 256, cum % 256))
         cum += r.n
     assert got == want
+
+
+def test_stream_pack_sequences_per_domain(spark, tmpdir):
+    """Per-domain packing: each source gets its own independent sequence
+    space, identical to batch pack_sequences run on that source's subset
+    alone (state parallelizes across domains)."""
+    from wallaroo_spark.operators.text import _budget_bucket, pack_sequences
+    from wallaroo_spark.sources import read_table
+    from wallaroo_spark.streaming.admission import pack_sequences_stream
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "source", "doc_id", "text",
+        (
+            F.lit(T0)
+            + F.make_interval(
+                secs=_budget_bucket("doc_id", 256) * 100000 + F.col("doc_id")
+            )
+        ).alias("ts"),
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    sdf = spark.readStream.schema(docs.schema).parquet(tmpdir + "/in")
+    out = pack_sequences_stream(sdf, seq_len=128, domain="source")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_pack_dom")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.source, r.doc_id): (r.seq_id, r.seq_offset, r.n_seqs)
+        for r in spark.sql("SELECT * FROM t_pack_dom").collect()
+    }
+    batch_docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    want = {}
+    for s in [r.source for r in batch_docs.select("source").distinct().collect()]:
+        sub = pack_sequences(batch_docs.filter(F.col("source") == s), seq_len=128)
+        for r in sub.collect():
+            want[(s, r.doc_id)] = (r.seq_id, r.seq_offset, r.n_seqs)
+    assert got == want and want

@@ -111,6 +111,7 @@ def pack_sequences_stream(
     text: str = "text",
     id_col: str = "doc_id",
     ts_col: str = "ts",
+    domain: str | None = None,
 ) -> DataFrame:
     """ONLINE GPT-style sequence packing: assign each arriving document its
     training-context placement (seq_id, seq_offset, n_seqs) as the stream
@@ -129,19 +130,27 @@ def pack_sequences_stream(
     micro-batch, micro-batches in arrival order. Feed the stream in the
     batch operator's order and the layout is identical (parity-tested).
     Token-less docs occupy no space and are dropped.
+
+    ``domain``: None (default) = ONE global layout — the offset counter is
+    a single state key, inherently sequential (any global packing is).
+    Pass a column name for PER-DOMAIN layouts (one independent sequence
+    space per source/language): state and ordering then parallelize across
+    domains, the scale dial when layouts need not be global.
     """
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     L = int(seq_len)
+    src = sdf.withColumn("_g", F.lit("_")) if domain is None else sdf
     adm = token_budget_admit_stream(
-        sdf.withColumn("_g", F.lit("_")),
+        src,
         budget=(1 << 62),  # unbounded: packing admits everything
-        domain="_g",
+        domain=("_g" if domain is None else domain),
         text=text,
         id_col=id_col,
         ts_col=ts_col,
     )
     return adm.filter(F.col("n_tokens") > 0).select(
+        *([] if domain is None else [domain]),
         id_col,
         "n_tokens",
         F.expr(f"(cum_tokens - n_tokens) div {L}").alias("seq_id"),
