@@ -458,3 +458,36 @@ def test_prefix_scan_input_guards(spark):
         pack_sequences(docs, seq_len=0)
     # budget=0 is legal and admits nothing (vacuous but well-defined)
     assert token_budget_admit(docs, budget=0).count() == 0
+
+
+def test_ivf_exclude_label_with_persisted_assignments(spark):
+    """ivf_topk's label-exclusion mode must work identically through the
+    persisted-index path (corpus_assigned carries the label column) as
+    through the build-side assignment — the production shape: index built
+    once, hard negatives mined from it many times."""
+    from wallaroo_spark.operators import similarity
+    from wallaroo_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = similarity.kmeans_fit(corpus, k=6, iters=2).withColumnRenamed(
+        "cent_id", "vec_id"
+    )
+    live = similarity.ivf_topk(
+        corpus=corpus, queries=queries, centroids=cents, k=5, nprobe=2,
+        exclude_label="label",
+    )
+    # persisted assignments: the shared nearest-centroid rule, stored with
+    # the ORIGINAL embedding + label columns (the ann_index build shape)
+    asg = similarity.assign_nearest(
+        corpus, cents.withColumnRenamed("vec_id", "cent_id")
+    ).select("vec_id", "cent_id")
+    assignments = corpus.select("vec_id", "embedding", "label").join(asg, "vec_id")
+    persisted = similarity.ivf_topk(
+        corpus=None, queries=queries, centroids=cents, k=5, nprobe=2,
+        exclude_label="label", corpus_assigned=assignments,
+    )
+    a = sorted(map(tuple, live.collect()))
+    b = sorted(map(tuple, persisted.collect()))
+    assert a == b and a
