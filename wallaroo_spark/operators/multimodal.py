@@ -7,10 +7,16 @@ Arrow-batched ``mapInPandas`` stages so media bytes never leave the executor
 and partitions stream batch-by-batch (bounded memory regardless of blob
 size).
 
-The codec layer (pillow/ffmpeg-style libs) is NOT in this container, so the
-decode kernels are deterministic STUBS behind ``_decode_image_stub`` —
-clearly marked; swap the stub body for a real decoder and nothing else
-changes (schema, batching, partitioning are the real, tested plumbing).
+Two kernel tiers:
+
+- REAL kernels (``*_decoded`` operators below) use
+  ``operators/media_codec.py`` — genuine pure-numpy/stdlib parsers for
+  PPM/PGM, 24-bit BMP, PCM WAV, and the RVID raw-frame container, plus real
+  bilinear resize, 64-bit block-mean aHash, and FFT spectral features.
+- STUB kernels (the original ``attach_image_meta`` family) stand in for
+  formats that require external codec libraries (JPEG/PNG/H.264) which are
+  NOT in this container; deterministic fakes behind the same Arrow-batched
+  plumbing, clearly marked.
 
 Scale notes: media rows are large and skew-prone — repartition by a content
 hash before heavy kernels (``repartition_for_media``), keep
@@ -204,3 +210,366 @@ def ahash_near_pairs(
     return hamming_pairs(
         fp, "ahash", max_hamming, bits=AHASH_BITS, bands=AHASH_BANDS, id_col=id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL kernels — pure-numpy/stdlib codecs (operators/media_codec.py).
+# Same Arrow-batched mapInPandas plumbing as the stub tier; media bytes
+# never leave executors, partitions stream batch-by-batch.
+# ---------------------------------------------------------------------------
+
+from wallaroo_spark.operators import media_codec as mc  # noqa: E402
+
+MEDIA_META_DECODED_SCHEMA = (
+    "format string, width int, height int, channels int, "
+    "sample_rate int, n_samples bigint, n_frames int"
+)
+
+
+def attach_media_meta_decoded(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """binary media -> (id, format + modality-typed metadata), REAL decode.
+
+    Sniffs the container magic and runs the genuine parser: netpbm/BMP
+    images fill (width, height, channels); WAV fills (sample_rate,
+    n_samples); RVID fills (width, height, channels, n_frames). Columns
+    outside the payload's modality are NULL — one unified meta row shape
+    so mixed media tables need no per-format branching downstream."""
+
+    def run(batches):
+        import pandas as _pd
+
+        def meta(raw):
+            raw = bytes(raw)
+            fmt = mc.sniff_format(raw)
+            if fmt in ("ppm", "pgm"):
+                img = mc.decode_ppm(raw)
+                return (fmt, img.shape[1], img.shape[0], img.shape[2], None, None, None)
+            if fmt == "bmp":
+                img = mc.decode_bmp(raw)
+                return (fmt, img.shape[1], img.shape[0], img.shape[2], None, None, None)
+            if fmt == "wav":
+                samples, rate = mc.decode_wav(raw)
+                return (fmt, None, None, samples.shape[1], rate, samples.shape[0], None)
+            if fmt == "rvid":
+                w, h, c, n = mc.rvid_info(raw)
+                return (fmt, w, h, c, None, None, n)
+            raise ValueError(f"no codec for format {fmt!r} in this container")
+
+        for pdf in batches:
+            rows = [meta(m) for m in pdf[media_col]]
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [r[0] for r in rows],
+                    "width": [r[1] for r in rows],
+                    "height": [r[2] for r in rows],
+                    "channels": [r[3] for r in rows],
+                    "sample_rate": [r[4] for r in rows],
+                    "n_samples": [r[5] for r in rows],
+                    "n_frames": [r[6] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} bigint, {MEDIA_META_DECODED_SCHEMA}")
+
+
+def decoded_image_stats(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real decode -> integer-exact pixel statistics per image.
+
+    All outputs are integers (sums, min/max, integer BT.601 luma sum), so
+    the values are engine-exact and oracle-checkable — no float means."""
+
+    def run(batches):
+        import pandas as _pd
+
+        def stats(raw):
+            img = mc.decode_image(bytes(raw))
+            ly = mc.luma(img)
+            return (
+                img.shape[1], img.shape[0], img.shape[2],
+                int(img.sum(dtype="int64")), int(img.min()), int(img.max()),
+                int(ly.sum()),
+            )
+
+        for pdf in batches:
+            rows = [stats(m) for m in pdf[media_col]]
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "channels": [r[2] for r in rows],
+                    "pixel_sum": [r[3] for r in rows],
+                    "px_min": [r[4] for r in rows],
+                    "px_max": [r[5] for r in rows],
+                    "luma_sum": [r[6] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} bigint, width int, height int, channels int, "
+            "pixel_sum bigint, px_min int, px_max int, luma_sum bigint"
+        ),
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Real decode -> bilinear resize (half-pixel centers) -> PPM re-encode.
+
+    Output: (id, media [resized PPM/PGM bytes], width, height, channels,
+    pixel_sum). The resized payload replaces the original in place — the
+    downstream pipeline shape for thumbnailing a 100 TB media table."""
+
+    def run(batches):
+        import pandas as _pd
+
+        def rz(raw):
+            img = mc.decode_image(bytes(raw))
+            out = mc.bilinear_resize(img, out_h, out_w)
+            if out.ndim == 2:
+                out = out[:, :, None]
+            return (
+                mc.encode_ppm(out), out.shape[1], out.shape[0], out.shape[2],
+                int(out.sum(dtype="int64")),
+            )
+
+        for pdf in batches:
+            rows = [rz(m) for m in pdf[media_col]]
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    media_col: [r[0] for r in rows],
+                    "width": [r[1] for r in rows],
+                    "height": [r[2] for r in rows],
+                    "channels": [r[3] for r in rows],
+                    "pixel_sum": [r[4] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} bigint, {media_col} binary, width int, height int, "
+            "channels int, pixel_sum bigint"
+        ),
+    )
+
+
+def sample_video_frames(
+    df: DataFrame, every: int = 2, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """RVID demux, REAL: one row per sampled frame, lazily sliced — sampling
+    frame k reads only frame k's bytes (the demuxer contract that keeps
+    frame-sampling cheap on long videos). Output frames re-encode as PPM so
+    downstream image kernels apply unchanged."""
+
+    def run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, frames, sums = [], [], [], []
+            for did, m in zip(pdf[id_col], pdf[media_col]):
+                for i, frame in mc.iter_rvid_frames(bytes(m), every=every):
+                    ids.append(did)
+                    idxs.append(i)
+                    frames.append(mc.encode_ppm(frame))
+                    sums.append(int(frame.sum(dtype="int64")))
+            yield _pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame": frames, "frame_sum": sums}
+            )
+
+    return df.mapInPandas(
+        run, schema=f"{id_col} bigint, frame_idx int, frame binary, frame_sum bigint"
+    )
+
+
+def audio_meta_decoded(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real WAV decode -> (id, sample_rate, n_channels, n_samples,
+    duration_ms, energy). duration_ms and energy (sum of squared int16
+    samples) are integer-exact for oracle checking."""
+
+    def run(batches):
+        import pandas as _pd
+
+        def meta(raw):
+            samples, rate = mc.decode_wav(bytes(raw))
+            n = samples.shape[0]
+            energy = int((samples.astype("int64") ** 2).sum())
+            return (rate, samples.shape[1], n, n * 1000 // rate, energy)
+
+        for pdf in batches:
+            rows = [meta(m) for m in pdf[media_col]]
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": [r[0] for r in rows],
+                    "n_channels": [r[1] for r in rows],
+                    "n_samples": [r[2] for r in rows],
+                    "duration_ms": [r[3] for r in rows],
+                    "energy": [r[4] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} bigint, sample_rate int, n_channels int, "
+            "n_samples bigint, duration_ms bigint, energy bigint"
+        ),
+    )
+
+
+def audio_band_energies(
+    df: DataFrame,
+    n_bands: int = 8,
+    frame: int = 256,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Real WAV decode -> rFFT power spectrogram (non-overlapping rectangular
+    frames, so Parseval holds exactly — pinned by pytest) -> per-band
+    log-energies. The classic cheap audio-fingerprint feature vector."""
+
+    def run(batches):
+        import pandas as _pd
+
+        def feats(raw):
+            samples, _rate = mc.decode_wav(bytes(raw))
+            mono = samples.astype("float64").mean(axis=1) / 32768.0
+            return [float(x) for x in mc.band_energies(mono, n_bands=n_bands, frame=frame)]
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], "bands": [feats(m) for m in pdf[media_col]]}
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} bigint, bands array<double>")
+
+
+AHASH64_BITS = 64
+AHASH64_BANDS = 16
+
+
+def image_ahash64(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL 64-bit average hash: decode -> integer BT.601 luma -> 8x8 block
+    sums -> bit i set iff block i's mean beats the global mean
+    (cross-multiplied integers — engine-exact). Stored as signed int64."""
+
+    def run(batches):
+        import pandas as _pd
+
+        def ah(raw):
+            h = mc.ahash64(mc.decode_image(bytes(raw)))
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], "ahash": [ah(m) for m in pdf[media_col]]}
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} long, ahash long")
+
+
+def ahash64_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual near-duplicate pairs over REAL decoded images: 64-bit
+    aHash fingerprints paired by the generic banded-pigeonhole engine
+    (16 bands of 4 bits — lossless for Hamming distance < 16). Fingerprints
+    are 8 bytes/row however large the blobs; pairing never re-reads media."""
+    from wallaroo_spark.operators.dedup import hamming_pairs
+
+    fp = image_ahash64(df, media_col, id_col)
+    return hamming_pairs(
+        fp, "ahash", max_hamming, bits=AHASH64_BITS, bands=AHASH64_BANDS, id_col=id_col
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthesizers for formats whose binary headers are not
+# reasonably expressible JVM-side (WAV RIFF/RVID little-endian fields).
+# PPM synthesis lives in queries.py as pure Column code (format_string +
+# repeat + encode) — fully JVM-side. These two run executor-side through the
+# independent stdlib/numpy ENCODE path, so the decode operators above are
+# still exercised through a genuine parse of foreign bytes.
+# ---------------------------------------------------------------------------
+
+
+def synth_wav_from_text(
+    df: DataFrame,
+    rate: int = 8000,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(id, text) -> (id, media [PCM16 WAV]): sample k = (ascii(text[k]) - 96)
+    * 256, mono. Integer-exact, so energy/duration oracles recompute from
+    the text column in SQL."""
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def synth(s):
+            codes = _np.frombuffer(s.encode("utf-8"), dtype=_np.uint8).astype(_np.int64)
+            return mc.encode_wav(((codes - 96) * 256).astype(_np.int16), rate)
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], media_col: [synth(s) for s in pdf[text]]}
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} bigint, {media_col} binary")
+
+
+def synth_rvid_from_text(
+    df: DataFrame,
+    w: int = 4,
+    h: int = 3,
+    n_frames: int = 6,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(id, text) -> (id, media [RVID]): frame f's pixels are the text bytes
+    repeated to fill w*h, offset by f (rolled), single channel. Frame sums
+    recompute from the text column in SQL."""
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        fb = w * h
+
+        def synth(s):
+            codes = _np.frombuffer(s.encode("utf-8"), dtype=_np.uint8)
+            reps = -(-(fb + n_frames) // max(1, len(codes)))
+            tiled = _np.tile(codes, reps)
+            frames = _np.stack([tiled[f : f + fb].reshape(h, w) for f in range(n_frames)])
+            return mc.encode_rvid(frames)
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], media_col: [synth(s) for s in pdf[text]]}
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} bigint, {media_col} binary")

@@ -1266,6 +1266,199 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multimodal REAL kernels (operators/media_codec.py): genuine PPM/BMP/WAV/
+# RVID parsers, bilinear resize, FFT features — pure numpy/stdlib, no
+# external codec libs. Image payloads are synthesized JVM-side as real PPM
+# bytes (format_string header + repeated-text pixel array), so the Python
+# kernels parse foreign bytes they did not produce; WAV/RVID payloads are
+# synthesized executor-side through the independent stdlib/numpy ENCODE
+# path. Oracles recompute every decoded statistic from the text column —
+# integer-exact, no float means.
+# ---------------------------------------------------------------------------
+
+def _mm_ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, w, h, media): real P6 PPM bytes built entirely
+    JVM-side; pixel array = text repeated to w*h*3 bytes (ASCII-only
+    testdata: 1 char == 1 byte, verified at every SF)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = docs.withColumn("w", (F.lit(4) + F.col("doc_id") % 5).cast("int")).withColumn(
+        "h", (F.lit(3) + F.length("text") % 4).cast("int")
+    )
+    ppm = F.concat(
+        F.encode(F.format_string("P6\n%d %d\n255\n", F.col("w"), F.col("h")), "utf-8"),
+        F.encode(
+            F.expr(
+                "substr(repeat(text, cast(ceil((w*h*3)/length(text)) as int)), 1, w*h*3)"
+            ),
+            "utf-8",
+        ),
+    )
+    return d.select("doc_id", "w", "h", ppm.alias("media"))
+
+
+# shared oracle CTE: the same synthesized pixel string, DuckDB-side
+_MM_PX_CTE = """
+    WITH d AS (
+      SELECT doc_id, (4 + doc_id % 5)::INT AS w, (3 + length(text) % 4)::INT AS h, text
+      FROM documents WHERE length(text) > 0
+    ), s AS (
+      SELECT doc_id, w, h,
+             substr(repeat(text, CAST(ceil((w*h*3.0)/length(text)) AS INT)), 1, w*h*3) AS px
+      FROM d
+    )
+"""
+
+
+@query(
+    "multimodal_decoded_image_meta",
+    oracle="""
+    SELECT doc_id, 'ppm' AS format,
+           (4 + doc_id % 5)::INT AS width,
+           (3 + length(text) % 4)::INT AS height,
+           3 AS channels
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def multimodal_decoded_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: JVM-synthesized P6 PPM payloads -> netpbm parser
+    (media_codec.decode_ppm: magic + whitespace/comment grammar + pixel
+    array) -> (format, width, height, channels). The decoder must locate
+    the pixel array behind a variable-length header it did not write."""
+    media = _mm_ppm_media(spark, sf_dir)
+    return multimodal.attach_media_meta_decoded(media).select(
+        "doc_id", "format", "width", "height", "channels"
+    )
+
+
+@query(
+    "multimodal_decoded_pixel_stats",
+    oracle=_MM_PX_CTE
+    + """
+    , chars AS (
+      SELECT doc_id, w, h, g.i AS i, ascii(substr(px, g.i, 1)) AS code
+      FROM s CROSS JOIN generate_series(1, 144) AS g(i)
+      WHERE g.i <= w*h*3
+    ), pix AS (
+      SELECT doc_id, w, h, (i-1)//3 AS p,
+             sum(CASE WHEN (i-1)%3=0 THEN 77*code WHEN (i-1)%3=1 THEN 150*code
+                      ELSE 29*code END) AS lnum
+      FROM chars GROUP BY 1,2,3,4
+    ), lum AS (
+      SELECT doc_id, sum(lnum // 256) AS luma_sum FROM pix GROUP BY 1
+    )
+    SELECT c.doc_id, any_value(c.w) AS width, any_value(c.h) AS height,
+           3 AS channels,
+           sum(c.code) AS pixel_sum, min(c.code) AS px_min, max(c.code) AS px_max,
+           any_value(l.luma_sum) AS luma_sum
+    FROM chars c JOIN lum l ON c.doc_id = l.doc_id
+    GROUP BY c.doc_id
+    """,
+)
+def multimodal_decoded_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode -> integer-exact pixel statistics (sum/min/max byte,
+    integer BT.601 luma sum 77R+150G+29B >> 8). The oracle replays the
+    pixel array char-by-char in SQL — a wrong header parse, wrong reshape,
+    or float drift anywhere would hash-mismatch."""
+    media = _mm_ppm_media(spark, sf_dir)
+    return multimodal.decoded_image_stats(media).select(
+        "doc_id", "width", "height", "channels", "pixel_sum", "px_min", "px_max",
+        "luma_sum",
+    )
+
+
+@query(
+    "multimodal_resize_bilinear",
+    oracle="""
+    SELECT doc_id,
+           6 AS width, 5 AS height, 3 AS channels,
+           (5 * 6 * 3) * (97 + doc_id % 31) AS pixel_sum
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def multimodal_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL bilinear resize through decode -> interpolate -> PPM re-encode:
+    constant-color 10x8 source images (color = 97 + doc_id%31) resized to
+    6x5. Bilinear interpolation preserves constants EXACTLY (weights sum to
+    1 and rint(c) == c), so pixel_sum = 6*5*3*color gates the whole
+    decode/resize/re-encode chain; interpolation-weight correctness on
+    non-constant images is pinned by pytest golden tests."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P6\n8 10\n255\n"), "utf-8"),
+            F.encode(F.expr("repeat(char(97 + doc_id % 31), 8*10*3)"), "utf-8"),
+        ).alias("media"),
+    )
+    resized = multimodal.resize_images(d, out_h=5, out_w=6)
+    return resized.select("doc_id", "width", "height", "channels", "pixel_sum")
+
+
+@query(
+    "multimodal_audio_meta",
+    oracle="""
+    SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
+           length(text) AS n_samples,
+           length(text) * 1000 // 8000 AS duration_ms,
+           sum(((ascii(substr(text, g.i, 1)) - 96) * 256)
+               * ((ascii(substr(text, g.i, 1)) - 96) * 256)) AS energy
+    FROM documents CROSS JOIN generate_series(1, 1024) AS g(i)
+    WHERE length(text) > 0 AND g.i <= length(text)
+    GROUP BY doc_id, length(text)
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV roundtrip: PCM16 payloads synthesized through the stdlib
+    wave WRITER (sample k = (ascii(text[k])-96)*256), decoded back through
+    the wave READER + numpy -> (rate, channels, n_samples, duration_ms,
+    integer energy). The oracle recomputes energy from the text column, so
+    a mis-parsed RIFF header or byte order would hash-mismatch."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    wav = multimodal.synth_wav_from_text(docs, rate=8000)
+    return multimodal.audio_meta_decoded(wav)
+
+
+@query(
+    "multimodal_video_frame_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             repeat(text, CAST(ceil(18.0/length(text)) AS INT)) AS tiled
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, f.fi AS frame_idx,
+           sum(ascii(substr(tiled, f.fi + g.j, 1))) AS frame_sum
+    FROM d
+    CROSS JOIN (VALUES (0), (2), (4)) AS f(fi)
+    CROSS JOIN generate_series(1, 12) AS g(j)
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video demux: RVID containers (6 frames of 4x3x1, frame f's
+    pixels = text bytes rolled by f) frame-sampled every 2nd frame through
+    the lazy demuxer — only sampled frames' bytes are touched. Output per
+    sampled frame: integer pixel sum; the oracle replays the tiling in SQL."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    rv = multimodal.synth_rvid_from_text(docs, w=4, h=3, n_frames=6)
+    return multimodal.sample_video_frames(rv, every=2).select(
+        "doc_id", "frame_idx", "frame_sum"
+    )
+
+
+@query("multimodal_ahash64_near_dup")
+def multimodal_ahash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL perceptual near-dup over decoded images: 64-bit block-mean
+    aHash (integer luma, cross-multiplied comparisons) paired by the
+    generic banded-pigeonhole engine (16 bands of 4 bits, lossless for
+    d<16). Rows-only gate (8x8 block partition is not reasonably
+    SQL-expressible); exactness vs a local numpy reference is pinned by
+    pytest parity on the same operator."""
+    media = _mm_ppm_media(spark, sf_dir)
+    return multimodal.ahash64_near_pairs(media, max_hamming=4)
+
+
 @query(
     "window_lag_lead_rank",
     oracle="""
