@@ -1,0 +1,149 @@
+"""MultiManifestTable: cross-table atomic commits over one shared log, the
+multi-table exactly-once stream writer, and age-based log retention."""
+
+import os
+import time
+
+from wallaroo_spark.sinks.manifest import (
+    ManifestTable,
+    MultiManifestStreamWriter,
+    MultiManifestTable,
+)
+
+
+def _df(spark, lo, hi, tag="x"):
+    return spark.createDataFrame(
+        [(i, f"{tag}{i}") for i in range(lo, hi)], "i long, v string"
+    )
+
+
+def test_append_multi_is_atomic_across_tables(spark, tmp_path):
+    """One commit publishes BOTH tables; the prior version sees NEITHER."""
+    t = MultiManifestTable(str(tmp_path / "t"))
+    v0 = t.append_multi({"corpus": _df(spark, 0, 4), "seq": _df(spark, 100, 102)})
+    v1 = t.append_multi({"corpus": _df(spark, 4, 6), "seq": _df(spark, 102, 105)})
+    assert (v0, v1) == (0, 1)
+    # head: both tables show both transactions
+    assert sorted(r.i for r in t.read(spark, "corpus").collect()) == list(range(6))
+    assert sorted(r.i for r in t.read(spark, "seq").collect()) == list(range(100, 105))
+    # time travel to v0: both tables roll back TOGETHER
+    assert sorted(r.i for r in t.read(spark, "corpus", version=0).collect()) == [0, 1, 2, 3]
+    assert sorted(r.i for r in t.read(spark, "seq", version=0).collect()) == [100, 101]
+
+
+def test_staged_but_uncommitted_transaction_is_invisible_and_vacuumable(spark, tmp_path):
+    """A writer that staged parts for both tables but died before the log
+    link publishes nothing; vacuum(0) reclaims both orphan dirs."""
+    t = MultiManifestTable(str(tmp_path / "t"))
+    t.append_multi({"corpus": _df(spark, 0, 3), "seq": _df(spark, 0, 1)})
+    # simulate the crash window: stage parts, no commit
+    t._write_parts_for("corpus", _df(spark, 50, 60))
+    t._write_parts_for("seq", _df(spark, 50, 55))
+    assert sorted(r.i for r in t.read(spark, "corpus").collect()) == [0, 1, 2]
+    assert t.vacuum(min_age_s=0) == 2
+    assert sorted(r.i for r in t.read(spark, "corpus").collect()) == [0, 1, 2]
+    assert sorted(r.i for r in t.read(spark, "seq").collect()) == [0]
+
+
+def test_overwrite_multi_replaces_named_tables_only(spark, tmp_path):
+    t = MultiManifestTable(str(tmp_path / "t"))
+    t.append_multi(
+        {"corpus": _df(spark, 0, 4), "seq": _df(spark, 0, 2), "aux": _df(spark, 9, 10)}
+    )
+    t.overwrite_multi({"corpus": _df(spark, 10, 12), "seq": _df(spark, 20, 21)})
+    assert sorted(r.i for r in t.read(spark, "corpus").collect()) == [10, 11]
+    assert sorted(r.i for r in t.read(spark, "seq").collect()) == [20]
+    # table outside the transaction is untouched
+    assert sorted(r.i for r in t.read(spark, "aux").collect()) == [9]
+    # history still has the old pair, consistently
+    assert sorted(r.i for r in t.read(spark, "corpus", version=0).collect()) == [0, 1, 2, 3]
+    assert sorted(r.i for r in t.read(spark, "seq", version=0).collect()) == [0, 1]
+
+
+def test_multi_stream_writer_exactly_once_across_both_tables(spark, tmp_path):
+    """A replayed batch appends nothing to ANY table; both derived tables
+    stay transactionally paired under restart replay."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    t = MultiManifestTable(str(tmp_path / "t"))
+
+    def split(df):
+        return {
+            "evens": df.filter(F.col("i") % 2 == 0),
+            "odds": df.filter(F.col("i") % 2 == 1),
+        }
+
+    w = MultiManifestStreamWriter(t, split, query_id="pack")
+
+    def run_round():
+        sdf = spark.readStream.schema("i long, v string").parquet(src)
+        q = (
+            sdf.writeStream.foreachBatch(w)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _df(spark, 0, 6).write.mode("append").parquet(src)
+    run_round()
+    _df(spark, 6, 10).write.mode("append").parquet(src)
+    run_round()  # restart: only new files process
+    assert sorted(r.i for r in t.read(spark, "evens").collect()) == [0, 2, 4, 6, 8]
+    assert sorted(r.i for r in t.read(spark, "odds").collect()) == [1, 3, 5, 7, 9]
+    # hard replay of batch 0: nothing appended to either table
+    w(_df(spark, 0, 6), 0)
+    assert sorted(r.i for r in t.read(spark, "evens").collect()) == [0, 2, 4, 6, 8]
+    assert sorted(r.i for r in t.read(spark, "odds").collect()) == [1, 3, 5, 7, 9]
+    assert len(t.committed_txns("pack")) == 2
+
+
+def test_multi_checkpoint_and_expiry_inherited(spark, tmp_path):
+    """Log checkpoints + expire_log work unchanged on the shared log, and
+    per-table reads after expiry seed from the checkpointed file set."""
+    t = MultiManifestTable(str(tmp_path / "t"), checkpoint_interval=2)
+    for k in range(4):
+        t.append_multi({"a": _df(spark, k, k + 1), "b": _df(spark, 10 + k, 11 + k)})
+    t.checkpoint()
+    assert t.expire_log() > 0
+    assert sorted(r.i for r in t.read(spark, "a").collect()) == [0, 1, 2, 3]
+    assert sorted(r.i for r in t.read(spark, "b").collect()) == [10, 11, 12, 13]
+
+
+def test_expire_log_by_age_removes_only_old_contiguous_prefix(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    for k in range(5):
+        t.append(_df(spark, k, k + 1))
+    t.checkpoint()  # horizon = v4
+    # age the first three entries; v3 stays fresh -> prefix stops there
+    old = time.time() - 10_000
+    for v in (0, 1, 2):
+        os.utime(os.path.join(t._log, f"{v}.json"), (old, old))
+    assert t.expire_log_by_age(min_age_s=3600) == 3
+    assert t.versions() == [3, 4]
+    # head reads fine (checkpoint-seeded), travel into the removed prefix raises
+    assert sorted(r.i for r in t.read(spark).collect()) == [0, 1, 2, 3, 4]
+    try:
+        t.read(spark, version=1)
+        raise AssertionError("expired travel must raise")
+    except ValueError as e:
+        assert "expired" in str(e)
+    # travel at-or-above the retained tail... v4 is the checkpointed head
+    assert sorted(r.i for r in t.read(spark, version=4).collect()) == [0, 1, 2, 3, 4]
+
+
+def test_expire_log_by_age_never_crosses_checkpoint_horizon(spark, tmp_path):
+    """Entries above the newest checkpoint are required to replay the head:
+    even if ancient, they must survive age-based expiry."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 1))
+    t.checkpoint()  # horizon = v0
+    t.append(_df(spark, 1, 2))  # v1, above horizon
+    old = time.time() - 10_000
+    for v in (0, 1):
+        os.utime(os.path.join(t._log, f"{v}.json"), (old, old))
+    assert t.expire_log_by_age(min_age_s=3600) == 1  # only v0
+    assert t.versions() == [1]
+    assert sorted(r.i for r in t.read(spark).collect()) == [0, 1]

@@ -1,0 +1,81 @@
+"""Reference-LM perplexity filter (text.reference_lm_cross_entropy /
+perplexity_filter): hand-computed probabilities, unseen-context backoff,
+filter semantics, and the size-aware model-join degradation."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from wallaroo_spark.operators import text as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_add_one_bigram_model_hand_computed(spark):
+    # ref bigrams: "a b" x2, "b a" x1, "a c" x1 -> c1: a=3, b=1; V = |{b,a,c}| = 3
+    ref = _docs(spark, [(1, "a b a b"), (2, "a c")])
+    corpus = _docs(spark, [(10, "a b c")])
+    got = T.reference_lm_cross_entropy(corpus, ref).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_bigrams"] == 2
+    p_ab = (2 + 1) / (3 + 3 + 1)  # seen bigram, seen context
+    p_bc = (0 + 1) / (1 + 3 + 1)  # unseen bigram, seen context
+    expect = round((-math.log2(p_ab) - math.log2(p_bc)) / 2, 4)
+    assert float(r["avg_bits"]) == expect
+
+
+def test_unseen_context_backoff_and_single_token_drop(spark):
+    ref = _docs(spark, [(1, "a b a b"), (2, "a c")])  # V = 3
+    corpus = _docs(spark, [(10, "x y"), (11, "solo")])
+    got = {r["doc_id"]: r for r in T.reference_lm_cross_entropy(corpus, ref).collect()}
+    # fully unseen context: p = 1/(0 + V + 1) = 1/4
+    assert float(got[10]["avg_bits"]) == round(-math.log2(1 / 4), 4)
+    assert 11 not in got  # no bigrams -> drops out
+
+
+def test_perplexity_filter_keeps_low_bits_docs(spark):
+    ref = _docs(spark, [(1, "a b a b a b"), (2, "a b c")])
+    corpus = _docs(
+        spark,
+        [(10, "a b a b"), (11, "q r s t u v"), (12, "a b c a b")],
+    )
+    scores = {
+        r["doc_id"]: float(r["avg_bits"])
+        for r in T.reference_lm_cross_entropy(corpus, ref).collect()
+    }
+    cut = (min(scores.values()) + max(scores.values())) / 2
+    kept = T.perplexity_filter(corpus, ref, max_avg_bits=cut)
+    assert set(kept.columns) == {"doc_id", "text"}  # schema preserved
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        d for d, s in scores.items() if s <= cut
+    )
+
+
+def test_model_join_broadcast_auto_degrades_with_parity(spark):
+    """Below the cap the model joins broadcast; above it they degrade to
+    shuffle joins — identical scores either way (the ngram_jaccard size-
+    aware pattern applied to the LM model tables)."""
+    from wallaroo_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    ref = docs.filter(F.col("lang") == "en")
+
+    def plan(cap):
+        out = T.reference_lm_cross_entropy(docs, ref, model_broadcast_max=cap)
+        return out, out._jdf.queryExecution().executedPlan().toString()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out_b, plan_b = plan(None)  # always broadcast
+        out_s, plan_s = plan(1)  # tiny cap: forced shuffle fallback
+        assert plan_b.count("BroadcastHashJoin") > plan_s.count("BroadcastHashJoin")
+        assert "SortMergeJoin" in plan_s or "ShuffledHashJoin" in plan_s
+        rows_b = sorted(map(tuple, out_b.collect()))
+        rows_s = sorted(map(tuple, out_s.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert rows_b == rows_s

@@ -990,3 +990,111 @@ def bpe_encode(df, merges, text: str = "text", id_col: str = "doc_id"):
         n_bpe.cast("long").alias("n_bpe_tokens"),
         F.round(n_bpe / F.greatest(n_ws, F.lit(1)), 4).alias("ratio"),
     )
+
+
+def _adjacent_bigrams(c: Column) -> Column:
+    """'w1 w2' strings for each adjacent whitespace-token pair."""
+    toks = tokens(c)
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+LM_BROADCAST_MAX = 2_000_000  # bigram-table rows; ~50-100 B/row => ~150 MB cap
+
+
+def reference_lm_cross_entropy(
+    df,
+    ref,
+    text: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 4,
+    model_broadcast_max: int | None = LM_BROADCAST_MAX,
+):
+    """CCNet-shape perplexity scoring: fit an add-one-smoothed bigram LM on
+    a REFERENCE corpus (CCNet fits KenLM on Wikipedia), then score every
+    document of ``df`` by average cross-entropy under that reference model
+    — low bits == reference-like text, high bits == noise/boilerplate.
+    Unlike ``bigram_surprisal`` (self-scoring), the model and the scored
+    corpus are different tables, which is what makes it a quality filter
+    rather than a repetition signal.
+
+    Model: p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V + 1) with V = reference
+    bigram-vocabulary size (distinct successor tokens) — add-one backoff
+    keeps every probability defined for unseen bigrams AND unseen
+    contexts (c12 = c1 = 0 -> 1/(V+1)). Integer counts + one final log:
+    deterministic, oracle-replayable at ``round_dp``.
+
+    Scale: the model is REFERENCE-sized, not corpus-sized — CCNet's wiki
+    reference yields tens of millions of bigrams (~GBs), so the model join
+    is size-aware like `ngram_jaccard_pairs`: approx-count the bigram table
+    and broadcast under ``model_broadcast_max``, else fall back to a hash
+    shuffle join on the bigram key (the corpus side shuffles once; partial
+    aggregation still applies). Pruned-model variants (top-K by Misra-Gries
+    + floor backoff) keep the broadcast path at any reference size.
+
+    Output: (id_col, n_bigrams, avg_bits) — avg_bits = mean -log2 p;
+    perplexity = 2^avg_bits. Docs with no bigrams drop out.
+    """
+    rb = ref.select(F.explode(_adjacent_bigrams(F.col(text))).alias("_bg"))
+    c12 = rb.groupBy("_bg").agg(F.count("*").alias("_c12"))
+    # context counts derive from the bigram table itself (no second explode)
+    c1 = (
+        c12.withColumn("_w1", F.split("_bg", " ")[0])
+        .groupBy("_w1")
+        .agg(F.sum("_c12").alias("_c1"))
+    )
+    vocab = c12.select(F.split("_bg", " ")[1].alias("_w2")).agg(
+        F.countDistinct("_w2").alias("_V")
+    )
+
+    if model_broadcast_max is not None:
+        n_model = c12.agg(F.approx_count_distinct("_bg").alias("v")).first()["v"]
+        bcast = n_model <= model_broadcast_max
+    else:
+        bcast = True
+    model12 = F.broadcast(c12) if bcast else c12
+    model1 = F.broadcast(c1) if bcast else c1
+
+    db = df.select(id_col, F.explode(_adjacent_bigrams(F.col(text))).alias("_bg"))
+    db = db.withColumn("_w1", F.split("_bg", " ")[0])
+    scored = (
+        db.join(model12, "_bg", "left")
+        .join(model1, "_w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_bits",
+            -F.log2(
+                (F.coalesce(F.col("_c12"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_V") + 1)
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("_bits"), round_dp).alias("avg_bits"),
+    )
+
+
+def perplexity_filter(
+    df,
+    ref,
+    max_avg_bits: float,
+    text: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 4,
+    model_broadcast_max: int | None = LM_BROADCAST_MAX,
+):
+    """Keep documents whose reference-LM cross-entropy is at most
+    ``max_avg_bits`` (the CCNet head/middle cut, as a fixed threshold so
+    the gate is deterministic — quantile thresholds ride
+    `histogram_quantiles` upstream). Scores are doc-id-keyed (one hash agg)
+    and join back semi-style: the corpus text crosses the wire once."""
+    scores = reference_lm_cross_entropy(
+        df, ref, text, id_col, round_dp, model_broadcast_max
+    )
+    keep = scores.filter(F.col("avg_bits") <= max_avg_bits).select(id_col)
+    return df.join(keep, id_col, "left_semi")

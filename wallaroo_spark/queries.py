@@ -4739,3 +4739,65 @@ def model_quality_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("bm25").alias("retrieval_score")
     )
     return _inference.model_rerank(cand, docs, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: reference-LM perplexity filtering (CCNet shape)
+# ---------------------------------------------------------------------------
+
+_REF_LM_CTE = f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS tk FROM documents),
+    tok AS (SELECT doc_id, lang, generate_subscripts(tk, 1) AS s, unnest(tk) AS w
+            FROM t),
+    bg AS (SELECT doc_id, lang, w AS w1,
+                  lead(w) OVER (PARTITION BY doc_id ORDER BY s) AS w2
+           FROM tok),
+    b2 AS (SELECT doc_id, lang, w1, w1 || ' ' || w2 AS b FROM bg
+           WHERE w2 IS NOT NULL),
+    refb AS (SELECT * FROM b2 WHERE lang = 'en'),
+    c12 AS (SELECT b, count(*) AS c12 FROM refb GROUP BY 1),
+    c1 AS (SELECT string_split(b, ' ')[1] AS w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+    V AS (SELECT count(DISTINCT string_split(b, ' ')[2]) AS v FROM c12),
+    sc AS (SELECT d.doc_id, count(*) AS n_bigrams,
+                  round(avg(-log2((coalesce(c12.c12, 0) + 1)::DOUBLE
+                                  / (coalesce(c1.c1, 0) + V.v + 1))), 4) AS avg_bits
+           FROM b2 d LEFT JOIN c12 ON d.b = c12.b LEFT JOIN c1 ON d.w1 = c1.w1, V
+           GROUP BY 1)
+"""
+
+
+@query(
+    "reference_lm_perplexity",
+    oracle=_REF_LM_CTE + "SELECT doc_id, n_bigrams, avg_bits FROM sc",
+)
+def reference_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape quality scoring (`text.reference_lm_cross_entropy`): an
+    add-one-smoothed bigram LM fit on the 'en' REFERENCE slice scores every
+    document's average cross-entropy — the train-on-reference /
+    score-the-corpus split that distinguishes a perplexity filter from the
+    self-scoring `bigram_surprisal`. Model is reference-sized and
+    size-aware broadcast (shuffle-join fallback above the cap)."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    return text.reference_lm_cross_entropy(docs, ref)
+
+
+@query(
+    "perplexity_filter_survivors",
+    oracle=_REF_LM_CTE
+    + """
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+    WHERE sc.avg_bits <= 4.95
+    """,
+)
+def perplexity_filter_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter form (`text.perplexity_filter`): keep documents scoring
+    at most 4.95 bits under the 'en' reference LM (a proper subset at every
+    tested SF). Left-semi join back on doc_id: corpus text crosses the
+    wire once; the threshold keeps the gate deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    return text.perplexity_filter(docs, ref, max_avg_bits=4.95).select(
+        "doc_id", "lang", "source"
+    )

@@ -188,6 +188,36 @@ class ManifestTable:
                 removed += 1
         return removed
 
+    def expire_log_by_age(self, min_age_s: float) -> int:
+        """Age-based log retention: delete entries older than ``min_age_s``
+        that sit at-or-below the newest checkpoint (entries above it are
+        always needed to replay the head). Only the longest CONTIGUOUS
+        too-old prefix is removed — never a mid-log entry — so the dense-
+        version gap check in ``_replay`` keeps every retained version
+        travel-able; time travel below the removed prefix raises the same
+        clear retention error as ``expire_log``. Returns entries removed."""
+        import time
+
+        cps = self._checkpoint_versions()
+        if not cps:
+            return 0
+        horizon = cps[-1]
+        now = time.time()
+        removed = 0
+        for v in self.versions():  # ascending: stop at the first keeper
+            if v > horizon:
+                break
+            path = os.path.join(self._log, f"{v}.json")
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                break
+            if age < min_age_s:
+                break
+            os.unlink(path)
+            removed += 1
+        return removed
+
     # -- commit (optimistic put-if-absent) ----------------------------------
     def _commit(
         self,
@@ -288,6 +318,12 @@ class ManifestTable:
             raise ValueError("empty table snapshot")
         return spark.read.parquet(*files)
 
+    def _vacuum_candidates(self) -> list[str]:
+        """Data dirs that may be vacuumed if unreferenced: the staging-dir
+        granularity one writer produces (`_data/<uuid>` here; the
+        multi-table layout overrides to `_data/<table>/<uuid>`)."""
+        return [os.path.join(self._data, n) for n in os.listdir(self._data)]
+
     def vacuum(self, min_age_s: float = 3600.0) -> int:
         """Remove data dirs no log entry references (crashed writers).
 
@@ -312,8 +348,7 @@ class ManifestTable:
                     referenced.add(os.path.dirname(fp))
         now = time.time()
         removed = 0
-        for name in os.listdir(self._data):
-            d = os.path.join(self._data, name)
+        for d in self._vacuum_candidates():
             if d in referenced:
                 continue
             try:
@@ -354,4 +389,108 @@ class ManifestStreamWriter:
             removes=[],
             txn={"query_id": self.query_id, "batch_id": batch_id},
             skip_if=lambda: batch_id in self._committed_batches(),
+        )
+
+
+class MultiManifestTable(ManifestTable):
+    """Cross-table ATOMIC commits: N logical tables sharing ONE manifest log.
+
+    The missing piece when a corpus table and its derived sequence-manifest
+    table must move together (round-6 packing chain): committing them as two
+    independent ManifestTables leaves a window where readers see new packed
+    sequences referencing corpus rows that are not visible yet (or vice
+    versa). Here each logical table's data files live under
+    ``_data/<table>/...`` and a SINGLE log entry carries the adds/removes
+    for every table in the transaction — one put-if-absent link publishes
+    all of them or none. Snapshot isolation and time travel are therefore
+    CONSISTENT ACROSS TABLES by construction: ``read(spark, t, version=v)``
+    for any two tables at the same ``v`` always observes the same
+    transaction boundary (the Delta/Iceberg single-log multi-table shape;
+    checkpoints, expiry, vacuum, and the optimistic commit loop are all
+    inherited unchanged because file paths namespace themselves).
+    """
+
+    def _write_parts_for(
+        self, table: str, df: DataFrame, n_files: int | None = None
+    ) -> list[str]:
+        d = os.path.join(self._data, table, uuid.uuid4().hex)
+        w = df.coalesce(n_files) if n_files else df
+        w.write.parquet(d)
+        return sorted(
+            os.path.join(r, n)
+            for r, _, names in os.walk(d)
+            for n in names
+            if n.endswith(".parquet")
+        )
+
+    def _prefix(self, table: str) -> str:
+        return os.path.join(self._data, table) + os.sep
+
+    def table_files(self, table: str, version: int | None = None) -> list[str]:
+        p = self._prefix(table)
+        return [f for f in self.snapshot_files(version) if f.startswith(p)]
+
+    def append_multi(self, dfs: dict[str, DataFrame]) -> int:
+        """Stage every table's parts (publishes nothing), then ONE atomic
+        commit covering all of them. A crash mid-staging leaves only orphan
+        dirs for vacuum(); no reader ever sees a partial transaction."""
+        adds: list[str] = []
+        for table, df in dfs.items():
+            adds.extend(self._write_parts_for(table, df))
+        return self._commit(adds=adds, removes=[])
+
+    def overwrite_multi(self, dfs: dict[str, DataFrame]) -> int:
+        """Atomically replace every named table's snapshot (tables not named
+        are untouched). removes is a callable so a lost race re-reads the
+        winner's snapshot — last-writer-wins per table, never a merge."""
+        adds: list[str] = []
+        for table, df in dfs.items():
+            adds.extend(self._write_parts_for(table, df))
+        names = list(dfs)
+
+        def removes():
+            return [f for t in names for f in self.table_files(t)]
+
+        return self._commit(adds=adds, removes=removes)
+
+    def read(self, spark, table: str, version: int | None = None) -> DataFrame:  # type: ignore[override]
+        files = self.table_files(table, version)
+        if not files:
+            raise ValueError(f"empty snapshot for table {table!r}")
+        return spark.read.parquet(*files)
+
+    def _vacuum_candidates(self) -> list[str]:
+        # staging dirs sit one level deeper: _data/<table>/<uuid>
+        out: list[str] = []
+        for table in os.listdir(self._data):
+            td = os.path.join(self._data, table)
+            out.extend(os.path.join(td, n) for n in os.listdir(td))
+        return out
+
+
+class MultiManifestStreamWriter:
+    """foreachBatch writer committing MULTIPLE derived tables of one batch in
+    ONE manifest transaction — exactly-once ACROSS tables under restart
+    replay. ``split_fn(batch_df) -> dict[table, DataFrame]`` derives the
+    per-table outputs (e.g. packed corpus rows + their sequence manifests);
+    a replayed batch finds its (query_id, batch_id) txn marker and appends
+    nothing to ANY table."""
+
+    def __init__(self, table: MultiManifestTable, split_fn, query_id: str = "q"):
+        self.table = table
+        self.split_fn = split_fn
+        self.query_id = query_id
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.table.committed_txns(self.query_id):
+            return
+        parts = self.split_fn(df)
+        adds: list[str] = []
+        for t, part in parts.items():
+            adds.extend(self.table._write_parts_for(t, part))
+        self.table._commit(
+            adds=adds,
+            removes=[],
+            txn={"query_id": self.query_id, "batch_id": batch_id},
+            skip_if=lambda: batch_id in self.table.committed_txns(self.query_id),
         )
