@@ -89,6 +89,11 @@ HEADLINE = [
     "knn_label_purity",
     "dsir_score_filter",
     "hard_negative_mining_ivf",
+    # round-7 additions
+    "multimodal_decoded_pixel_stats",
+    "multimodal_audio_meta",
+    "multimodal_video_frame_stats",
+    "reference_lm_perplexity",
 ]
 
 
