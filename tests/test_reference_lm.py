@@ -79,3 +79,43 @@ def test_model_join_broadcast_auto_degrades_with_parity(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert rows_b == rows_s
+
+
+def test_streamable_perplexity_filter_stream_matches_batch(spark, tmpdir):
+    """Streamable LM gate: the SAME perplexity_filter_streamable call on a
+    streaming probe (stream-static broadcast join, append mode) keeps
+    exactly the batch-kept docs with identical bits — in-row scoring has
+    no state to diverge."""
+    from wallaroo_spark.operators.text import lm_score_map, perplexity_filter_streamable
+    from wallaroo_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    model = lm_score_map(ref)
+
+    batch = perplexity_filter_streamable(docs, model, max_avg_bits=4.9).select(
+        "doc_id", "n_bigrams", "avg_bits"
+    )
+    want = {(r.doc_id, r.n_bigrams, float(r.avg_bits)) for r in batch.collect()}
+    assert want  # non-vacuous
+
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmpdir) + "/in")
+    sdocs = spark.readStream.schema(docs.schema).parquet(str(tmpdir) + "/in")
+    out = perplexity_filter_streamable(sdocs, model, max_avg_bits=4.9).select(
+        "doc_id", "n_bigrams", "avg_bits"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ppl_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmpdir) + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.n_bigrams, float(r.avg_bits))
+        for r in spark.sql("SELECT * FROM t_ppl_stream").collect()
+    }
+    assert got == want

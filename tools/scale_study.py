@@ -1,0 +1,135 @@
+"""Local scaling study: replicate sf0.1 3x (key-shifted) and measure each
+headline query at sf0.1 vs the 3x copy IN THE SAME SESSION, reporting the
+per-query scaling exponent log(t_3x/t_1x)/log(3).
+
+Rationale (NOTES.md): cross-round absolute timings on this shared host are
+unreliable; same-session A/B is the only trustworthy comparison. An
+exponent near 1.0 = linear scaling; >1.3 flags a shuffle/join whose cost
+grows superlinearly with data (the 100 TB red flag the gate is for).
+
+Replication preserves FK integrity (every integer key shifts by
+r * 10_000_000 per replica r, so joins keep their fan-in) and avoids
+artificial cross-replica duplicate blowups: document text gets a per-replica
+prefix token and embeddings are dimension-rotated per replica (norms
+preserved), so dedup/ANN pair counts stay ~3x, not 9x.
+
+Usage: python tools/scale_study.py [out_json]
+Writes /tmp/ws_scale3x/ once (reused if present).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/ws_scale3x"
+SHIFT = 10_000_000
+REPLICAS = 3
+
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation"]  # fixed-cardinality dimensions: copy as-is
+
+
+def generate(spark) -> None:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wallaroo_spark.sources import read_table
+
+    if os.path.isdir(DST) and os.path.exists(f"{DST}/lineitem.parquet"):
+        return
+    os.makedirs(DST, exist_ok=True)
+    for t in DIMS:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    for t, keys in KEY_COLS.items():
+        base = read_table(spark, SRC, t)
+        parts = []
+        for r in range(REPLICAS):
+            d = base
+            for k in keys:
+                d = d.withColumn(k, F.col(k) + F.lit(r * SHIFT))
+            if t == "documents" and "text" in d.columns:
+                # per-replica leading token: breaks cross-replica exact/near
+                # duplicates without changing per-doc statistics shape
+                if r > 0:
+                    d = d.withColumn(
+                        "text", F.concat(F.lit(f"r{r}x "), F.col("text"))
+                    )
+            if t == "embeddings" and r > 0:
+                # rotate dimensions: preserves norms, breaks cross-replica
+                # identical vectors (ANN pair counts stay linear)
+                d = d.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice(F.col("embedding"), r + 1, 10_000),
+                        F.slice(F.col("embedding"), 1, r),
+                    ),
+                )
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        tmp = f"{DST}/_tmp_{t}"
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part_file = next(
+            os.path.join(tmp, n) for n in os.listdir(tmp) if n.endswith(".parquet")
+        )
+        shutil.move(part_file, f"{DST}/{t}.parquet")
+        shutil.rmtree(tmp)
+
+
+def main() -> None:
+    from bench import HEADLINE
+    from wallaroo_spark.queries import QUERIES
+    from wallaroo_spark.session import get_spark
+
+    spark = get_spark("scale-study")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark)
+
+    # warm-up (same as bench.py)
+    QUERIES["global_collect_agg"](spark, SRC).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    import math
+
+    results = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SRC).write.format("noop").mode("overwrite").save()
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        QUERIES[name](spark, DST).write.format("noop").mode("overwrite").save()
+        t3 = time.perf_counter() - t0
+        exp = math.log(max(t3, 1e-3) / max(t1, 1e-3)) / math.log(REPLICAS)
+        results[name] = {
+            "t_sf0.1_s": round(t1, 3),
+            "t_3x_s": round(t3, 3),
+            "exponent": round(exp, 2),
+        }
+        print(f"{name:45s} {t1:7.2f}s {t3:7.2f}s exp={exp:5.2f}", flush=True)
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_study.json"
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -4801,3 +4801,48 @@ def perplexity_filter_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.perplexity_filter(docs, ref, max_avg_bits=4.95).select(
         "doc_id", "lang", "source"
     )
+
+
+_LM_BUCKET_SQL = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT) %% 4096"
+
+
+@query(
+    "perplexity_filter_streamable",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS tk FROM documents),
+    tok AS (SELECT doc_id, lang, generate_subscripts(tk, 1) AS s, unnest(tk) AS w
+            FROM t),
+    bg AS (SELECT doc_id, lang, w AS w1,
+                  lead(w) OVER (PARTITION BY doc_id ORDER BY s) AS w2
+           FROM tok),
+    b2 AS (SELECT doc_id, lang, w1, w2, w1 || ' ' || w2 AS b FROM bg
+           WHERE w2 IS NOT NULL),
+    refb AS (SELECT * FROM b2 WHERE lang = 'en'),
+    c12b AS (SELECT {_LM_BUCKET_SQL % 'b'} AS bk, count(*) AS c FROM refb GROUP BY 1),
+    c1b AS (SELECT {_LM_BUCKET_SQL % 'w1'} AS bk, count(*) AS c FROM refb GROUP BY 1),
+    V AS (SELECT count(DISTINCT w2) AS v FROM refb),
+    sc AS (SELECT d.doc_id, count(*) AS n_bigrams,
+                  round(avg(-log2((coalesce(c12b.c, 0) + 1)::DOUBLE
+                                  / (coalesce(c1b.c, 0) + V.v + 1))), 4) AS avg_bits
+           FROM b2 d
+           LEFT JOIN c12b ON {_LM_BUCKET_SQL % 'd.b'} = c12b.bk
+           LEFT JOIN c1b ON {_LM_BUCKET_SQL % 'd.w1'} = c1b.bk, V
+           GROUP BY 1)
+    SELECT doc_id, n_bigrams, avg_bits FROM sc WHERE avg_bits <= 4.9
+    """,
+)
+def perplexity_filter_streamable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamable perplexity gate (`text.lm_score_map` +
+    `text.perplexity_filter_streamable`): the reference bigram LM packed
+    into ONE broadcastable row (two bucket-indexed count arrays + V, the
+    DSIR one-row-model shape), scored PURE IN-ROW — no explode, no
+    shuffle, no state — so the identical plan runs on a batch corpus or a
+    stream (stream-static broadcast join; parity pytest). Hash-bucketed
+    counts are collision-merged (count-min-style optimistic bits), which
+    the oracle replays exactly via the shared md5 family."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    model = text.lm_score_map(ref)
+    return text.perplexity_filter_streamable(docs, model, max_avg_bits=4.9).select(
+        "doc_id", "n_bigrams", "avg_bits"
+    )
