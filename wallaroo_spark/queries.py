@@ -2312,11 +2312,19 @@ _BKT_SQL = (
     " + (CASE WHEN embedding[28] > 0 THEN 8 ELSE 0 END)"
 )
 
+# 8 sign dims for near-dup pair generation (256 buckets on the 64-dim
+# testdata embeddings): bucket count is the candidate-join scale dial
+_NEAR_DUP_DIMS = (0, 9, 18, 27, 36, 45, 54, 63)
+_BKT8_SQL = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+    for i, d in enumerate(_NEAR_DUP_DIMS)
+)
+
 
 @query(
     "embedding_cosine_near_dup",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BKT_SQL} AS bkt FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BKT8_SQL} AS bkt FROM embeddings),
     p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                  round(list_dot_product(a.v, b.v) /
                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
@@ -2326,10 +2334,13 @@ _BKT_SQL = (
 )
 def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: sign-bit LSH bucket candidates +
-    exact cosine verify (the embedding-dedup scale shape; oracle mirrors the
-    bucket restriction)."""
+    exact cosine verify (the embedding-dedup scale shape; oracle mirrors
+    the bucket restriction). 8 sign bits / 256 buckets — the bucket count
+    is the scale dial (16 fixed buckets measured exponent 1.73 at 3x;
+    size buckets ≈ n/occupancy); `semdedup` is the strictly-bounded
+    cluster-first alternative."""
     return similarity.cosine_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, dims=_NEAR_DUP_DIMS
     )
 
 
@@ -4111,7 +4122,10 @@ def dsir_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_label_purity",
     oracle=f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id % 20 = 0),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+          QUALIFY row_number() OVER (
+              ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':probe'), 1, 15))
+                       AS BIGINT), vec_id) <= 200),
     s AS (SELECT q.qid, q.qlabel, e2.vec_id, e2.label,
                  round({_kmeans_cos_sql('e2.v', 'q.qv')}, 4) AS cs
           FROM e e2, q WHERE e2.vec_id <> q.qid),
@@ -4131,8 +4145,12 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement of each sampled vector's 5 nearest neighbors, averaged per
     label — the kNN-consistency check run before trusting the space for
     semantic dedup/retrieval (the embedding-side companion to
-    `lsh_recall_audit`)."""
-    return similarity.knn_label_purity(_t(spark, sf_dir, "embeddings"), k=5)
+    `lsh_recall_audit`). Probes are a CONSTANT-size salted-md5 TakeOrdered
+    sample (200), so the diagnostic stays O(corpus) — the fixed-fraction
+    form measured exponent 2.19 in the 3x scale study."""
+    return similarity.knn_label_purity(
+        _t(spark, sf_dir, "embeddings"), k=5, max_probes=200
+    )
 
 
 @query(
@@ -4397,7 +4415,12 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "lsh_recall_audit",
     oracle=f"""
-    WITH {_SHINGLES_CTE},
+    WITH docs_audit AS (
+      SELECT * FROM documents
+      QUALIFY row_number() OVER (
+          ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':audit'), 1, 15))
+                   AS BIGINT), doc_id) <= 1500),
+    {_SHINGLES_CTE.replace("FROM documents", "FROM docs_audit").lstrip()},
     {_minhash_sig_sql()},
     cand AS ({_minhash_band_joins()}),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -4428,8 +4451,19 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``doc_shingles`` + ``shingles_df=``) — the explode+distinct over the
     corpus runs once, not once per pipeline; both operators localCheckpoint
     their pair lists eagerly, so the cache is released here right after
-    construction."""
+    construction.
+
+    The audit runs on a BOUNDED salted-md5 TakeOrdered sample (1500 docs;
+    the whole corpus below that size): the exact-Jaccard ground truth at
+    t=0.5 explodes half of every doc's shingles into the prefix join, so a
+    whole-corpus audit is inherently superlinear (measured exponent 1.77
+    in the 3x scale study) — and recall is a STATISTIC: a fixed-size
+    sample estimates it at constant cost at any corpus size."""
     docs = _t(spark, sf_dir, "documents")
+    docs = docs.orderBy(
+        H.md5int_col(F.concat(F.col("doc_id").cast("string"), F.lit(":audit"))),
+        "doc_id",
+    ).limit(1500)
     sh = dedup.doc_shingles(docs).persist()
     truth = dedup.ngram_jaccard_pairs(docs, threshold=0.5, shingles_df=sh).select(
         "doc_a", "doc_b"
