@@ -6,6 +6,8 @@ The 100 TB shape this engine exists for, composed from its pieces:
       -> quality filter      (text.quality_score: cheap Column-only gate)
       -> repetition filter   (Gopher-style top-bigram / dup-trigram gates)
       -> PII scrub           (scan-speed regex redaction)
+      -> perplexity gate     (one-row hashed reference-LM broadcast,
+                              in-row scoring — stream-capable)
       -> decontamination     (Bloom bitmap of the held-out benchmark's
                               shingles: a broadcast bit test, never a
                               corpus shuffle)
@@ -22,12 +24,12 @@ The 100 TB shape this engine exists for, composed from its pieces:
                               histogram; the sequential scan never touches
                               the corpus)
       -> train/val/test tag  (hash split, engine-portable)
-      -> transactional write (2PC parquet sink: staged prepare, put-if-
-                              absent commit, snapshot reads)
       -> sequence packing    (GPT-style concat-then-chunk layout of the
                               train split; writer-ready per-sequence part
-                              manifests committed to a versioned
-                              ManifestTable — atomic + time-travelable)
+                              manifests)
+      -> atomic publish      (corpus snapshot + sequence manifests commit
+                              as ONE MultiManifestTable transaction —
+                              cross-table atomicity, paired time travel)
 
 Every stage is a narrow transformation or a broadcast join against a
 pairs-sized side table, so the full corpus streams through with ONE
@@ -46,7 +48,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F
 
 from wallaroo_spark.operators import dedup, similarity, text
-from wallaroo_spark.sinks import TransactionalParquetSink
 from wallaroo_spark.sources import read_table
 
 
@@ -76,6 +77,14 @@ def build_corpus(spark, sf_dir: str, out_dir: str, quality_min: float = 0.5):
     kept = kept.filter(F.col("doc_id") % 50 != 0)
     contaminated = dedup.decontaminate_bloom(kept, bench_set, k=5).select("doc_id")
     kept = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    # 1e. reference-LM perplexity gate (CCNet shape) — the one-row hashed
+    # bigram model built from the 'en' reference slice broadcasts; scoring
+    # is pure in-row array math, so this same stage runs on a stream
+    lm = text.lm_score_map(docs.filter(F.col("lang") == "en"))
+    kept = text.perplexity_filter_streamable(kept, lm, max_avg_bits=5.4).drop(
+        "n_bigrams", "avg_bits"
+    )
 
     # 2. class-balanced thinning — deterministic per-language percentages
     sampled = text.stratified_sample(
@@ -116,21 +125,20 @@ def build_corpus(spark, sf_dir: str, out_dir: str, quality_min: float = 0.5):
     # 4. reproducible split tag
     tagged = text.deterministic_split(mixed)
 
-    # 5. exactly-once visible output
-    sink = TransactionalParquetSink(out_dir)
-    sink(tagged, batch_id=0)
-
-    # 6. training-sequence layout: pack the train split into 256-token
-    # contexts (no token stream materialized — one distributed prefix scan)
-    # and commit the writer-facing manifests to a versioned manifest table
-    from wallaroo_spark.sinks.manifest import ManifestTable
+    # 5+6. one ATOMIC publish: the corpus snapshot and the train split's
+    # 256-token sequence manifests (no token stream materialized — one
+    # distributed prefix scan) commit as a SINGLE MultiManifestTable
+    # transaction — readers can never observe sequence manifests that
+    # reference corpus rows not yet visible (or vice versa), and time
+    # travel rolls both tables back together
+    from wallaroo_spark.sinks.manifest import MultiManifestTable
 
     packed = text.pack_manifest(
         tagged.filter(F.col("split") == "train"), seq_len=256
     )
-    seqs = ManifestTable(out_dir + "_sequences")
-    seqs.append(packed)
-    return sink, seqs
+    table = MultiManifestTable(out_dir)
+    table.append_multi({"corpus": tagged, "sequences": packed})
+    return table
 
 
 if __name__ == "__main__":
@@ -139,8 +147,8 @@ if __name__ == "__main__":
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="corpus_")
     spark = get_spark("training-data-pipeline")
-    sink, seqs = build_corpus(spark, sf_dir, out_dir)
-    final = sink.read(spark)
+    table = build_corpus(spark, sf_dir, out_dir)
+    final = table.read(spark, "corpus")
     final.groupBy("split").count().show()
     print(f"corpus committed under {out_dir}")
-    print(f"{seqs.read(spark).count()} training sequences under {out_dir}_sequences")
+    print(f"{table.read(spark, 'sequences').count()} training sequences (same transaction)")

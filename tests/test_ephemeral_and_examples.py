@@ -204,15 +204,17 @@ def test_example_celsius(spark, sf_dir):
 
 
 def test_training_data_pipeline_example(spark, tmp_path):
-    """End-to-end corpus build: quality gate -> stratified sample -> near-dup
-    dedup -> split -> 2PC commit; the committed snapshot has no non-canonical
-    duplicates, carries split tags, and a replayed commit is a no-op."""
+    """End-to-end corpus build: quality gates (incl. the reference-LM
+    perplexity stage) -> stratified sample -> near-dup + semantic dedup ->
+    budget -> split -> ONE atomic MultiManifestTable commit of corpus +
+    sequence manifests; the committed snapshot has no non-canonical
+    duplicates, carries split tags, and both tables share the txn."""
     from examples.training_data_pipeline import build_corpus
     from wallaroo_spark.operators import dedup
 
     out = str(tmp_path / "corpus")
-    sink, seqs = build_corpus(spark, "/root/testdata/sf0.001", out)
-    final = sink.read(spark)
+    table = build_corpus(spark, "/root/testdata/sf0.001", out)
+    final = table.read(spark, "corpus")
     rows = final.collect()
     assert rows and set(r.split for r in rows) <= {"train", "val", "test"}
 
@@ -245,7 +247,7 @@ def test_training_data_pipeline_example(spark, tmp_path):
     # the train split's tokens, every sequence but the last exactly full
     from wallaroo_spark.operators.text import tokens as _tk
 
-    man = seqs.read(spark).collect()
+    man = table.read(spark, "sequences").collect()
     last = max(r.seq_id for r in man)
     assert all(r.n_tokens_filled == 256 for r in man if r.seq_id != last)
     train_tokens = (
@@ -255,7 +257,10 @@ def test_training_data_pipeline_example(spark, tmp_path):
     )
     assert sum(r.n_tokens_filled for r in man) == train_tokens
 
-    # replayed commit (same batch id) changes nothing
-    n_before = len(rows)
-    sink(final.limit(3), 0)
-    assert sink.read(spark).count() == n_before
+    # round-7 stage held: corpus + sequence manifests landed in ONE
+    # transaction (single log version covers both tables), so a later
+    # commit to one table leaves the published pair travel-consistent
+    assert table.versions() == [0]
+    table.append_multi({"corpus": final.limit(1)})
+    assert table.read(spark, "sequences", version=0).count() == len(man)
+    assert table.read(spark, "corpus", version=0).count() == len(rows)
