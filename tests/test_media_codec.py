@@ -295,3 +295,34 @@ def test_spark_video_frames_lazy_demux(spark):
         assert r["frame_sum"] == int(expect.sum())
         frame = mc.decode_ppm(bytes(r["frame"]))
         assert (frame.reshape(-1) == expect).all()
+
+
+def test_decoded_image_stats_stream_matches_batch(spark, tmp_path):
+    """The REAL decode kernels are stateless mapInPandas stages, so the
+    SAME operator runs on a streaming media table (append mode) and must
+    emit exactly the batch rows — the multimodal family's stream parity,
+    patterned on the DSIR/perplexity gates."""
+    from wallaroo_spark.operators import multimodal as mm
+
+    r = np.random.default_rng(11)
+    rows = [
+        (i, bytearray(mc.encode_ppm(r.integers(0, 256, (5 + i, 7, 3), dtype=np.uint8))))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    want = {tuple(x) for x in mm.decoded_image_stats(df).collect()}
+
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path) + "/in")
+    sdf = spark.readStream.schema(df.schema).parquet(str(tmp_path) + "/in")
+    q = (
+        mm.decoded_image_stats(sdf)
+        .writeStream.format("memory")
+        .queryName("t_mm_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path) + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(x) for x in spark.sql("SELECT * FROM t_mm_stream").collect()}
+    assert got == want and want

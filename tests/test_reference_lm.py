@@ -119,3 +119,74 @@ def test_streamable_perplexity_filter_stream_matches_batch(spark, tmpdir):
         for r in spark.sql("SELECT * FROM t_ppl_stream").collect()
     }
     assert got == want
+
+
+def test_interp_trigram_lm_hand_computed(spark):
+    """Order-3 interpolated model on a tiny vocab small enough that no
+    md5 buckets collide: probabilities verified against a hand-rolled
+    python replica of the same definition."""
+    import hashlib
+
+    from wallaroo_spark.operators.text import interp_lm_score, lm_score_map_interp
+
+    ref = _docs(spark, [(1, "a b c a b c"), (2, "b c d")])
+    probe = _docs(spark, [(10, "a b c d")])
+    model = lm_score_map_interp(ref, n_hash=4096)
+    got = interp_lm_score(probe, model, n_hash=4096).collect()[0]
+
+    def bk(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 4096
+
+    uni, bi, tri = {}, {}, {}
+    toks_ref = [["a","b","c","a","b","c"], ["b","c","d"]]
+    for ts in toks_ref:
+        for w in ts:
+            uni[bk(w)] = uni.get(bk(w), 0) + 1
+        for x, y in zip(ts, ts[1:]):
+            bi[bk(f"{x} {y}")] = bi.get(bk(f"{x} {y}"), 0) + 1
+        for x, y, z in zip(ts, ts[1:], ts[2:]):
+            tri[bk(f"{x} {y} {z}")] = tri.get(bk(f"{x} {y} {z}"), 0) + 1
+    V = 4
+    T = 9
+    bits = []
+    ts = ["a", "b", "c", "d"]
+    for x, y, z in zip(ts, ts[1:], ts[2:]):
+        p3 = (tri.get(bk(f"{x} {y} {z}"), 0) + 1) / (bi.get(bk(f"{x} {y}"), 0) + V + 1)
+        p2 = (bi.get(bk(f"{y} {z}"), 0) + 1) / (uni.get(bk(y), 0) + V + 1)
+        p1 = (uni.get(bk(z), 0) + 1) / (T + V)
+        bits.append(-math.log2(0.5 * p3 + 0.3 * p2 + 0.2 * p1))
+    assert got["n_trigrams"] == 2
+    assert float(got["avg_bits"]) == round(sum(bits) / len(bits), 4)
+
+
+def test_interp_trigram_lm_stream_matches_batch(spark, tmpdir):
+    from wallaroo_spark.operators.text import interp_lm_score, lm_score_map_interp
+    from wallaroo_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents")
+    model = lm_score_map_interp(docs.filter(F.col("lang") == "en"))
+    want = {
+        (r.doc_id, r.n_trigrams, float(r.avg_bits))
+        for r in interp_lm_score(docs, model)
+        .select("doc_id", "n_trigrams", "avg_bits")
+        .collect()
+    }
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmpdir) + "/in")
+    sdocs = spark.readStream.schema(docs.schema).parquet(str(tmpdir) + "/in")
+    q = (
+        interp_lm_score(sdocs, model)
+        .select("doc_id", "n_trigrams", "avg_bits")
+        .writeStream.format("memory")
+        .queryName("t_interp_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmpdir) + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.n_trigrams, float(r.avg_bits))
+        for r in spark.sql("SELECT * FROM t_interp_stream").collect()
+    }
+    assert got == want and want

@@ -1200,3 +1200,124 @@ def perplexity_filter_streamable(
         .filter((F.col("n_bigrams") > 0) & (F.col("avg_bits") <= max_avg_bits))
         .drop("lm_c12", "lm_c1", "_V")
     )
+
+
+LM_INTERP_WEIGHTS = (0.5, 0.3, 0.2)  # trigram, bigram, unigram
+
+
+def _adjacent_trigrams(c: Column) -> Column:
+    """'w1 w2 w3' strings for each adjacent token triple."""
+    toks = tokens(c)
+    n = F.size(toks)
+    m = F.greatest(n - 2, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    return F.zip_with(
+        pairs, F.slice(toks, 3, m), lambda p, w: F.concat_ws(" ", p, w)
+    )
+
+
+def lm_score_map_interp(ref, text: str = "text", n_hash: int = 4096):
+    """Interpolated trigram reference LM as ONE broadcastable row — the
+    KenLM-flavored upgrade of `lm_score_map` (CCNet scores with a
+    5-gram KenLM; this is the same interpolated-backoff shape at order 3,
+    hash-bucketed so the model is FIXED-SIZE at any reference
+    vocabulary): three full-domain count arrays (unigram / bigram /
+    trigram buckets, md5-hashed) plus V (distinct tokens) and T (total
+    tokens). Per token: p = 0.5*p3 + 0.3*p2 + 0.2*p1 with each order
+    add-one-smoothed (p3 = (c3+1)/(c2[ctx]+V+1), p2 = (c2+1)/(c1[ctx]+V+1),
+    p1 = (c1+1)/(T+V)) — every order stays defined for never-seen tokens,
+    the case a stream will hit. Colliding buckets merge counts
+    (count-min-style optimistic probabilities), replayed exactly by the
+    oracle via the shared md5 family."""
+    from wallaroo_spark.functions import hashing as H
+
+    toks = ref.select(F.explode(tokens(F.col(text))).alias("_w"))
+    c1 = toks.groupBy(
+        (H.md5int_col(F.col("_w")) % F.lit(n_hash)).cast("int").alias("_b")
+    ).agg(F.count("*").alias("_c"))
+    scalars = toks.agg(
+        F.countDistinct("_w").alias("_V"), F.count("*").alias("_T")
+    )
+    bg = ref.select(F.explode(_adjacent_bigrams(F.col(text))).alias("_g"))
+    c2 = bg.groupBy(
+        (H.md5int_col(F.col("_g")) % F.lit(n_hash)).cast("int").alias("_b")
+    ).agg(F.count("*").alias("_c"))
+    tg = ref.select(F.explode(_adjacent_trigrams(F.col(text))).alias("_g"))
+    c3 = tg.groupBy(
+        (H.md5int_col(F.col("_g")) % F.lit(n_hash)).cast("int").alias("_b")
+    ).agg(F.count("*").alias("_c"))
+    domain = ref.sparkSession.range(n_hash).select(F.col("id").cast("int").alias("_b"))
+
+    def dense(counts, name):
+        return (
+            domain.join(F.broadcast(counts), "_b", "left")
+            .select("_b", F.coalesce(F.col("_c"), F.lit(0)).alias("_c"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_b", "_c"))),
+                    lambda e: e["_c"],
+                ).alias(name)
+            )
+        )
+
+    return (
+        dense(c1, "lm1")
+        .crossJoin(dense(c2, "lm2"))
+        .crossJoin(dense(c3, "lm3"))
+        .crossJoin(F.broadcast(scalars))
+    )
+
+
+def interp_lm_score(
+    probe,
+    model_row,
+    text: str = "text",
+    n_hash: int = 4096,
+    round_dp: int = 4,
+):
+    """Score each probe doc's average interpolated-trigram cross-entropy
+    against the broadcast one-row model — PURE IN-ROW (trigram array ->
+    O(1) indexes into three broadcast count arrays -> interpolated bits ->
+    average): no explode, no shuffle, no state, so the identical plan runs
+    on batch or stream. Docs with fewer than 3 tokens drop out.
+
+    Output: probe columns + n_trigrams + avg_bits."""
+    from wallaroo_spark.functions import hashing as H
+
+    w3, w2, w1 = LM_INTERP_WEIGHTS
+
+    def bucket(col_expr):
+        return (H.md5int_col(col_expr) % F.lit(n_hash)).cast("int") + 1
+
+    def cnt(arr, col_expr):
+        return F.element_at(F.col(arr), bucket(col_expr))
+
+    tris = _adjacent_trigrams(F.col(text))
+    V1 = F.col("_V") + F.lit(1)
+
+    # per-trigram expressions: tri = "w1 w2 w3"
+    def tri_bits(tri):
+        wa = F.split_part(tri, F.lit(" "), F.lit(1))
+        wb = F.split_part(tri, F.lit(" "), F.lit(2))
+        wc = F.split_part(tri, F.lit(" "), F.lit(3))
+        ctx12 = F.concat_ws(" ", wa, wb)
+        g23 = F.concat_ws(" ", wb, wc)
+        p3 = (cnt("lm3", tri) + 1) / (cnt("lm2", ctx12) + V1)
+        p2 = (cnt("lm2", g23) + 1) / (cnt("lm1", wb) + V1)
+        p1 = (cnt("lm1", wc) + 1) / (F.col("_T") + F.col("_V"))
+        return -F.log2(F.lit(w3) * p3 + F.lit(w2) * p2 + F.lit(w1) * p1)
+
+    n = F.size(tris)
+    avg_bits = F.round(
+        F.aggregate(F.transform(tris, tri_bits), F.lit(0.0), lambda a, x: a + x) / n,
+        round_dp,
+    )
+    return (
+        probe.crossJoin(F.broadcast(model_row))
+        .withColumn("n_trigrams", n)
+        .withColumn("avg_bits", avg_bits)
+        .filter(F.col("n_trigrams") > 0)
+        .drop("lm1", "lm2", "lm3", "_V", "_T")
+    )

@@ -4886,3 +4886,58 @@ def perplexity_filter_streamable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.perplexity_filter_streamable(docs, model, max_avg_bits=4.9).select(
         "doc_id", "n_bigrams", "avg_bits"
     )
+
+
+@query(
+    "interp_trigram_lm_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS tk FROM documents),
+    tok AS (SELECT doc_id, lang, generate_subscripts(tk, 1) AS s, unnest(tk) AS w
+            FROM t),
+    seq AS (SELECT doc_id, lang, s, w AS w1,
+                   lead(w, 1) OVER (PARTITION BY doc_id ORDER BY s) AS w2,
+                   lead(w, 2) OVER (PARTITION BY doc_id ORDER BY s) AS w3
+            FROM tok),
+    ref1 AS (SELECT w FROM tok WHERE lang = 'en'),
+    c1b AS (SELECT {_LM_BUCKET_SQL % 'w'} AS bk, count(*) AS c FROM ref1 GROUP BY 1),
+    sc AS (SELECT count(DISTINCT w) AS v, count(*) AS tt FROM ref1),
+    ref2 AS (SELECT w1 || ' ' || w2 AS g FROM seq WHERE lang = 'en' AND w2 IS NOT NULL),
+    c2b AS (SELECT {_LM_BUCKET_SQL % 'g'} AS bk, count(*) AS c FROM ref2 GROUP BY 1),
+    ref3 AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS g FROM seq
+             WHERE lang = 'en' AND w3 IS NOT NULL),
+    c3b AS (SELECT {_LM_BUCKET_SQL % 'g'} AS bk, count(*) AS c FROM ref3 GROUP BY 1),
+    tri AS (SELECT doc_id, w1, w2, w3 FROM seq WHERE w3 IS NOT NULL),
+    scored AS (
+      SELECT tri.doc_id,
+             -log2(0.5 * (coalesce(q3.c, 0) + 1)::DOUBLE
+                       / (coalesce(q2c.c, 0) + sc.v + 1)
+                 + 0.3 * (coalesce(q2.c, 0) + 1)::DOUBLE
+                       / (coalesce(q1c.c, 0) + sc.v + 1)
+                 + 0.2 * (coalesce(q1.c, 0) + 1)::DOUBLE
+                       / (sc.tt + sc.v)) AS bits
+      FROM tri
+      LEFT JOIN c3b q3
+        ON {_LM_BUCKET_SQL % "(tri.w1 || ' ' || tri.w2 || ' ' || tri.w3)"} = q3.bk
+      LEFT JOIN c2b q2c ON {_LM_BUCKET_SQL % "(tri.w1 || ' ' || tri.w2)"} = q2c.bk
+      LEFT JOIN c2b q2 ON {_LM_BUCKET_SQL % "(tri.w2 || ' ' || tri.w3)"} = q2.bk
+      LEFT JOIN c1b q1c ON {_LM_BUCKET_SQL % 'tri.w2'} = q1c.bk
+      LEFT JOIN c1b q1 ON {_LM_BUCKET_SQL % 'tri.w3'} = q1.bk
+      CROSS JOIN sc)
+    SELECT doc_id, count(*) AS n_trigrams, round(avg(bits), 4) AS avg_bits
+    FROM scored GROUP BY 1
+    """,
+)
+def interp_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram reference-LM scoring (`text.lm_score_map_interp`
+    + `text.interp_lm_score`): the KenLM-flavored order-3 upgrade of the
+    streamable perplexity gate — three hashed count arrays + (V, T) in ONE
+    broadcastable row, per-token p = 0.5*p3 + 0.3*p2 + 0.2*p1 each order
+    add-one-smoothed, scored pure in-row (no explode/shuffle/state; runs
+    unchanged on a stream). Oracle replays the md5-bucketed interpolation
+    exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    model = text.lm_score_map_interp(ref)
+    return text.interp_lm_score(docs, model).select(
+        "doc_id", "n_trigrams", "avg_bits"
+    )
