@@ -147,3 +147,51 @@ def test_expire_log_by_age_never_crosses_checkpoint_horizon(spark, tmp_path):
     assert t.expire_log_by_age(min_age_s=3600) == 1  # only v0
     assert t.versions() == [1]
     assert sorted(r.i for r in t.read(spark).collect()) == [0, 1]
+
+
+def test_compact_table_touches_only_named_table(spark, tmp_path):
+    """Per-table compaction: one table's parts collapse in one swap entry;
+    the sibling table's file set and rows are untouched, and time travel
+    below the swap still sees the pre-compaction pair."""
+    t = MultiManifestTable(str(tmp_path / "t"))
+    for k in range(3):
+        t.append_multi({"corpus": _df(spark, k * 2, k * 2 + 2), "seq": _df(spark, 100 + k, 101 + k)})
+    seq_before = sorted(t.table_files("seq"))
+    assert len(t.table_files("corpus")) >= 3
+    v = t.compact_table("corpus", n_files=1)
+    assert len(t.table_files("corpus")) == 1
+    assert sorted(t.table_files("seq")) == seq_before
+    assert sorted(r.i for r in t.read(spark, "corpus").collect()) == list(range(6))
+    # pre-compaction travel shows the old multi-part corpus
+    assert len(t.table_files("corpus", version=v - 1)) >= 3
+    assert sorted(r.i for r in t.read(spark, "corpus", version=v - 1).collect()) == list(range(6))
+
+
+def test_compact_table_tolerates_commits_to_other_tables(spark, tmp_path):
+    """The abort guard is PER-TABLE: a racer committing to a different
+    table must not kill the compaction (only same-table changes abort)."""
+    t = MultiManifestTable(str(tmp_path / "t"))
+    t.append_multi({"corpus": _df(spark, 0, 4), "seq": _df(spark, 100, 101)})
+    t.append_multi({"corpus": _df(spark, 4, 6), "seq": _df(spark, 101, 102)})
+
+    # simulate a concurrent commit to the OTHER table landing mid-compact:
+    # grab the version race once by pre-linking the next version
+    orig_commit = t._commit
+
+    interposed = {"done": False}
+
+    def racing_commit(adds, removes=None, txn=None, skip_if=None):
+        if not interposed["done"]:
+            interposed["done"] = True
+            # another writer appends to seq first
+            orig_commit(adds=t._write_parts_for("seq", _df(spark, 102, 103)), removes=[])
+        return orig_commit(adds, removes=removes, txn=txn, skip_if=skip_if)
+
+    t._commit = racing_commit
+    try:
+        t.compact_table("corpus", n_files=1)
+    finally:
+        t._commit = orig_commit
+    assert len(t.table_files("corpus")) == 1
+    assert sorted(r.i for r in t.read(spark, "corpus").collect()) == list(range(6))
+    assert sorted(r.i for r in t.read(spark, "seq").collect()) == [100, 101, 102]

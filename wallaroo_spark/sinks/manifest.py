@@ -459,6 +459,32 @@ class MultiManifestTable(ManifestTable):
             raise ValueError(f"empty snapshot for table {table!r}")
         return spark.read.parquet(*files)
 
+    def compact_table(self, table: str, n_files: int = 1) -> int:
+        """Rewrite ONE logical table's snapshot into ``n_files`` files and
+        swap it in a single commit; every other table's file set is
+        untouched (their files are simply absent from this entry's
+        adds/removes). Aborts on a concurrent change to the SAME table —
+        commits touching other tables are fine and the retry proceeds on
+        top of them (per-table optimistic concurrency)."""
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        old = self.table_files(table)
+        if not old:
+            raise ValueError(f"empty snapshot for table {table!r}")
+        adds = self._write_parts_for(table, spark.read.parquet(*old), n_files=n_files)
+
+        def removes_or_abort():
+            cur = self.table_files(table)
+            if cur != old:
+                raise ValueError(
+                    f"concurrent commit to table {table!r} during "
+                    "compact_table(); rerun compaction"
+                )
+            return old
+
+        return self._commit(adds=adds, removes=removes_or_abort)
+
     def _vacuum_candidates(self) -> list[str]:
         # staging dirs sit one level deeper: _data/<table>/<uuid>
         out: list[str] = []
