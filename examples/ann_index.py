@@ -2,12 +2,16 @@
 system, composed from the engine's pieces.
 
     build:   k-means fit -> assign every corpus vector to a centroid ->
-             write BOTH tables (centroids, assignments) into ONE
-             ManifestTable atomically (readers see a complete index or
-             none)
+             commit BOTH tables (centroids, assignments) in ONE
+             MultiManifestTable transaction (readers see a complete
+             index or none; time travel rolls the pair back together)
     refresh: new vectors assign against the FROZEN centroids and append
              as a new manifest version (the standard IVF maintenance
              pattern: postings grow, centroids re-fit rarely)
+    refit:   `drift_stats` measures what fraction of vectors would move
+             under freshly-fit centroids (one broadcast assign pass);
+             `refit_index` swaps BOTH tables atomically only when drift
+             exceeds the threshold — the re-fit-rarely policy, automated
     query:   load the index, probe with `ivf_topk(corpus_assigned=...)` —
              the corpus-side assignment is never recomputed
 
@@ -25,7 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F
 
 from wallaroo_spark.operators import similarity
-from wallaroo_spark.sinks.manifest import ManifestTable
+from wallaroo_spark.sinks.manifest import MultiManifestTable
 from wallaroo_spark.sources import read_table
 
 
@@ -37,46 +41,93 @@ def _assign(vectors, cents):
 
 
 def build_index(spark, corpus, index_dir: str, k: int = 6, iters: int = 2):
-    """Fit centroids, assign the corpus, commit both as one atomic version.
-    Both tables live in one manifest (tagged by a `kind` column) so the
-    index is readable only as a consistent whole."""
+    """Fit centroids, assign the corpus, commit BOTH tables in one
+    MultiManifestTable transaction — the index is readable only as a
+    consistent whole, and per-table compaction keeps the (large)
+    assignments table tidy without rewriting centroids."""
     cents = similarity.kmeans_fit(corpus, k=k, iters=iters)
     assigned = _assign(corpus, cents)
-    t = ManifestTable(index_dir)
-    bundle = assigned.select(
-        F.lit("assign").alias("kind"), "vec_id", "embedding", "cent_id"
-    ).unionByName(
-        cents.select(
-            F.lit("cent").alias("kind"),
-            F.col("cent_id").alias("vec_id"),
-            F.col("embedding").cast("array<double>").alias("embedding"),
-            F.col("cent_id"),
-        )
+    t = MultiManifestTable(index_dir)
+    t.append_multi(
+        {
+            "centroids": cents.select(
+                "cent_id", F.col("embedding").cast("array<double>").alias("embedding")
+            ),
+            "assignments": assigned.select("vec_id", "embedding", "cent_id"),
+        }
     )
-    t.append(bundle)
     return t
 
 
-def refresh_index(spark, t: ManifestTable, new_vectors):
+def refresh_index(spark, t: MultiManifestTable, new_vectors):
     """Append new vectors under the FROZEN centroids (one manifest version)."""
     cents = load_centroids(spark, t)
     assigned = _assign(new_vectors, cents)
-    t.append(
-        assigned.select(F.lit("assign").alias("kind"), "vec_id", "embedding", "cent_id")
+    t.append_multi(
+        {"assignments": assigned.select("vec_id", "embedding", "cent_id")}
     )
 
 
-def load_centroids(spark, t: ManifestTable):
-    return t.read(spark).filter(F.col("kind") == "cent").select("cent_id", "embedding")
+def load_centroids(spark, t: MultiManifestTable):
+    return t.read(spark, "centroids").select("cent_id", "embedding")
 
 
-def load_assignments(spark, t: ManifestTable):
-    return t.read(spark).filter(F.col("kind") == "assign").select(
-        "vec_id", "embedding", "cent_id"
+def load_assignments(spark, t: MultiManifestTable):
+    return t.read(spark, "assignments").select("vec_id", "embedding", "cent_id")
+
+
+def drift_stats(spark, t: MultiManifestTable, new_cents):
+    """Per-centroid drift under candidate centroids: (cent_id, n_vecs,
+    n_drifted) — ONE broadcast-centroid assign pass over the persisted
+    assignments, no index mutation. The monitoring signal behind the
+    re-fit-rarely policy."""
+    cur = load_assignments(spark, t)
+    re = similarity.assign_nearest(
+        cur.select("vec_id", "embedding"), new_cents
+    ).withColumnRenamed("cent_id", "_new_cent")
+    joined = cur.select("vec_id", "cent_id").join(
+        re.select("vec_id", "_new_cent"), "vec_id"
+    )
+    return joined.groupBy("cent_id").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum((F.col("cent_id") != F.col("_new_cent")).cast("int")).alias("n_drifted"),
     )
 
 
-def query_index(spark, t: ManifestTable, queries, k: int = 3, nprobe: int = 2):
+def refit_index(
+    spark,
+    t: MultiManifestTable,
+    k: int = 6,
+    iters: int = 2,
+    max_drift_frac: float = 0.2,
+):
+    """Drift-gated re-fit: fit fresh centroids on the CURRENT postings,
+    measure what fraction of vectors would move, and only when it exceeds
+    ``max_drift_frac`` swap centroids + re-assigned postings ATOMICALLY
+    (overwrite_multi — readers see the old consistent index or the new
+    one, never a mix). Below the threshold the index is left untouched
+    (returns None) — centroid re-fits are the expensive rare event, drift
+    measurement is one cheap broadcast pass."""
+    cur = load_assignments(spark, t)
+    vectors = cur.select("vec_id", "embedding")
+    new_cents = similarity.kmeans_fit(vectors, k=k, iters=iters)
+    stats = drift_stats(spark, t, new_cents).agg(
+        F.sum("n_vecs").alias("n"), F.sum("n_drifted").alias("d")
+    ).first()
+    if stats["n"] == 0 or stats["d"] / stats["n"] <= max_drift_frac:
+        return None
+    assigned = similarity.assign_nearest(vectors, new_cents)
+    return t.overwrite_multi(
+        {
+            "centroids": new_cents.select(
+                "cent_id", F.col("embedding").cast("array<double>").alias("embedding")
+            ),
+            "assignments": assigned.select("vec_id", "embedding", "cent_id"),
+        }
+    )
+
+
+def query_index(spark, t: MultiManifestTable, queries, k: int = 3, nprobe: int = 2):
     """Probe the persisted index: no corpus-side assignment recompute."""
     return similarity.ivf_topk(
         corpus=None,

@@ -375,6 +375,26 @@ def test_ann_index_build_persist_query_refresh(spark, tmp_path):
     assert t.versions()[-1] == v0 + 1  # one atomic version per refresh
     assert load_centroids(spark, t).count() == 6  # centroids frozen
 
+    # drift-gated refit: same-k refit on stable postings stays below the
+    # gate (kmeans is deterministic, drift ~0) -> index untouched
+    from examples.ann_index import drift_stats, refit_index
+
+    assert refit_index(spark, t, k=6, iters=2, max_drift_frac=0.5) is None
+    assert t.versions()[-1] == v0 + 1
+    # forced refit (gate at -1 trips on any drift >= 0): atomic swap of
+    # BOTH tables in one version; the probe still works on the new index
+    v = refit_index(spark, t, k=5, iters=2, max_drift_frac=-1.0)
+    assert v == v0 + 2
+    assert load_centroids(spark, t).count() == 5
+    assert load_assignments(spark, t).count() == n0 + 1  # postings preserved
+    assert query_index(spark, t, queries).count() == 30
+    # drift of the index against its OWN centroids is zero everywhere
+    st = drift_stats(spark, t, load_centroids(spark, t))
+    assert st.agg(F.sum("n_drifted")).first()[0] == 0
+    # and the pre-refit pair is still travel-consistent
+    assert t.read(spark, "centroids", version=v - 1).count() == 6
+    assert t.read(spark, "assignments", version=v - 1).count() == n0 + 1
+
 
 def test_model_rerank_swappable_kernel_and_candidate_scope(spark):
     """model_rerank only scores CANDIDATE texts (never the corpus), and a
