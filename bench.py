@@ -94,6 +94,7 @@ HEADLINE = [
     "multimodal_audio_meta",
     "multimodal_video_frame_stats",
     "reference_lm_perplexity",
+    "interp_trigram_lm_score",
 ]
 
 

@@ -13,8 +13,10 @@ artificial cross-replica duplicate blowups: document text gets a per-replica
 prefix token and embeddings are dimension-rotated per replica (norms
 preserved), so dedup/ANN pair counts stay ~3x, not 9x.
 
-Usage: python tools/scale_study.py [out_json]
-Writes /tmp/ws_scale3x/ once (reused if present).
+Usage: python tools/scale_study.py [out_json] [replicas] [only,names]
+Writes /tmp/ws_scale{R}x/ once per factor (reused if present). The
+optional third arg restricts timing to a comma-separated query subset
+(for targeted 10x runs of the shuffle-bound family).
 """
 
 from __future__ import annotations
@@ -27,9 +29,9 @@ import time
 sys.path.insert(0, "/root/repo")
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/ws_scale3x"
 SHIFT = 10_000_000
-REPLICAS = 3
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+DST = f"/tmp/ws_scale{REPLICAS}x"
 
 KEY_COLS = {
     "customer": ["c_custkey"],
@@ -109,8 +111,9 @@ def main() -> None:
 
     import math
 
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     results = {}
-    for name in HEADLINE:
+    for name in (only or HEADLINE):
         t0 = time.perf_counter()
         QUERIES[name](spark, SRC).write.format("noop").mode("overwrite").save()
         t1 = time.perf_counter() - t0
