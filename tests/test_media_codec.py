@@ -326,3 +326,94 @@ def test_decoded_image_stats_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(x) for x in spark.sql("SELECT * FROM t_mm_stream").collect()}
     assert got == want and want
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): codec roundtrips and kernel invariants on
+# arbitrary shapes/content — no Spark, pure numpy
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24), w=st.integers(1, 24),
+    gray=st.booleans(), seed=st.integers(0, 2**31 - 1),
+)
+def test_prop_netpbm_bmp_roundtrip_any_shape(h, w, gray, seed):
+    r = np.random.default_rng(seed)
+    img = r.integers(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8)
+    dec = mc.decode_ppm(mc.encode_ppm(img))
+    assert (dec[:, :, 0] == img).all() if gray else (dec == img).all()
+    if not gray:
+        assert (mc.decode_bmp(mc.encode_bmp(img)) == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 400), ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]), seed=st.integers(0, 2**31 - 1),
+)
+def test_prop_wav_roundtrip_any_length(n, ch, rate, seed):
+    r = np.random.default_rng(seed)
+    s = r.integers(-32768, 32767, (n, ch), dtype=np.int16)
+    dec, got_rate = mc.decode_wav(mc.encode_wav(s, rate))
+    assert got_rate == rate and (dec == s).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 16), w=st.integers(1, 16),
+    oh=st.integers(1, 16), ow=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_prop_bilinear_range_and_constant_preservation(h, w, oh, ow, seed):
+    r = np.random.default_rng(seed)
+    img = r.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = mc.bilinear_resize(img, oh, ow)
+    assert out.shape == (oh, ow, 3)
+    # interpolation can never exceed the source's value range
+    assert out.min() >= img.min() and out.max() <= img.max()
+    c = int(r.integers(0, 256))
+    const = np.full((h, w, 3), c, np.uint8)
+    assert (mc.bilinear_resize(const, oh, ow) == c).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 12), h=st.integers(1, 8), w=st.integers(1, 8),
+    every=st.integers(1, 5), seed=st.integers(0, 2**31 - 1),
+)
+def test_prop_rvid_demux_exact_frames(n, h, w, every, seed):
+    r = np.random.default_rng(seed)
+    fr = r.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    rv = mc.encode_rvid(fr)
+    got = list(mc.iter_rvid_frames(rv, every=every))
+    assert [i for i, _ in got] == list(range(0, n, every))
+    for i, f in got:
+        assert (f == fr[i]).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1), d=st.integers(0, 6),
+)
+def test_prop_banding_lossless_for_ahash64(seed, d):
+    """Pigeonhole losslessness of the d+1 banding, checked directly on
+    random 64-bit fingerprints: any pair within Hamming distance d must
+    share at least one band value (the property hamming_pairs relies on)."""
+    r = np.random.default_rng(seed)
+    a = int(r.integers(0, 2**63))
+    # flip exactly d random bit positions
+    pos = r.choice(64, size=d, replace=False) if d else []
+    b = a
+    for p in pos:
+        b ^= 1 << int(p)
+    bands = d + 1
+    width = 64 // bands
+    shared = any(
+        ((a >> (k * width)) & ((1 << width) - 1)) == ((b >> (k * width)) & ((1 << width) - 1))
+        for k in range(bands)
+    )
+    assert shared
