@@ -117,3 +117,158 @@ def model_rerank(
             (F.coalesce("_ahead", F.lit(0)) + 1).cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier: distributed logistic regression over hashed
+# bag-of-words (the GPT-3/CCNet "learned quality filter" shape) — fully
+# deterministic and oracle-replayable, the model-TRAINING counterpart of
+# the stub inference kernels above.
+# ---------------------------------------------------------------------------
+
+
+def linear_classifier_fit(
+    df: DataFrame,
+    label_col: str,
+    text: str = "text",
+    n_hash: int = 512,
+    iters: int = 3,
+    lr: float = 1.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Distributed full-batch logistic regression on hashed bag-of-words
+    features: binary PRESENCE features (x_b = 1 iff any of the doc's
+    distinct tokens hashes to bucket b — the classic BoW-LR encoding,
+    margin-friendly so full-batch GD separates quickly),
+    p = sigmoid(bias + sum w[bucket]); the gradient step is
+    w -= lr * sum_d (p_d - y_d) * x_d / N.
+
+    Scale shape (the kmeans_fit recipe applied to GD): per iteration the
+    corpus is touched TWICE, both cheap — (1) per-doc error is PURE IN-ROW
+    math against the broadcast one-row weight array (no explode, no
+    shuffle); (2) the gradient is one token explode into a groupBy whose
+    key space is n_hash buckets, CONSTANT in corpus size (map-side partial
+    aggregation compresses within-partition repeats). The weight array
+    rebuild is n_hash rows. No driver-side math; each iteration's one-row
+    model is eagerly materialized (localCheckpoint, kmeans-style) so the
+    plan stays shallow.
+
+    Weights round to ``round_dp`` per iteration so the fixpoint is
+    engine-reproducible — the DuckDB oracle replays every iteration
+    bit-for-bit (the kmeans/CMS "approximate model, exact gate" trick).
+
+    Returns ONE row: (clf_w array<double>, clf_b double) — broadcastable,
+    scoring via ``linear_classifier_score`` runs unchanged on a stream.
+    """
+    from wallaroo_spark.functions import hashing as H
+    from wallaroo_spark.operators.text import tokens
+
+    spark = df.sparkSession
+    toks = tokens(F.col(text))
+    docs = df.select(
+        F.col(label_col).cast("double").alias("_y"),
+        F.array_distinct(toks).alias("_tk"),
+    ).filter(F.size("_tk") > 0)
+    docs = docs.persist()
+
+    n_docs = docs.agg(F.count("*").alias("_N"))
+    domain = spark.range(n_hash).select(F.col("id").cast("int").alias("_b"))
+
+    def bucket(tok_col):
+        return (
+            H.md5int_col(F.concat(tok_col, F.lit(":clf"))) % F.lit(n_hash)
+        ).cast("int")
+
+    model = spark.createDataFrame(
+        [([0.0] * n_hash, 0.0)], "clf_w array<double>, clf_b double"
+    )
+    for _ in range(iters):
+        score = F.col("clf_b") + F.aggregate(
+            F.transform(
+                F.col("_tk"),
+                lambda t: F.element_at(F.col("clf_w"), bucket(t) + 1),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        errs = (
+            docs.crossJoin(F.broadcast(model))
+            .withColumn("_err", F.lit(1.0) / (F.lit(1.0) + F.exp(-score)) - F.col("_y"))
+            .select("_tk", "_err")
+        )
+        grad = (
+            errs.select(F.explode("_tk").alias("_t"), F.col("_err").alias("_g"))
+            .groupBy(bucket(F.col("_t")).alias("_b"))
+            .agg(F.sum("_g").alias("_grad"))
+        )
+        gbias = errs.agg(F.sum("_err").alias("_gb"))
+        new_w = (
+            domain.join(grad, "_b", "left")
+            .crossJoin(F.broadcast(model))
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "_b",
+                F.round(
+                    F.element_at(F.col("clf_w"), F.col("_b") + 1)
+                    - F.lit(lr) * F.coalesce(F.col("_grad"), F.lit(0.0)) / F.col("_N"),
+                    round_dp,
+                ).alias("_w"),
+            )
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_b", "_w"))),
+                    lambda e: e["_w"],
+                ).alias("clf_w")
+            )
+        )
+        new_b = (
+            gbias.crossJoin(F.broadcast(model))
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                F.round(
+                    F.col("clf_b") - F.lit(lr) * F.col("_gb") / F.col("_N"), round_dp
+                ).alias("clf_b")
+            )
+        )
+        model = new_w.crossJoin(F.broadcast(new_b)).localCheckpoint(eager=True)
+    docs.unpersist()
+    return model
+
+
+def linear_classifier_score(
+    probe: DataFrame,
+    model_row: DataFrame,
+    text: str = "text",
+    n_hash: int = 512,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Score documents under the trained one-row model — PURE IN-ROW array
+    math against the broadcast weights (no explode/shuffle/state): the
+    identical plan runs on a batch corpus or a stream, like the DSIR and
+    perplexity gates. Features are distinct-token presence, matching the
+    fit. Adds ``clf_prob`` (rounded) and ``clf_pred``; docs without
+    tokens drop out."""
+    from wallaroo_spark.functions import hashing as H
+    from wallaroo_spark.operators.text import tokens
+
+    toks = tokens(F.col(text))
+
+    def bucket(tok_col):
+        return (
+            H.md5int_col(F.concat(tok_col, F.lit(":clf"))) % F.lit(n_hash)
+        ).cast("int")
+
+    dtoks = F.array_distinct(toks)
+    score = F.col("clf_b") + F.aggregate(
+        F.transform(dtoks, lambda t: F.element_at(F.col("clf_w"), bucket(t) + 1)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-score))
+    return (
+        probe.filter(F.size(toks) > 0)
+        .crossJoin(F.broadcast(model_row))
+        .withColumn("clf_prob", F.round(prob, round_dp))
+        .withColumn("clf_pred", (F.col("clf_prob") >= 0.5).cast("int"))
+        .drop("clf_w", "clf_b")
+    )

@@ -4941,3 +4941,67 @@ def interp_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.interp_lm_score(docs, model).select(
         "doc_id", "n_trigrams", "avg_bits"
     )
+
+
+def _clf_oracle(iters: int = 3, lr: float = 1.0, n_hash: int = 512) -> str:
+    """Replay linear_classifier_fit's full-batch GD iterations in SQL (the
+    kmeans-oracle trick applied to gradient descent): weight/bias CTEs per
+    iteration, each rounded to 6dp exactly like the engine."""
+    bkt = "CAST(('0x' || substr(md5(tok || ':clf'), 1, 15)) AS BIGINT) % " + str(n_hash)
+    parts = [f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents WHERE len({_TOKS_SQL}) > 0),
+    lab AS (SELECT doc_id, CAST(list_contains(tk, 'vector') AS DOUBLE) AS y FROM t),
+    dtok AS (SELECT DISTINCT doc_id, unnest(tk) AS tok FROM t),
+    dbk AS (SELECT doc_id, {bkt} AS b FROM dtok),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+    w0 AS (SELECT CAST(range AS INT) AS b, 0.0 AS wt FROM range({n_hash})),
+    bb0 AS (SELECT 0.0 AS bt)"""]
+    for i in range(iters):
+        parts.append(f"""
+    s{i} AS (SELECT l.doc_id, l.y,
+                    (SELECT bt FROM bb{i}) + coalesce(sum(w.wt), 0) AS sc
+             FROM lab l LEFT JOIN dbk d ON l.doc_id = d.doc_id
+                        LEFT JOIN w{i} w ON d.b = w.b
+             GROUP BY l.doc_id, l.y),
+    e{i} AS (SELECT doc_id, y, 1.0/(1.0 + exp(-sc)) - y AS err FROM s{i}),
+    g{i} AS (SELECT d.b, sum(e.err) AS gr
+             FROM dbk d JOIN e{i} e USING (doc_id) GROUP BY d.b),
+    w{i + 1} AS (SELECT w.b, round(w.wt - {lr} * coalesce(g.gr, 0) / (SELECT n FROM nn), 6) AS wt
+                 FROM w{i} w LEFT JOIN g{i} g USING (b)),
+    bb{i + 1} AS (SELECT round((SELECT bt FROM bb{i})
+                               - {lr} * (SELECT sum(err) FROM e{i}) / (SELECT n FROM nn), 6) AS bt)""")
+    parts.append(f"""
+    final AS (SELECT l.doc_id,
+                     1.0/(1.0 + exp(-((SELECT bt FROM bb{iters}) + coalesce(sum(w.wt), 0)))) AS p
+              FROM lab l LEFT JOIN dbk d ON l.doc_id = d.doc_id
+                         LEFT JOIN w{iters} w ON d.b = w.b
+              GROUP BY l.doc_id)
+    SELECT doc_id, round(p, 4) AS clf_prob,
+           CAST(round(p, 4) >= 0.5 AS INT) AS clf_pred
+    FROM final""")
+    return "WITH " + ",".join(parts)
+
+
+@query("trained_quality_classifier", oracle=_clf_oracle())
+def trained_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality filter (`inference.linear_classifier_fit/score`):
+    distributed full-batch logistic regression over md5-hashed binary
+    presence features (the GPT-3/CCNet learned-filter shape) — per
+    iteration one in-row scoring pass against the broadcast one-row model
+    plus one gradient shuffle whose key space is n_hash buckets, constant
+    in corpus size. Label here: document mentions 'vector' (separable on
+    the testdata vocabulary; train accuracy 1.0 at lr=1, 3 iterations).
+    The oracle replays every GD iteration in SQL with the same 6dp
+    rounding — training is deterministic enough to hash-match across
+    engines. Scoring is in-row and stream-capable."""
+    from wallaroo_spark.operators import inference as _inf
+    from wallaroo_spark.operators.text import tokens as _tk
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.withColumn(
+        "y", F.array_contains(_tk(F.col("text")), "vector").cast("int")
+    )
+    model = _inf.linear_classifier_fit(train, "y")
+    return _inf.linear_classifier_score(docs, model).select(
+        "doc_id", "clf_prob", "clf_pred"
+    )
