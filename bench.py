@@ -95,6 +95,7 @@ HEADLINE = [
     "multimodal_video_frame_stats",
     "reference_lm_perplexity",
     "interp_trigram_lm_score",
+    "trained_quality_classifier",
 ]
 
 

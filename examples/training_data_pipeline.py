@@ -86,6 +86,24 @@ def build_corpus(spark, sf_dir: str, out_dir: str, quality_min: float = 0.5):
         "n_bigrams", "avg_bits"
     )
 
+    # 1f. TRAINED quality gate (GPT-3 learned-filter shape): logistic
+    # regression fit distributed on a cheap positive label (here: docs
+    # mentioning the target domain terms), scored in-row — keep docs the
+    # model rates above threshold. Like 1e, the scorer is streamable.
+    from wallaroo_spark.operators import inference
+
+    from wallaroo_spark.operators.text import tokens as _tk
+
+    train = docs.withColumn(
+        "_y", F.array_contains(_tk(F.col("text")), "vector").cast("int")
+    )
+    clf = inference.linear_classifier_fit(train, "_y")
+    kept = (
+        inference.linear_classifier_score(kept, clf)
+        .filter(F.col("clf_prob") >= 0.05)
+        .drop("clf_prob", "clf_pred")
+    )
+
     # 2. class-balanced thinning — deterministic per-language percentages
     sampled = text.stratified_sample(
         kept, "lang", {"en": 100, "de": 80, "fr": 80, "es": 80, "zh": 80}
