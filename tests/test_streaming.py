@@ -1505,3 +1505,67 @@ def test_stream_pack_sequences_per_domain(spark, tmpdir):
         for r in sub.collect():
             want[(s, r.doc_id)] = (r.seq_id, r.seq_offset, r.n_seqs)
     assert got == want and want
+
+
+def test_online_quality_gates_then_admission_front_door(spark, tmpdir):
+    """Round-7 online front door: a doc stream passes the STREAMABLE
+    quality gates (reference-LM perplexity + trained classifier, both
+    pure in-row against broadcast one-row models) and then per-domain
+    token-budget admission — one streaming query, three stages, no extra
+    state beyond the admission counter. Admitted set == the batch chain
+    fed in the same arrival order."""
+    from wallaroo_spark.operators.inference import (
+        linear_classifier_fit, linear_classifier_score,
+    )
+    from wallaroo_spark.operators.text import (
+        lm_score_map, perplexity_filter_streamable, tokens as _tk,
+    )
+    from wallaroo_spark.sources import read_table
+    from wallaroo_spark.streaming.admission import token_budget_admit_stream
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "source",
+        (F.lit(T0) + F.make_interval(secs=F.col("doc_id"))).alias("ts"),
+    )
+    lm = lm_score_map(docs.filter(F.col("lang") == "en"))
+    train = docs.withColumn(
+        "_y", F.array_contains(_tk(F.col("text")), "vector").cast("int")
+    )
+    clf = linear_classifier_fit(train, "_y")
+
+    def gates(df):
+        g = perplexity_filter_streamable(df, lm, max_avg_bits=5.0).drop(
+            "n_bigrams", "avg_bits"
+        )
+        return linear_classifier_score(g, clf).filter(
+            F.col("clf_prob") >= 0.05
+        ).drop("clf_prob", "clf_pred")
+
+    # batch reference: same gates, then the same prefix-cut admission in
+    # the stream's arrival order (doc_id order == ts order here)
+    batch_kept = gates(docs).select("doc_id", "source", "text").collect()
+    want, used = set(), {}
+    for r in sorted(batch_kept, key=lambda r: r.doc_id):
+        nt = len([t for t in r.text.split(" ") if t])
+        used[r.source] = used.get(r.source, 0) + nt  # tokens SEEN, always
+        if used[r.source] <= 1200:
+            want.add(r.doc_id)
+
+    docs.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmpdir + "/in")
+    )
+    out = token_budget_admit_stream(gates(sdf), budget=1200, domain="source")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_front_door")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM t_front_door").collect()}
+    assert got == want and want
