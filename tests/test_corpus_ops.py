@@ -490,3 +490,28 @@ def test_embedding_covariance_dim_mismatch_raises(spark):
     )
     with _pytest.raises(Exception, match="width"):
         embedding_covariance(df, dim=4).collect()
+
+
+def test_corpus_drift_identical_and_disjoint(spark):
+    """Drift invariants: identical snapshots -> KL == 0 and TV == 0 (up to
+    smoothing rounding); disjoint vocabularies -> large drift; KL is
+    always finite (add-one smoothing)."""
+    from wallaroo_spark.operators.text import corpus_drift
+
+    a = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    b = spark.createDataFrame(
+        [(i, "omega sigma kappa theta " * 3) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    same = corpus_drift(a, a).collect()[0]
+    assert float(same["kl_bits"]) == 0.0 and float(same["tv_distance"]) == 0.0
+    far = corpus_drift(a, b).collect()[0]
+    assert float(far["kl_bits"]) > 1.0
+    # with a 4-word vocabulary most probability mass sits in the add-one
+    # smoothing floor (1024 buckets), which caps TV well below 1; the
+    # invariant is a clear separation from the identical-snapshot 0.0
+    assert float(far["tv_distance"]) > 0.15
+    assert far["n_tokens_old"] == 20 * 12 and far["n_tokens_new"] == 20 * 12

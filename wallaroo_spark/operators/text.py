@@ -1321,3 +1321,63 @@ def interp_lm_score(
         .filter(F.col("n_trigrams") > 0)
         .drop("lm1", "lm2", "lm3", "_V", "_T")
     )
+
+
+def corpus_drift(
+    old,
+    new,
+    text: str = "text",
+    n_hash: int = 1024,
+    round_dp: int = 4,
+):
+    """Distribution drift between two corpus snapshots over hashed token
+    histograms — the monitoring signal for a continuously-assembled corpus
+    (vocabulary shift, source mix change, quality regression) before it
+    shows up in model evals.
+
+    Both corpora reduce to ``n_hash``-bucket token histograms (one explode
+    + one bounded-keyspace groupBy each; the comparison itself is
+    n_hash-row math). Add-one smoothing keeps both distributions fully
+    supported, so KL is always finite. Output ONE row:
+    (n_tokens_old, n_tokens_new, kl_bits, tv_distance) with
+    KL(new || old) in bits and total-variation distance, both rounded —
+    deterministic, oracle-replayable.
+    """
+    from wallaroo_spark.functions import hashing as H
+
+    def hist(df, name):
+        t = df.select(F.explode(tokens(F.col(text))).alias("_w"))
+        return t.groupBy(
+            (H.md5int_col(F.col("_w")) % F.lit(n_hash)).cast("int").alias("_b")
+        ).agg(F.count("*").alias(name))
+
+    spark = old.sparkSession
+    domain = spark.range(n_hash).select(F.col("id").cast("int").alias("_b"))
+    joined = (
+        domain.join(F.broadcast(hist(old, "_co")), "_b", "left")
+        .join(F.broadcast(hist(new, "_cn")), "_b", "left")
+        .select(
+            "_b",
+            F.coalesce(F.col("_co"), F.lit(0)).alias("_co"),
+            F.coalesce(F.col("_cn"), F.lit(0)).alias("_cn"),
+        )
+    )
+    tots = joined.agg(
+        F.sum("_co").alias("_to"), F.sum("_cn").alias("_tn")
+    )
+    terms = joined.crossJoin(F.broadcast(tots)).select(
+        "_to",
+        "_tn",
+        ((F.col("_cn") + 1) / (F.col("_tn") + n_hash)).alias("_q"),
+        ((F.col("_co") + 1) / (F.col("_to") + n_hash)).alias("_p"),
+    )
+    return terms.agg(
+        F.first("_to").alias("n_tokens_old"),
+        F.first("_tn").alias("n_tokens_new"),
+        F.round(F.sum(F.col("_q") * F.log2(F.col("_q") / F.col("_p"))), round_dp).alias(
+            "kl_bits"
+        ),
+        F.round(F.sum(F.abs(F.col("_q") - F.col("_p"))) / 2, round_dp).alias(
+            "tv_distance"
+        ),
+    )

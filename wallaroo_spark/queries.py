@@ -5005,3 +5005,44 @@ def trained_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _inf.linear_classifier_score(docs, model).select(
         "doc_id", "clf_prob", "clf_pred"
     )
+
+
+@query(
+    "corpus_snapshot_drift",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOKS_SQL}) AS w FROM documents),
+    tagged AS (SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                           THEN 'old' ELSE 'new' END AS side,
+                      CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 1024 AS b
+               FROM tok),
+    h AS (SELECT b,
+                 sum(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS co,
+                 sum(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS cn
+          FROM tagged GROUP BY 1),
+    dom AS (SELECT CAST(range AS INT) AS b FROM range(1024)),
+    full_h AS (SELECT dom.b, coalesce(h.co, 0) AS co, coalesce(h.cn, 0) AS cn
+               FROM dom LEFT JOIN h ON dom.b = h.b),
+    tots AS (SELECT sum(co) AS t_o, sum(cn) AS t_n FROM full_h),
+    terms AS (SELECT t_o, t_n,
+                     (cn + 1)::DOUBLE / (t_n + 1024) AS q,
+                     (co + 1)::DOUBLE / (t_o + 1024) AS p
+              FROM full_h, tots)
+    SELECT CAST(any_value(t_o) AS BIGINT) AS n_tokens_old,
+           CAST(any_value(t_n) AS BIGINT) AS n_tokens_new,
+           round(sum(q * log2(q / p)), 4) AS kl_bits,
+           round(sum(abs(q - p)) / 2, 4) AS tv_distance
+    FROM terms
+    """,
+)
+def corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus distribution drift (`text.corpus_drift`): KL(new || old) in
+    bits + total-variation distance between two snapshots' hashed-token
+    histograms (src0-9 as the old snapshot, src10-19 as the new) — the
+    monitoring signal for a continuously-assembled corpus. Both corpora
+    reduce to 1024-bucket histograms (bounded-keyspace groupBy); the
+    comparison is 1024-row math. Add-one smoothing keeps KL finite."""
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    old = docs.filter(src_num < 10)
+    new = docs.filter(src_num >= 10)
+    return text.corpus_drift(old, new)
