@@ -96,6 +96,7 @@ HEADLINE = [
     "reference_lm_perplexity",
     "interp_trigram_lm_score",
     "trained_quality_classifier",
+    "corpus_snapshot_drift",
 ]
 
 
