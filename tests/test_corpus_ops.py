@@ -515,3 +515,26 @@ def test_corpus_drift_identical_and_disjoint(spark):
     # invariant is a clear separation from the identical-snapshot 0.0
     assert float(far["tv_distance"]) > 0.15
     assert far["n_tokens_old"] == 20 * 12 and far["n_tokens_new"] == 20 * 12
+
+
+def test_corpus_drift_by_slices_are_independent(spark):
+    """Per-slice drift: a slice that changed scores high while an
+    unchanged slice scores ~0 in the SAME call; a one-side-only slice
+    still yields a finite row."""
+    from wallaroo_spark.operators.text import corpus_drift_by
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta alpha beta", "a"), (2, "mu nu mu nu", "b")],
+        "doc_id bigint, text string, grp string",
+    )
+    new = spark.createDataFrame(
+        [(3, "alpha beta alpha beta", "a"), (4, "xx yy zz ww", "b"),
+         (5, "fresh words only here", "c")],
+        "doc_id bigint, text string, grp string",
+    )
+    got = {r["grp"]: r for r in corpus_drift_by(old, new, by="grp").collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert float(got["a"]["kl_bits"]) == 0.0  # unchanged slice
+    assert float(got["b"]["kl_bits"]) > float(got["a"]["kl_bits"])
+    assert got["c"]["n_tokens_old"] == 0  # one-sided slice, finite KL
+    assert float(got["c"]["kl_bits"]) >= 0.0

@@ -1381,3 +1381,70 @@ def corpus_drift(
             "tv_distance"
         ),
     )
+
+
+def corpus_drift_by(
+    old,
+    new,
+    by: str = "lang",
+    text: str = "text",
+    n_hash: int = 1024,
+    round_dp: int = 4,
+):
+    """Per-slice drift: `corpus_drift` computed independently for every
+    value of ``by`` (source, lang, shard...) in ONE pass per side — the
+    slice that moved shows up directly instead of being averaged away in
+    the corpus-wide number.
+
+    Histograms key on (slice, bucket): still a bounded-keyspace groupBy
+    (|slices| x n_hash); the comparison is |slices| x n_hash row math.
+    Slices appearing on only one side still score (their other side is
+    pure add-one smoothing mass). Output per slice:
+    (by, n_tokens_old, n_tokens_new, kl_bits, tv_distance)."""
+    from wallaroo_spark.functions import hashing as H
+
+    def hist(df, name):
+        t = df.select(
+            F.col(by).alias("_g"), F.explode(tokens(F.col(text))).alias("_w")
+        )
+        return t.groupBy(
+            "_g",
+            (H.md5int_col(F.col("_w")) % F.lit(n_hash)).cast("int").alias("_b"),
+        ).agg(F.count("*").alias(name))
+
+    ho, hn = hist(old, "_co"), hist(new, "_cn")
+    spark = old.sparkSession
+    slices = ho.select("_g").union(hn.select("_g")).distinct()
+    domain = slices.crossJoin(
+        spark.range(n_hash).select(F.col("id").cast("int").alias("_b"))
+    )
+    joined = (
+        domain.join(F.broadcast(ho), ["_g", "_b"], "left")
+        .join(F.broadcast(hn), ["_g", "_b"], "left")
+        .select(
+            "_g",
+            "_b",
+            F.coalesce(F.col("_co"), F.lit(0)).alias("_co"),
+            F.coalesce(F.col("_cn"), F.lit(0)).alias("_cn"),
+        )
+    )
+    tots = joined.groupBy("_g").agg(
+        F.sum("_co").alias("_to"), F.sum("_cn").alias("_tn")
+    )
+    terms = joined.join(F.broadcast(tots), "_g").select(
+        "_g",
+        "_to",
+        "_tn",
+        ((F.col("_cn") + 1) / (F.col("_tn") + n_hash)).alias("_q"),
+        ((F.col("_co") + 1) / (F.col("_to") + n_hash)).alias("_p"),
+    )
+    return terms.groupBy(F.col("_g").alias(by)).agg(
+        F.first("_to").alias("n_tokens_old"),
+        F.first("_tn").alias("n_tokens_new"),
+        F.round(F.sum(F.col("_q") * F.log2(F.col("_q") / F.col("_p"))), round_dp).alias(
+            "kl_bits"
+        ),
+        F.round(F.sum(F.abs(F.col("_q") - F.col("_p"))) / 2, round_dp).alias(
+            "tv_distance"
+        ),
+    )

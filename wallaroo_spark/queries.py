@@ -5046,3 +5046,44 @@ def corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.filter(src_num < 10)
     new = docs.filter(src_num >= 10)
     return text.corpus_drift(old, new)
+
+
+@query(
+    "corpus_drift_by_lang",
+    oracle=f"""
+    WITH tok AS (SELECT lang, source, unnest({_TOKS_SQL}) AS w FROM documents),
+    tagged AS (SELECT lang,
+                      CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                           THEN 'old' ELSE 'new' END AS side,
+                      CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 1024 AS b
+               FROM tok),
+    h AS (SELECT lang, b,
+                 sum(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS co,
+                 sum(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS cn
+          FROM tagged GROUP BY 1, 2),
+    langs AS (SELECT DISTINCT lang FROM h),
+    dom AS (SELECT l.lang, CAST(r.range AS INT) AS b FROM langs l, range(1024) r),
+    full_h AS (SELECT dom.lang, dom.b, coalesce(h.co, 0) AS co, coalesce(h.cn, 0) AS cn
+               FROM dom LEFT JOIN h ON dom.lang = h.lang AND dom.b = h.b),
+    tots AS (SELECT lang, sum(co) AS t_o, sum(cn) AS t_n FROM full_h GROUP BY 1),
+    terms AS (SELECT f.lang, t.t_o, t.t_n,
+                     (f.cn + 1)::DOUBLE / (t.t_n + 1024) AS q,
+                     (f.co + 1)::DOUBLE / (t.t_o + 1024) AS p
+              FROM full_h f JOIN tots t ON f.lang = t.lang)
+    SELECT lang, CAST(any_value(t_o) AS BIGINT) AS n_tokens_old,
+           CAST(any_value(t_n) AS BIGINT) AS n_tokens_new,
+           round(sum(q * log2(q / p)), 4) AS kl_bits,
+           round(sum(abs(q - p)) / 2, 4) AS tv_distance
+    FROM terms GROUP BY 1
+    """,
+)
+def corpus_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice drift (`text.corpus_drift_by`): KL + TV per LANGUAGE
+    between the src0-9 and src10-19 snapshots — the slice that moved shows
+    up directly. Histograms key on (lang, bucket): one bounded-keyspace
+    groupBy per side."""
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    return text.corpus_drift_by(
+        docs.filter(src_num < 10), docs.filter(src_num >= 10), by="lang"
+    )
