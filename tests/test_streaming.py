@@ -1569,3 +1569,58 @@ def test_online_quality_gates_then_admission_front_door(spark, tmpdir):
     q.awaitTermination(180)
     got = {r.doc_id for r in spark.sql("SELECT doc_id FROM t_front_door").collect()}
     assert got == want and want
+
+
+def test_windowed_drift_aggregation_stream_matches_batch(spark, tmpdir):
+    """DriftAggregation (facade, watermark-evicted window state) drained
+    over a stream reproduces the batch `windowed_drift` KL/TV per closed
+    window — the streaming corpus-drift monitor."""
+    from wallaroo_spark.api import aggregation as A
+    from wallaroo_spark.operators.text import (
+        DriftAggregation, reference_token_probs, windowed_drift,
+    )
+    from wallaroo_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang",
+        (F.lit(T0) + F.make_interval(secs=F.col("doc_id") * 50)).alias("ts"),
+    )
+    ref = docs.filter(F.col("lang") == "en")
+
+    want = {
+        int(r.window_start.timestamp()): (r.n_tokens, float(r.kl_bits), float(r.tv_distance))
+        for r in windowed_drift(docs, ref, ts_col="ts", size="1 hour").collect()
+    }
+
+    probs = reference_token_probs(ref)
+    agg = DriftAggregation(probs)
+    sealed = docs.select(
+        F.lit("g").alias("k"), "text",
+        F.col("ts").alias("ts"),
+    ).unionByName(
+        # closer row far in the future seals every data window
+        spark.createDataFrame(
+            [("g", "", T0 + dt.timedelta(days=2))], "k string, text string, ts timestamp"
+        )
+    )
+    sealed.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    sdf = spark.readStream.schema(sealed.schema).parquet(tmpdir + "/in")
+    out = A.windowed_agg_stream(
+        sdf.withWatermark("ts", "0 seconds"), ["k"], "ts", agg,
+        "n_tokens bigint, kl_bits double, tv_distance double", 3600,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_drift_win")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        int(r.window_start): (r.n_tokens, float(r.kl_bits), float(r.tv_distance))
+        for r in spark.sql("SELECT * FROM t_drift_win").collect()
+        if r.n_tokens > 0  # the closer's own empty window
+    }
+    assert got == want and len(got) >= 5

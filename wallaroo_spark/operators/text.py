@@ -1448,3 +1448,160 @@ def corpus_drift_by(
             "tv_distance"
         ),
     )
+
+
+def reference_token_probs(
+    ref, text: str = "text", n_hash: int = 1024
+) -> list[float]:
+    """Add-one-smoothed hashed-token probabilities of a reference corpus as
+    a plain Python list (model-sized: n_hash floats) — the embedded model
+    for `DriftAggregation`, computed once and shipped inside the
+    aggregation instance (closures pickle by value; executors never import
+    the package). p_b = (c_b + 1) / (T + n_hash), identical to the batch
+    `windowed_drift` reference side."""
+    from wallaroo_spark.functions import hashing as H
+
+    rows = (
+        ref.select(F.explode(tokens(F.col(text))).alias("_w"))
+        .groupBy((H.md5int_col(F.col("_w")) % F.lit(n_hash)).cast("int").alias("_b"))
+        .agg(F.count("*").alias("_c"))
+        .collect()
+    )
+    counts = [0] * n_hash
+    total = 0
+    for r in rows:
+        counts[r["_b"]] = r["_c"]
+        total += r["_c"]
+    return [(c + 1) / (total + n_hash) for c in counts]
+
+
+def windowed_drift(
+    df,
+    ref,
+    ts_col: str = "ts",
+    size: str = "1 hour",
+    text: str = "text",
+    n_hash: int = 1024,
+    round_dp: int = 4,
+):
+    """Per-tumbling-window drift against a reference corpus: KL(window ||
+    reference) in bits + TV distance of each window's hashed-token
+    histogram — the batch twin of the streaming `DriftAggregation`
+    (facade) and the time-axis form of `corpus_drift`.
+
+    Shapes: reference histogram is n_hash rows (broadcast); window counts
+    are one explode + one (window, bucket) groupBy — key space windows x
+    n_hash; the comparison joins the distinct-window list against the
+    broadcast reference domain, so zero-count buckets are represented
+    exactly (windows x n_hash rows, bounded).
+
+    Output: (window_start, window_end, n_tokens, kl_bits, tv_distance)."""
+    from wallaroo_spark.functions import hashing as H
+
+    ref_h = (
+        ref.select(F.explode(tokens(F.col(text))).alias("_w"))
+        .groupBy((H.md5int_col(F.col("_w")) % F.lit(n_hash)).cast("int").alias("_b"))
+        .agg(F.count("*").alias("_rc"))
+    )
+    ref_tot = ref_h.agg(F.sum("_rc").alias("_rt"))
+    spark = df.sparkSession
+    domain = spark.range(n_hash).select(F.col("id").cast("int").alias("_b"))
+    p_tab = (
+        domain.join(F.broadcast(ref_h), "_b", "left")
+        .crossJoin(F.broadcast(ref_tot))
+        .select(
+            "_b",
+            (
+                (F.coalesce(F.col("_rc"), F.lit(0)) + 1)
+                / (F.col("_rt") + n_hash)
+            ).alias("_p"),
+        )
+    )
+    w = F.window(F.col(ts_col), size)
+    wc = (
+        df.select(w.alias("_w"), F.explode(tokens(F.col(text))).alias("_t"))
+        .groupBy(
+            "_w", (H.md5int_col(F.col("_t")) % F.lit(n_hash)).cast("int").alias("_b")
+        )
+        .agg(F.count("*").alias("_c"))
+    )
+    wins = wc.select("_w").distinct()
+    dom = wins.crossJoin(F.broadcast(p_tab))
+    joined = dom.join(wc, ["_w", "_b"], "left").select(
+        "_w", "_b", "_p", F.coalesce(F.col("_c"), F.lit(0)).alias("_c")
+    )
+    tots = joined.groupBy("_w").agg(F.sum("_c").alias("_T"))
+    terms = joined.join(F.broadcast(tots), "_w").select(
+        "_w",
+        "_T",
+        ((F.col("_c") + 1) / (F.col("_T") + n_hash)).alias("_q"),
+        "_p",
+    )
+    return terms.groupBy("_w").agg(
+        F.first(F.col("_w.start")).alias("window_start"),
+        F.first(F.col("_w.end")).alias("window_end"),
+        F.first("_T").alias("n_tokens"),
+        F.round(F.sum(F.col("_q") * F.log2(F.col("_q") / F.col("_p"))), round_dp).alias(
+            "kl_bits"
+        ),
+        F.round(F.sum(F.abs(F.col("_q") - F.col("_p"))) / 2, round_dp).alias(
+            "tv_distance"
+        ),
+    ).drop("_w")
+
+
+class DriftAggregation:
+    """Windowed drift as a user Aggregation (the facade contract, like
+    CountMinAggregation): per-(key, window) hashed-token histogram with
+    watermark-evicted streaming state, output = KL/TV against the
+    EMBEDDED reference distribution (n_hash floats captured at
+    construction via `reference_token_probs` — model-sized, pickled by
+    value with the instance). State per window is a dense n_hash count
+    list — bounded whatever the vocabulary. Streamed windows reproduce
+    the batch `windowed_drift` numbers (parity-tested)."""
+
+    def __init__(self, ref_probs, text_field: str = "text", round_dp: int = 4):
+        self.p = [float(x) for x in ref_probs]
+        self.text_field = text_field
+        self.round_dp = round_dp
+
+    def name(self) -> str:
+        return "drift"
+
+    def initial_accumulator(self):
+        return {"counts": [0] * len(self.p)}
+
+    def update(self, rec, acc) -> None:
+        import hashlib
+
+        h = len(self.p)
+        counts = acc["counts"]
+        for tok in (rec[self.text_field] or "").split(" "):
+            if tok:
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % h
+                counts[b] += 1
+
+    def combine(self, a, b):
+        return {"counts": [x + y for x, y in zip(a["counts"], b["counts"])]}
+
+    def output(self, key, acc):
+        import math
+
+        def r(x, dp):  # half-away-from-zero, matching Spark/DuckDB round()
+            s = 10.0 ** dp
+            return math.floor(x * s + 0.5) / s if x >= 0 else -math.floor(-x * s + 0.5) / s
+
+        h = len(self.p)
+        counts = acc["counts"]
+        total = sum(counts)
+        kl = 0.0
+        tv = 0.0
+        for c, p in zip(counts, self.p):
+            q = (c + 1) / (total + h)
+            kl += q * math.log2(q / p)
+            tv += abs(q - p)
+        return {
+            "n_tokens": total,
+            "kl_bits": r(kl, self.round_dp),
+            "tv_distance": r(tv / 2, self.round_dp),
+        }

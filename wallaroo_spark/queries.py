@@ -5087,3 +5087,52 @@ def corpus_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_drift_by(
         docs.filter(src_num < 10), docs.filter(src_num >= 10), by="lang"
     )
+
+
+@query(
+    "windowed_corpus_drift",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, lang,
+                      TIMESTAMP '2024-01-01' + doc_id * INTERVAL 50 SECOND AS ts
+               FROM documents),
+    reft AS (SELECT unnest({_TOKS_SQL}) AS w FROM d WHERE lang = 'en'),
+    refh AS (SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 1024 AS b,
+                    count(*) AS rc
+             FROM reft GROUP BY 1),
+    rt AS (SELECT sum(rc) AS t FROM refh),
+    p AS (SELECT CAST(r.range AS INT) AS b,
+                 (coalesce(h.rc, 0) + 1)::DOUBLE / (rt.t + 1024) AS p
+          FROM range(1024) r LEFT JOIN refh h ON r.range = h.b, rt),
+    wtok AS (SELECT date_trunc('hour', ts) AS ws, unnest({_TOKS_SQL}) AS w FROM d),
+    wc AS (SELECT ws, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 1024 AS b,
+                  count(*) AS c
+           FROM wtok GROUP BY 1, 2),
+    wins AS (SELECT DISTINCT ws FROM wc),
+    dom AS (SELECT wins.ws, p.b, p.p FROM wins, p),
+    joined AS (SELECT d.ws, d.b, d.p, coalesce(wc.c, 0) AS c
+               FROM dom d LEFT JOIN wc ON d.ws = wc.ws AND d.b = wc.b),
+    tots AS (SELECT ws, sum(c) AS t FROM joined GROUP BY 1),
+    terms AS (SELECT j.ws, t.t, (j.c + 1)::DOUBLE / (t.t + 1024) AS q, j.p
+              FROM joined j JOIN tots t ON j.ws = t.ws)
+    SELECT CAST(ws AS TIMESTAMP) AS window_start,
+           CAST(ws AS TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
+           CAST(any_value(t) AS BIGINT) AS n_tokens,
+           round(sum(q * log2(q / p)), 4) AS kl_bits,
+           round(sum(abs(q - p)) / 2, 4) AS tv_distance
+    FROM terms GROUP BY ws
+    """,
+)
+def windowed_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift over the TIME axis (`text.windowed_drift`): per-hourly-window
+    KL/TV of the arriving corpus against the 'en' reference distribution —
+    the online-monitoring form of `corpus_drift` (its streaming twin is
+    `text.DriftAggregation` on the Aggregation facade, parity-tested).
+    Window counts are one bounded (window x bucket) groupBy; zero-count
+    buckets are represented exactly via the broadcast reference domain."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "ts",
+        F.lit("2024-01-01 00:00:00").cast("timestamp")
+        + F.make_interval(secs=F.col("doc_id") * 50),
+    )
+    ref = docs.filter(F.col("lang") == "en")
+    return text.windowed_drift(docs, ref, ts_col="ts", size="1 hour")
