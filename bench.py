@@ -97,6 +97,7 @@ HEADLINE = [
     "interp_trigram_lm_score",
     "trained_quality_classifier",
     "corpus_snapshot_drift",
+    "windowed_corpus_drift",
 ]
 
 
