@@ -1624,3 +1624,60 @@ def test_windowed_drift_aggregation_stream_matches_batch(spark, tmpdir):
         if r.n_tokens > 0  # the closer's own empty window
     }
     assert got == want and len(got) >= 5
+
+
+def test_windowed_drift_aggregation_per_key_slices(spark, tmpdir):
+    """Per-slice streaming drift for free: DriftAggregation under the
+    facade's key columns gives per-(lang, window) KL against the same
+    reference — each slice's histogram accumulates independently."""
+    from wallaroo_spark.api import aggregation as A
+    from wallaroo_spark.operators.text import (
+        DriftAggregation, reference_token_probs, windowed_drift,
+    )
+    from wallaroo_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang",
+        (F.lit(T0) + F.make_interval(secs=F.col("doc_id") * 400)).alias("ts"),
+    )
+    ref = docs.filter(F.col("lang") == "en")
+    probs = reference_token_probs(ref)
+
+    # batch expectation: windowed_drift per lang slice
+    want = {}
+    for lang in ["en", "de"]:
+        sliced = docs.filter(F.col("lang") == lang)
+        for r in windowed_drift(sliced, ref, ts_col="ts", size="1 hour").collect():
+            want[(lang, int(r.window_start.timestamp()))] = (
+                r.n_tokens, float(r.kl_bits), float(r.tv_distance)
+            )
+
+    sealed = docs.filter(F.col("lang").isin("en", "de")).unionByName(
+        spark.createDataFrame(
+            [(99999, "", "en", T0 + dt.timedelta(days=30)),
+             (99998, "", "de", T0 + dt.timedelta(days=30))],
+            "doc_id bigint, text string, lang string, ts timestamp",
+        )
+    )
+    sealed.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    sdf = spark.readStream.schema(sealed.schema).parquet(tmpdir + "/in")
+    out = A.windowed_agg_stream(
+        sdf.withWatermark("ts", "0 seconds"), ["lang"], "ts",
+        DriftAggregation(probs),
+        "n_tokens bigint, kl_bits double, tv_distance double", 3600,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_drift_keyed")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.lang, int(r.window_start)): (r.n_tokens, float(r.kl_bits), float(r.tv_distance))
+        for r in spark.sql("SELECT * FROM t_drift_keyed").collect()
+        if r.n_tokens > 0
+    }
+    assert got == want and len({k[0] for k in got}) == 2
