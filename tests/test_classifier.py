@@ -93,3 +93,34 @@ def test_scoring_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_clf_stream").collect()
     }
     assert got == want and want
+
+
+def test_char_ngram_features_generalize_to_unseen_words(spark):
+    """fastText-style subword features: labels follow a word PREFIX; the
+    eval set uses words never seen in training. Word-only features can
+    only fall back to the bias (unseen buckets are zero-weight), while
+    char-3-gram features share the prefix units and classify the unseen
+    words correctly."""
+    train_rows, eval_rows = [], []
+    for i in range(30):
+        y = i % 2
+        stem = f"{'goodish' if y else 'badword'}{i:02d}"
+        train_rows.append((i, f"{stem}a {stem}b {stem}c", y))
+    for i in range(10):
+        y = i % 2
+        stem = f"{'goodish' if y else 'badword'}zz{i}"  # unseen words
+        eval_rows.append((100 + i, f"{stem}x {stem}y", y))
+    train = spark.createDataFrame(train_rows, "doc_id bigint, text string, y int")
+    ev = spark.createDataFrame(eval_rows, "doc_id bigint, text string, y int")
+
+    def acc(char_ngrams):
+        m = I.linear_classifier_fit(
+            train, "y", n_hash=256, iters=5, lr=1.0, char_ngrams=char_ngrams
+        )
+        s = I.linear_classifier_score(ev, m, n_hash=256, char_ngrams=char_ngrams)
+        return s.agg(F.avg((F.col("clf_pred") == F.col("y")).cast("double"))).first()[0]
+
+    word_only = acc(None)
+    subword = acc(3)
+    assert subword == 1.0
+    assert subword > word_only

@@ -127,6 +127,33 @@ def model_rerank(
 # ---------------------------------------------------------------------------
 
 
+def _feature_buckets(text_col, n_hash: int, char_ngrams: int | None):
+    """Distinct-feature bucket array for one document: md5-hashed distinct
+    word tokens (salt ':clf'), optionally UNIONed with distinct character
+    n-grams (salt ':cg') — the fastText trick that lets the model
+    generalize to unseen words through shared subword units. Pure Column
+    math; the same builder feeds fit (explode) and score (in-row)."""
+    from wallaroo_spark.functions import hashing as H
+    from wallaroo_spark.operators.text import tokens
+
+    def bucket(col, salt):
+        return (H.md5int_col(F.concat(col, F.lit(salt))) % F.lit(n_hash)).cast("int")
+
+    feats = F.transform(
+        F.array_distinct(tokens(text_col)), lambda t: bucket(t, ":clf")
+    )
+    if char_ngrams:
+        n = int(char_ngrams)
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(0))
+        )
+        grams = F.array_distinct(
+            F.transform(idx, lambda i: text_col.substr(i, F.lit(n)))
+        )
+        feats = F.concat(feats, F.transform(grams, lambda g: bucket(g, ":cg")))
+    return feats
+
+
 def linear_classifier_fit(
     df: DataFrame,
     label_col: str,
@@ -135,11 +162,14 @@ def linear_classifier_fit(
     iters: int = 3,
     lr: float = 1.0,
     round_dp: int = 6,
+    char_ngrams: int | None = None,
 ) -> DataFrame:
     """Distributed full-batch logistic regression on hashed bag-of-words
-    features: binary PRESENCE features (x_b = 1 iff any of the doc's
-    distinct tokens hashes to bucket b — the classic BoW-LR encoding,
-    margin-friendly so full-batch GD separates quickly),
+    features: binary PRESENCE features over distinct word tokens
+    (the classic BoW-LR encoding, margin-friendly so full-batch GD
+    separates quickly), optionally unioned with distinct character
+    n-grams (``char_ngrams`` — the fastText subword trick; generalizes
+    to words never seen in training, pinned by pytest),
     p = sigmoid(bias + sum w[bucket]); the gradient step is
     w -= lr * sum_d (p_d - y_d) * x_d / N.
 
@@ -160,24 +190,15 @@ def linear_classifier_fit(
     Returns ONE row: (clf_w array<double>, clf_b double) — broadcastable,
     scoring via ``linear_classifier_score`` runs unchanged on a stream.
     """
-    from wallaroo_spark.functions import hashing as H
-    from wallaroo_spark.operators.text import tokens
-
     spark = df.sparkSession
-    toks = tokens(F.col(text))
     docs = df.select(
         F.col(label_col).cast("double").alias("_y"),
-        F.array_distinct(toks).alias("_tk"),
-    ).filter(F.size("_tk") > 0)
+        _feature_buckets(F.col(text), n_hash, char_ngrams).alias("_fb"),
+    ).filter(F.size("_fb") > 0)
     docs = docs.persist()
 
     n_docs = docs.agg(F.count("*").alias("_N"))
     domain = spark.range(n_hash).select(F.col("id").cast("int").alias("_b"))
-
-    def bucket(tok_col):
-        return (
-            H.md5int_col(F.concat(tok_col, F.lit(":clf"))) % F.lit(n_hash)
-        ).cast("int")
 
     model = spark.createDataFrame(
         [([0.0] * n_hash, 0.0)], "clf_w array<double>, clf_b double"
@@ -185,8 +206,8 @@ def linear_classifier_fit(
     for _ in range(iters):
         score = F.col("clf_b") + F.aggregate(
             F.transform(
-                F.col("_tk"),
-                lambda t: F.element_at(F.col("clf_w"), bucket(t) + 1),
+                F.col("_fb"),
+                lambda b: F.element_at(F.col("clf_w"), b + 1),
             ),
             F.lit(0.0),
             lambda a, x: a + x,
@@ -194,11 +215,11 @@ def linear_classifier_fit(
         errs = (
             docs.crossJoin(F.broadcast(model))
             .withColumn("_err", F.lit(1.0) / (F.lit(1.0) + F.exp(-score)) - F.col("_y"))
-            .select("_tk", "_err")
+            .select("_fb", "_err")
         )
         grad = (
-            errs.select(F.explode("_tk").alias("_t"), F.col("_err").alias("_g"))
-            .groupBy(bucket(F.col("_t")).alias("_b"))
+            errs.select(F.explode("_fb").alias("_b"), F.col("_err").alias("_g"))
+            .groupBy("_b")
             .agg(F.sum("_g").alias("_grad"))
         )
         gbias = errs.agg(F.sum("_err").alias("_gb"))
@@ -241,6 +262,7 @@ def linear_classifier_score(
     text: str = "text",
     n_hash: int = 512,
     round_dp: int = 4,
+    char_ngrams: int | None = None,
 ) -> DataFrame:
     """Score documents under the trained one-row model — PURE IN-ROW array
     math against the broadcast weights (no explode/shuffle/state): the
@@ -248,25 +270,15 @@ def linear_classifier_score(
     perplexity gates. Features are distinct-token presence, matching the
     fit. Adds ``clf_prob`` (rounded) and ``clf_pred``; docs without
     tokens drop out."""
-    from wallaroo_spark.functions import hashing as H
-    from wallaroo_spark.operators.text import tokens
-
-    toks = tokens(F.col(text))
-
-    def bucket(tok_col):
-        return (
-            H.md5int_col(F.concat(tok_col, F.lit(":clf"))) % F.lit(n_hash)
-        ).cast("int")
-
-    dtoks = F.array_distinct(toks)
+    feats = _feature_buckets(F.col(text), n_hash, char_ngrams)
     score = F.col("clf_b") + F.aggregate(
-        F.transform(dtoks, lambda t: F.element_at(F.col("clf_w"), bucket(t) + 1)),
+        F.transform(feats, lambda b: F.element_at(F.col("clf_w"), b + 1)),
         F.lit(0.0),
         lambda a, x: a + x,
     )
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-score))
     return (
-        probe.filter(F.size(toks) > 0)
+        probe.filter(F.size(feats) > 0)
         .crossJoin(F.broadcast(model_row))
         .withColumn("clf_prob", F.round(prob, round_dp))
         .withColumn("clf_pred", (F.col("clf_prob") >= 0.5).cast("int"))
