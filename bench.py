@@ -98,6 +98,7 @@ HEADLINE = [
     "trained_quality_classifier",
     "corpus_snapshot_drift",
     "windowed_corpus_drift",
+    "readability_signals",
 ]
 
 

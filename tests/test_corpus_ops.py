@@ -538,3 +538,23 @@ def test_corpus_drift_by_slices_are_independent(spark):
     assert float(got["b"]["kl_bits"]) > float(got["a"]["kl_bits"])
     assert got["c"]["n_tokens_old"] == 0  # one-sided slice, finite KL
     assert float(got["c"]["kl_bits"]) >= 0.0
+
+
+def test_readability_signals_hand_computed(spark):
+    from wallaroo_spark.operators.text import readability_signals
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran! done?"), (2, "word")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in readability_signals(docs).collect()}
+    r1 = got[1]
+    # sentences: "the cat sat" / " the dog ran" / " done" -> 3
+    assert (r1["n_words"], r1["n_sentences"]) == (7, 3)
+    # vowel groups: e,a,a,e,o,a,o,e -> the(1) cat(1) sat(1) the(1) dog(1) ran(1) done(2) = 8
+    assert r1["n_syllables"] == 8
+    import math
+    wps, spw = 7 / 3, 8 / 7
+    assert abs(float(r1["flesch"]) - round(206.835 - 1.015 * wps - 84.6 * spw, 4)) < 1e-9
+    r2 = got[2]
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (1, 1, 1)

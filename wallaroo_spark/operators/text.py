@@ -1605,3 +1605,34 @@ class DriftAggregation:
             "kl_bits": r(kl, self.round_dp),
             "tv_distance": r(tv / 2, self.round_dp),
         }
+
+
+def readability_signals(
+    df, text: str = "text", id_col: str = "doc_id", round_dp: int = 4
+):
+    """Readability quality signals — the classic cheap text-quality family
+    (used alongside Gopher rules in corpus filtering): words/sentence,
+    syllables/word (vowel-group proxy), and the Flesch reading-ease
+    composite 206.835 - 1.015*(W/S) - 84.6*(Sy/W). Pure Column regexp
+    math — scan speed, no shuffle; the oracle is a direct
+    transliteration. Output: (id, n_words, n_sentences, n_syllables,
+    words_per_sentence, syllables_per_word, flesch)."""
+    toks = tokens(F.col(text))
+    n_w = F.size(toks)
+    n_s = F.greatest(
+        F.size(F.filter(F.split(F.col(text), r"[.!?]+"), lambda x: F.trim(x) != "")),
+        F.lit(1),
+    )
+    n_sy = F.size(F.regexp_extract_all(F.lower(F.col(text)), F.lit("[aeiouy]+"), 0))
+    wps = n_w / n_s
+    spw = n_sy / F.greatest(n_w, F.lit(1))
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    return df.select(
+        id_col,
+        n_w.alias("n_words"),
+        n_s.alias("n_sentences"),
+        n_sy.alias("n_syllables"),
+        F.round(wps, round_dp).alias("words_per_sentence"),
+        F.round(spw, round_dp).alias("syllables_per_word"),
+        F.round(flesch, round_dp).alias("flesch"),
+    )

@@ -5136,3 +5136,29 @@ def windowed_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref = docs.filter(F.col("lang") == "en")
     return text.windowed_drift(docs, ref, ts_col="ts", size="1 hour")
+
+
+@query(
+    "readability_signals",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents),
+    base AS (SELECT doc_id,
+                    len(tk) AS n_words,
+                    greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                             x -> trim(x) <> '')), 1) AS n_sentences,
+                    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+             FROM t)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(n_words::DOUBLE / n_sentences, 4) AS words_per_sentence,
+           round(n_syllables::DOUBLE / greatest(n_words, 1), 4) AS syllables_per_word,
+           round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                        - 84.6 * (n_syllables::DOUBLE / greatest(n_words, 1)), 4) AS flesch
+    FROM base
+    """,
+)
+def readability_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability quality family (`text.readability_signals`): Flesch-style
+    composite from words/sentences/vowel-group syllables — pure Column
+    regexp math at scan speed, the cheap-quality sibling of
+    `text_quality_score` and the Gopher repetition rules."""
+    return text.readability_signals(_t(spark, sf_dir, "documents"))
