@@ -1,0 +1,59 @@
+"""Oracle result-type portability sweep.
+
+The driver's canonicalizer materializes DuckDB results through pandas,
+which routes HUGEINT/UHUGEINT (INT128) and DECIMAL columns through
+float64 — so an oracle whose values are integer-identical to Spark's can
+still hash-mismatch on rendering ("31730000000.0" vs "31730000000").
+Round 7 lost 3 green rows to exactly this (sum() over INT promotes to
+HUGEINT in DuckDB). This sweep DESCRIBEs every registered oracle (bind
+only — no execution, so it is cheap) and asserts none of the banned
+types appears in a result column. Any aggregate that would promote must
+be wrapped in CAST(... AS BIGINT) at the oracle's outermost SELECT.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+
+BANNED = re.compile(r"HUGEINT|UHUGEINT|DECIMAL", re.IGNORECASE)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    import __spark_entry__ as entrymod
+    from wallaroo_spark.session import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con, entrymod.oracle_sql()
+
+
+def test_no_hugeint_or_decimal_oracle_columns(duck):
+    con, oracles = duck
+    offenders = {}
+    for name, sql in oracles.items():
+        rows = con.sql(f"DESCRIBE ({sql})").fetchall()
+        bad = [(c, t) for c, t, *_ in rows if BANNED.search(t)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracles emit driver-unportable column types (wrap in CAST AS "
+        f"BIGINT / round to DOUBLE): {offenders}"
+    )
+
+
+def test_every_query_has_an_oracle_or_documented_exemption(duck):
+    """A queries() entry with no oracle_sql() is scored `err: no_oracle`
+    by the driver — a guaranteed red stripe. Keep the exemption list
+    explicit so one cannot be handed out by accident (round 7 burned a
+    row on exactly this)."""
+    import __spark_entry__ as entrymod
+
+    _, oracles = duck
+    exempt = set()  # no exemptions: every registered query must be oracle-gated
+    missing = [n for n in entrymod.queries() if n not in oracles and n not in exempt]
+    assert not missing, f"queries registered without an oracle: {missing}"

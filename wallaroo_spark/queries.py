@@ -1349,8 +1349,9 @@ def multimodal_decoded_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT c.doc_id, any_value(c.w) AS width, any_value(c.h) AS height,
            3 AS channels,
-           sum(c.code) AS pixel_sum, min(c.code) AS px_min, max(c.code) AS px_max,
-           any_value(l.luma_sum) AS luma_sum
+           CAST(sum(c.code) AS BIGINT) AS pixel_sum,
+           min(c.code) AS px_min, max(c.code) AS px_max,
+           CAST(any_value(l.luma_sum) AS BIGINT) AS luma_sum
     FROM chars c JOIN lum l ON c.doc_id = l.doc_id
     GROUP BY c.doc_id
     """,
@@ -1401,8 +1402,8 @@ def multimodal_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
            length(text) AS n_samples,
            length(text) * 1000 // 8000 AS duration_ms,
-           sum(((ascii(substr(text, g.i, 1)) - 96) * 256)
-               * ((ascii(substr(text, g.i, 1)) - 96) * 256)) AS energy
+           CAST(sum(((ascii(substr(text, g.i, 1)) - 96) * 256)
+               * ((ascii(substr(text, g.i, 1)) - 96) * 256)) AS BIGINT) AS energy
     FROM documents CROSS JOIN generate_series(1, 1024) AS g(i)
     WHERE length(text) > 0 AND g.i <= length(text)
     GROUP BY doc_id, length(text)
@@ -1428,7 +1429,7 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE length(text) > 0
     )
     SELECT doc_id, f.fi AS frame_idx,
-           sum(ascii(substr(tiled, f.fi + g.j, 1))) AS frame_sum
+           CAST(sum(ascii(substr(tiled, f.fi + g.j, 1))) AS BIGINT) AS frame_sum
     FROM d
     CROSS JOIN (VALUES (0), (2), (4)) AS f(fi)
     CROSS JOIN generate_series(1, 12) AS g(j)
@@ -1447,14 +1448,58 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_ahash64_near_dup")
+@query(
+    "multimodal_ahash64_near_dup",
+    oracle=_MM_PX_CTE
+    + """
+    , pix AS (
+      SELECT doc_id, w, h, (g.i-1)//3 AS p,
+             CAST(sum(CASE WHEN (g.i-1)%3=0 THEN 77*ascii(substr(px, g.i, 1))
+                           WHEN (g.i-1)%3=1 THEN 150*ascii(substr(px, g.i, 1))
+                           ELSE 29*ascii(substr(px, g.i, 1)) END) // 256 AS BIGINT) AS ly
+      FROM s CROSS JOIN generate_series(1, 144) AS g(i)
+      WHERE g.i <= w*h*3
+      GROUP BY 1,2,3,4
+    ), pl AS (
+      SELECT doc_id, w, h, p // w AS pr, p % w AS pc, ly FROM pix
+    ), tot AS (
+      SELECT doc_id, CAST(sum(ly) AS BIGINT) AS tsum, CAST(count(*) AS BIGINT) AS tn
+      FROM pl GROUP BY 1
+    ), blk AS (
+      SELECT pl.doc_id, r.r*8 + q.q AS bit_i,
+             CAST(sum(ly) AS BIGINT) AS bsum, CAST(count(*) AS BIGINT) AS bn
+      FROM pl
+      CROSS JOIN generate_series(0,7) AS r(r)
+      CROSS JOIN generate_series(0,7) AS q(q)
+      WHERE pr >= (r.r*h)//8 AND pr < ((r.r+1)*h)//8
+        AND pc >= (q.q*w)//8 AND pc < ((q.q+1)*w)//8
+      GROUP BY 1,2
+    ), fp AS (
+      SELECT b.doc_id,
+             bit_or(CASE WHEN bsum * tn <= tsum * bn THEN CAST(0 AS BIGINT)
+                         WHEN bit_i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE CAST(1 AS BIGINT) << CAST(bit_i AS INT) END) AS ahash
+      FROM blk b JOIN tot USING (doc_id) GROUP BY 1
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+    """,
+)
 def multimodal_ahash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL perceptual near-dup over decoded images: 64-bit block-mean
     aHash (integer luma, cross-multiplied comparisons) paired by the
-    generic banded-pigeonhole engine (16 bands of 4 bits, lossless for
-    d<16). Rows-only gate (8x8 block partition is not reasonably
-    SQL-expressible); exactness vs a local numpy reference is pinned by
-    pytest parity on the same operator."""
+    generic banded-pigeonhole engine (5 bands of 12 bits, lossless for
+    d<=4). The oracle replays the WHOLE chain in SQL — decode (pixel
+    chars), integer BT.601 luma, the 8x8 integer block partition
+    (edges (r*h)//8 exactly as media_codec.ahash64 computes them; empty
+    blocks contribute no bit because the coverage predicate drops them),
+    cross-multiplied mean comparisons, 64-bit signed packing (bit 63
+    spelled as INT64_MIN — DuckDB refuses 1<<63), then naive all-pairs
+    popcount <= 4 — so losslessness of the banded join is verified
+    literally, and every header-parse/reshape/luma defect would
+    hash-mismatch."""
     media = _mm_ppm_media(spark, sf_dir)
     return multimodal.ahash64_near_pairs(media, max_hamming=4)
 
@@ -2892,10 +2937,10 @@ def tpch_q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame
     "tpch_q12_priority_by_ship_class",
     oracle="""
     SELECT l_returnflag AS ship_class,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-             AS high_line_count,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
-             AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+             AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
       AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
