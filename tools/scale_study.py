@@ -30,7 +30,10 @@ sys.path.insert(0, "/root/repo")
 
 SRC = "/root/testdata/sf0.1"
 SHIFT = 10_000_000
-REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+try:
+    REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+except ValueError:  # imported as a library (e.g. from pytest) — CLI args absent
+    REPLICAS = 3
 DST = f"/tmp/ws_scale{REPLICAS}x"
 
 KEY_COLS = {
@@ -46,22 +49,30 @@ KEY_COLS = {
 DIMS = ["region", "nation"]  # fixed-cardinality dimensions: copy as-is
 
 
-def generate(spark) -> None:
+def generate(spark, src: str | None = None, dst: str | None = None,
+             replicas: int | None = None) -> None:
+    """Write an FK-consistent ``replicas``x copy of ``src`` to ``dst``
+    (cached: a no-op if dst already holds a lineitem). Parameterized so the
+    pytest scale-exponent gate can build small replicas of sf0.01; the CLI
+    path keeps the module-level defaults."""
     import shutil
 
     from pyspark.sql import functions as F
 
     from wallaroo_spark.sources import read_table
 
-    if os.path.isdir(DST) and os.path.exists(f"{DST}/lineitem.parquet"):
+    src = src or SRC
+    dst = dst or DST
+    replicas = replicas or REPLICAS
+    if os.path.isdir(dst) and os.path.exists(f"{dst}/lineitem.parquet"):
         return
-    os.makedirs(DST, exist_ok=True)
+    os.makedirs(dst, exist_ok=True)
     for t in DIMS:
-        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+        shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
     for t, keys in KEY_COLS.items():
-        base = read_table(spark, SRC, t)
+        base = read_table(spark, src, t)
         parts = []
-        for r in range(REPLICAS):
+        for r in range(replicas):
             d = base
             for k in keys:
                 d = d.withColumn(k, F.col(k) + F.lit(r * SHIFT))
@@ -86,12 +97,12 @@ def generate(spark) -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        tmp = f"{DST}/_tmp_{t}"
+        tmp = f"{dst}/_tmp_{t}"
         out.coalesce(1).write.mode("overwrite").parquet(tmp)
         part_file = next(
             os.path.join(tmp, n) for n in os.listdir(tmp) if n.endswith(".parquet")
         )
-        shutil.move(part_file, f"{DST}/{t}.parquet")
+        shutil.move(part_file, f"{dst}/{t}.parquet")
         shutil.rmtree(tmp)
 
 
