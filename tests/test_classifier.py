@@ -124,3 +124,36 @@ def test_char_ngram_features_generalize_to_unseen_words(spark):
     subword = acc(3)
     assert subword == 1.0
     assert subword > word_only
+
+
+def test_sgd_reaches_full_batch_accuracy(spark):
+    """The mini-batch SGD fit must match full-batch GD's accuracy on the
+    separable corpus (both 1.0) — 4 updates for one corpus pass vs the
+    full-batch 4 updates for 4 passes."""
+    docs = _corpus(spark)
+    sgd = I.linear_classifier_fit_sgd(
+        docs, "y", n_hash=64, epochs=1, n_batches=4, lr=1.0
+    )
+    acc = (
+        I.linear_classifier_score(docs, sgd, n_hash=64)
+        .agg(F.avg((F.col("clf_pred") == F.col("y")).cast("double")))
+        .first()[0]
+    )
+    assert acc == 1.0
+
+
+def test_sgd_deterministic_and_empty_batch_safe(spark):
+    """Batch assignment is salted-hash -> identical models across runs;
+    and a batch count larger than the corpus (guaranteeing empty batches)
+    must yield no-op steps, never a NULL-poisoned model."""
+    docs = _corpus(spark, n=10)
+    m1 = I.linear_classifier_fit_sgd(docs, "y", n_hash=64, n_batches=4).collect()[0]
+    m2 = I.linear_classifier_fit_sgd(docs, "y", n_hash=64, n_batches=4).collect()[0]
+    assert m1["clf_w"] == m2["clf_w"] and m1["clf_b"] == m2["clf_b"]
+
+    sparse = I.linear_classifier_fit_sgd(
+        docs, "y", n_hash=64, epochs=1, n_batches=64
+    ).collect()[0]
+    assert sparse["clf_b"] is not None
+    assert len(sparse["clf_w"]) == 64
+    assert all(w is not None for w in sparse["clf_w"])

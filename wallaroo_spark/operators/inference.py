@@ -284,3 +284,121 @@ def linear_classifier_score(
         .withColumn("clf_pred", (F.col("clf_prob") >= 0.5).cast("int"))
         .drop("clf_w", "clf_b")
     )
+
+
+def linear_classifier_fit_sgd(
+    df: DataFrame,
+    label_col: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_hash: int = 512,
+    epochs: int = 1,
+    n_batches: int = 4,
+    lr: float = 1.0,
+    round_dp: int = 6,
+    char_ngrams: int | None = None,
+) -> DataFrame:
+    """Deterministic mini-batch SGD variant of ``linear_classifier_fit``.
+
+    Full-batch GD scans the whole corpus once per weight update — at
+    100 TB that is the pipeline's most expensive loop, and most of each
+    scan is wasted once the gradient direction is clear. Mini-batch SGD
+    gets ``n_batches`` updates per corpus pass: each step touches only the
+    rows whose salted-hash batch id matches (md5(id ~ ':sgd') %
+    n_batches — deterministic, so the DuckDB oracle replays every step
+    bit-for-bit; no Date/random anywhere), computes the in-row error
+    against the broadcast one-row model, and shuffles one gradient whose
+    key space is n_hash buckets. Early stopping after k steps touches
+    k/n_batches of the corpus — the scan cost scales with the steps you
+    actually need, not with epochs x corpus.
+
+    Same rounding/fixpoint contract as the full-batch fit (weights round
+    to ``round_dp`` per step); same one-row (clf_w, clf_b) output, scored
+    by the unchanged ``linear_classifier_score``. Batch sizes come from
+    ONE up-front groupBy over the tiny batch-id keyspace, broadcast into
+    every step.
+    """
+    from wallaroo_spark.functions import hashing as H
+
+    spark = df.sparkSession
+    mb = (
+        H.md5int_col(F.concat(F.col(id_col).cast("string"), F.lit(":sgd")))
+        % F.lit(n_batches)
+    ).cast("int")
+    docs = df.select(
+        mb.alias("_mb"),
+        F.col(label_col).cast("double").alias("_y"),
+        _feature_buckets(F.col(text), n_hash, char_ngrams).alias("_fb"),
+    ).filter(F.size("_fb") > 0)
+    docs = docs.persist()
+
+    batch_n = docs.groupBy("_mb").agg(F.count("*").cast("double").alias("_N"))
+    domain = spark.range(n_hash).select(F.col("id").cast("int").alias("_b"))
+
+    model = spark.createDataFrame(
+        [([0.0] * n_hash, 0.0)], "clf_w array<double>, clf_b double"
+    )
+    for _ in range(epochs):
+        for m in range(n_batches):
+            batch = docs.filter(F.col("_mb") == m)
+            # agg form: exactly one row even when the batch is empty (sum
+            # NULL -> 1.0 divisor; the empty gradient/bias coalesce to 0,
+            # so an empty batch is a no-op step, not a NULL-poisoned model)
+            n_m = batch_n.filter(F.col("_mb") == m).agg(
+                F.coalesce(F.sum("_N"), F.lit(1.0)).alias("_N")
+            )
+            score = F.col("clf_b") + F.aggregate(
+                F.transform(
+                    F.col("_fb"),
+                    lambda b: F.element_at(F.col("clf_w"), b + 1),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            errs = (
+                batch.crossJoin(F.broadcast(model))
+                .withColumn(
+                    "_err", F.lit(1.0) / (F.lit(1.0) + F.exp(-score)) - F.col("_y")
+                )
+                .select("_fb", "_err")
+            )
+            grad = (
+                errs.select(F.explode("_fb").alias("_b"), F.col("_err").alias("_g"))
+                .groupBy("_b")
+                .agg(F.sum("_g").alias("_grad"))
+            )
+            gbias = errs.agg(F.coalesce(F.sum("_err"), F.lit(0.0)).alias("_gb"))
+            new_w = (
+                domain.join(grad, "_b", "left")
+                .crossJoin(F.broadcast(model))
+                .crossJoin(F.broadcast(n_m))
+                .select(
+                    "_b",
+                    F.round(
+                        F.element_at(F.col("clf_w"), F.col("_b") + 1)
+                        - F.lit(lr)
+                        * F.coalesce(F.col("_grad"), F.lit(0.0))
+                        / F.col("_N"),
+                        round_dp,
+                    ).alias("_w"),
+                )
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_b", "_w"))),
+                        lambda e: e["_w"],
+                    ).alias("clf_w")
+                )
+            )
+            new_b = (
+                gbias.crossJoin(F.broadcast(model))
+                .crossJoin(F.broadcast(n_m))
+                .select(
+                    F.round(
+                        F.col("clf_b") - F.lit(lr) * F.col("_gb") / F.col("_N"),
+                        round_dp,
+                    ).alias("clf_b")
+                )
+            )
+            model = new_w.crossJoin(F.broadcast(new_b)).localCheckpoint(eager=True)
+    docs.unpersist()
+    return model

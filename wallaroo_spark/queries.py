@@ -5052,6 +5052,82 @@ def trained_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clf_sgd_oracle(
+    epochs: int = 1, n_batches: int = 4, lr: float = 1.0, n_hash: int = 512
+) -> str:
+    """Replay linear_classifier_fit_sgd's mini-batch steps in SQL: one
+    weight/bias CTE pair per STEP, gradient restricted to the step's
+    salted-hash batch and normalized by that batch's size, 6dp rounding
+    per step exactly like the engine."""
+    bkt = "CAST(('0x' || substr(md5(tok || ':clf'), 1, 15)) AS BIGINT) % " + str(n_hash)
+    mbx = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sgd'), 1, 15)) "
+        f"AS BIGINT) % {n_batches}"
+    )
+    parts = [f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents WHERE len({_TOKS_SQL}) > 0),
+    lab AS (SELECT doc_id, {mbx} AS mb,
+                   CAST(list_contains(tk, 'vector') AS DOUBLE) AS y FROM t),
+    dtok AS (SELECT DISTINCT doc_id, unnest(tk) AS tok FROM t),
+    dbk AS (SELECT doc_id, {bkt} AS b FROM dtok),
+    nn AS (SELECT mb, CAST(count(*) AS DOUBLE) AS n FROM lab GROUP BY mb),
+    w0 AS (SELECT CAST(range AS INT) AS b, 0.0 AS wt FROM range({n_hash})),
+    bb0 AS (SELECT 0.0 AS bt)"""]
+    for s in range(epochs * n_batches):
+        m = s % n_batches
+        parts.append(f"""
+    s{s} AS (SELECT l.doc_id, l.y,
+                    (SELECT bt FROM bb{s}) + coalesce(sum(w.wt), 0) AS sc
+             FROM lab l LEFT JOIN dbk d ON l.doc_id = d.doc_id
+                        LEFT JOIN w{s} w ON d.b = w.b
+             WHERE l.mb = {m}
+             GROUP BY l.doc_id, l.y),
+    e{s} AS (SELECT doc_id, y, 1.0/(1.0 + exp(-sc)) - y AS err FROM s{s}),
+    g{s} AS (SELECT d.b, sum(e.err) AS gr
+             FROM dbk d JOIN e{s} e USING (doc_id) GROUP BY d.b),
+    w{s + 1} AS (SELECT w.b, round(w.wt - {lr} * coalesce(g.gr, 0)
+                                   / (SELECT n FROM nn WHERE mb = {m}), 6) AS wt
+                 FROM w{s} w LEFT JOIN g{s} g USING (b)),
+    bb{s + 1} AS (SELECT round((SELECT bt FROM bb{s})
+                               - {lr} * coalesce((SELECT sum(err) FROM e{s}), 0)
+                                 / (SELECT n FROM nn WHERE mb = {m}), 6) AS bt)""")
+    steps = epochs * n_batches
+    parts.append(f"""
+    final AS (SELECT l.doc_id,
+                     1.0/(1.0 + exp(-((SELECT bt FROM bb{steps}) + coalesce(sum(w.wt), 0)))) AS p
+              FROM lab l LEFT JOIN dbk d ON l.doc_id = d.doc_id
+                         LEFT JOIN w{steps} w ON d.b = w.b
+              GROUP BY l.doc_id)
+    SELECT doc_id, round(p, 4) AS clf_prob,
+           CAST(round(p, 4) >= 0.5 AS INT) AS clf_pred
+    FROM final""")
+    return "WITH " + ",".join(parts)
+
+
+@query("trained_quality_classifier_sgd", oracle=_clf_sgd_oracle())
+def trained_quality_classifier_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini-batch SGD quality filter (`inference.linear_classifier_fit_sgd`):
+    the 100 TB form of the trained classifier — full-batch GD scans the
+    corpus once per weight update, SGD gets n_batches updates per pass,
+    each step touching only its deterministic salted-hash mini-batch
+    (md5(doc_id ~ ':sgd') % 4 — replayable, no randomness). 1 epoch x 4
+    batches here = 4 updates for ONE corpus pass, where full-batch buys 3
+    updates for 3 passes. The oracle replays every step's batch-restricted
+    gradient with the engine's 6dp rounding; scoring is the unchanged
+    in-row stream-capable pass."""
+    from wallaroo_spark.operators import inference as _inf
+    from wallaroo_spark.operators.text import tokens as _tk
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.withColumn(
+        "y", F.array_contains(_tk(F.col("text")), "vector").cast("int")
+    )
+    model = _inf.linear_classifier_fit_sgd(train, "y", epochs=1, n_batches=4)
+    return _inf.linear_classifier_score(docs, model).select(
+        "doc_id", "clf_prob", "clf_pred"
+    )
+
+
 @query(
     "corpus_snapshot_drift",
     oracle=f"""
