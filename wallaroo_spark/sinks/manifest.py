@@ -50,34 +50,169 @@ import uuid
 from pyspark.sql import DataFrame
 
 
-class ManifestTable:
-    def __init__(self, base_dir: str, checkpoint_interval: int | None = None):
+class LogStore:
+    """Storage interface carrying ALL of the manifest's transactional
+    metadata I/O — the two essential operations plus bookkeeping trivia.
+
+    The whole design rests on exactly two primitives:
+
+    - ``put_if_absent(key, data)`` — create-exclusive write. Local FS: an
+      atomic hard link. Object stores: a conditional PUT with
+      ``If-None-Match: *`` (supported by S3 since 2024-08, GCS
+      ``x-goog-if-generation-match: 0``, Azure ``If-None-Match: *``) — the
+      losing writer gets 412 Precondition Failed exactly where the FS
+      backend gets EEXIST. No rename, no lock service, no DynamoDB.
+    - ``list(prefix)`` — name listing under a prefix (object-store LIST).
+
+    ``read``/``delete``/``mtime`` are trivial on every backend (GET /
+    DELETE / LastModified). DATA files are not routed through this
+    interface: Spark's own Hadoop filesystem layer reads and writes them
+    (s3a://, gs://, abfss:// or local paths), so the store only ever holds
+    small JSON log entries.
+    """
+
+    def list(self, prefix: str) -> list[str]:
+        """Names (not full keys) of objects directly under ``prefix``."""
+        raise NotImplementedError
+
+    def put_if_absent(self, key: str, data: str) -> bool:
+        """Write ``data`` at ``key`` iff absent. True = won; False = key
+        already existed (lost the race)."""
+        raise NotImplementedError
+
+    def read(self, key: str) -> str:
+        raise NotImplementedError
+
+    def delete(self, key: str) -> None:
+        raise NotImplementedError
+
+    def mtime(self, key: str) -> float:
+        """Seconds-epoch write time (object-store LastModified)."""
+        raise NotImplementedError
+
+
+class LocalFSLogStore(LogStore):
+    """Local/NFS filesystem backend: put-if-absent via atomic hard link
+    (the POSIX primitive that is atomic even on NFS, unlike O_EXCL on some
+    NFSv2 servers)."""
+
+    def __init__(self, base_dir: str):
         self.base = base_dir
-        self._log = os.path.join(base_dir, "_log")
+
+    def _p(self, key: str) -> str:
+        return os.path.join(self.base, key)
+
+    def list(self, prefix: str) -> list[str]:
+        d = self._p(prefix)
+        return os.listdir(d) if os.path.isdir(d) else []
+
+    def put_if_absent(self, key: str, data: str) -> bool:
+        path = self._p(key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def read(self, key: str) -> str:
+        with open(self._p(key)) as f:
+            return f.read()
+
+    def delete(self, key: str) -> None:
+        os.unlink(self._p(key))
+
+    def mtime(self, key: str) -> float:
+        return os.path.getmtime(self._p(key))
+
+
+class InMemoryLogStore(LogStore):
+    """In-memory fake with the object-store contract (atomic conditional
+    put, prefix list, last-modified) — lets every manifest race/crash test
+    run against a second backend without a filesystem."""
+
+    def __init__(self):
+        import threading
+        import time as _time
+
+        self._lock = threading.Lock()
+        self._objs: dict[str, str] = {}
+        self._mtimes: dict[str, float] = {}
+        self._clock = _time
+
+    def list(self, prefix: str) -> list[str]:
+        p = prefix.rstrip("/") + "/"
+        with self._lock:
+            return [
+                k[len(p):]
+                for k in self._objs
+                if k.startswith(p) and "/" not in k[len(p):]
+            ]
+
+    def put_if_absent(self, key: str, data: str) -> bool:
+        with self._lock:
+            if key in self._objs:
+                return False
+            self._objs[key] = data
+            self._mtimes[key] = self._clock.time()
+            return True
+
+    def read(self, key: str) -> str:
+        with self._lock:
+            return self._objs[key]
+
+    def delete(self, key: str) -> None:
+        with self._lock:
+            self._objs.pop(key, None)
+            self._mtimes.pop(key, None)
+
+    def mtime(self, key: str) -> float:
+        with self._lock:
+            return self._mtimes[key]
+
+
+class ManifestTable:
+    def __init__(
+        self,
+        base_dir: str,
+        checkpoint_interval: int | None = None,
+        log_store: LogStore | None = None,
+    ):
+        self.base = base_dir
         self._data = os.path.join(base_dir, "_data")
-        self._ckpt = os.path.join(base_dir, "_checkpoints")
         self.checkpoint_interval = checkpoint_interval
-        os.makedirs(self._log, exist_ok=True)
+        self.store = log_store or LocalFSLogStore(base_dir)
+        # on-disk layout paths (valid for the default LocalFS store; kept
+        # as attributes for tests/tools that age or inspect entries)
+        self._log = os.path.join(base_dir, "_log")
+        self._ckpt = os.path.join(base_dir, "_checkpoints")
         os.makedirs(self._data, exist_ok=True)
-        os.makedirs(self._ckpt, exist_ok=True)
+        if isinstance(self.store, LocalFSLogStore):
+            # keep the on-disk layout identical to pre-interface tables
+            os.makedirs(self._log, exist_ok=True)
+            os.makedirs(self._ckpt, exist_ok=True)
 
     # -- log replay ---------------------------------------------------------
     def versions(self) -> list[int]:
         return sorted(
             int(n[: -len(".json")])
-            for n in os.listdir(self._log)
-            if n.endswith(".json")
+            for n in self.store.list("_log")
+            if n.endswith(".json") and ".tmp-" not in n
         )
 
     def _entry(self, v: int) -> dict:
-        with open(os.path.join(self._log, f"{v}.json")) as f:
-            return json.load(f)
+        return json.loads(self.store.read(f"_log/{v}.json"))
 
     def _checkpoint_versions(self) -> list[int]:
         return sorted(
             int(n[: -len(".json")])
-            for n in os.listdir(self._ckpt)
-            if n.endswith(".json")
+            for n in self.store.list("_checkpoints")
+            if n.endswith(".json") and ".tmp-" not in n
         )
 
     def _replay(self, version: int | None = None) -> tuple[list[str], list[dict]]:
@@ -96,8 +231,7 @@ class ManifestTable:
         files: list[str] = []
         txns: list[dict] = []
         if base_v is not None:
-            with open(os.path.join(self._ckpt, f"{base_v}.json")) as f:
-                cp = json.load(f)
+            cp = json.loads(self.store.read(f"_checkpoints/{base_v}.json"))
             files, txns = list(cp["files"]), list(cp.get("txns", []))
         live = self.versions()
         if version is not None:
@@ -149,16 +283,11 @@ class ManifestTable:
             return None
         v = vs[-1]
         files, txns = self._replay(version=v)
-        record = os.path.join(self._ckpt, f"{v}.json")
-        tmp = record + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"version": v, "files": files, "txns": txns}, f)
-        try:
-            os.link(tmp, record)
-        except FileExistsError:
-            pass  # a racer wrote the identical state
-        finally:
-            os.unlink(tmp)
+        # losing the put race is harmless: the racer wrote identical state
+        self.store.put_if_absent(
+            f"_checkpoints/{v}.json",
+            json.dumps({"version": v, "files": files, "txns": txns}),
+        )
         return v
 
     def expire_log(self, keep_checkpoints: int = 1) -> int:
@@ -184,7 +313,7 @@ class ManifestTable:
         removed = 0
         for v in self.versions():
             if v <= horizon:
-                os.unlink(os.path.join(self._log, f"{v}.json"))
+                self.store.delete(f"_log/{v}.json")
                 removed += 1
         return removed
 
@@ -207,14 +336,13 @@ class ManifestTable:
         for v in self.versions():  # ascending: stop at the first keeper
             if v > horizon:
                 break
-            path = os.path.join(self._log, f"{v}.json")
             try:
-                age = now - os.path.getmtime(path)
-            except OSError:
+                age = now - self.store.mtime(f"_log/{v}.json")
+            except (OSError, KeyError):
                 break
             if age < min_age_s:
                 break
-            os.unlink(path)
+            self.store.delete(f"_log/{v}.json")
             removed += 1
         return removed
 
@@ -246,27 +374,19 @@ class ManifestTable:
             last = max(vs[-1] if vs else -1, cps[-1] if cps else -1)
             v = last + 1
             rm = removes() if callable(removes) else (removes or [])
-            record = os.path.join(self._log, f"{v}.json")
-            tmp = record + f".tmp-{uuid.uuid4().hex}"
             entry = {"version": v, "adds": adds, "removes": rm}
             if txn is not None:
                 entry["txn"] = txn
-            with open(tmp, "w") as f:
-                json.dump(entry, f)
-            try:
-                os.link(tmp, record)  # atomic put-if-absent
+            if self.store.put_if_absent(f"_log/{v}.json", json.dumps(entry)):
                 if (
                     self.checkpoint_interval
                     and (v + 1) % self.checkpoint_interval == 0
                 ):
                     self.checkpoint()
                 return v
-            except FileExistsError:
-                if skip_if is not None and skip_if():
-                    return None
-                continue  # lost the race: re-read the log, retry on top
-            finally:
-                os.unlink(tmp)
+            if skip_if is not None and skip_if():
+                return None
+            continue  # lost the race: re-read the log, retry on top
 
     # -- writers ------------------------------------------------------------
     def _write_parts(self, df: DataFrame, n_files: int | None = None) -> list[str]:
@@ -343,9 +463,8 @@ class ManifestTable:
         # the adds below the oldest checkpoint exist ONLY in checkpoints,
         # and vacuuming those dirs would tear live data out of the table
         for cv in self._checkpoint_versions():
-            with open(os.path.join(self._ckpt, f"{cv}.json")) as f:
-                for fp in json.load(f)["files"]:
-                    referenced.add(os.path.dirname(fp))
+            for fp in json.loads(self.store.read(f"_checkpoints/{cv}.json"))["files"]:
+                referenced.add(os.path.dirname(fp))
         now = time.time()
         removed = 0
         for d in self._vacuum_candidates():
