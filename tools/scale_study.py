@@ -77,11 +77,31 @@ def generate(spark, src: str | None = None, dst: str | None = None,
             for k in keys:
                 d = d.withColumn(k, F.col(k) + F.lit(r * SHIFT))
             if t == "documents" and "text" in d.columns:
-                # per-replica leading token: breaks cross-replica exact/near
-                # duplicates without changing per-doc statistics shape
+                # per-replica marker token every 8 words: breaks cross-replica
+                # exact AND near duplicates for every dedup family. A leading
+                # token alone (the round-7 design) only perturbs the first
+                # k-1 shingles, so under 3-gram Jaccard the replicas remained
+                # GENUINE near-dups (J ~ (S-2)/(S+2) >= 0.7) and the measured
+                # ngram_jaccard exponent was dominated by true output growth
+                # (256 -> 250k pairs at 10x). Inserting every m=8 words
+                # changes ~k/m = 3/8 of the shingle set, pushing cross-replica
+                # J to ~0.45 < 0.7 — pair counts stay ~linear, so exponents
+                # measure ALGORITHM cost again.
                 if r > 0:
                     d = d.withColumn(
-                        "text", F.concat(F.lit(f"r{r}x "), F.col("text"))
+                        "text",
+                        F.array_join(
+                            F.flatten(
+                                F.transform(
+                                    F.split(F.col("text"), " "),
+                                    lambda w, i: F.when(
+                                        i % 8 == 0,
+                                        F.array(F.lit(f"r{r}x"), w),
+                                    ).otherwise(F.array(w)),
+                                )
+                            ),
+                            " ",
+                        ),
                     )
             if t == "embeddings" and r > 0:
                 # rotate dimensions: preserves norms, breaks cross-replica
