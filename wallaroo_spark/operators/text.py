@@ -1636,3 +1636,151 @@ def readability_signals(
         F.round(spw, round_dp).alias("syllables_per_word"),
         F.round(flesch, round_dp).alias("flesch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG/packing chunking + CCNet-style paragraph-level dedup (round 8)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    stride: int | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the retrieval /
+    context-chunking step of a RAG or long-context pipeline: chunk i covers
+    tokens [1 + i*stride, ... + window), the final partial window is kept
+    (so every token lands in >= 1 chunk), ``stride`` defaults to
+    ``window`` (no overlap). Pure Column math — sequence + slice +
+    concat_ws, no explode of individual tokens (the chunk list is built
+    in-row, then ONE explode per chunk): at 100 TB this runs at scan speed
+    with output ~ corpus size x (window/stride) and no shuffle at all.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk): deterministic dense
+    chunk ids per document.
+    """
+    stride = stride or window
+    toks = tokens(F.col(text))
+    n = F.size(toks)
+    # last start: far enough that the PREVIOUS chunk did not already reach
+    # the end (s <= n - window + stride), capped at n — this keeps the
+    # final partial window (a plain n-window+1 bound silently drops the
+    # tail whenever (n - window) % stride != 0)
+    starts = F.sequence(
+        F.lit(1),
+        F.least(F.greatest(n - F.lit(window) + F.lit(stride), F.lit(1)), n),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(toks, s, window)).alias("chunk"),
+            F.least(n - s + 1, F.lit(window)).alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        df.filter(n > 0)
+        .select(id_col, F.posexplode(chunks).alias("chunk_id", "_c"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
+            F.col("_c.chunk").alias("chunk"),
+        )
+    )
+
+
+def split_paragraphs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int | None = None,
+) -> DataFrame:
+    """(id, para_idx, para): newline-delimited paragraphs by default (the
+    CCNet unit), or fixed ``block_tokens`` token blocks for corpora without
+    newline structure (this repo's testdata). Empty paragraphs drop."""
+    if block_tokens:
+        toks = tokens(F.col(text))
+        n = F.size(toks)
+        # non-overlapping blocks incl. the final partial one (same tail
+        # rule as chunk_documents with stride == window: last start <= n)
+        starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(block_tokens))
+        paras = F.transform(
+            starts, lambda s: F.concat_ws(" ", F.slice(toks, s, block_tokens))
+        )
+    else:
+        paras = F.filter(F.split(F.col(text), "\n"), lambda p: F.trim(p) != "")
+    return df.select(id_col, F.posexplode(paras).alias("para_idx", "para")).filter(
+        F.col("para") != ""
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int | None = None,
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup: drop every repeated
+    paragraph occurrence corpus-wide (keep the FIRST by (doc, position)),
+    then reassemble each document from its surviving paragraphs in order.
+    The Common Crawl preprocessing step that removes boilerplate (headers,
+    nav bars, cookie banners) repeated across pages while keeping each
+    document's unique prose.
+
+    Scale shape: paragraphs shuffle ONCE as 60-bit md5 ints for the
+    min_by first-occurrence agg (map-side combine: one survivor per
+    paragraph hash per partition crosses the wire); the keep-join is an
+    equi-join on (hash) followed by the per-doc ordered reassembly — no
+    windows, no all-pairs anything. Returns (id, text, n_paras,
+    n_dropped); documents whose every paragraph was seen earlier come back
+    EMPTY (n_paras=0, text='') rather than vanishing, so downstream
+    accounting sees them.
+    """
+    from wallaroo_spark.functions import hashing as H
+
+    paras = split_paragraphs(df, text, id_col, block_tokens)
+    hashed = paras.select(
+        id_col,
+        "para_idx",
+        "para",
+        H.md5int_col(F.col("para")).alias("_ph"),
+    )
+    first = hashed.groupBy("_ph").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("para_idx").alias("p"))).alias(
+            "_first"
+        )
+    )
+    kept = (
+        hashed.join(first, "_ph")
+        .filter(
+            (F.col(id_col) == F.col("_first.d"))
+            & (F.col("para_idx") == F.col("_first.p"))
+        )
+        .select(id_col, "para_idx", "para")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text_dedup"),
+        F.count("*").alias("n_paras"),
+    )
+    totals = hashed.groupBy(id_col).agg(F.count("*").alias("_total"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.coalesce(F.col("n_paras"), F.lit(0)).cast("long").alias("n_paras"),
+            (F.col("_total") - F.coalesce(F.col("n_paras"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

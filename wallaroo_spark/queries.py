@@ -5283,3 +5283,69 @@ def readability_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp math at scan speed, the cheap-quality sibling of
     `text_quality_score` and the Gopher repetition rules."""
     return text.readability_signals(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "chunk_documents_rag",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+               WHERE len({_TOKS_SQL}) > 0),
+    st AS (SELECT doc_id, tk, g.s AS s,
+                  CAST((g.s - 1) / 8 AS INT) AS chunk_id
+           FROM t, LATERAL (SELECT unnest(generate_series(1,
+                    least(greatest(len(tk) - 16 + 8, 1), len(tk)), 8)) AS s) g)
+    SELECT doc_id, chunk_id,
+           CAST(least(len(tk) - s + 1, 16) AS INT) AS n_chunk_tokens,
+           array_to_string(tk[s:s+15], ' ') AS chunk
+    FROM st
+    """,
+)
+def chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/context chunking (`text.chunk_documents`): overlapping 16-token
+    windows, stride 8 — chunk lists built IN-ROW (sequence + slice), one
+    posexplode per chunk, zero shuffles; output rows ~ corpus x
+    window/stride. The oracle replays the windows with DuckDB list
+    slicing."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, window=16, stride=8)
+
+
+@query(
+    "paragraph_dedup_ccnet",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+               WHERE len({_TOKS_SQL}) > 0),
+    st AS (SELECT doc_id, CAST((g.s - 1) / 16 AS INT) AS para_idx,
+                  array_to_string(tk[s:s+15], ' ') AS para
+           FROM t, LATERAL (SELECT unnest(generate_series(1,
+                    greatest(len(tk), 1), 16)) AS s) g(s)),
+    h AS (SELECT doc_id, para_idx, para,
+                 {H.md5int_sql('para')} AS ph
+          FROM st WHERE para <> ''),
+    keep AS (SELECT doc_id, para_idx, para,
+                    row_number() OVER (PARTITION BY ph
+                                       ORDER BY doc_id, para_idx) AS rn
+             FROM h),
+    rebuilt AS (SELECT doc_id,
+                       string_agg(para, ' ' ORDER BY para_idx) AS text_dedup,
+                       count(*) AS n_paras
+                FROM keep WHERE rn = 1 GROUP BY doc_id),
+    totals AS (SELECT doc_id, count(*) AS total FROM h GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(r.text_dedup, '') AS text_dedup,
+           CAST(coalesce(r.n_paras, 0) AS BIGINT) AS n_paras,
+           CAST(t.total - coalesce(r.n_paras, 0) AS BIGINT) AS n_dropped
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def paragraph_dedup_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-level dedup (`text.paragraph_dedup`): corpus-wide
+    first-occurrence survival per exact paragraph (16-token pseudo-
+    paragraphs — the testdata has no newline structure; real corpora use
+    the default newline split), documents reassembled from survivors in
+    order. One md5-int shuffle for the first-occurrence min_by + the
+    keep-join; fully-duplicated documents come back empty rather than
+    vanishing. The oracle replays the hash, the (doc, position)
+    first-occurrence rule, and the ordered reassembly."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.paragraph_dedup(docs, block_tokens=16)
