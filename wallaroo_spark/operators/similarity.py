@@ -1016,3 +1016,267 @@ def semdedup_probe(
         .filter(F.col("cosine") >= tau)
         .select(out_in, out_dup, "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 8): the FAISS-style 100 TB ANN storage/search
+# path — m sub-codebooks of k centroids turn a d-dim float vector into m
+# small codes (here 8 x 4 bits = 4 bytes per 64-dim vector, a 128x
+# compression over float64) searched by ADC (asymmetric distance
+# computation: the query stays float, corpus vectors stay codes).
+# ---------------------------------------------------------------------------
+
+
+def _sqdist(a, b):
+    """L2 squared distance as an index-ordered fold (zip_with + aggregate)
+    — the summation order the DuckDB oracle replays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _pq_subvecs(df, m: int, sub_dim: int, id_col: str, vec_col: str):
+    """(id, sub, sv): the m sub-dim-wide subvectors, built in-row (slice)
+    then ONE posexplode — never a per-dimension explode. Vectors are cast
+    to double FIRST: the parquet column is float32, and mixed float/double
+    distance math diverges from the all-double oracle in the last ulp."""
+    v = F.col(vec_col).cast("array<double>")
+    subs = F.array(*[F.slice(v, j * sub_dim + 1, sub_dim) for j in range(m)])
+    return df.select(id_col, F.posexplode(subs).alias("sub", "_sv"))
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Train the m per-subspace codebooks: deterministic salted-hash seed
+    vectors (md5(id ~ ':pqseed') rank, engine-replayable) sliced into every
+    subspace, then ``iters`` Lloyd steps with L2 argmin assignment.
+
+    Scale shape: ALL m subspaces train in the SAME two shuffles per
+    iteration (subvector rows carry their subspace id; assignment is a
+    broadcast-codebook in-row argmin grouped map-side, means are keyed by
+    (sub, cent, dim) — a bounded m*k*sub_dim keyspace however large the
+    corpus). Distances and means round to ``round_dp`` so the argmin cut
+    and the fixpoint replay bit-for-bit in DuckDB. Returns (sub, cent_id,
+    centroid array<double>) — m*k rows, broadcastable.
+    """
+    from wallaroo_spark.functions import hashing as H
+
+    h = H.md5int_col(F.concat(F.col(id_col).cast("string"), F.lit(":pqseed")))
+    seeds = (
+        df.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"), h.alias("_h"))
+        .orderBy("_h", "_sid")
+        .limit(k)
+        .agg(F.collect_list(F.struct("_h", "_sid", "_v")).alias("_s"))
+        .select(
+            F.posexplode(
+                F.transform(F.array_sort(F.col("_s")), lambda s: s["_v"])
+            ).alias("cent_id", "_v")
+        )
+    )
+    cb = seeds.select(
+        F.posexplode(
+            F.array(
+                *[F.slice(F.col("_v"), j * sub_dim + 1, sub_dim) for j in range(m)]
+            )
+        ).alias("sub", "_cv"),
+        "cent_id",
+    ).select("sub", "cent_id", "_cv")
+
+    sv = _pq_subvecs(df, m, sub_dim, id_col, vec_col).persist()
+    for _ in range(iters):
+        scored = sv.join(F.broadcast(cb), "sub").select(
+            id_col,
+            "sub",
+            "_sv",
+            "cent_id",
+            F.round(_sqdist(F.col("_sv"), F.col("_cv")), round_dp).alias("_d"),
+        )
+        assigned = (
+            scored.groupBy(id_col, "sub")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("cent_id"), F.col("_sv")),
+                    F.struct(F.col("_d"), F.col("cent_id")),
+                ).alias("_best")
+            )
+            .select(
+                "sub",
+                F.col("_best.cent_id").alias("cent_id"),
+                F.col("_best._sv").alias("_sv"),
+            )
+        )
+        dims = assigned.select(
+            "sub", "cent_id", F.posexplode("_sv").alias("dim", "x")
+        )
+        means = dims.groupBy("sub", "cent_id", "dim").agg(
+            F.round(F.avg("x"), round_dp).alias("mv")
+        )
+        cb = (
+            means.groupBy("sub", "cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("_cv")
+            )
+            .localCheckpoint(eager=True)  # m*k rows; cut iteration lineage
+        )
+    sv.unpersist()
+    return cb.select("sub", "cent_id", F.col("_cv").alias("centroid"))
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Quantize vectors to their m nearest-centroid codes (rounded-L2
+    argmin, cent_id tiebreak — the same cut rule as training, so codes are
+    engine-exact). Returns (id, codes array<int>) — the 100 TB vector
+    store: 4 bytes/vector at the default geometry."""
+    sv = _pq_subvecs(df, m, sub_dim, id_col, vec_col)
+    cb = codebook.select("sub", "cent_id", F.col("centroid").alias("_cv"))
+    best = (
+        sv.join(F.broadcast(cb), "sub")
+        .select(
+            id_col,
+            "sub",
+            "cent_id",
+            F.round(_sqdist(F.col("_sv"), F.col("_cv")), round_dp).alias("_d"),
+        )
+        .groupBy(id_col, "sub")
+        .agg(F.min_by(F.col("cent_id"), F.struct(F.col("_d"), F.col("cent_id"))).alias("_c"))
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "_c"))), lambda s: s["_c"]
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    topk: int,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """ADC top-k: each query precomputes one flat m*k distance table
+    (query subvector -> every centroid, rounded), then the coded corpus is
+    scanned IN-ROW — approx_dist = sum_j table[j*k + codes[j]] is an
+    m-element fold against the broadcast table, no shuffle of the corpus,
+    no decode back to floats. Per-query cost per corpus row: m adds (vs d
+    multiply-adds for brute force). Ranking is on the rounded distance
+    with id tiebreak (the engine-portable cut). Output: (query_id, vec_id,
+    approx_dist, rank)."""
+    qsv = _pq_subvecs(queries, m, sub_dim, id_col, vec_col).withColumnRenamed(
+        id_col, query_id
+    )
+    cb = codebook.select("sub", "cent_id", F.col("centroid").alias("_cv"))
+    tables = (
+        qsv.join(F.broadcast(cb), "sub")
+        .select(
+            query_id,
+            "sub",
+            "cent_id",
+            F.round(_sqdist(F.col("_sv"), F.col("_cv")), round_dp).alias("_d"),
+        )
+        .groupBy(query_id)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cent_id", "_d"))),
+                lambda s: s["_d"],
+            ).alias("_tbl")
+        )
+    )
+    scored = codes_df.crossJoin(F.broadcast(tables)).select(
+        query_id,
+        id_col,
+        F.round(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.col("_tbl"),
+                    (j * F.lit(k) + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+                ),
+            ),
+            round_dp,
+        ).alias("approx_dist"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("approx_dist"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id, id_col, "approx_dist", "rank")
+    )
+
+
+def pq_topk_rerank(
+    codes_df: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    topk: int,
+    shortlist: int = 100,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """The standard two-stage PQ pipeline (the FAISS search shape): ADC
+    over the 4-byte codes produces a ``shortlist`` of candidates per query
+    (cheap, in-row, no corpus shuffle), then ONLY those candidates join
+    back to their float vectors for exact L2 re-ranking. The expensive
+    float math touches Q x shortlist rows however large the corpus; the
+    candidate set broadcasts into the corpus scan. Measured on the synthetic
+    embeddings: ADC@100 contains 92% of the true top-10 (tests/test_pq.py)
+    vs 2% chance. Output: (query_id, vec_id, l2_dist, rank)."""
+    cands = pq_topk(
+        codes_df, codebook, queries, shortlist, m, sub_dim, k,
+        id_col, vec_col, query_id,
+    ).select(query_id, id_col)
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    exact = (
+        corpus.join(F.broadcast(cands), id_col)
+        .join(F.broadcast(q), query_id)
+        .select(
+            query_id,
+            id_col,
+            F.round(
+                _sqdist(F.col(vec_col).cast("array<double>"), F.col("_qv")), 6
+            ).alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("l2_dist"), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id, id_col, "l2_dist", "rank")
+    )

@@ -5349,3 +5349,139 @@ def paragraph_dedup_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence rule, and the ordered reassembly."""
     docs = _t(spark, sf_dir, "documents")
     return text.paragraph_dedup(docs, block_tokens=16)
+
+
+def _pq_sqd_sql(a: str, b: str, ds: int = 8) -> str:
+    """Index-ordered L2 squared distance — list_reduce is a sequential
+    LEFT fold, bit-identical to similarity._sqdist's zip_with + aggregate
+    (list_sum is NOT: its summation order differs in the last ulp, which
+    flipped a 6dp rounding boundary on the 64-dim re-rank distance)."""
+    return (
+        f"list_reduce([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+        f"for i in generate_series(1, {ds})], (acc, t) -> acc + t)"
+    )
+
+
+def _pq_oracle(
+    m: int = 8,
+    ds: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    topk: int = 3,
+    rerank_shortlist: int | None = None,
+) -> str:
+    """Replay pq_train/pq_encode/pq_topk in SQL: salted-hash seeds, per-
+    subspace Lloyd steps with 6dp-rounded argmin, code assignment, and the
+    ADC scan — every rounding at the same point as the engine. With
+    ``rerank_shortlist``, the final block instead replays the two-stage
+    pipeline: ADC shortlist -> exact full-vector L2 re-rank (pq_topk_rerank)."""
+    sqd = _pq_sqd_sql
+    blocks = [f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT row_number() OVER (
+                  ORDER BY {H.md5int_sql("CAST(vec_id AS VARCHAR) || ':pqseed'")},
+                           vec_id) - 1 AS cent_id, v
+              FROM e QUALIFY row_number() OVER (
+                  ORDER BY {H.md5int_sql("CAST(vec_id AS VARCHAR) || ':pqseed'")},
+                           vec_id) <= {k}),
+    subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
+    cb0 AS (SELECT s.sub, sd.cent_id,
+                   sd.v[s.sub * {ds} + 1 : s.sub * {ds} + {ds}] AS cv
+            FROM seeds sd, subs s),
+    sv AS MATERIALIZED (SELECT e.vec_id, s.sub,
+                 e.v[s.sub * {ds} + 1 : s.sub * {ds} + {ds}] AS sv
+          FROM e, subs s)"""]
+    for i in range(iters):
+        blocks.append(f"""
+    asg{i} AS (SELECT sub, cent_id, sv FROM (
+        SELECT sv.vec_id, sv.sub, cb.cent_id, sv.sv,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                   ORDER BY round({sqd("sv.sv", "cb.cv", ds)}, 6), cb.cent_id) AS rk
+        FROM sv JOIN cb{i} cb USING (sub)) WHERE rk = 1),
+    dm{i} AS (SELECT sub, cent_id, generate_subscripts(sv, 1) AS dim, unnest(sv) AS x
+              FROM asg{i}),
+    mn{i} AS (SELECT sub, cent_id, dim, round(avg(x), 6) AS mv
+              FROM dm{i} GROUP BY 1, 2, 3),
+    cb{i + 1} AS MATERIALIZED (SELECT sub, cent_id, list(mv ORDER BY dim) AS cv
+              FROM mn{i} GROUP BY sub, cent_id)""")
+    blocks.append(f"""
+    corp AS (SELECT * FROM sv WHERE vec_id >= 10),
+    codes AS (SELECT vec_id, sub, cent_id FROM (
+        SELECT c.vec_id, c.sub, cb.cent_id,
+               row_number() OVER (PARTITION BY c.vec_id, c.sub
+                   ORDER BY round({sqd("c.sv", "cb.cv", ds)}, 6), cb.cent_id) AS rk
+        FROM corp c JOIN cb{iters} cb USING (sub)) WHERE rk = 1),
+    qtbl AS (SELECT q.vec_id AS query_id, q.sub, cb.cent_id,
+                    round({sqd("q.sv", "cb.cv", ds)}, 6) AS d
+             FROM sv q JOIN cb{iters} cb USING (sub) WHERE q.vec_id < 10),
+    adist AS (SELECT t.query_id, c.vec_id,
+                     round(list_reduce(list(t.d ORDER BY t.sub),
+                                       (acc, x) -> acc + x), 6) AS approx_dist
+              FROM codes c JOIN qtbl t
+                ON c.sub = t.sub AND c.cent_id = t.cent_id
+              GROUP BY 1, 2)""")
+    if rerank_shortlist is None:
+        blocks.append(f"""
+    SELECT query_id, vec_id, approx_dist, rank FROM (
+        SELECT query_id, vec_id, approx_dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY approx_dist, vec_id) AS INT) AS rank
+        FROM adist) WHERE rank <= {topk}""")
+        final = blocks.pop()
+        return "WITH " + ",".join(blocks) + final
+    blocks.append(f"""
+    cands AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY approx_dist, vec_id) AS rk
+        FROM adist) WHERE rk <= {rerank_shortlist}),
+    exact AS (SELECT cd.query_id, cd.vec_id,
+                     round({sqd("cv.v", "qv.v", m * ds)}, 6) AS l2_dist
+              FROM cands cd
+              JOIN e cv ON cv.vec_id = cd.vec_id
+              JOIN e qv ON qv.vec_id = cd.query_id)""")
+    final = f"""
+    SELECT query_id, vec_id, l2_dist, rank FROM (
+        SELECT query_id, vec_id, l2_dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY l2_dist, vec_id) AS INT) AS rank
+        FROM exact) WHERE rank <= {topk}"""
+    return "WITH " + ",".join(blocks) + final
+
+
+@query("pq_topk_adc", oracle=_pq_oracle())
+def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (`similarity.pq_train/pq_encode/pq_topk`):
+    the FAISS-style 100 TB vector-store path — 8 sub-codebooks x 16
+    centroids turn each 64-dim vector into 8 codes (4 bytes, 128x over
+    float64); search is ADC (per-query m*k distance table broadcast, the
+    coded corpus scanned IN-ROW with an m-element fold — no corpus
+    shuffle, no float decode). Training: deterministic salted-hash seeds +
+    2 Lloyd iterations, all m subspaces sharing the same two shuffles per
+    iteration with a bounded (sub, cent, dim) mean keyspace. Every argmin
+    ranks on the 6dp-rounded distance with cent/id tiebreak, so the DuckDB
+    oracle replays training, encoding, and the ADC cut bit-for-bit."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train(emb, iters=2)
+    codes = similarity.pq_encode(emb.filter(F.col("vec_id") >= 10), cb)
+    return similarity.pq_topk(
+        codes, cb, emb.filter(F.col("vec_id") < 10), topk=3
+    )
+
+
+@query("pq_rerank_topk", oracle=_pq_oracle(topk=3, rerank_shortlist=30))
+def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ search (`similarity.pq_topk_rerank`): ADC shortlist of
+    30 from the 4-byte codes, then exact float L2 re-rank of ONLY those
+    candidates — the FAISS search shape where the expensive float math
+    touches Q x shortlist rows however large the corpus (measured: ADC@100
+    holds 92% of the true top-10 on this corpus, tests/test_pq.py). The
+    oracle replays training, encoding, the ADC shortlist cut, and the
+    exact re-rank."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train(emb, iters=2)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    codes = similarity.pq_encode(corpus, cb)
+    return similarity.pq_topk_rerank(
+        codes, cb, emb.filter(F.col("vec_id") < 10), corpus, topk=3, shortlist=30
+    )
