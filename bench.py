@@ -97,6 +97,10 @@ HEADLINE = [
     "interp_trigram_lm_score",
     "trained_quality_classifier",
     "trained_quality_classifier_sgd",
+    "pq_topk_adc",
+    "pq_rerank_topk",
+    "chunk_documents_rag",
+    "paragraph_dedup_ccnet",
     "corpus_snapshot_drift",
     "windowed_corpus_drift",
     "readability_signals",
