@@ -73,3 +73,54 @@ def test_paragraph_dedup_no_udfs(spark):
     docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     plan = T.paragraph_dedup(docs, block_tokens=2)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_paragraph_dedup_stream_parity_with_batch(spark, tmp_path):
+    """Ordered arrival -> the streaming twin's surviving paragraph set
+    equals the batch operator's (first (doc, position) occurrence)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(doc_id=1, text="shared banner\nunique one", ts=t0),
+        Row(doc_id=2, text="shared banner\nunique two", ts=t0 + dt.timedelta(seconds=5)),
+        Row(doc_id=3, text="unique two\nfresh", ts=t0 + dt.timedelta(seconds=9)),
+    ]
+    df = spark.createDataFrame(rows)
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    out = T.paragraph_dedup_stream(sdf, "ts", "10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_para_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_kept = {
+        (r.doc_id, r.para_idx, r.para)
+        for r in spark.sql("SELECT * FROM t_para_dedup").collect()
+    }
+    # batch twin's surviving (doc, para_idx, para) set
+    from wallaroo_spark.functions import hashing as H
+    from pyspark.sql import functions as SF
+
+    paras = T.split_paragraphs(df).withColumn("_ph", H.md5int_col(SF.col("para")))
+    first = paras.groupBy("_ph").agg(
+        SF.min(SF.struct(SF.col("doc_id").alias("d"), SF.col("para_idx").alias("p"))).alias("f")
+    )
+    batch_kept = {
+        (r.doc_id, r.para_idx, r.para)
+        for r in paras.join(first, "_ph")
+        .filter((SF.col("doc_id") == SF.col("f.d")) & (SF.col("para_idx") == SF.col("f.p")))
+        .collect()
+    }
+    assert stream_kept == batch_kept and len(stream_kept) == 4

@@ -1681,3 +1681,53 @@ def test_windowed_drift_aggregation_per_key_slices(spark, tmpdir):
         if r.n_tokens > 0
     }
     assert got == want and len({k[0] for k in got}) == 2
+
+
+def test_stateful_agg_on_rocksdb_state_store(spark, tmpdir):
+    """The 100 TB state-store path: the same stateful windowed aggregation
+    runs (and produces identical results) on the RocksDB state store
+    provider — the store that holds billions of keys off-heap where the
+    default HDFS-backed in-memory map cannot. Provider is a per-query
+    conf read at stream start, so flipping it for one query is safe."""
+    df = spark.createDataFrame(
+        [Row(k=f"u{i % 3}", ts=T0 + dt.timedelta(seconds=10 * i), v=float(i))
+         for i in range(12)]
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+
+    def drain(provider, name, chk):
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        if provider:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        try:
+            sdf = spark.readStream.schema(df.schema).parquet(tmpdir + "/in")
+            agg = (
+                sdf.withWatermark("ts", "0 seconds")
+                .groupBy("k", F.window("ts", "1 minute"))
+                .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", tmpdir + chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        return sorted(
+            (r.k, r.window.start, r.n, r.s)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    rocks = drain(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "t_rocks", "/chk_rocks",
+    )
+    default = drain(None, "t_hdfs", "/chk_hdfs")
+    assert rocks == default and len(rocks) > 0

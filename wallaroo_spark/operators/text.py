@@ -1784,3 +1784,47 @@ def paragraph_dedup(
             .alias("n_dropped"),
         )
     )
+
+
+def paragraph_dedup_stream(
+    sdf: DataFrame,
+    ts_col: str,
+    delay: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``paragraph_dedup``'s survival rule: documents
+    explode into paragraphs in-row (stream-safe Column math), and a
+    paragraph survives iff its hash was not seen within the watermark
+    horizon (native ``dropDuplicatesWithinWatermark`` — state bounded by
+    the horizon, the same eviction contract as ``exact_dedup_stream``).
+
+    Semantics note: the batch twin keeps the global (doc, position)-first
+    occurrence; an unbounded stream has no global order, so the stream
+    keeps the first ARRIVAL — identical output when events arrive in
+    (doc, position) order (pinned by the parity pytest), and the standard
+    CCNet behavior for incremental crawls. Returns surviving
+    (id, para_idx, para, ts) rows; per-document reassembly is a batch
+    concern (needs the doc complete)."""
+    from wallaroo_spark.functions import hashing as H
+
+    if block_tokens:
+        toks = tokens(F.col(text))
+        n = F.size(toks)
+        starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(block_tokens))
+        paras = F.transform(
+            starts, lambda s: F.concat_ws(" ", F.slice(toks, s, block_tokens))
+        )
+    else:
+        paras = F.filter(F.split(F.col(text), "\n"), lambda p: F.trim(p) != "")
+    p = (
+        sdf.select(id_col, ts_col, F.posexplode(paras).alias("para_idx", "para"))
+        .filter(F.col("para") != "")
+        .withColumn("_ph", H.md5int_col(F.col("para")))
+    )
+    return (
+        p.withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["_ph"])
+        .drop("_ph")
+    )
