@@ -151,3 +151,32 @@ def test_example_alphabet_final_totals(spark, sf_dir):
         .collect()
     }
     assert finals == want
+
+
+def test_hll_accuracy_and_mergeability(spark):
+    """HLL estimate within the sketch's error envelope (~3.2% std at
+    p=10; assert 10%), and register tables are max-mergeable: sketching
+    two halves and merging equals sketching the whole — the property that
+    lets per-day/per-partition sketches combine without rescans."""
+    from pyspark.sql import functions as F
+
+    from wallaroo_spark.operators import sketch as SK
+
+    n = 5000
+    df = spark.range(n).select(F.concat(F.lit("item"), F.col("id")).alias("x"))
+    est = SK.hll_estimate(SK.hll_registers(df, "x")).first()
+    assert abs(est.est_distinct - n) / n < 0.10, est.est_distinct
+
+    a = df.filter(F.col("x") < "item3")   # lexicographic split, overlapping none
+    b = df.filter(F.col("x") >= "item3")
+    merged = (
+        SK.hll_registers(a, "x")
+        .unionByName(SK.hll_registers(b, "x"))
+        .groupBy("reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = SK.hll_registers(df, "x")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    m_est = SK.hll_estimate(merged).first().est_distinct
+    w_est = SK.hll_estimate(whole).first().est_distinct
+    assert m_est == w_est

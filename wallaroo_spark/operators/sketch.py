@@ -374,3 +374,116 @@ class HistogramAggregation:
 
     def output(self, key, acc):
         return {"cells": ",".join(map(str, acc["cells"]))}
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (round 8): md5-based, engine-portable — the mergeable
+# distinct sketch whose native variants (Spark approx_count_distinct,
+# DuckDB approx_count_distinct) hash differently per engine and therefore
+# cannot share an oracle. This one replays bit-for-bit.
+# ---------------------------------------------------------------------------
+
+HLL_P = 10  # 2^10 = 1024 registers; std error ~ 1.04/sqrt(m) ~ 3.2%
+
+
+def _hll_rho(w: Column, width: int) -> Column:
+    """Leading-zero rank of ``w`` within a ``width``-bit window, + 1 —
+    computed with EXACT integer/string math (length of the binary string:
+    both engines render bin() without leading zeros), never float log2."""
+    return F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(w))
+    )
+
+
+def hll_registers(
+    items: DataFrame, item_col: str, p: int = HLL_P, by: list[str] | None = None
+) -> DataFrame:
+    """(by..., reg, max_rho): the HLL register table — ONE constant-keyspace
+    aggregation (m = 2^p registers per group) however large the input, with
+    map-side partial max. Registers are max-mergeable by construction:
+    union two register tables and groupBy-max to merge sketches (the same
+    property the CMS/MG family exposes)."""
+    width = 60 - p
+    h = H.md5int_col(F.col(item_col).cast("string"))
+    reg = F.shiftright(h, width).alias("reg")
+    rho = _hll_rho(h.bitwiseAND(F.lit((1 << width) - 1)), width)
+    keys = list(by or [])
+    return (
+        items.select(*keys, reg, rho.alias("_rho"))
+        .groupBy(*keys, "reg")
+        .agg(F.max("_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, p: int = HLL_P, by: list[str] | None = None
+) -> DataFrame:
+    """Registers -> cardinality estimate (the HLL formula with the
+    small-range linear-counting correction; the large-range correction is
+    moot in a 60-bit hash space). The harmonic sum folds over registers in
+    REG ORDER (sorted collect + sequential aggregate — the list_reduce
+    discipline that keeps float sums bit-identical to the oracle); absent
+    registers contribute 2^0 = 1 each and count as zeros."""
+    m = 1 << p
+    keys = list(by or [])
+    packed = regs.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("reg", "max_rho"))),
+            lambda s: s["max_rho"],
+        ).alias("_ms")
+    )
+    n_absent = (F.lit(m) - F.size("_ms")).cast("double")
+    s = (
+        F.aggregate(
+            F.col("_ms"), F.lit(0.0), lambda acc, mj: acc + F.pow(F.lit(2.0), -mj)
+        )
+        + n_absent
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    raw = alpha * F.lit(float(m)) * F.lit(float(m)) / s
+    est = F.when(
+        (raw <= 2.5 * m) & (n_absent > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_absent),
+    ).otherwise(raw)
+    return packed.select(
+        *keys,
+        F.size("_ms").alias("registers_used"),
+        F.round(est, 2).alias("est_distinct"),
+    )
+
+
+def hll_sql(item_expr: str, source_sql: str, p: int = HLL_P, by: str = "") -> str:
+    """DuckDB replay of hll_registers + hll_estimate (same reg-ordered
+    fold, same branch, same rounding). ``by`` = optional 'col,' prefix for
+    grouped sketches."""
+    m = 1 << p
+    width = 60 - p
+    h = H.md5int_sql(f"CAST({item_expr} AS VARCHAR)")
+    sel = f"{by} reg" if by else "reg"
+    grp = by.rstrip(", ")
+    gby = f"{grp}, reg" if grp else "reg"
+    pk = f"{grp}," if grp else ""
+    pgrp = f"GROUP BY {grp}" if grp else ""
+    return f"""
+    hraw AS (SELECT {pk} ({h} >> {width}) AS reg,
+                    CASE WHEN ({h} & {(1 << width) - 1}) = 0 THEN {width + 1}
+                         ELSE {width + 1} - length(bin({h} & {(1 << width) - 1}))
+                    END AS rho
+             FROM ({source_sql})),
+    hreg AS (SELECT {sel}, max(rho) AS max_rho FROM hraw GROUP BY {gby}),
+    hpack AS (SELECT {pk} list(max_rho ORDER BY reg) AS ms FROM hreg {pgrp}),
+    hest AS (SELECT {pk} len(ms) AS registers_used,
+                    list_reduce(list_prepend(0.0, [power(2.0, -mj) for mj in ms]),
+                                (acc, x) -> acc + x)
+                      + ({m} - len(ms))::DOUBLE AS s,
+                    ({m} - len(ms))::DOUBLE AS zeros
+             FROM hpack),
+    hfin AS (SELECT {pk} registers_used,
+                    (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m)} * {float(m)} / s AS raw,
+                    zeros
+             FROM hest)
+    SELECT {pk} registers_used,
+           round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                      THEN {float(m)} * ln({float(m)} / zeros)
+                      ELSE raw END, 2) AS est_distinct
+    FROM hfin"""

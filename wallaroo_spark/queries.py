@@ -5485,3 +5485,50 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk_rerank(
         codes, cb, emb.filter(F.col("vec_id") < 10), corpus, topk=3, shortlist=30
     )
+
+
+from wallaroo_spark.operators import sketch as _sk
+
+
+@query(
+    "distinct_users_hll",
+    oracle="WITH "
+    + _sk.hll_sql("user_id", "SELECT user_id FROM events"),
+)
+def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users (`sketch.hll_registers/hll_estimate`):
+    md5-portable HLL — 1024 max-mergeable registers (ONE constant-keyspace
+    aggregation with map-side partial max however large the stream),
+    leading-zero ranks computed with exact integer/string math (length of
+    bin(), never float log2), harmonic sum folded in register order so the
+    estimate replays bit-for-bit. Fills the gap the linear-counting
+    docstring called out: engine-native HLLs hash differently per engine
+    and cannot share an oracle; this one can."""
+    ev = read_table(spark, sf_dir, "events")
+    return _sk.hll_estimate(_sk.hll_registers(ev, "user_id"))
+
+
+@query(
+    "distinct_tokens_by_lang_hll",
+    oracle="WITH "
+    + _sk.hll_sql(
+        "w",
+        "SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w "
+        "FROM documents",
+        by="lang,",
+    )
+    + "\n    ORDER BY lang",
+)
+def distinct_tokens_by_lang_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL (per-language distinct token estimate): the mergeable-
+    sketch sibling of `distinct_tokens_by_lang_linear_count` — registers
+    key on (lang, reg), a bounded groups x 1024 keyspace, estimates
+    per group. Mergeability (union register tables -> groupBy max) is the
+    property that lets per-partition / per-day sketches combine without
+    rescanning the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(text.tokens(F.col("text"))).alias("w")
+    )
+    regs = _sk.hll_registers(toks, "w", by=["lang"])
+    return _sk.hll_estimate(regs, by=["lang"])
