@@ -511,3 +511,29 @@ def test_ivf_exclude_label_with_persisted_assignments(spark):
     a = sorted(map(tuple, live.collect()))
     b = sorted(map(tuple, persisted.collect()))
     assert a == b and a
+
+
+def test_c4_gopher_filter_battery_flags(spark):
+    """Each rule fires on a crafted offender and the clean doc keeps."""
+    from wallaroo_spark.operators.text import c4_gopher_filters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this corpus line looks perfectly ordinary and keeps fine"),
+            (2, "Lorem ipsum dolor sit amet something something"),
+            (3, "function foo() { return 42; }"),
+            (4, "PLEASE STOP SHOUTING AT EVERYONE HERE okay"),
+            (5, "x " * 30),                        # mean word length 1 -> too short
+            (6, "### ### ### one two three"),      # symbol ratio
+            (7, "enable javascript and accept our cookie banner to continue"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_gopher_filters(docs).collect()}
+    assert out[1].keep
+    assert not out[2].flag_no_lorem and not out[2].keep
+    assert not out[3].flag_no_brace and not out[3].keep
+    assert not out[4].flag_caps and not out[4].keep
+    assert not out[5].flag_word_len and not out[5].keep
+    assert not out[6].flag_symbol and not out[6].keep
+    assert not out[7].flag_no_boiler and not out[7].keep

@@ -1828,3 +1828,69 @@ def paragraph_dedup_stream(
         .dropDuplicatesWithinWatermark(["_ph"])
         .drop("_ph")
     )
+
+
+def c4_gopher_filters(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The C4 / Gopher rule-flag battery — the cheap document filters every
+    web-scale curation pipeline runs before anything expensive (C4:
+    boilerplate markers; Gopher: word-shape sanity bounds). Pure Column
+    regex/ratio math at scan speed; emits each signal AND its flag so a
+    pipeline can tune thresholds without recomputing, plus the composite
+    ``keep``.
+
+    Signals: mean word length in [3, 10] (Gopher); fraction of words
+    containing an alphabetic character >= 0.8 (Gopher); symbol ratio
+    (# / ellipsis per word) <= 0.1 (Gopher); fraction of ALL-CAPS words
+    <= 0.2; boilerplate markers — 'lorem ipsum', '{' (C4 drops pages with
+    code braces), 'javascript'/'cookie' notices.
+    """
+    c = F.col(text)
+    toks = tokens(c)
+    n = F.greatest(F.size(toks), F.lit(1))
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        / n,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))) / n, 4
+    )
+    sym_ratio = F.round(
+        (
+            F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+            + F.size(F.split(c, r"\.\.\.")) - 1
+        )
+        / n,
+        4,
+    )
+    caps_frac = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("^[A-Z]+$"))) / n, 4
+    )
+    lower = F.lower(c)
+    has_lorem = lower.contains("lorem ipsum")
+    has_brace = c.contains("{")
+    has_boiler = lower.contains("javascript") | lower.contains("cookie")
+    flags = {
+        "flag_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "flag_alpha": alpha_frac >= 0.8,
+        "flag_symbol": sym_ratio <= 0.1,
+        "flag_caps": caps_frac <= 0.2,
+        "flag_no_lorem": ~has_lorem,
+        "flag_no_brace": ~has_brace,
+        "flag_no_boiler": ~has_boiler,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        sym_ratio.alias("symbol_ratio"),
+        caps_frac.alias("caps_frac"),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    )

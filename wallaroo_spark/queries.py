@@ -5532,3 +5532,45 @@ def distinct_tokens_by_lang_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     regs = _sk.hll_registers(toks, "w", by=["lang"])
     return _sk.hll_estimate(regs, by=["lang"])
+
+
+@query(
+    "c4_gopher_filter_battery",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents),
+    base AS (SELECT doc_id, text, tk,
+                    greatest(len(tk), 1) AS n
+             FROM t),
+    sig AS (SELECT doc_id,
+                   len(tk) AS n_words,
+                   round(list_sum([length(x) for x in tk]) / n, 4) AS mean_word_len,
+                   round(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) / n, 4) AS alpha_frac,
+                   round((length(text) - length(replace(text, '#', ''))
+                          + len(string_split(text, '...')) - 1) / n, 4) AS symbol_ratio,
+                   round(len(list_filter(tk, x -> regexp_matches(x, '^[A-Z]+$'))) / n, 4) AS caps_frac,
+                   contains(lower(text), 'lorem ipsum') AS lor,
+                   contains(text, '{{') AS brc,
+                   (contains(lower(text), 'javascript') OR contains(lower(text), 'cookie')) AS boi
+            FROM base)
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, caps_frac,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS flag_word_len,
+           alpha_frac >= 0.8 AS flag_alpha,
+           symbol_ratio <= 0.1 AS flag_symbol,
+           caps_frac <= 0.2 AS flag_caps,
+           NOT lor AS flag_no_lorem,
+           NOT brc AS flag_no_brace,
+           NOT boi AS flag_no_boiler,
+           ((mean_word_len >= 3.0 AND mean_word_len <= 10.0) AND alpha_frac >= 0.8
+            AND symbol_ratio <= 0.1 AND caps_frac <= 0.2
+            AND NOT lor AND NOT brc AND NOT boi) AS keep
+    FROM sig
+    """,
+)
+def c4_gopher_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher rule-flag battery (`text.c4_gopher_filters`): the standard
+    web-curation pre-filters — Gopher word-shape bounds (mean word length,
+    alphabetic fraction, symbol ratio, all-caps fraction) and C4
+    boilerplate markers (lorem ipsum, code braces, javascript/cookie
+    notices) — as pure Column regex/ratio math at scan speed, each signal
+    emitted next to its flag plus the composite keep."""
+    return text.c4_gopher_filters(_t(spark, sf_dir, "documents"))
