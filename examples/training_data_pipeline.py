@@ -4,7 +4,11 @@ The 100 TB shape this engine exists for, composed from its pieces:
 
     documents
       -> quality filter      (text.quality_score: cheap Column-only gate)
+      -> C4/Gopher battery   (word-shape bounds + boilerplate markers,
+                              same scan)
       -> repetition filter   (Gopher-style top-bigram / dup-trigram gates)
+      -> paragraph dedup     (CCNet: repeated paragraphs drop corpus-wide,
+                              docs reassemble from survivors)
       -> PII scrub           (scan-speed regex redaction)
       -> perplexity gate     (one-row hashed reference-LM broadcast,
                               in-row scoring — stream-capable)
@@ -63,9 +67,37 @@ def build_corpus(spark, sf_dir: str, out_dir: str, quality_min: float = 0.5):
     ).select("doc_id")
     kept = docs.join(good_ids, "doc_id", "left_semi")
 
+    # 1a'. C4/Gopher rule battery — word-shape bounds + boilerplate
+    # markers, pure Column regex math absorbed by the same scan
+    rules_ok = text.c4_gopher_filters(kept).filter(F.col("keep")).select("doc_id")
+    kept = kept.join(rules_ok, "doc_id", "left_semi")
+
     # 1b. repetition gate — looped/boilerplate text out (Gopher thresholds)
     rep_ok = text.repetition_signals(kept).filter(~F.col("repetitive")).select("doc_id")
     kept = kept.join(rep_ok, "doc_id", "left_semi")
+
+    # 1b'. paragraph-level dedup (CCNet): corpus-wide boilerplate
+    # paragraphs drop, documents reassemble from their surviving
+    # paragraphs (one md5-int shuffle); fully-duplicated docs empty out
+    # and are removed by the n_paras filter. The upstream gate chain is
+    # persisted first: paragraph_dedup references its input from several
+    # branches (hash, first-occurrence, totals), and without the persist
+    # every branch would re-run the whole filter chain above.
+    pre_para = kept.persist()
+    paras = text.paragraph_dedup(pre_para, block_tokens=16)
+    kept = (
+        pre_para.drop("text")
+        .join(paras.filter(F.col("n_paras") > 0), "doc_id")
+        .withColumnRenamed("text_dedup", "text")
+        .drop("n_paras", "n_dropped")
+        # cut the lineage here: the gate chain above already references
+        # itself several times, and the dedup/packing stages below each
+        # reference `kept` again — without the cut the composed plan tree
+        # grows multiplicatively and can OOM the DRIVER at planning time
+        # (on a cluster use a reliable checkpoint dir for this)
+        .localCheckpoint(eager=True)
+    )
+    pre_para.unpersist()
 
     # 1c. PII scrub — scan-speed regexp rewrite of the text itself
     kept = kept.withColumn("text", F.regexp_replace("text", PII_PATTERN, "[REDACTED]"))
