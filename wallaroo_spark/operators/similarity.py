@@ -1280,3 +1280,118 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= topk)
         .select(query_id, id_col, "l2_dist", "rank")
     )
+
+
+def ivfpq_topk(
+    train_df: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the coarse-partition + code-scan composition that makes PQ
+    search sub-linear in the corpus — FAISS's default index family at
+    billion-vector scale.
+
+    Composition, not new machinery: the coarse quantizer IS ``pq_train``
+    with one subspace spanning the full vector (m=1, sub_dim=d, k=n_cells
+    — L2 Lloyd on whole vectors), so cell assignment is ``pq_encode`` with
+    the same argmin cut, and both codebooks share the oracle-replay
+    discipline. At query time only the ``nprobe`` nearest cells' rows are
+    touched: candidates come from an equi-join on cell id (co-partitioned,
+    ~nprobe/n_cells of the corpus), then the ADC fold and top-k run
+    exactly as in ``pq_topk``. Scale shape: the corpus is scanned once to
+    assign cells and encode codes (both in-row vs broadcast codebooks);
+    per query the scan fraction is nprobe/n_cells, and everything ranks on
+    rounded distances with id tiebreaks — engine-exact.
+    Output: (query_id, vec_id, approx_dist, rank).
+    """
+    d = m * sub_dim
+    coarse = pq_train(
+        train_df, m=1, sub_dim=d, k=n_cells, iters=2,
+        id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+    )
+    fine = pq_train(
+        train_df, m=m, sub_dim=sub_dim, k=k, iters=2,
+        id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+    )
+    cells = pq_encode(corpus, coarse, m=1, sub_dim=d, id_col=id_col,
+                      vec_col=vec_col, round_dp=round_dp).select(
+        id_col, F.element_at("codes", 1).alias("_cell")
+    )
+    codes = pq_encode(corpus, fine, m=m, sub_dim=sub_dim, id_col=id_col,
+                      vec_col=vec_col, round_dp=round_dp)
+
+    # query -> nprobe nearest coarse cells (tiny: Q x n_cells)
+    qv = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    ccb = coarse.select(F.col("cent_id").alias("_cell"), F.col("centroid").alias("_cv"))
+    probe_w = Window.partitionBy(query_id).orderBy(F.col("_pd"), F.col("_cell"))
+    probes = (
+        qv.crossJoin(F.broadcast(ccb))
+        .select(
+            query_id, "_cell",
+            F.round(_sqdist(F.col("_qv"), F.col("_cv")), round_dp).alias("_pd"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= nprobe)
+        .select(query_id, "_cell")
+    )
+
+    # per-query flat ADC table over the fine codebook (as in pq_topk)
+    qsv = _pq_subvecs(queries, m, sub_dim, id_col, vec_col).withColumnRenamed(
+        id_col, query_id
+    )
+    fcb = fine.select("sub", "cent_id", F.col("centroid").alias("_cv"))
+    tables = (
+        qsv.join(F.broadcast(fcb), "sub")
+        .select(
+            query_id, "sub", "cent_id",
+            F.round(_sqdist(F.col("_sv"), F.col("_cv")), round_dp).alias("_d"),
+        )
+        .groupBy(query_id)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cent_id", "_d"))),
+                lambda s: s["_d"],
+            ).alias("_tbl")
+        )
+    )
+
+    cands = cells.join(F.broadcast(probes), "_cell").select(query_id, id_col)
+    scored = (
+        cands.join(codes, id_col)
+        .join(F.broadcast(tables), query_id)
+        .select(
+            query_id,
+            id_col,
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, j: acc
+                    + F.element_at(
+                        F.col("_tbl"),
+                        (j * F.lit(k) + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+                    ),
+                ),
+                round_dp,
+            ).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("approx_dist"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id, id_col, "approx_dist", "rank")
+    )

@@ -5574,3 +5574,109 @@ def c4_gopher_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     notices) — as pure Column regex/ratio math at scan speed, each signal
     emitted next to its flag plus the composite keep."""
     return text.c4_gopher_filters(_t(spark, sf_dir, "documents"))
+
+
+def _ivfpq_oracle(
+    m: int = 8,
+    ds: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    topk: int = 3,
+) -> str:
+    """Replay ivfpq_topk in SQL: the coarse quantizer is the SAME Lloyd
+    chain as PQ with one subspace spanning the whole vector (seeds are the
+    n_cells lowest by the shared salt — a prefix of the fine seeds), cells
+    and codes by rounded-argmin, probes by rounded coarse distance, ADC
+    restricted to probed cells' candidates with the ordered fold."""
+    sqd = _pq_sqd_sql
+    d = m * ds
+    blocks = [f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sd AS (SELECT row_number() OVER (
+                  ORDER BY {H.md5int_sql("CAST(vec_id AS VARCHAR) || ':pqseed'")},
+                           vec_id) - 1 AS rn, v
+           FROM e QUALIFY row_number() OVER (
+                  ORDER BY {H.md5int_sql("CAST(vec_id AS VARCHAR) || ':pqseed'")},
+                           vec_id) <= {max(k, n_cells)}),
+    subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
+    fcb0 AS (SELECT s.sub, sd.rn AS cent_id,
+                    sd.v[s.sub * {ds} + 1 : s.sub * {ds} + {ds}] AS cv
+             FROM sd, subs s WHERE sd.rn < {k}),
+    fsv AS MATERIALIZED (SELECT e.vec_id, s.sub,
+                  e.v[s.sub * {ds} + 1 : s.sub * {ds} + {ds}] AS sv
+           FROM e, subs s),
+    ccb0 AS (SELECT 0 AS sub, rn AS cent_id, v AS cv FROM sd WHERE rn < {n_cells}),
+    csv AS MATERIALIZED (SELECT vec_id, 0 AS sub, v AS sv FROM e)"""]
+    for p, src, dd in (("f", "fsv", ds), ("c", "csv", d)):
+        for i in range(iters):
+            blocks.append(f"""
+    {p}asg{i} AS (SELECT sub, cent_id, sv FROM (
+        SELECT x.vec_id, x.sub, cb.cent_id, x.sv,
+               row_number() OVER (PARTITION BY x.vec_id, x.sub
+                   ORDER BY round({sqd("x.sv", "cb.cv", dd)}, 6), cb.cent_id) AS rk
+        FROM {src} x JOIN {p}cb{i} cb USING (sub)) WHERE rk = 1),
+    {p}dm{i} AS (SELECT sub, cent_id, generate_subscripts(sv, 1) AS dim, unnest(sv) AS x
+                 FROM {p}asg{i}),
+    {p}mn{i} AS (SELECT sub, cent_id, dim, round(avg(x), 6) AS mv
+                 FROM {p}dm{i} GROUP BY 1, 2, 3),
+    {p}cb{i + 1} AS MATERIALIZED (SELECT sub, cent_id, list(mv ORDER BY dim) AS cv
+                 FROM {p}mn{i} GROUP BY sub, cent_id)""")
+    blocks.append(f"""
+    cells AS (SELECT vec_id, cent_id AS cell FROM (
+        SELECT x.vec_id, cb.cent_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY round({sqd("x.sv", "cb.cv", d)}, 6), cb.cent_id) AS rk
+        FROM csv x JOIN ccb{iters} cb USING (sub)
+        WHERE x.vec_id >= 10) WHERE rk = 1),
+    codes AS (SELECT vec_id, sub, cent_id FROM (
+        SELECT x.vec_id, x.sub, cb.cent_id,
+               row_number() OVER (PARTITION BY x.vec_id, x.sub
+                   ORDER BY round({sqd("x.sv", "cb.cv", ds)}, 6), cb.cent_id) AS rk
+        FROM fsv x JOIN fcb{iters} cb USING (sub)
+        WHERE x.vec_id >= 10) WHERE rk = 1),
+    probes AS (SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, cb.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round({sqd("q.sv", "cb.cv", d)}, 6), cb.cent_id) AS rk
+        FROM csv q JOIN ccb{iters} cb USING (sub)
+        WHERE q.vec_id < 10) WHERE rk <= {nprobe}),
+    qtbl AS (SELECT q.vec_id AS query_id, q.sub, cb.cent_id,
+                    round({sqd("q.sv", "cb.cv", ds)}, 6) AS d
+             FROM fsv q JOIN fcb{iters} cb USING (sub) WHERE q.vec_id < 10),
+    cands AS (SELECT p.query_id, c.vec_id
+              FROM cells c JOIN probes p ON c.cell = p.cell),
+    adist AS (SELECT cd.query_id, cd.vec_id,
+                     round(list_reduce(list(t.d ORDER BY t.sub),
+                                       (acc, x) -> acc + x), 6) AS approx_dist
+              FROM cands cd
+              JOIN codes co ON co.vec_id = cd.vec_id
+              JOIN qtbl t ON t.query_id = cd.query_id
+                         AND t.sub = co.sub AND t.cent_id = co.cent_id
+              GROUP BY 1, 2)""")
+    final = f"""
+    SELECT query_id, vec_id, approx_dist, rank FROM (
+        SELECT query_id, vec_id, approx_dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY approx_dist, vec_id) AS INT) AS rank
+        FROM adist) WHERE rank <= {topk}"""
+    return "WITH " + ",".join(blocks) + final
+
+
+@query("ivfpq_topk_search", oracle=_ivfpq_oracle())
+def ivfpq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (`similarity.ivfpq_topk`): the coarse-partition + code-scan
+    composition that makes PQ search sub-linear in the corpus — FAISS's
+    default billion-vector index family. The coarse quantizer IS pq_train
+    with one subspace spanning the full vector (same Lloyd chain, same
+    salt — its seeds are a prefix of the fine seeds), so both codebooks
+    share the oracle-replay discipline; per query only nprobe/n_cells of
+    the corpus is touched via a co-partitioned cell equi-join, then the
+    in-row ADC fold and rounded top-k cut run exactly as in pq_topk."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.ivfpq_topk(
+        emb, corpus, emb.filter(F.col("vec_id") < 10), topk=3,
+        n_cells=8, nprobe=3,
+    )
