@@ -99,6 +99,10 @@ HEADLINE = [
     "trained_quality_classifier_sgd",
     "pq_topk_adc",
     "pq_rerank_topk",
+    "ivfpq_topk_search",
+    "distinct_users_hll",
+    "distinct_tokens_by_lang_hll",
+    "c4_gopher_filter_battery",
     "chunk_documents_rag",
     "paragraph_dedup_ccnet",
     "corpus_snapshot_drift",
