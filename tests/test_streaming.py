@@ -1731,3 +1731,57 @@ def test_stateful_agg_on_rocksdb_state_store(spark, tmpdir):
     )
     default = drain(None, "t_hdfs", "/chk_hdfs")
     assert rocks == default and len(rocks) > 0
+
+
+def test_windowed_hll_aggregation_stream_matches_batch(spark, tmpdir):
+    """Streaming windowed HLL (Aggregation facade) must reproduce the
+    batch hll_registers sketch register-for-register per closed window —
+    exact, because register max-merge is order-insensitive."""
+    import random
+
+    from wallaroo_spark.api import aggregation as A
+    from wallaroo_spark.operators.sketch import HLLAggregation, hll_registers
+
+    rnd = random.Random(9)
+    rows = [
+        Row(
+            k="g",
+            ts=T0 + dt.timedelta(seconds=rnd.randint(0, 7199)),
+            item=f"u{rnd.randint(0, 300)}",
+        )
+        for _ in range(900)
+    ] + [Row(k="g", ts=T0 + dt.timedelta(seconds=7300), item="closer")]
+    df = spark.createDataFrame(rows)
+    df.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+
+    agg = HLLAggregation("item")
+    sdf = spark.readStream.schema(df.schema).parquet(tmpdir + "/in")
+    out = A.windowed_agg_stream(
+        sdf.withWatermark("ts", "0 seconds"), ["k"], "ts", agg,
+        "registers_used int, regs string", 3600,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_hll_win")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start: dict(
+            (int(p.split(":")[0]), int(p.split(":")[1])) for p in r.regs.split(",")
+        )
+        for r in spark.sql("SELECT * FROM t_hll_win").collect()
+    }
+    assert len(got) == 2  # both sealed hourly windows
+
+    for ws, regs in got.items():
+        lo = dt.datetime.fromtimestamp(ws)
+        hi = lo + dt.timedelta(hours=1)
+        batch_win = df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        want = {
+            r.reg: r.max_rho for r in hll_registers(batch_win, "item").collect()
+        }
+        assert regs == want, ws

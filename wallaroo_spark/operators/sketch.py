@@ -487,3 +487,57 @@ def hll_sql(item_expr: str, source_sql: str, p: int = HLL_P, by: str = "") -> st
                       THEN {float(m)} * ln({float(m)} / zeros)
                       ELSE raw END, 2) AS est_distinct
     FROM hfin"""
+
+
+class HLLAggregation:
+    """Windowed-HLL-as-user-Aggregation: per (key, window) distinct-count
+    registers through the `Aggregation` facade's watermark-evicted state —
+    the streaming complement of ``hll_registers``/``hll_estimate``.
+    ``combine`` is register-wise max (order-insensitive), so a drained
+    stream reproduces the batch sketch EXACTLY register-for-register
+    (parity-tested), the same contract as CountMinAggregation. State is
+    2^p small ints per (key, window) — bounded by construction.
+
+    Uses the identical md5 bit-split as the batch operator; constants are
+    captured into the instance so the pickled closures never reference
+    this package (executors cannot import wallaroo_spark). ``output``
+    emits "reg:rho" CSV sorted by register plus the register count.
+    """
+
+    def __init__(self, item_field: str, p: int = HLL_P):
+        self.item_field = item_field
+        self.p = p
+        self._width = 60 - p
+
+    def name(self) -> str:
+        return f"hll_{self.item_field}"
+
+    def initial_accumulator(self):
+        return {"regs": {}}
+
+    def update(self, rec, acc) -> None:
+        import hashlib
+
+        h = int(
+            hashlib.md5(str(rec[self.item_field]).encode()).hexdigest()[:15], 16
+        )
+        reg = h >> self._width
+        w = h & ((1 << self._width) - 1)
+        rho = self._width + 1 if w == 0 else self._width + 1 - w.bit_length()
+        k = str(reg)
+        if rho > acc["regs"].get(k, 0):
+            acc["regs"][k] = rho
+
+    def combine(self, a, b):
+        out = dict(a["regs"])
+        for k, v in b["regs"].items():
+            if v > out.get(k, 0):
+                out[k] = v
+        return {"regs": out}
+
+    def output(self, key, acc):
+        items = sorted(((int(k), v) for k, v in acc["regs"].items()))
+        return {
+            "registers_used": len(items),
+            "regs": ",".join(f"{r}:{v}" for r, v in items),
+        }
