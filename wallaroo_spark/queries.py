@@ -5680,3 +5680,132 @@ def ivfpq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, corpus, emb.filter(F.col("vec_id") < 10), topk=3,
         n_cells=8, nprobe=3,
     )
+
+
+def _ivfpq_res_oracle(
+    m: int = 8,
+    ds: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    topk: int = 3,
+) -> str:
+    """Replay ivfpq_residual_topk: coarse chain first (raw vectors), then
+    residuals v - centroid[cell] feed the fine chain, and the ADC table is
+    (query, probed_cell)-keyed because the query residual differs per
+    probe. Same rounded cuts, ordered folds, and element-wise residual
+    subtraction (no fold — bit-exact by construction)."""
+    sqd = _pq_sqd_sql
+    d = m * ds
+    res = f"[ (e.v[i] - cb.cv[i]) for i in generate_series(1, {d}) ]"
+    blocks = [f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sd AS (SELECT vec_id, row_number() OVER (
+                  ORDER BY {H.md5int_sql("CAST(vec_id AS VARCHAR) || ':pqseed'")},
+                           vec_id) - 1 AS rn, v
+           FROM e QUALIFY row_number() OVER (
+                  ORDER BY {H.md5int_sql("CAST(vec_id AS VARCHAR) || ':pqseed'")},
+                           vec_id) <= {max(k, n_cells)}),
+    subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
+    ccb0 AS (SELECT 0 AS sub, rn AS cent_id, v AS cv FROM sd WHERE rn < {n_cells}),
+    csv AS MATERIALIZED (SELECT vec_id, 0 AS sub, v AS sv FROM e)"""]
+    for i in range(iters):
+        blocks.append(f"""
+    casg{i} AS (SELECT sub, cent_id, sv FROM (
+        SELECT x.vec_id, x.sub, cb.cent_id, x.sv,
+               row_number() OVER (PARTITION BY x.vec_id, x.sub
+                   ORDER BY round({sqd("x.sv", "cb.cv", d)}, 6), cb.cent_id) AS rk
+        FROM csv x JOIN ccb{i} cb USING (sub)) WHERE rk = 1),
+    cdm{i} AS (SELECT sub, cent_id, generate_subscripts(sv, 1) AS dim, unnest(sv) AS x
+               FROM casg{i}),
+    cmn{i} AS (SELECT sub, cent_id, dim, round(avg(x), 6) AS mv
+               FROM cdm{i} GROUP BY 1, 2, 3),
+    ccb{i + 1} AS MATERIALIZED (SELECT sub, cent_id, list(mv ORDER BY dim) AS cv
+               FROM cmn{i} GROUP BY sub, cent_id)""")
+    blocks.append(f"""
+    acell AS MATERIALIZED (SELECT vec_id, cent_id AS cell FROM (
+        SELECT x.vec_id, cb.cent_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY round({sqd("x.sv", "cb.cv", d)}, 6), cb.cent_id) AS rk
+        FROM csv x JOIN ccb{iters} cb USING (sub)) WHERE rk = 1),
+    eres AS MATERIALIZED (
+        SELECT e.vec_id, a.cell, {res} AS rv
+        FROM e JOIN acell a USING (vec_id)
+        JOIN ccb{iters} cb ON cb.cent_id = a.cell),
+    fcb0 AS (SELECT s.sub, sd.rn AS cent_id,
+                    er.rv[s.sub * {ds} + 1 : s.sub * {ds} + {ds}] AS cv
+             FROM sd JOIN eres er USING (vec_id), subs s WHERE sd.rn < {k}),
+    fsv AS MATERIALIZED (SELECT er.vec_id, s.sub,
+                  er.rv[s.sub * {ds} + 1 : s.sub * {ds} + {ds}] AS sv
+           FROM eres er, subs s)""")
+    for i in range(iters):
+        blocks.append(f"""
+    fasg{i} AS (SELECT sub, cent_id, sv FROM (
+        SELECT x.vec_id, x.sub, cb.cent_id, x.sv,
+               row_number() OVER (PARTITION BY x.vec_id, x.sub
+                   ORDER BY round({sqd("x.sv", "cb.cv", ds)}, 6), cb.cent_id) AS rk
+        FROM fsv x JOIN fcb{i} cb USING (sub)) WHERE rk = 1),
+    fdm{i} AS (SELECT sub, cent_id, generate_subscripts(sv, 1) AS dim, unnest(sv) AS x
+               FROM fasg{i}),
+    fmn{i} AS (SELECT sub, cent_id, dim, round(avg(x), 6) AS mv
+               FROM fdm{i} GROUP BY 1, 2, 3),
+    fcb{i + 1} AS MATERIALIZED (SELECT sub, cent_id, list(mv ORDER BY dim) AS cv
+               FROM fmn{i} GROUP BY sub, cent_id)""")
+    blocks.append(f"""
+    codes AS (SELECT vec_id, sub, cent_id FROM (
+        SELECT x.vec_id, x.sub, cb.cent_id,
+               row_number() OVER (PARTITION BY x.vec_id, x.sub
+                   ORDER BY round({sqd("x.sv", "cb.cv", ds)}, 6), cb.cent_id) AS rk
+        FROM fsv x JOIN fcb{iters} cb USING (sub)
+        WHERE x.vec_id >= 10) WHERE rk = 1),
+    probes AS (SELECT query_id, cell, ccv FROM (
+        SELECT q.vec_id AS query_id, cb.cent_id AS cell, cb.cv AS ccv,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round({sqd("q.sv", "cb.cv", d)}, 6), cb.cent_id) AS rk
+        FROM csv q JOIN ccb{iters} cb USING (sub)
+        WHERE q.vec_id < 10) WHERE rk <= {nprobe}),
+    qres AS (SELECT p.query_id, p.cell,
+                    [ (e.v[i] - p.ccv[i]) for i in generate_series(1, {d}) ] AS rv
+             FROM probes p JOIN e ON e.vec_id = p.query_id),
+    qtbl AS (SELECT q.query_id, q.cell, s.sub, cb.cent_id,
+                    round({sqd(f"q.rv[s.sub * {ds} + 1 : s.sub * {ds} + {ds}]",
+                               "cb.cv", ds)}, 6) AS dd
+             FROM qres q, subs s
+             JOIN fcb{iters} cb ON cb.sub = s.sub),
+    cands AS (SELECT p.query_id, p.cell, a.vec_id
+              FROM acell a JOIN probes p ON a.cell = p.cell
+              WHERE a.vec_id >= 10),
+    adist AS (SELECT cd.query_id, cd.vec_id,
+                     round(list_reduce(list(t.dd ORDER BY t.sub),
+                                       (acc, x) -> acc + x), 6) AS approx_dist
+              FROM cands cd
+              JOIN codes co ON co.vec_id = cd.vec_id
+              JOIN qtbl t ON t.query_id = cd.query_id AND t.cell = cd.cell
+                         AND t.sub = co.sub AND t.cent_id = co.cent_id
+              GROUP BY 1, 2)""")
+    final = f"""
+    SELECT query_id, vec_id, approx_dist, rank FROM (
+        SELECT query_id, vec_id, approx_dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY approx_dist, vec_id) AS INT) AS rank
+        FROM adist) WHERE rank <= {topk}"""
+    return "WITH " + ",".join(blocks) + final
+
+
+@query("ivfpq_residual_search", oracle=_ivfpq_res_oracle())
+def ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (`similarity.ivfpq_residual_topk`): FAISS's default
+    encoding — the fine codebook quantizes within-cell RESIDUALS
+    (v - coarse_centroid), recovering the accuracy the plain composition
+    loses to coarse cells; the ADC table becomes (query, probed_cell)-
+    keyed because the query residual differs per probe (still Q x nprobe
+    x m x k, broadcast). The oracle replays coarse Lloyd, residual
+    subtraction, residual Lloyd, per-probe tables, and the candidate cut
+    — every argmin on rounded distances."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.ivfpq_residual_topk(
+        emb, corpus, emb.filter(F.col("vec_id") < 10), topk=3,
+        n_cells=8, nprobe=3,
+    )
