@@ -100,6 +100,7 @@ HEADLINE = [
     "pq_topk_adc",
     "pq_rerank_topk",
     "ivfpq_topk_search",
+    "ivfpq_residual_search",
     "distinct_users_hll",
     "distinct_tokens_by_lang_hll",
     "c4_gopher_filter_battery",
