@@ -25,7 +25,14 @@ from pyspark.sql import functions as F
 SF1 = "/root/testdata/sf0.01"
 REPLICAS = 8
 SF_R = f"/tmp/ws_gate{REPLICAS}x_sf001"
-GATED = ["multimodal_ahash_near_dup", "embedding_cosine_near_dup", "knn_label_purity"]
+GATED = [
+    "multimodal_ahash_near_dup",
+    "embedding_cosine_near_dup",
+    "knn_label_purity",
+    # round-8 additions: the fingerprint-pair sibling and the new ANN path
+    "simhash_near_pairs",
+    "pq_topk_adc",
+]
 EXP_BOUND = 1.5
 
 
