@@ -180,3 +180,26 @@ def test_hll_accuracy_and_mergeability(spark):
     m_est = SK.hll_estimate(merged).first().est_distinct
     w_est = SK.hll_estimate(whole).first().est_distinct
     assert m_est == w_est
+
+
+def test_skew_report_flags_hot_key(spark):
+    """A corpus with one hot key must surface it at rank 1 with the right
+    share and an imbalance ratio well above 1; a uniform corpus sits at
+    imbalance ~1."""
+    from pyspark.sql import functions as F
+
+    from wallaroo_spark.operators.relational import skew_report
+
+    hot = spark.range(1000).select(
+        F.when(F.col("id") < 600, F.lit("whale")).otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("k")
+    )
+    rep = skew_report(hot, "k", top_n=3).collect()
+    assert rep[0].rank == 1 and rep[0].key == "whale" and rep[0].cnt == 600
+    assert abs(rep[0].share - 0.6) < 1e-9
+    assert rep[0].imbalance > 100  # 600 / ~2.5 mean
+
+    uniform = spark.range(1000).select(F.concat(F.lit("k"), F.col("id") % 100).alias("k"))
+    u = skew_report(uniform, "k", top_n=1).collect()
+    assert abs(u[0].imbalance - 1.0) < 1e-9

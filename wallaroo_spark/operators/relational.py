@@ -176,3 +176,56 @@ def range_join(
         )
         .drop("_pbkt", "_bkt")
     )
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_n: int = 10, round_dp: int = 4
+) -> DataFrame:
+    """Shuffle-skew diagnostic: the pre-flight check before keying a big
+    join or aggregation on ``key_col`` at corpus scale — hot keys are what
+    turn a clean hash shuffle into one straggler task. Emits the ``top_n``
+    heaviest keys with their row share plus the corpus-wide imbalance
+    ratio (max key count / mean key count): ratio ~1 means a uniform
+    shuffle; ratios in the hundreds mean salt the key or pre-aggregate.
+
+    One map-side-combined groupBy count (the same shuffle the real query
+    would do, but carrying ONE row per key), a TakeOrdered top-n (no
+    global sort), and a broadcast of the 2-value summary — nothing here
+    is heavier than the shuffle being diagnosed.
+    Output: (rank, key, cnt, share, imbalance).
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    summary = counts.agg(
+        F.sum("cnt").alias("_total"),
+        (F.max("cnt") / F.avg("cnt")).alias("_imb"),
+    )
+    top = top_k(counts, [F.col("cnt").desc(), F.col("key")], top_n)
+    # rank the <= top_n survivors via the one-row sorted-collect pattern —
+    # a Window.orderBy here would be a partition-less WindowExec, which
+    # the suite-wide plan assertion forbids (single-task global sort)
+    ranked = (
+        top.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cnt")).alias("_neg"), F.col("key"), F.col("cnt")
+                    )
+                )
+            ).alias("_a")
+        )
+        .select(F.posexplode("_a").alias("_i", "_s"))
+        .select(
+            (F.col("_i") + 1).alias("rank"),
+            F.col("_s.key").alias("key"),
+            F.col("_s.cnt").alias("cnt"),
+        )
+    )
+    return ranked.crossJoin(F.broadcast(summary)).select(
+        "rank",
+        "key",
+        "cnt",
+        F.round(F.col("cnt") / F.col("_total"), round_dp).alias("share"),
+        F.round("_imb", round_dp).alias("imbalance"),
+    )

@@ -5809,3 +5809,31 @@ def ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, corpus, emb.filter(F.col("vec_id") < 10), topk=3,
         n_cells=8, nprobe=3,
     )
+
+
+@query(
+    "shuffle_skew_report",
+    oracle="""
+    WITH counts AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+                    FROM events GROUP BY 1),
+    summary AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                       max(cnt)::DOUBLE / avg(cnt) AS imb
+                FROM counts),
+    top AS (SELECT key, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, key) AS rank
+            FROM counts QUALIFY rank <= 10)
+    SELECT CAST(t.rank AS INT) AS rank, t.key, t.cnt,
+           round(t.cnt / s.total, 4) AS share,
+           round(s.imb, 4) AS imbalance
+    FROM top t, summary s
+    """,
+)
+def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic (`relational.skew_report`): the pre-flight
+    check before keying a 100 TB join/agg — top-10 heaviest keys with row
+    share plus the max/mean imbalance ratio, computed with one map-side-
+    combined count per key, a TakeOrdered top-n (no global sort; ranking
+    via the one-row sorted-collect pattern, no partition-less WindowExec)
+    and a broadcast 2-value summary."""
+    ev = read_table(spark, sf_dir, "events")
+    return relational.skew_report(ev, "user_id", top_n=10)
