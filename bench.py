@@ -104,6 +104,7 @@ HEADLINE = [
     "distinct_users_hll",
     "distinct_tokens_by_lang_hll",
     "c4_gopher_filter_battery",
+    "shuffle_skew_report",
     "chunk_documents_rag",
     "paragraph_dedup_ccnet",
     "corpus_snapshot_drift",
