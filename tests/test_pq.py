@@ -169,3 +169,26 @@ def test_ivfpq_residual_valid_and_deterministic(spark, sf_dir):
         for r in S.ivfpq_residual_topk(emb, corpus, queries, topk=30).collect()
     }
     assert len(truth & resi30) / len(truth) >= 0.3  # measured 0.48
+
+
+def test_ivfpq_adaptive_budget_bounds_candidates(spark, sf_dir):
+    """The budget rule: a probed cell's strictly-nearer predecessors hold
+    fewer than the budget candidates, so per-query candidate work is
+    bounded by budget + one cell; a tiny budget degenerates to 1 probed
+    cell per query, a huge budget probes everything (= flat ADC's
+    candidate set)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    small = S.ivfpq_adaptive_topk(emb, corpus, queries, topk=3, candidate_budget=1)
+    big = S.ivfpq_adaptive_topk(emb, corpus, queries, topk=3, candidate_budget=10**9)
+    cb = S.pq_train(emb, iters=2)
+    codes = S.pq_encode(corpus, cb)
+    flat = S.pq_topk(codes, cb, queries, 3)
+
+    # huge budget probes all cells == flat ADC result exactly
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, flat.collect()))
+    # tiny budget still returns topk per query (from the single nearest cell)
+    rows = small.collect()
+    assert len(rows) == 9 and all(r.rank <= 3 for r in rows)

@@ -1541,3 +1541,124 @@ def ivfpq_residual_topk(
         .filter(F.col("rank") <= topk)
         .select(query_id, id_col, "approx_dist", "rank")
     )
+
+
+def ivfpq_adaptive_topk(
+    train_df: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int,
+    candidate_budget: int = 200,
+    n_cells: int = 8,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF-PQ with ADAPTIVE probing: instead of a fixed nprobe, each query
+    probes its nearest cells (by coarse distance) until the CUMULATIVE
+    candidate count reaches ``candidate_budget`` — the skew-robust variant.
+    Fixed nprobe does too much work when the nearest cells are whales and
+    too little when they are slivers; budget-probing bounds per-query work
+    by construction (every probed cell except the last is strictly under
+    budget), which is what you want when a clustered corpus makes cell
+    sizes wildly uneven.
+
+    Mechanics: cell sizes are one map-side-combined count (n_cells rows);
+    the probe cut is a per-query cumulative sum over at most n_cells
+    ranked rows (partitioned window — bounded, never corpus-sized). A
+    cell is probed iff the budget was not already met by strictly nearer
+    cells. Everything downstream (ADC fold, rounded top-k) is pq_topk's.
+    Output: (query_id, vec_id, approx_dist, rank).
+    """
+    d = m * sub_dim
+    coarse = pq_train(
+        train_df, m=1, sub_dim=d, k=n_cells, iters=2,
+        id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+    )
+    cells = pq_encode(corpus, coarse, m=1, sub_dim=d, id_col=id_col,
+                      vec_col=vec_col, round_dp=round_dp).select(
+        id_col, F.element_at("codes", 1).alias("_cell")
+    )
+    sizes = cells.groupBy("_cell").agg(F.count("*").alias("_n"))
+
+    qv = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    ccb = coarse.select(F.col("cent_id").alias("_cell"), F.col("centroid").alias("_cv"))
+    ranked = (
+        qv.crossJoin(F.broadcast(ccb))
+        .select(
+            query_id, "_cell",
+            F.round(_sqdist(F.col("_qv"), F.col("_cv")), round_dp).alias("_pd"),
+        )
+        .join(F.broadcast(sizes), "_cell", "left")
+        .na.fill({"_n": 0})
+    )
+    w_rank = Window.partitionBy(query_id).orderBy(F.col("_pd"), F.col("_cell"))
+    w_cum = (
+        Window.partitionBy(query_id)
+        .orderBy(F.col("_pd"), F.col("_cell"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    probes = (
+        ranked.withColumn("_before", F.coalesce(F.sum("_n").over(w_cum), F.lit(0)))
+        .filter(F.col("_before") < candidate_budget)
+        .select(query_id, "_cell")
+    )
+
+    fine = pq_train(
+        train_df, m=m, sub_dim=sub_dim, k=k, iters=2,
+        id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+    )
+    codes = pq_encode(corpus, fine, m=m, sub_dim=sub_dim, id_col=id_col,
+                      vec_col=vec_col, round_dp=round_dp)
+    qsv = _pq_subvecs(queries, m, sub_dim, id_col, vec_col).withColumnRenamed(
+        id_col, query_id
+    )
+    fcb = fine.select("sub", "cent_id", F.col("centroid").alias("_cv"))
+    tables = (
+        qsv.join(F.broadcast(fcb), "sub")
+        .select(
+            query_id, "sub", "cent_id",
+            F.round(_sqdist(F.col("_sv"), F.col("_cv")), round_dp).alias("_d"),
+        )
+        .groupBy(query_id)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cent_id", "_d"))),
+                lambda s: s["_d"],
+            ).alias("_tbl")
+        )
+    )
+    cands = cells.join(F.broadcast(probes), "_cell").select(query_id, id_col)
+    scored = (
+        cands.join(codes, id_col)
+        .join(F.broadcast(tables), query_id)
+        .select(
+            query_id,
+            id_col,
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, j: acc
+                    + F.element_at(
+                        F.col("_tbl"),
+                        (j * F.lit(k) + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+                    ),
+                ),
+                round_dp,
+            ).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("approx_dist"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id, id_col, "approx_dist", "rank")
+    )

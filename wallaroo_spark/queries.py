@@ -5837,3 +5837,72 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a broadcast 2-value summary."""
     ev = read_table(spark, sf_dir, "events")
     return relational.skew_report(ev, "user_id", top_n=10)
+
+
+def _ivfpq_adaptive_oracle(
+    m: int = 8,
+    ds: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    n_cells: int = 8,
+    budget: int = 200,
+    topk: int = 3,
+) -> str:
+    """Replay ivfpq_adaptive_topk: same coarse/fine chains as the plain
+    composition; the probe cut keeps a cell iff the candidate count of
+    strictly nearer cells is under the budget (cumulative sum over the
+    per-query ranked cell list — at most n_cells rows per query)."""
+    sqd = _pq_sqd_sql
+    d = m * ds
+    base = _ivfpq_oracle(m, ds, k, iters, n_cells, nprobe=1, topk=topk)
+    # reuse everything up to (excluding) the probes CTE of the base oracle
+    head = base.split(",\n    probes AS")[0]
+    return head + f""",
+    csizes AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell),
+    pranked AS (SELECT q.vec_id AS query_id, cb.cent_id AS cell,
+                       round({sqd("q.sv", "cb.cv", d)}, 6) AS pd,
+                       coalesce(cs.n, 0) AS n
+                FROM csv q JOIN ccb{iters} cb USING (sub)
+                LEFT JOIN csizes cs ON cs.cell = cb.cent_id
+                WHERE q.vec_id < 10),
+    probes AS (SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               coalesce(sum(n) OVER (PARTITION BY query_id
+                   ORDER BY pd, cell
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        FROM pranked) WHERE before < {budget}),
+    qtbl AS (SELECT q.vec_id AS query_id, q.sub, cb.cent_id,
+                    round({sqd("q.sv", "cb.cv", ds)}, 6) AS d
+             FROM fsv q JOIN fcb{iters} cb USING (sub) WHERE q.vec_id < 10),
+    cands AS (SELECT p.query_id, c.vec_id
+              FROM cells c JOIN probes p ON c.cell = p.cell),
+    adist AS (SELECT cd.query_id, cd.vec_id,
+                     round(list_reduce(list(t.d ORDER BY t.sub),
+                                       (acc, x) -> acc + x), 6) AS approx_dist
+              FROM cands cd
+              JOIN codes co ON co.vec_id = cd.vec_id
+              JOIN qtbl t ON t.query_id = cd.query_id
+                         AND t.sub = co.sub AND t.cent_id = co.cent_id
+              GROUP BY 1, 2)
+    SELECT query_id, vec_id, approx_dist, rank FROM (
+        SELECT query_id, vec_id, approx_dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY approx_dist, vec_id) AS INT) AS rank
+        FROM adist) WHERE rank <= {topk}"""
+
+
+@query("ivfpq_adaptive_probe", oracle=_ivfpq_adaptive_oracle())
+def ivfpq_adaptive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-probed IVF-PQ (`similarity.ivfpq_adaptive_topk`): each query
+    probes its nearest cells until the cumulative candidate count reaches
+    the budget instead of a fixed nprobe — bounded per-query work however
+    skewed the cell sizes (the clustered-corpus failure mode of fixed
+    nprobe). The cut is a per-query cumulative sum over at most n_cells
+    ranked rows; the oracle replays it with the same strictly-nearer-cells
+    rule."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.ivfpq_adaptive_topk(
+        emb, corpus, emb.filter(F.col("vec_id") < 10), topk=3,
+        candidate_budget=200, n_cells=8,
+    )
