@@ -101,6 +101,7 @@ HEADLINE = [
     "pq_rerank_topk",
     "ivfpq_topk_search",
     "ivfpq_residual_search",
+    "ivfpq_adaptive_probe",
     "distinct_users_hll",
     "distinct_tokens_by_lang_hll",
     "c4_gopher_filter_battery",
