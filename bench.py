@@ -188,29 +188,32 @@ def main() -> None:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     ss_times = []
-    for _ in range(2):
-        ck = tempfile.mkdtemp(prefix="bench_chk_")
-        sdf = read_table_stream(spark, sf_dir, "events")
-        agg = (
-            sdf.withWatermark("ts", "0 seconds")
-            .groupBy("user_id", SF.window("ts", "1 hour"))
-            .agg(SF.count("*").alias("n"), SF.sum("value").alias("s"))
-        )
-        t0 = time.perf_counter()
-        q = (
-            agg.writeStream.format("noop")
-            .outputMode("update")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        finished = q.awaitTermination(600)
-        if not finished:  # stalled drain: stop before touching its checkpoint
-            q.stop()
-            raise RuntimeError("structured streaming drain exceeded 600s")
-        ss_times.append(time.perf_counter() - t0)
-        shutil.rmtree(ck, ignore_errors=True)
-    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        for _ in range(2):
+            ck = tempfile.mkdtemp(prefix="bench_chk_")
+            sdf = read_table_stream(spark, sf_dir, "events")
+            agg = (
+                sdf.withWatermark("ts", "0 seconds")
+                .groupBy("user_id", SF.window("ts", "1 hour"))
+                .agg(SF.count("*").alias("n"), SF.sum("value").alias("s"))
+            )
+            t0 = time.perf_counter()
+            q = (
+                agg.writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            finished = q.awaitTermination(600)
+            if not finished:  # stalled drain: stop before touching its checkpoint
+                q.stop()
+                raise RuntimeError("structured streaming drain exceeded 600s")
+            ss_times.append(time.perf_counter() - t0)
+            shutil.rmtree(ck, ignore_errors=True)
+    finally:
+        # restore even when the drain raises, so later timings keep 32 parts
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     timings["structured_streaming_window"] = round(min(ss_times), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -192,3 +192,60 @@ def test_ivfpq_adaptive_budget_bounds_candidates(spark, sf_dir):
     # tiny budget still returns topk per query (from the single nearest cell)
     rows = small.collect()
     assert len(rows) == 9 and all(r.rank <= 3 for r in rows)
+
+
+def test_pq_adc_handles_gapped_cent_ids(spark):
+    """Regression (ADVICE r8 medium): Lloyd training drops clusters that
+    lose every member, leaving non-contiguous cent_ids. The ADC lookup
+    used to be a positional flat-array read (j*k + codes[j] + 1) that
+    silently read the wrong subspace's entry at the first gap; the keyed
+    map must stay exact against a straight join-based recomputation."""
+    import itertools
+
+    m, sub_dim, k = 2, 2, 4
+    # handcrafted gapped codebook: sub 0 keeps cent_ids {0, 3}, sub 1 {1, 2}
+    cb_rows = [
+        (0, 0, [0.0, 0.0]), (0, 3, [10.0, 10.0]),
+        (1, 1, [0.0, 5.0]), (1, 2, [5.0, 0.0]),
+    ]
+    cb = spark.createDataFrame(
+        cb_rows, "sub int, cent_id int, centroid array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (i, [float(a), float(b), float(c), float(d)])
+            for i, (a, b, c, d) in enumerate(
+                itertools.product([0, 9], [0, 9], [0, 4], [4, 0])
+            )
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qrows = [(100, [1.0, 1.0, 1.0, 4.0]), (101, [8.0, 9.0, 4.0, 1.0])]
+    queries = spark.createDataFrame(qrows, "vec_id long, embedding array<double>")
+
+    codes = S.pq_encode(corpus, cb, m=m, sub_dim=sub_dim)
+    got = {
+        (r.query_id, r.vec_id): r.approx_dist
+        for r in S.pq_topk(
+            codes, cb, queries, topk=16, m=m, sub_dim=sub_dim, k=k
+        ).collect()
+    }
+    cbmap = {(s, c): v for s, c, v in cb_rows}
+    code_map = {r.vec_id: list(r.codes) for r in codes.collect()}
+    assert len(got) == 2 * len(code_map)
+    for qid, qv in qrows:
+        for vid, cs in code_map.items():
+            want = round(
+                sum(
+                    round(
+                        sum(
+                            (qv[s * sub_dim + d] - cbmap[(s, cs[s])][d]) ** 2
+                            for d in range(sub_dim)
+                        ),
+                        6,
+                    )
+                    for s in range(m)
+                ),
+                6,
+            )
+            assert got[(qid, vid)] == want, (qid, vid, got[(qid, vid)], want)

@@ -72,7 +72,15 @@ def test_hamming_pairs_hot_band_refinement_lossless(spark):
 
 
 def test_scale_exponent_gate(spark):
+    import os
     import sys
+
+    import pytest
+
+    if os.environ.get("WS_SKIP_SCALE_GATE") == "1":
+        # wall-clock gate on a shared host: opt-out hatch for severely
+        # throttled CI runs (ADVICE r8); default stays ON
+        pytest.skip("WS_SKIP_SCALE_GATE=1")
 
     sys.path.insert(0, "/root/repo/tools")
     import scale_study
@@ -92,12 +100,12 @@ def test_scale_exponent_gate(spark):
 
     failures = {}
     for name in GATED:
+        # min-of-2 on BOTH sizes up front (a throttling spike on either side
+        # skews the ratio), min-of-3 on both before flagging (ADVICE r8)
         t1 = min(run_once(name, SF1) for _ in range(2))
-        tR = run_once(name, SF_R)
+        tR = min(run_once(name, SF_R) for _ in range(2))
         exp = math.log(max(tR, 1e-3) / max(t1, 0.2)) / math.log(REPLICAS)
         if exp >= EXP_BOUND:
-            # retry once before flagging: shared-host throttling mid-suite
-            # produces one-off outliers (NOTES.md)
             t1 = min(t1, run_once(name, SF1))
             tR = min(tR, run_once(name, SF_R))
             exp = math.log(max(tR, 1e-3) / max(t1, 0.2)) / math.log(REPLICAS)

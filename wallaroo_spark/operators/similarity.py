@@ -1168,6 +1168,46 @@ def pq_encode(
     )
 
 
+def _adc_table_agg(k: int):
+    """ADC distance-table aggregate: a map keyed by sub*k + cent_id.
+
+    Keyed, not positional: pq_train's Lloyd step rebuilds each codebook
+    only from assigned points, so a centroid that loses every member
+    vanishes and cent_ids keep gaps (still within 0..k-1, so the key stays
+    unique). A flat positional array indexed j*k + codes[j] would silently
+    read the wrong subspace's entry at the first gap (ADVICE r8 medium);
+    the map lookup is exact for any surviving cent_id set.
+    """
+    return F.map_from_entries(
+        F.collect_list(
+            F.struct(
+                (F.col("sub") * F.lit(k) + F.col("cent_id")).cast("int").alias("key"),
+                F.col("_d").alias("value"),
+            )
+        )
+    ).alias("_tbl")
+
+
+def _adc_fold(m: int, k: int, round_dp: int):
+    """In-row ADC distance: sum_j tbl[j*k + codes[j]] over the keyed map.
+
+    codes always reference centroids that exist in the codebook (pq_encode
+    argmins over the same codebook), so the lookup never misses.
+    """
+    return F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.col("_tbl"),
+                (j * F.lit(k) + F.element_at(F.col("codes"), j + 1)).cast("int"),
+            ),
+        ),
+        round_dp,
+    ).alias("approx_dist")
+
+
 def pq_topk(
     codes_df: DataFrame,
     codebook: DataFrame,
@@ -1181,9 +1221,10 @@ def pq_topk(
     query_id: str = "query_id",
     round_dp: int = 6,
 ) -> DataFrame:
-    """ADC top-k: each query precomputes one flat m*k distance table
-    (query subvector -> every centroid, rounded), then the coded corpus is
-    scanned IN-ROW — approx_dist = sum_j table[j*k + codes[j]] is an
+    """ADC top-k: each query precomputes one <= m*k distance table keyed
+    by sub*k + cent_id (query subvector -> every surviving centroid,
+    rounded), then the coded corpus is scanned IN-ROW —
+    approx_dist = sum_j table[j*k + codes[j]] is an
     m-element fold against the broadcast table, no shuffle of the corpus,
     no decode back to floats. Per-query cost per corpus row: m adds (vs d
     multiply-adds for brute force). Ranking is on the rounded distance
@@ -1203,27 +1244,13 @@ def pq_topk(
         )
         .groupBy(query_id)
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "cent_id", "_d"))),
-                lambda s: s["_d"],
-            ).alias("_tbl")
+            _adc_table_agg(k)
         )
     )
     scored = codes_df.crossJoin(F.broadcast(tables)).select(
         query_id,
         id_col,
-        F.round(
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0.0),
-                lambda acc, j: acc
-                + F.element_at(
-                    F.col("_tbl"),
-                    (j * F.lit(k) + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
-                ),
-            ),
-            round_dp,
-        ).alias("approx_dist"),
+        _adc_fold(m, k, round_dp),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("approx_dist"), F.col(id_col))
     return (
@@ -1360,12 +1387,7 @@ def ivfpq_topk(
             F.round(_sqdist(F.col("_sv"), F.col("_cv")), round_dp).alias("_d"),
         )
         .groupBy(query_id)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "cent_id", "_d"))),
-                lambda s: s["_d"],
-            ).alias("_tbl")
-        )
+        .agg(_adc_table_agg(k))
     )
 
     cands = cells.join(F.broadcast(probes), "_cell").select(query_id, id_col)
@@ -1375,18 +1397,7 @@ def ivfpq_topk(
         .select(
             query_id,
             id_col,
-            F.round(
-                F.aggregate(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    F.lit(0.0),
-                    lambda acc, j: acc
-                    + F.element_at(
-                        F.col("_tbl"),
-                        (j * F.lit(k) + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
-                    ),
-                ),
-                round_dp,
-            ).alias("approx_dist"),
+            _adc_fold(m, k, round_dp),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.col("approx_dist"), F.col(id_col))
@@ -1505,12 +1516,7 @@ def ivfpq_residual_topk(
             F.round(_sqdist(F.col("_sv"), F.col("_fcv")), round_dp).alias("_d"),
         )
         .groupBy(query_id, "_cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "cent_id", "_d"))),
-                lambda s: s["_d"],
-            ).alias("_tbl")
-        )
+        .agg(_adc_table_agg(k))
     )
     cands = cells.join(
         F.broadcast(probes.select(query_id, "_cell")), "_cell"
@@ -1521,18 +1527,7 @@ def ivfpq_residual_topk(
         .select(
             query_id,
             id_col,
-            F.round(
-                F.aggregate(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    F.lit(0.0),
-                    lambda acc, j: acc
-                    + F.element_at(
-                        F.col("_tbl"),
-                        (j * F.lit(k) + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
-                    ),
-                ),
-                round_dp,
-            ).alias("approx_dist"),
+            _adc_fold(m, k, round_dp),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.col("approx_dist"), F.col(id_col))
@@ -1628,12 +1623,7 @@ def ivfpq_adaptive_topk(
             F.round(_sqdist(F.col("_sv"), F.col("_cv")), round_dp).alias("_d"),
         )
         .groupBy(query_id)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "cent_id", "_d"))),
-                lambda s: s["_d"],
-            ).alias("_tbl")
-        )
+        .agg(_adc_table_agg(k))
     )
     cands = cells.join(F.broadcast(probes), "_cell").select(query_id, id_col)
     scored = (
@@ -1642,18 +1632,7 @@ def ivfpq_adaptive_topk(
         .select(
             query_id,
             id_col,
-            F.round(
-                F.aggregate(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    F.lit(0.0),
-                    lambda acc, j: acc
-                    + F.element_at(
-                        F.col("_tbl"),
-                        (j * F.lit(k) + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
-                    ),
-                ),
-                round_dp,
-            ).alias("approx_dist"),
+            _adc_fold(m, k, round_dp),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.col("approx_dist"), F.col(id_col))

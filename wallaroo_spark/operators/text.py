@@ -1663,6 +1663,15 @@ def chunk_documents(
     chunk ids per document.
     """
     stride = stride or window
+    if stride > window:
+        # mirror hamming_pairs' explicit losslessness guard: a stride wider
+        # than the window silently loses the tokens between windows,
+        # breaking the every-token-covered promise above
+        raise ValueError(
+            f"chunk_documents: stride ({stride}) must be <= window ({window})"
+        )
+    if window < 1 or stride < 1:
+        raise ValueError("chunk_documents: window and stride must be >= 1")
     toks = tokens(F.col(text))
     n = F.size(toks)
     # last start: far enough that the PREVIOUS chunk did not already reach
