@@ -5906,3 +5906,130 @@ def ivfpq_adaptive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, corpus, emb.filter(F.col("vec_id") < 10), topk=3,
         candidate_budget=200, n_cells=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: ANN quality loop — recall@k audit across the PQ/IVF-PQ family
+# ---------------------------------------------------------------------------
+
+
+_ANN_AUDIT_TOPK = 10
+_ANN_AUDIT_SHORTLIST = 30
+
+
+def _ann_recall_oracle(topk: int = _ANN_AUDIT_TOPK) -> str:
+    """Recall@k audit oracle: exact L2 top-k ground truth joined against
+    every ANN variant's replayed result set. Each variant's full oracle
+    chain (each individually driver-verified) nests as a derived CTE — the
+    nested WITH shadows the outer names, so the tested builders compose
+    verbatim; recall is a LEFT-JOIN hit count, the lsh_recall_audit shape."""
+    sqd = _pq_sqd_sql
+    variants = [
+        ("ivfpq_adaptive", _ivfpq_adaptive_oracle(topk=topk)),
+        ("ivfpq_plain", _ivfpq_oracle(topk=topk)),
+        ("ivfpq_residual", _ivfpq_res_oracle(topk=topk)),
+        ("pq_adc", _pq_oracle(topk=topk)),
+        ("pq_rerank", _pq_oracle(topk=topk, rerank_shortlist=_ANN_AUDIT_SHORTLIST)),
+    ]
+    vblocks = ",\n    ".join(f"v_{name} AS ({sql})" for name, sql in variants)
+    hits = "\n    UNION ALL\n".join(
+        f"""    SELECT '{name}' AS variant, count(*) AS n_true,
+           count(a.vec_id) AS n_caught
+    FROM truth t LEFT JOIN v_{name} a
+      ON a.query_id = t.query_id AND a.vec_id = t.vec_id"""
+        for name, _ in variants
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    truth AS (SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round({sqd("c.v", "q.v", 64)}, 6), c.vec_id) AS rk
+        FROM e c, e q WHERE c.vec_id >= 10 AND q.vec_id < 10) WHERE rk <= {topk}),
+    {vblocks},
+    hits AS (
+{hits})
+    SELECT variant, CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           round(n_caught / CAST(n_true AS DOUBLE), 4) AS recall
+    FROM hits ORDER BY variant
+    """
+
+
+@query("ann_recall_audit", oracle=_ann_recall_oracle())
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit for the whole PQ/IVF-PQ ANN family against the
+    exact L2 ground truth — the honest-measurement query that makes the
+    family's dials (m, k, n_cells, nprobe, candidate_budget, shortlist)
+    tunable: without it an approximate index is deployed blind. One row
+    per variant: (variant, n_true, n_caught, recall).
+
+    This is also the *measurement harness* for index-design claims: it
+    shows directly whether residual encoding recovers the accuracy the
+    plain IVF-PQ composition loses to coarse cells (the FAISS argument
+    for residual encoding), and what the exact re-rank stage buys over
+    raw ADC ranking.
+
+    Scale shape: ground truth is a bounded queries x corpus scan (queries
+    are a fixed sample — recall is a STATISTIC, same argument as
+    lsh_recall_audit); each variant's search is the production sub-linear
+    path; the PQ codebook/codes build once and are shared by the pq_adc
+    and pq_rerank arms. Recall joins are per-variant LEFT JOINs on a
+    topk-bounded pair set."""
+    topk = _ANN_AUDIT_TOPK
+    from pyspark.sql.window import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    qs = emb.filter(F.col("vec_id") < 10)
+
+    qv = qs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    exact = corpus.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            similarity._sqdist(
+                F.col("embedding").cast("array<double>"), F.col("_qv")
+            ),
+            6,
+        ).alias("_d"),
+    )
+    w = Window.partitionBy("query_id").orderBy("_d", "vec_id")
+    truth = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)  # bounded: queries x topk rows
+    )
+
+    cb = similarity.pq_train(emb, iters=2)
+    codes = similarity.pq_encode(corpus, cb).localCheckpoint(eager=True)
+    variants = {
+        "pq_adc": similarity.pq_topk(codes, cb, qs, topk=topk),
+        "pq_rerank": similarity.pq_topk_rerank(
+            codes, cb, qs, corpus, topk=topk, shortlist=_ANN_AUDIT_SHORTLIST
+        ),
+        "ivfpq_plain": similarity.ivfpq_topk(
+            emb, corpus, qs, topk=topk, n_cells=8, nprobe=3
+        ),
+        "ivfpq_residual": similarity.ivfpq_residual_topk(
+            emb, corpus, qs, topk=topk, n_cells=8, nprobe=3
+        ),
+        "ivfpq_adaptive": similarity.ivfpq_adaptive_topk(
+            emb, corpus, qs, topk=topk, candidate_budget=200, n_cells=8
+        ),
+    }
+    out = None
+    for name, df in variants.items():
+        approx = df.select("query_id", "vec_id").withColumn("_c", F.lit(1))
+        part = truth.join(approx, ["query_id", "vec_id"], "left").agg(
+            F.lit(name).alias("variant"),
+            F.count("*").alias("n_true"),
+            F.count("_c").alias("n_caught"),
+            F.round(F.count("_c") / F.count("*").cast("double"), 4).alias("recall"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("variant")
