@@ -1,0 +1,121 @@
+"""OPQ-lite: orthogonality invariants, Spark/DuckDB parity of the
+Hadamard rotation, and the measured-recall-improvement claim on an
+anisotropic corpus (the regime parametric OPQ's eigenvalue allocation
+targets — the synthetic testdata embeddings are isotropic, so the
+registered opq_recall_audit shows parity there by design)."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from wallaroo_spark.operators import similarity as S
+
+
+def _make_vectors(spark, scales, n, seed=9):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, len(scales))) * np.asarray(scales)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _exact_topk(df, n_queries, topk):
+    rows = {r.vec_id: np.asarray(r.embedding) for r in df.collect()}
+    truth = set()
+    for q in range(n_queries):
+        dists = sorted(
+            (round(float(np.sum((rows[q] - rows[c]) ** 2)), 6), c)
+            for c in rows
+            if c >= n_queries
+        )
+        truth |= {(q, c) for _, c in dists[:topk]}
+    return truth
+
+
+def _pq_recall(df, n_queries, topk, m, sub_dim, k, truth):
+    corpus = df.filter(F.col("vec_id") >= n_queries)
+    queries = df.filter(F.col("vec_id") < n_queries)
+    cb = S.pq_train(df, m=m, sub_dim=sub_dim, k=k, iters=2)
+    codes = S.pq_encode(corpus, cb, m=m, sub_dim=sub_dim)
+    got = {
+        (r.query_id, r.vec_id)
+        for r in S.pq_topk(
+            codes, cb, queries, topk=topk, m=m, sub_dim=sub_dim, k=k
+        ).collect()
+    }
+    return len(truth & got) / len(truth)
+
+
+def test_hadamard_preserves_geometry_and_matches_sql(spark):
+    import duckdb
+
+    df = _make_vectors(spark, [1.0] * 16, 40)
+    rot = S.hadamard_rotate(df, d=16)
+    orig = {r.vec_id: np.asarray(r.embedding) for r in df.collect()}
+    got = {r.vec_id: np.asarray(r.embedding) for r in rot.collect()}
+    # orthogonal: norms and pairwise distances preserved to fp tolerance
+    for i in orig:
+        assert abs(np.linalg.norm(orig[i]) - np.linalg.norm(got[i])) < 1e-9
+    for a, b in [(0, 1), (3, 17), (20, 39)]:
+        assert (
+            abs(
+                np.linalg.norm(orig[a] - orig[b])
+                - np.linalg.norm(got[a] - got[b])
+            )
+            < 1e-9
+        )
+    # and the SQL replay is BIT-exact against the Spark values
+    con = duckdb.connect()
+    con.register(
+        "vin",
+        df.toPandas().assign(embedding=lambda p: p.embedding.map(list)),
+    )
+    sql = S.hadamard_rotate_sql(
+        16, "SELECT vec_id, embedding::DOUBLE[] AS v FROM vin"
+    )
+    drows = {r[0]: list(r[1]) for r in con.sql(sql).fetchall()}
+    srows = {r.vec_id: list(r.embedding) for r in rot.collect()}
+    assert srows == drows
+
+
+def test_fit_permutation_is_a_permutation_and_balances(spark):
+    scales = [8.0, 7.0, 6.0, 5.0] + [0.1] * 12
+    df = _make_vectors(spark, scales, 200)
+    perm = S.opq_fit_permutation(df, m=4, sub_dim=4).collect()
+    new_pos = sorted(r.new_pos for r in perm)
+    src = sorted(r.src_dim for r in perm)
+    assert new_pos == list(range(1, 17)) and src == list(range(1, 17))
+    # snake allocation: each subspace receives exactly one of the four
+    # high-variance dims (1..4)
+    by_bucket = {}
+    for r in perm:
+        by_bucket.setdefault((r.new_pos - 1) // 4, []).append(r.src_dim)
+    for b, dims in by_bucket.items():
+        assert len([d for d in dims if d <= 4]) == 1, (b, dims)
+    # applying it preserves pairwise L2 exactly (it is orthogonal)
+    permuted = S.apply_dim_permutation(df, S.opq_fit_permutation(df, m=4, sub_dim=4))
+    o = {r.vec_id: np.asarray(r.embedding) for r in df.collect()}
+    p = {r.vec_id: np.asarray(r.embedding) for r in permuted.collect()}
+    assert math.isclose(
+        float(np.sum((o[0] - o[1]) ** 2)), float(np.sum((p[0] - p[1]) ** 2))
+    )
+
+
+def test_opq_permutation_improves_recall_on_anisotropic(spark):
+    """The measured-improvement claim: when one natural subspace hoards
+    the variance (dims 1-4 dominant), plain PQ spends one codebook on the
+    whole spread and quantization error swamps the ADC ranking; the
+    variance-balancing permutation hands each subspace one dominant dim
+    and recall recovers. This is the anisotropic regime OPQ's eigenvalue
+    allocation exists for."""
+    n_queries, topk, m, sub_dim, k = 6, 5, 4, 4, 8
+    scales = [8.0, 7.0, 6.0, 5.0] + [0.1] * 12
+    df = _make_vectors(spark, scales, 246)
+    truth = _exact_topk(df, n_queries, topk)
+
+    plain = _pq_recall(df, n_queries, topk, m, sub_dim, k, truth)
+    permuted = S.apply_dim_permutation(
+        df, S.opq_fit_permutation(df, m=m, sub_dim=sub_dim)
+    )
+    opq = _pq_recall(permuted, n_queries, topk, m, sub_dim, k, truth)
+    assert opq >= plain + 0.15, f"opq {opq:.2f} vs plain {plain:.2f}"
