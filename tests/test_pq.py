@@ -249,3 +249,36 @@ def test_pq_adc_handles_gapped_cent_ids(spark):
                 6,
             )
             assert got[(qid, vid)] == want, (qid, vid, got[(qid, vid)], want)
+
+
+def test_ivf_auto_size_consistency_and_auto_path(spark, sf_dir):
+    """The Python sizing rule, the Column-math report, and the
+    n_cells=None auto path must agree; the probe FRACTION must stay
+    ~constant across corpus sizes (the sub-linear-at-any-scale claim)."""
+    from wallaroo_spark.operators.similarity import ivf_auto_size, ivf_sizing_report
+
+    for n in [16, 100, 490, 4900, 10**6, 10**9]:
+        a = ivf_auto_size(n)
+        df = spark.range(n if n <= 4900 else 1).toDF("vec_id")
+        if n <= 4900:  # column math replayed on a real count
+            r = ivf_sizing_report(df).collect()[0]
+            assert (r.n_cells, r.nprobe, r.candidate_budget) == (
+                a["n_cells"], a["nprobe"], a["candidate_budget"]
+            ), (n, a, r)
+        # probe fraction ~1/8, never above 1/4
+        assert a["nprobe"] / a["n_cells"] <= 0.5 if a["n_cells"] < 16 else \
+            0.08 <= a["nprobe"] / a["n_cells"] <= 0.25, (n, a)
+
+    # the production auto path: valid, deterministic, full top-k per query
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 3)
+    r1 = sorted(map(tuple, S.ivfpq_topk(
+        emb, corpus, queries, topk=3, n_cells=None, nprobe=None).collect()))
+    r2 = sorted(map(tuple, S.ivfpq_topk(
+        emb, corpus, queries, topk=3, n_cells=None, nprobe=None).collect()))
+    assert r1 == r2 and len(r1) == 9
+    r3 = S.ivfpq_adaptive_topk(
+        emb, corpus, queries, topk=3, candidate_budget=None, n_cells=None
+    ).collect()
+    assert len(r3) == 9 and all(r.rank <= 3 for r in r3)

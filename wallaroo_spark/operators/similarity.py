@@ -1314,8 +1314,8 @@ def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
     topk: int,
-    n_cells: int = 8,
-    nprobe: int = 3,
+    n_cells: int | None = 8,
+    nprobe: int | None = 3,
     m: int = 8,
     sub_dim: int = 8,
     k: int = 16,
@@ -1340,7 +1340,17 @@ def ivfpq_topk(
     per query the scan fraction is nprobe/n_cells, and everything ranks on
     rounded distances with id tiebreaks — engine-exact.
     Output: (query_id, vec_id, approx_dist, rank).
+
+    Pass n_cells=None / nprobe=None for the production default: geometry
+    derived from the corpus count by the sqrt-N rule (ivf_auto_size —
+    one count scan), so a 100 TB corpus gets a sane index without hand
+    tuning; the numeric defaults exist for oracle-replayable test
+    geometry.
     """
+    if n_cells is None or nprobe is None:
+        auto = ivf_auto_size(corpus.count(), topk)
+        n_cells = n_cells if n_cells is not None else auto["n_cells"]
+        nprobe = nprobe if nprobe is not None else auto["nprobe"]
     d = m * sub_dim
     coarse = pq_train(
         train_df, m=1, sub_dim=d, k=n_cells, iters=2,
@@ -1413,8 +1423,8 @@ def ivfpq_residual_topk(
     corpus: DataFrame,
     queries: DataFrame,
     topk: int,
-    n_cells: int = 8,
-    nprobe: int = 3,
+    n_cells: int | None = 8,
+    nprobe: int | None = 3,
     m: int = 8,
     sub_dim: int = 8,
     k: int = 16,
@@ -1438,7 +1448,13 @@ def ivfpq_residual_topk(
     table. Same rounded-argmin/tiebreak discipline end to end, so the
     DuckDB oracle replays the whole thing.
     Output: (query_id, vec_id, approx_dist, rank).
+    n_cells=None / nprobe=None derive geometry from the corpus count
+    (ivf_auto_size, the production default — see ivfpq_topk).
     """
+    if n_cells is None or nprobe is None:
+        auto = ivf_auto_size(corpus.count(), topk)
+        n_cells = n_cells if n_cells is not None else auto["n_cells"]
+        nprobe = nprobe if nprobe is not None else auto["nprobe"]
     d = m * sub_dim
 
     def _res(v, c):
@@ -1543,8 +1559,8 @@ def ivfpq_adaptive_topk(
     corpus: DataFrame,
     queries: DataFrame,
     topk: int,
-    candidate_budget: int = 200,
-    n_cells: int = 8,
+    candidate_budget: int | None = 200,
+    n_cells: int | None = 8,
     m: int = 8,
     sub_dim: int = 8,
     k: int = 16,
@@ -1568,7 +1584,16 @@ def ivfpq_adaptive_topk(
     cell is probed iff the budget was not already met by strictly nearer
     cells. Everything downstream (ADC fold, rounded top-k) is pq_topk's.
     Output: (query_id, vec_id, approx_dist, rank).
+    candidate_budget=None / n_cells=None derive geometry from the corpus
+    count (ivf_auto_size, the production default — see ivfpq_topk).
     """
+    if n_cells is None or candidate_budget is None:
+        auto = ivf_auto_size(corpus.count(), topk)
+        n_cells = n_cells if n_cells is not None else auto["n_cells"]
+        candidate_budget = (
+            candidate_budget if candidate_budget is not None
+            else auto["candidate_budget"]
+        )
     d = m * sub_dim
     coarse = pq_train(
         train_df, m=1, sub_dim=d, k=n_cells, iters=2,
@@ -1858,4 +1883,69 @@ def apply_dim_permutation(
             ),
         )
         .drop("_perm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF auto-sizing (round 9): derive index geometry from the corpus count
+# ---------------------------------------------------------------------------
+
+
+def ivf_auto_size(n: int, topk: int = 10) -> dict:
+    """Derive a sane IVF geometry from the corpus count — the sqrt-N rule
+    every IVF deployment starts from (FAISS guideline: nlist ~ c*sqrt(N)),
+    bounded so cells stay statistically meaningful:
+
+      n_cells          = clamp(2, floor(sqrt(n)), n // 8)  (>=8 vectors/cell)
+      nprobe           = max(1, n_cells // 8)              (~1/8 of cells)
+      candidate_budget = max(4*topk, nprobe * ceil(n/n_cells))
+                         (the expected candidate volume of nprobe average
+                          cells, floored so tiny corpora still fill top-k)
+
+    The probe FRACTION nprobe/n_cells is ~constant in n, so per-query
+    candidate work stays ~n/8 of a full scan at any corpus size while
+    cells keep shrinking relative to the corpus (sqrt-N cells of sqrt-N
+    vectors) — the property that makes the composition sub-linear.
+    Integer/sqrt math only, replayed exactly by the ivf_sizing_report
+    oracle."""
+    import math
+
+    if n < 1:
+        raise ValueError(f"ivf_auto_size: corpus count must be >= 1, got {n}")
+    n_cells = max(2, min(int(math.floor(math.sqrt(n))), n // 8))
+    nprobe = max(1, n_cells // 8)
+    candidate_budget = max(4 * topk, nprobe * -(-n // n_cells))
+    return {"n_cells": n_cells, "nprobe": nprobe,
+            "candidate_budget": candidate_budget}
+
+
+def ivf_sizing_report(
+    df: DataFrame,
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The ivf_auto_size rule as a one-row DataFrame (pure Column math on
+    one count aggregate — no collect, no driver round-trip), so the
+    sizing a 100 TB corpus would get is itself a queryable, oracle-gated
+    artifact: (n_corpus, n_cells, nprobe, candidate_budget,
+    probe_fraction)."""
+    n = F.col("_n")
+    n_cells = F.greatest(
+        F.lit(2),
+        F.least(F.floor(F.sqrt(n)).cast("long"), (n / 8).cast("long")),
+    )
+    nprobe = F.greatest(F.lit(1).cast("long"), (n_cells / 8).cast("long"))
+    budget = F.greatest(
+        F.lit(4 * topk).cast("long"),
+        nprobe * F.ceil(n / n_cells).cast("long"),
+    )
+    return (
+        df.agg(F.count(id_col).alias("_n"))
+        .select(
+            F.col("_n").alias("n_corpus"),
+            n_cells.cast("int").alias("n_cells"),
+            nprobe.cast("int").alias("nprobe"),
+            budget.cast("int").alias("candidate_budget"),
+            F.round(nprobe / n_cells.cast("double"), 4).alias("probe_fraction"),
+        )
     )

@@ -6188,3 +6188,35 @@ def opq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out.orderBy("variant")
+
+
+@query(
+    "ivf_sizing_report",
+    oracle="""
+    WITH c AS (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 10),
+    s AS (SELECT n, greatest(2, least(CAST(floor(sqrt(n)) AS BIGINT),
+                                      n // 8)) AS n_cells FROM c),
+    p AS (SELECT n, n_cells,
+                 greatest(1, n_cells // 8) AS nprobe FROM s)
+    SELECT CAST(n AS BIGINT) AS n_corpus,
+           CAST(n_cells AS INT) AS n_cells,
+           CAST(nprobe AS INT) AS nprobe,
+           CAST(greatest(40, nprobe * CAST(ceil(n / n_cells) AS BIGINT)) AS INT)
+               AS candidate_budget,
+           round(nprobe / CAST(n_cells AS DOUBLE), 4) AS probe_fraction
+    FROM p
+    """,
+)
+def ivf_sizing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF auto-sizing report (`similarity.ivf_sizing_report` /
+    `ivf_auto_size`): the sqrt-N geometry rule as a queryable one-row
+    artifact — n_cells = clamp(2, floor(sqrt(n)), n//8), nprobe ~
+    n_cells/8, candidate_budget = expected volume of nprobe average
+    cells. The probe fraction is ~constant in n by construction, so
+    per-query candidate work stays ~1/8 of a full scan at any corpus
+    size while cells shrink relative to the corpus (sqrt-N cells of
+    sqrt-N vectors) — what a 100 TB user gets by passing
+    n_cells=None/nprobe=None to the ivfpq_* search functions instead of
+    hand-tuned literals. Pure Column math over one count aggregate."""
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 10)
+    return similarity.ivf_sizing_report(emb)
