@@ -14,6 +14,12 @@ system, composed from the engine's pieces.
              exceeds the threshold — the re-fit-rarely policy, automated
     query:   load the index, probe with `ivf_topk(corpus_assigned=...)` —
              the corpus-side assignment is never recomputed
+    PQ:      `build_pq_index` commits the compressed form of the same
+             lifecycle — coarse + fine codebooks and the 4-byte codes
+             (the ONLY corpus-sized artifact, 128x smaller than float64)
+             in one transaction; `probe_pq_index` scores incoming
+             vectors (batch OR stream — `similarity.ivfpq_probe` is
+             stateless per micro-batch) against the frozen index
 
 At 100 TB the assignments table is the big artifact (written once,
 partitionable by cent_id for co-located probes); centroids are k rows.
@@ -139,6 +145,66 @@ def query_index(spark, t: MultiManifestTable, queries, k: int = 3, nprobe: int =
     )
 
 
+def build_pq_index(
+    spark,
+    train,
+    corpus,
+    index_dir: str,
+    n_cells: int = 8,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+):
+    """Commit the compressed IVF-PQ index: coarse codebook (n_cells
+    rows), fine codebook (m*k rows), and the coded corpus
+    (vec_id, codes, cell — 4 bytes/vector at this geometry) in ONE
+    MultiManifestTable transaction. At 100 TB the codes table is the only
+    corpus-sized artifact; both codebooks are broadcast-sized forever."""
+    d = m * sub_dim
+    coarse = similarity.pq_train(train, m=1, sub_dim=d, k=n_cells, iters=2)
+    fine = similarity.pq_train(train, m=m, sub_dim=sub_dim, k=k, iters=2)
+    cells = similarity.pq_encode(corpus, coarse, m=1, sub_dim=d).select(
+        "vec_id", F.element_at("codes", 1).alias("cell")
+    )
+    codes = similarity.pq_encode(corpus, fine, m=m, sub_dim=sub_dim)
+    t = MultiManifestTable(index_dir)
+    t.append_multi(
+        {
+            "pq_coarse": coarse,
+            "pq_fine": fine,
+            "pq_codes": codes.join(cells, "vec_id"),
+        }
+    )
+    return t
+
+
+def probe_pq_index(
+    spark,
+    t: MultiManifestTable,
+    incoming,
+    nprobe: int = 3,
+    topk: int | None = 3,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+):
+    """Score incoming query vectors against the persisted PQ index —
+    `incoming` may be a STREAM (the probe is a stateless stream-static
+    join; apply `topk_cut` per micro-batch via foreachBatch, exactly as
+    tests/test_pq.py's parity test does) or a batch frame (cut inline)."""
+    scored = similarity.ivfpq_probe(
+        incoming,
+        t.read(spark, "pq_coarse"),
+        t.read(spark, "pq_fine"),
+        t.read(spark, "pq_codes"),
+        nprobe=nprobe,
+        m=m,
+        sub_dim=sub_dim,
+        k=k,
+    )
+    return similarity.topk_cut(scored, topk) if topk is not None else scored
+
+
 if __name__ == "__main__":
     import tempfile
 
@@ -151,4 +217,8 @@ if __name__ == "__main__":
     t = build_index(spark, emb.filter(F.col("vec_id") >= 10), index_dir)
     out = query_index(spark, t, emb.filter(F.col("vec_id") < 10))
     out.show()
-    print(f"index committed under {index_dir}")
+    pq_t = build_pq_index(
+        spark, emb, emb.filter(F.col("vec_id") >= 10), index_dir + "_pq"
+    )
+    probe_pq_index(spark, pq_t, emb.filter(F.col("vec_id") < 10)).show()
+    print(f"indexes committed under {index_dir} and {index_dir}_pq")

@@ -282,3 +282,65 @@ def test_ivf_auto_size_consistency_and_auto_path(spark, sf_dir):
         emb, corpus, queries, topk=3, candidate_budget=None, n_cells=None
     ).collect()
     assert len(r3) == 9 and all(r.rank <= 3 for r in r3)
+
+
+def test_ivfpq_probe_stream_parity(spark, sf_dir, tmpdir):
+    """The persisted-index probe must reproduce the batch search EXACTLY:
+    (a) on a batch incoming frame, topk_cut(ivfpq_probe(...)) equals
+    ivfpq_topk row-for-row (same rounded distances, same tiebreaks);
+    (b) on a genuine stream of query vectors (parquet file source,
+    availableNow), per-micro-batch topk_cut emits the same rows."""
+    n_cells, nprobe, m, sub_dim, k, topk = 8, 3, 8, 8, 16, 5
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    # the persisted index: SAME train calls as ivfpq_topk's internals
+    d = m * sub_dim
+    coarse = S.pq_train(emb, m=1, sub_dim=d, k=n_cells, iters=2)
+    fine = S.pq_train(emb, m=m, sub_dim=sub_dim, k=k, iters=2)
+    cells = S.pq_encode(corpus, coarse, m=1, sub_dim=d).select(
+        "vec_id", F.element_at("codes", 1).alias("cell")
+    )
+    codes = S.pq_encode(corpus, fine, m=m, sub_dim=sub_dim)
+    idx = codes.join(cells, "vec_id").localCheckpoint()
+
+    want = sorted(
+        map(
+            tuple,
+            S.ivfpq_topk(
+                emb, corpus, queries, topk=topk, n_cells=n_cells, nprobe=nprobe
+            ).collect(),
+        )
+    )
+    got_batch = sorted(
+        map(
+            tuple,
+            S.topk_cut(
+                S.ivfpq_probe(queries, coarse, fine, idx, nprobe=nprobe),
+                topk,
+            ).collect(),
+        )
+    )
+    assert got_batch == want
+
+    # true stream: query vectors arrive as files; per-batch cut via
+    # foreachBatch is the documented usage
+    qdf = queries.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    path = str(tmpdir) + "/qstream"
+    qdf.write.mode("overwrite").parquet(path)
+    sdf = spark.readStream.schema(qdf.schema).parquet(path)
+    scored = S.ivfpq_probe(sdf, coarse, fine, idx, nprobe=nprobe)
+    out = []
+
+    def sink(batch_df, _bid):
+        out.extend(map(tuple, S.topk_cut(batch_df, topk).collect()))
+
+    q = (
+        scored.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmpdir) + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(out) == want

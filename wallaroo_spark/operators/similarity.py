@@ -1949,3 +1949,107 @@ def ivf_sizing_report(
             F.round(nprobe / n_cells.cast("double"), 4).alias("probe_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN probe (round 9): score an incoming stream against a
+# PERSISTED PQ/IVF-PQ index — the pq-codes sibling of semdedup_probe
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_probe(
+    incoming: DataFrame,
+    coarse: DataFrame,
+    fine: DataFrame,
+    codes_with_cells: DataFrame,
+    nprobe: int = 3,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    cell_col: str = "cell",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Probe a PERSISTED IVF-PQ index with INCOMING query vectors (batch
+    or stream): the pq-codes counterpart of `semdedup_probe`. The index
+    artifacts are static — coarse codebook (n_cells rows), fine codebook
+    (m*k rows), and the coded corpus (id, codes, cell); both codebooks
+    collapse to in-row literal expressions (the bounded-collect pattern),
+    so per incoming row everything is a pure map: probe-cell selection is
+    an in-row array_sort over n_cells (same rounded-distance + cell
+    tiebreak as the batch probe cut), the ADC table is an in-row keyed
+    map (m*k entries), and candidates come from a stream-static equi-join
+    on the cell id — no state, no watermark, Spark executes it per
+    micro-batch. Scoring is numerically IDENTICAL to `ivfpq_topk`'s
+    (same rounded folds), so a per-batch `topk_cut` reproduces the batch
+    search exactly (tests/test_pq.py parity).
+
+    Emits (query_id, vec_id, approx_dist) candidates — the top-k cut is
+    deliberately left to the caller (`topk_cut` per micro-batch via
+    foreachBatch, or a distance-threshold filter for a pure stateless
+    stream), because a global rank is not a per-row property.
+    """
+    crows = [
+        (int(r["cent_id"]), [float(x) for x in r["centroid"]])
+        for r in coarse.collect()
+    ]
+    frows = [
+        (int(r["sub"]), int(r["cent_id"]), [float(x) for x in r["centroid"]])
+        for r in fine.collect()
+    ]
+    if not crows or not frows:
+        raise ValueError("ivfpq_probe: empty coarse or fine codebook")
+    inc = incoming.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    cell_structs = [
+        F.struct(
+            F.round(
+                _sqdist(F.col("_v"), F.array(*[F.lit(x) for x in cv])), round_dp
+            ).alias("d"),
+            F.lit(cid).cast("long").alias("cell"),
+        )
+        for cid, cv in crows
+    ]
+    probes = F.slice(
+        F.array_sort(F.array(*cell_structs)), 1, min(nprobe, len(crows))
+    )
+    entries = []
+    for sub, cid, cv in frows:
+        sv = F.slice(F.col("_v"), sub * sub_dim + 1, sub_dim)
+        d = F.round(_sqdist(sv, F.array(*[F.lit(x) for x in cv])), round_dp)
+        entries.append(
+            F.struct(
+                F.lit(sub * k + cid).cast("int").alias("key"), d.alias("value")
+            )
+        )
+    probed = inc.select(
+        query_id,
+        F.map_from_entries(F.array(*entries)).alias("_tbl"),
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias(cell_col),
+    )
+    return probed.join(codes_with_cells, cell_col).select(
+        query_id, id_col, _adc_fold(m, k, round_dp)
+    )
+
+
+def topk_cut(
+    scored: DataFrame,
+    topk: int,
+    query_id: str = "query_id",
+    id_col: str = "vec_id",
+    dist_col: str = "approx_dist",
+) -> DataFrame:
+    """The per-query rank cut shared by every ANN search: rounded
+    distance, id tiebreak. On a stream, apply per micro-batch inside
+    foreachBatch (a query's candidates all arrive in its batch, so the
+    batch-local cut IS the global one)."""
+    w = Window.partitionBy(query_id).orderBy(F.col(dist_col), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id, id_col, dist_col, "rank")
+    )
