@@ -112,3 +112,46 @@ def test_scale_exponent_gate(spark):
         if exp >= EXP_BOUND:
             failures[name] = round(exp, 2)
     assert not failures, f"superlinear scale exponents (bound {EXP_BOUND}): {failures}"
+
+
+def test_recursive_hot_band_refinement(spark):
+    """Level-2 adversary: every row agrees on band 0 AND on the level-1
+    stride class-0 bits, so single-level refinement keeps one bucket of
+    size n (quadratic candidate mass); the block-stride level must break
+    it up while the pair OUTPUT stays exactly the uncapped engine's."""
+    import random
+
+    from wallaroo_spark.operators.dedup import _banded_table, hamming_pairs
+
+    random.seed(11)
+    d, bits, bands, cap, n = 4, 64, 5, 8, 240
+    stride = d + 1
+    band0 = 0xA5C  # bits 0-11 fixed
+    classmask = sum(1 << i for i in range(bits) if i % stride == 0)
+    rows = []
+    for i in range(n):
+        h = (random.getrandbits(52) << 12) | band0
+        h &= ~classmask
+        h |= classmask & 0x5555555555555555  # fixed class-0 bit values
+        rows.append((i, h - (1 << 64) if h >= (1 << 63) else h))
+    for i in range(n, n + 30):  # exact dups: their m^2 IS the output
+        rows.append((i, 0x7234567890ABCDE))
+    fp = spark.createDataFrame(rows, "doc_id long, ahash long")
+
+    def mass(levels):
+        tbl = _banded_table(fp, "ahash", d, bits, bands, "doc_id", cap, levels)
+        keys = ["band", "val", "sub", "subval", "sub2", "subval2"]
+        sizes = tbl.groupBy(*keys).count()
+        return sizes.agg(F.sum(F.col("count") * F.col("count"))).collect()[0][0]
+
+    m1, m2 = mass(1), mass(2)
+    # single-level: the aligned (band0, class0) bucket stays size n
+    assert m1 >= n * n, (m1, n * n)
+    # recursive level breaks it; only the exact-dup block stays quadratic
+    assert m2 < 0.25 * m1, (m2, m1)
+
+    base = sorted(map(tuple, hamming_pairs(
+        fp, "ahash", d, bits, bands, hot_band_cap=None).collect()))
+    capped = sorted(map(tuple, hamming_pairs(
+        fp, "ahash", d, bits, bands, hot_band_cap=cap).collect()))
+    assert base == capped and base

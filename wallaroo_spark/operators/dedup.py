@@ -491,13 +491,58 @@ def hamming_pairs(
     unchanged — <= d differing bits spoil <= d of the d+1 stride sub-bands,
     so a true pair still agrees on >= 1 — and stride bits are independent of
     the contiguous band bits, so a hot bucket splits by the rest of the
-    fingerprint instead of going quadratic. Rows with genuinely identical
-    fingerprints stay together (their m^2 IS the output). Cost when no
-    bucket is hot: one windowed count over the same (band, val) hash
-    partitioning the join shuffles on anyway. ``None`` disables.
+    fingerprint instead of going quadratic.
+
+    RECURSIVE refinement (round 9): a bucket can stay hot after stride
+    splitting when the corpus also aligns on a stride class (the adversary
+    fixes band bits AND the mod-(d+1) residue-class bits). Buckets still
+    above the cap re-bucket ONCE more on the BLOCK-STRIDE partition
+    (group g = bits {i : (i // (d+1)) % (d+1) == g}) — a third partition
+    of the bit positions disjoint from both the contiguous bands and the
+    level-1 stride classes; pigeonhole holds for ANY partition into d+1
+    groups, so losslessness is preserved (pinned by
+    tests/test_scale_gate.py and the level-2 adversarial test). Buckets
+    whose fingerprints are all IDENTICAL are never exploded at any level
+    (min == max check in the same partial agg): their m^2 pairs ARE the
+    output, and splitting would only multiply that same join work by
+    stride per level. For anything else still hot at level 2,
+    lsh_recall_audit is the measurement tool (the documented
+    cap-and-audit fallback). Cost when nothing is hot: two
+    partial-agg counts over keys the candidate join shuffles on anyway.
+    ``None`` disables.
     """
     if max_hamming >= bands:
         raise ValueError("banding is lossless only for max_hamming < bands")
+    bdf = _banded_table(fp, hash_col, max_hamming, bits, bands, id_col, hot_band_cap)
+    keys = ["band", "val", "sub", "subval", "sub2", "subval2"]
+    a = bdf.select(F.col(id_col).alias(out_a), F.col(hash_col).alias("_ha"), *keys)
+    b = bdf.select(F.col(id_col).alias(out_b), F.col(hash_col).alias("_hb"), *keys)
+    return (
+        a.join(b, keys)
+        .filter(F.col(out_a) < F.col(out_b))
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(out_a, out_b, "hamming")
+        .distinct()
+    )
+
+
+def _banded_table(
+    fp: DataFrame,
+    hash_col: str,
+    max_hamming: int,
+    bits: int,
+    bands: int,
+    id_col: str,
+    hot_band_cap: int | None,
+    levels: int = 2,
+) -> DataFrame:
+    """The keyed band table both join sides of hamming_pairs read: one row
+    per (id, band) plus the hot-bucket refinement explosions, keyed by
+    (band, val, sub, subval, sub2, subval2). ``levels`` caps the
+    refinement depth (1 = stride only, 2 = + block-stride) — split out so
+    tests can measure candidate mass (sum of m^2 over key groups) per
+    level."""
     width = bits // bands
     bdf = fp.select(
         id_col,
@@ -516,58 +561,89 @@ def hamming_pairs(
             )
         ).alias("bv"),
     ).select(id_col, hash_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-    if hot_band_cap is not None:
-        stride = max_hamming + 1
-        # Hot buckets found with a partial-agg count (map-side combine makes
-        # the shuffle tiny) rather than a window over the full band table —
-        # the band table then shuffles only once, for the candidate join.
-        # The hot relation is left UNHINTED: it is structurally small
-        # (<= rows/cap values survive the filter) so AQE broadcasts it, but
-        # at extreme corpus sizes it can legitimately exceed broadcast range
-        # and the planner falls back to a co-partitioned join on the same
-        # (band, val) keys.
-        hotvals = (
-            bdf.groupBy("band", "val")
-            .agg(F.count("*").alias("_bn"))
-            .filter(F.col("_bn") > F.lit(hot_band_cap))
-            .withColumn("_hot", F.lit(True))
-            .drop("_bn")
+    if hot_band_cap is None:
+        return (
+            bdf.withColumn("sub", F.lit(-1)).withColumn("subval", F.lit(0))
+            .withColumn("sub2", F.lit(-1)).withColumn("subval2", F.lit(0))
         )
-        bdf = (
-            bdf.join(hotvals, ["band", "val"], "left")
-            .withColumn(
-                "sub",
-                F.explode(
-                    F.when(
-                        F.col("_hot").isNotNull(),
-                        F.array(*[F.lit(j) for j in range(stride)]),
-                    ).otherwise(F.array(F.lit(-1)))
-                ),
-            )
-            .withColumn(
-                "subval",
-                F.when(F.col("sub") >= 0, _subval_switch(hash_col, stride, bits))
-                .otherwise(F.lit(0)),
-            )
-            .drop("_hot")
+    stride = max_hamming + 1
+    # Hot buckets found with a partial-agg count (map-side combine makes
+    # the shuffle tiny) rather than a window over the full band table —
+    # the band table then shuffles only once, for the candidate join.
+    # The hot relations are left UNHINTED: they are structurally small
+    # (<= rows/cap values survive the filter) so AQE broadcasts them, but
+    # at extreme corpus sizes they can legitimately exceed broadcast range
+    # and the planner falls back to a co-partitioned join on the same keys.
+    # A bucket whose fingerprints are ALL IDENTICAL (min == max) is
+    # irreducible — its m^2 pairs ARE the output and splitting it only
+    # multiplies the same join work by stride per level — so hotness
+    # requires >= 2 distinct hashes (one extra min/max in the same
+    # partial agg, no extra shuffle).
+    hotvals = (
+        bdf.groupBy("band", "val")
+        .agg(
+            F.count("*").alias("_bn"),
+            F.min(hash_col).alias("_h0"),
+            F.max(hash_col).alias("_h1"),
         )
-    else:
-        bdf = bdf.withColumn("sub", F.lit(-1)).withColumn("subval", F.lit(0))
-    a = bdf.select(
-        F.col(id_col).alias(out_a), F.col(hash_col).alias("_ha"), "band", "val",
-        "sub", "subval",
+        .filter((F.col("_bn") > F.lit(hot_band_cap)) & (F.col("_h0") != F.col("_h1")))
+        .withColumn("_hot", F.lit(True))
+        .select("band", "val", "_hot")
     )
-    b = bdf.select(
-        F.col(id_col).alias(out_b), F.col(hash_col).alias("_hb"), "band", "val",
-        "sub", "subval",
+    bdf = (
+        bdf.join(hotvals, ["band", "val"], "left")
+        .withColumn(
+            "sub",
+            F.explode(
+                F.when(
+                    F.col("_hot").isNotNull(),
+                    F.array(*[F.lit(j) for j in range(stride)]),
+                ).otherwise(F.array(F.lit(-1)))
+            ),
+        )
+        .withColumn(
+            "subval",
+            F.when(F.col("sub") >= 0, _subval_switch(hash_col, stride, bits))
+            .otherwise(F.lit(0)),
+        )
+        .drop("_hot")
+    )
+    if levels < 2:
+        return (
+            bdf.withColumn("sub2", F.lit(-1)).withColumn("subval2", F.lit(0))
+        )
+    # level 2: buckets STILL hot after stride splitting re-bucket on the
+    # block-stride partition (sub=-1 buckets are the original non-hot ones,
+    # already <= cap by construction)
+    hot2 = (
+        bdf.filter(F.col("sub") >= 0)
+        .groupBy("band", "val", "sub", "subval")
+        .agg(
+            F.count("*").alias("_bn"),
+            F.min(hash_col).alias("_h0"),
+            F.max(hash_col).alias("_h1"),
+        )
+        .filter((F.col("_bn") > F.lit(hot_band_cap)) & (F.col("_h0") != F.col("_h1")))
+        .withColumn("_hot2", F.lit(True))
+        .select("band", "val", "sub", "subval", "_hot2")
     )
     return (
-        a.join(b, ["band", "val", "sub", "subval"])
-        .filter(F.col(out_a) < F.col(out_b))
-        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select(out_a, out_b, "hamming")
-        .distinct()
+        bdf.join(hot2, ["band", "val", "sub", "subval"], "left")
+        .withColumn(
+            "sub2",
+            F.explode(
+                F.when(
+                    F.col("_hot2").isNotNull(),
+                    F.array(*[F.lit(g) for g in range(stride)]),
+                ).otherwise(F.array(F.lit(-1)))
+            ),
+        )
+        .withColumn(
+            "subval2",
+            F.when(F.col("sub2") >= 0, _blockval_switch(hash_col, stride, bits))
+            .otherwise(F.lit(0)),
+        )
+        .drop("_hot2")
     )
 
 
@@ -578,6 +654,33 @@ def _subval_switch(hash_col: str, stride: int, bits: int):
     for j in range(stride):
         expr = F.when(
             F.col("sub") == j, _stride_subband(F.col(hash_col), j, stride, bits)
+        ).otherwise(expr)
+    return expr.cast("long")
+
+
+def _block_subband(hash_col, g: int, stride: int, bits: int):
+    """Pack bits {i : (i // stride) % stride == g} — the level-2
+    block-stride partition: a partition of the bit positions into
+    ``stride`` groups disjoint from both the contiguous bands and the
+    level-1 stride classes (any such partition keeps pigeonhole
+    losslessness). Pure Column bit math."""
+    out, n = None, 0
+    for i in range(bits):
+        if (i // stride) % stride == g:
+            bit = F.shiftright(hash_col, i).bitwiseAND(F.lit(1))
+            term = bit if n == 0 else F.shiftleft(bit, n)
+            out = term if out is None else out + term
+            n += 1
+    return (out if out is not None else F.lit(0)).cast("long")
+
+
+def _blockval_switch(hash_col: str, stride: int, bits: int):
+    """CASE over the exploded sub2 index -> that block-stride group's
+    packed value (computed only for level-2 hot-bucket rows)."""
+    expr = F.lit(0)
+    for g in range(stride):
+        expr = F.when(
+            F.col("sub2") == g, _block_subband(F.col(hash_col), g, stride, bits)
         ).otherwise(expr)
     return expr.cast("long")
 
