@@ -111,6 +111,10 @@ HEADLINE = [
     "corpus_snapshot_drift",
     "windowed_corpus_drift",
     "readability_signals",
+    # round-9 additions
+    "ann_recall_audit",
+    "opq_recall_audit",
+    "ivf_sizing_report",
 ]
 
 
