@@ -154,27 +154,42 @@ def build_pq_index(
     m: int = 8,
     sub_dim: int = 8,
     k: int = 16,
+    opq: bool = False,
 ):
     """Commit the compressed IVF-PQ index: coarse codebook (n_cells
     rows), fine codebook (m*k rows), and the coded corpus
     (vec_id, codes, cell — 4 bytes/vector at this geometry) in ONE
     MultiManifestTable transaction. At 100 TB the codes table is the only
-    corpus-sized artifact; both codebooks are broadcast-sized forever."""
+    corpus-sized artifact; both codebooks are broadcast-sized forever.
+
+    ``opq=True`` fits the OPQ-lite variance-balancing permutation on the
+    train set, encodes the PERMUTED vectors, and commits the permutation
+    as a fourth table in the SAME transaction — the rotation is part of
+    the index (codes are meaningless without it), so it must version
+    atomically with the codebooks; `probe_pq_index` applies it to
+    incoming queries automatically."""
     d = m * sub_dim
+    tables = {}
+    if opq:
+        perm = similarity.opq_fit_permutation(train, m=m, sub_dim=sub_dim)
+        train = similarity.apply_dim_permutation(train, perm)
+        corpus = similarity.apply_dim_permutation(corpus, perm)
+        tables["pq_perm"] = perm
     coarse = similarity.pq_train(train, m=1, sub_dim=d, k=n_cells, iters=2)
     fine = similarity.pq_train(train, m=m, sub_dim=sub_dim, k=k, iters=2)
     cells = similarity.pq_encode(corpus, coarse, m=1, sub_dim=d).select(
         "vec_id", F.element_at("codes", 1).alias("cell")
     )
     codes = similarity.pq_encode(corpus, fine, m=m, sub_dim=sub_dim)
-    t = MultiManifestTable(index_dir)
-    t.append_multi(
+    tables.update(
         {
             "pq_coarse": coarse,
             "pq_fine": fine,
             "pq_codes": codes.join(cells, "vec_id"),
         }
     )
+    t = MultiManifestTable(index_dir)
+    t.append_multi(tables)
     return t
 
 
@@ -191,7 +206,13 @@ def probe_pq_index(
     """Score incoming query vectors against the persisted PQ index —
     `incoming` may be a STREAM (the probe is a stateless stream-static
     join; apply `topk_cut` per micro-batch via foreachBatch, exactly as
-    tests/test_pq.py's parity test does) or a batch frame (cut inline)."""
+    tests/test_pq.py's parity test does) or a batch frame (cut inline).
+    An OPQ index (pq_perm table present) permutes incoming vectors first
+    — in-row, stream-safe."""
+    if t.table_files("pq_perm"):
+        incoming = similarity.apply_dim_permutation(
+            incoming, t.read(spark, "pq_perm")
+        )
     scored = similarity.ivfpq_probe(
         incoming,
         t.read(spark, "pq_coarse"),

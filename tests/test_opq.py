@@ -119,3 +119,61 @@ def test_opq_permutation_improves_recall_on_anisotropic(spark):
     )
     opq = _pq_recall(permuted, n_queries, topk, m, sub_dim, k, truth)
     assert opq >= plain + 0.15, f"opq {opq:.2f} vs plain {plain:.2f}"
+
+
+def test_opq_index_build_probe_parity(spark, tmpdir):
+    """An OPQ index commits the permutation WITH the codebooks; probing
+    it must equal running ivfpq_topk on manually-permuted inputs — and
+    the probe must apply the permutation to a genuine stream too."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import ann_index
+
+    from pyspark.sql import functions as F
+
+    from wallaroo_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 4)
+
+    t = ann_index.build_pq_index(
+        spark, emb, corpus, str(tmpdir) + "/opq_idx", opq=True
+    )
+    assert t.table_files("pq_perm")
+    got = sorted(map(tuple, ann_index.probe_pq_index(
+        spark, t, queries, nprobe=3, topk=4).collect()))
+
+    perm = S.opq_fit_permutation(emb)
+    p_emb = S.apply_dim_permutation(emb, perm)
+    want = sorted(map(tuple, S.ivfpq_topk(
+        p_emb,
+        p_emb.filter(F.col("vec_id") >= 10),
+        p_emb.filter(F.col("vec_id") < 4),
+        topk=4, n_cells=8, nprobe=3,
+    ).collect()))
+    assert got == want
+
+    # streaming probe through the same OPQ index
+    qdf = queries.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    path = str(tmpdir) + "/opq_qs"
+    qdf.write.mode("overwrite").parquet(path)
+    sdf = spark.readStream.schema(qdf.schema).parquet(path)
+    out = []
+
+    def sink(batch_df, _bid):
+        out.extend(map(tuple, S.topk_cut(batch_df, 4).collect()))
+
+    q = (
+        ann_index.probe_pq_index(spark, t, sdf, nprobe=3, topk=None)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmpdir) + "/opq_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(out) == want

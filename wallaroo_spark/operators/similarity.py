@@ -1864,7 +1864,21 @@ def apply_dim_permutation(
     """Rearrange every vector by the learned permutation, in-row: the d-row
     permutation collapses to ONE broadcast array row (sorted-collect), and
     each vector applies it with a transform + element_at — no shuffle, no
-    per-vector join, scan speed at any corpus size."""
+    per-vector join, scan speed at any corpus size. On a STREAMING ``df``
+    the bounded permutation collects to a literal array instead (the
+    semdedup_probe pattern), keeping the stage a pure stateless map."""
+    if df.isStreaming:
+        order = sorted(
+            (int(r["new_pos"]), int(r["src_dim"])) for r in perm.collect()
+        )
+        parr_col = F.array(*[F.lit(s) for _, s in order])
+        return df.withColumn(
+            vec_col,
+            F.transform(
+                parr_col,
+                lambda p: F.element_at(F.col(vec_col).cast("array<double>"), p),
+            ),
+        )
     parr = perm.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("new_pos", "src_dim"))),
