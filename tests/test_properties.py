@@ -574,3 +574,28 @@ def test_pack_manifest_sequences_exactly_full():
             covered += n
         assert covered == want[doc]
     assert set(doc_tokens) == set(want)
+
+
+def test_lsh_tune_rule():
+    """The S-curve rule: midpoint monotone in the banding (more rows ->
+    higher midpoint), recommendations move with the threshold, and
+    invalid inputs fail loudly."""
+    import pytest
+
+    from wallaroo_spark.operators.dedup import lsh_tune
+
+    assert (lsh_tune(0.9)["bands"], lsh_tune(0.9)["rows"]) == (2, 8)
+    assert (lsh_tune(0.7)["bands"], lsh_tune(0.7)["rows"]) == (4, 4)
+    assert (lsh_tune(0.3)["bands"], lsh_tune(0.3)["rows"]) == (8, 2)
+    # midpoint rises with rows for fixed n_perm
+    mids = [lsh_tune(t)["s50"] for t in (0.1, 0.4, 0.75, 0.95)]
+    assert mids == sorted(mids)
+    for bad in (0.0, 1.0, -1, 2):
+        with pytest.raises(ValueError):
+            lsh_tune(bad)
+    # the operator rejects bandings that exceed the permutation budget
+    # (guard fires before any DataFrame work)
+    from wallaroo_spark.operators.dedup import minhash_lsh_pairs
+
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(None, bands=8, rows=4)

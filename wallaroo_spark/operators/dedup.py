@@ -244,21 +244,59 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def lsh_tune(threshold: float, n_perm: int = H.N_PERM) -> dict:
+    """Choose the (bands, rows) banding for MinHash(n_perm) LSH at a
+    target Jaccard threshold — the MMDS S-curve rule: pick the divisor
+    pair whose curve midpoint (1/b)^(1/r) sits closest to the threshold,
+    tiebreaking toward higher catch probability 1-(1-t^r)^b AT the
+    threshold. The tunability companion of ivf_auto_size: the default
+    4x4 is the t~0.5 dedup geometry; a t=0.7 near-dup pass wants 2x8.
+    Returns {bands, rows, s50, p_catch} (floats 4dp, matching the
+    lsh_tuning_report oracle)."""
+    if not 0 < threshold < 1:
+        raise ValueError(f"lsh_tune: threshold must be in (0,1), got {threshold}")
+    best = None
+    for r in range(1, n_perm + 1):
+        if n_perm % r:
+            continue
+        b = n_perm // r
+        s50 = (1.0 / b) ** (1.0 / r)
+        p = 1.0 - (1.0 - threshold**r) ** b
+        key = (abs(s50 - threshold), -p, b)
+        if best is None or key < best[0]:
+            best = (key, {"bands": b, "rows": r,
+                          "s50": round(s50, 4), "p_catch": round(p, 4)})
+    return best[1]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text: str = "text",
     threshold: float = 0.5,
     shingles_df: DataFrame | None = None,
+    bands: int | None = None,
+    rows: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, verified with exact shingle Jaccard.
 
-    Bands of 4 rows: candidates = equal on any band; then exact verify >=
-    threshold. Linear shuffles; never all-pairs.
+    Default banding is 4 bands of 4 rows (the t~0.5 dedup geometry);
+    pass ``bands``/``rows`` (b*r <= N_PERM — e.g. lsh_tune(threshold))
+    to move the S-curve midpoint for other thresholds. Candidates =
+    equal on any band; then exact verify >= threshold. Linear shuffles;
+    never all-pairs — and the verify makes every banding choice a
+    RECALL dial only, never a correctness one.
 
     ``shingles_df``: optional pre-computed persisted ``doc_shingles`` table
     shared with other similarity passes (caller owns its cache lifecycle).
     """
+    n_bands = bands if bands is not None else H.LSH_BANDS
+    n_rows = rows if rows is not None else H.LSH_ROWS
+    if n_bands * n_rows > H.N_PERM:
+        raise ValueError(
+            f"minhash_lsh_pairs: bands*rows = {n_bands * n_rows} exceeds "
+            f"the {H.N_PERM} available minhash permutations"
+        )
     sigs = minhash_signatures(df, id_col, text, shingles_df=shingles_df)
     # one row per (doc, band), the band signature PACKED into a single
     # xxhash64 long (band id folded into the hash): a single self-equi-join
@@ -274,9 +312,9 @@ def minhash_lsh_pairs(
                 *[
                     F.xxhash64(
                         F.lit(b),
-                        *[F.col(f"mh{b * H.LSH_ROWS + r}") for r in range(H.LSH_ROWS)],
+                        *[F.col(f"mh{b * n_rows + r}") for r in range(n_rows)],
                     )
-                    for b in range(H.LSH_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("sig"),

@@ -809,10 +809,12 @@ def _minhash_sig_sql() -> str:
     """
 
 
-def _minhash_band_joins() -> str:
+def _minhash_band_joins(bands: int | None = None, rows: int | None = None) -> str:
+    n_bands = bands if bands is not None else H.LSH_BANDS
+    n_rows = rows if rows is not None else H.LSH_ROWS
     parts = []
-    for b in range(H.LSH_BANDS):
-        cols = [f"mh{b * H.LSH_ROWS + r}" for r in range(H.LSH_ROWS)]
+    for b in range(n_bands):
+        cols = [f"mh{b * n_rows + r}" for r in range(n_rows)]
         cond = " AND ".join(f"a.{c} = b.{c}" for c in cols)
         parts.append(
             f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b"
@@ -6220,3 +6222,103 @@ def ivf_sizing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand-tuned literals. Pure Column math over one count aggregate."""
     emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 10)
     return similarity.ivf_sizing_report(emb)
+
+
+@query(
+    "lsh_tuning_report",
+    oracle=f"""
+    WITH g AS (SELECT unnest(generate_series(1, {H.N_PERM})) AS rows),
+    pairs AS (SELECT CAST({H.N_PERM} // rows AS INT) AS bands, CAST(rows AS INT) AS rows
+              FROM g WHERE {H.N_PERM} % rows = 0),
+    scored AS (SELECT bands, rows,
+                      round(pow(1.0 / bands, 1.0 / rows), 4) AS s50,
+                      round(1.0 - pow(1.0 - pow(0.5, rows), bands), 4) AS p_catch_t50,
+                      round(1.0 - pow(1.0 - pow(0.7, rows), bands), 4) AS p_catch_t70,
+                      round(1.0 - pow(1.0 - pow(0.9, rows), bands), 4) AS p_catch_t90,
+                      abs(pow(1.0 / bands, 1.0 / rows) - 0.5) AS _d,
+                      1.0 - pow(1.0 - pow(0.5, rows), bands) AS _p
+               FROM pairs),
+    best AS (SELECT bands AS bb FROM scored
+             ORDER BY _d, -_p, bands LIMIT 1)
+    SELECT bands, rows, s50, p_catch_t50, p_catch_t70, p_catch_t90,
+           (bands = best.bb) AS recommended_t50
+    FROM scored, best ORDER BY rows
+    """,
+)
+def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curves (`dedup.lsh_tune`): for every divisor pair
+    (b, r) of the 16 minhash permutations, the curve midpoint
+    (1/b)^(1/r) and the catch probability 1-(1-t^r)^b at t = 0.5/0.7/0.9,
+    with the t=0.5 recommendation flagged — the tunability artifact that
+    makes minhash_lsh_pairs' bands/rows dial an informed choice instead
+    of folklore (the verify stage makes banding a recall dial only, so
+    this table IS the whole tradeoff). Pure math, constant size."""
+    n = H.N_PERM
+    df = (
+        spark.range(1, n + 1)
+        .toDF("rows")
+        .filter((F.lit(n) % F.col("rows")) == 0)
+        .select(
+            (F.lit(n) / F.col("rows")).cast("int").alias("bands"),
+            F.col("rows").cast("int").alias("rows"),
+        )
+    )
+    s50 = F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows"))
+    def catch(t):
+        return 1.0 - F.pow(1.0 - F.pow(F.lit(t), F.col("rows")), F.col("bands"))
+    scored = df.select(
+        "bands", "rows",
+        F.round(s50, 4).alias("s50"),
+        F.round(catch(0.5), 4).alias("p_catch_t50"),
+        F.round(catch(0.7), 4).alias("p_catch_t70"),
+        F.round(catch(0.9), 4).alias("p_catch_t90"),
+        F.abs(s50 - 0.5).alias("_d"),
+        catch(0.5).alias("_p"),
+    )
+    best = scored.agg(
+        F.min_by(F.col("bands"), F.struct(F.col("_d"), -F.col("_p"), F.col("bands"))).alias("bb")
+    )
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            "bands", "rows", "s50", "p_catch_t50", "p_catch_t70", "p_catch_t90",
+            (F.col("bands") == F.col("bb")).alias("recommended_t50"),
+        )
+        .orderBy("rows")
+    )
+
+
+@query(
+    "minhash_lsh_pairs_tuned90",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    cand AS ({_minhash_band_joins(bands=2, rows=8)}),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b USING (sh)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    j AS (SELECT i.doc_a, i.doc_b,
+                 round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+          FROM inter i
+          JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+          JOIN sz sa ON sa.doc_id = i.doc_a
+          JOIN sz sb ON sb.doc_id = i.doc_b)
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.9
+    """,
+)
+def minhash_lsh_pairs_tuned90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH with a TUNED banding: at threshold 0.9 the S-curve
+    rule (`dedup.lsh_tune(0.9)` -> 2 bands x 8 rows, midpoint 0.917 vs
+    the default 4x4's 0.707) trades candidate volume for selectivity —
+    8-row bands fire only on much more similar pairs, shrinking the
+    candidate join on a near-dup-heavy corpus. Exercises the generalized
+    bands/rows path of `dedup.minhash_lsh_pairs`; the exact-Jaccard
+    verify keeps the banding a recall dial, and the oracle replays the
+    2x8 band joins literally."""
+    b = dedup.lsh_tune(0.9)
+    assert (b["bands"], b["rows"]) == (2, 8), b
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.9,
+        bands=b["bands"], rows=b["rows"],
+    )
