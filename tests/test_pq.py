@@ -344,3 +344,29 @@ def test_ivfpq_probe_stream_parity(spark, sf_dir, tmpdir):
     )
     q.awaitTermination(180)
     assert sorted(out) == want
+
+
+def test_pq_packed_codes_roundtrip_and_parity(spark, sf_dir):
+    """Packing is a bijection (codes recover exactly from the word) and
+    the packed ADC scan reproduces pq_topk row-for-row; over-width
+    geometries fail loudly."""
+    import pytest
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = S.pq_train(emb, iters=1)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 5)
+    codes = S.pq_encode(corpus, cb).localCheckpoint()
+    packed = S.pq_pack_codes(codes)
+
+    words = {r.vec_id: r.code_word for r in packed.collect()}
+    for r in codes.collect():
+        w = words[r.vec_id]
+        assert [(w >> (4 * j)) & 15 for j in range(8)] == list(r.codes)
+
+    want = sorted(map(tuple, S.pq_topk(codes, cb, queries, topk=7).collect()))
+    got = sorted(map(tuple, S.pq_topk_packed(packed, cb, queries, topk=7).collect()))
+    assert got == want
+
+    with pytest.raises(ValueError):
+        S.pq_pack_codes(codes, m=16, k=16)  # 64 bits: one past the BIGINT budget

@@ -6322,3 +6322,23 @@ def minhash_lsh_pairs_tuned90(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), threshold=0.9,
         bands=b["bands"], rows=b["rows"],
     )
+
+
+@query("pq_topk_packed_adc", oracle=_pq_oracle())
+def pq_topk_packed_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PACKED one-integer code words
+    (`similarity.pq_pack_codes` / `pq_topk_packed`): the production
+    storage form — at the default 8x16 geometry the whole vector is a
+    single INT32 (the literal 4-byte claim; an array<int> codes column
+    carries ~10x that even bit-packed in parquet), and the scan extracts
+    each code with a shift+mask inside the same rounded fold. Packing is
+    a bijection on exact integers (roundtrip pinned by tests/test_pq.py),
+    so the output — and therefore the oracle — is exactly pq_topk_adc's;
+    the replay chain is shared deliberately."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train(emb, iters=2)
+    codes = similarity.pq_encode(emb.filter(F.col("vec_id") >= 10), cb)
+    packed = similarity.pq_pack_codes(codes)
+    return similarity.pq_topk_packed(
+        packed, cb, emb.filter(F.col("vec_id") < 10), topk=3
+    )
