@@ -6342,3 +6342,79 @@ def pq_topk_packed_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk_packed(
         packed, cb, emb.filter(F.col("vec_id") < 10), topk=3
     )
+
+
+def _clf_calibration_oracle(bins: int = 10) -> str:
+    """Replay the trained classifier (nested _clf_oracle chain), then the
+    reliability binning: fixed-width probability bins over the 4dp-rounded
+    clf_prob, per-bin mean prob vs positive rate, and the expected
+    calibration error folded from the same rounded gaps."""
+    return f"""
+    WITH sc AS ({_clf_oracle()}),
+    lab AS (SELECT doc_id,
+                   CAST(list_contains({_TOKS_SQL}, 'vector') AS INT) AS y
+            FROM documents WHERE len({_TOKS_SQL}) > 0),
+    b AS (SELECT least(CAST(floor(s.clf_prob * {bins}) AS INT), {bins - 1}) AS bin,
+                 s.clf_prob, l.y
+          FROM sc s JOIN lab l USING (doc_id)),
+    per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(clf_prob), 4) AS avg_prob,
+                   round(avg(y), 4) AS frac_pos
+            FROM b GROUP BY bin),
+    tot AS (SELECT round(sum(n * abs(avg_prob - frac_pos)) / sum(n), 4) AS ece
+            FROM per)
+    SELECT per.bin, per.n, per.avg_prob, per.frac_pos,
+           round(abs(per.avg_prob - per.frac_pos), 4) AS gap,
+           tot.ece AS ece
+    FROM per, tot ORDER BY per.bin
+    """
+
+
+@query("classifier_calibration_report", oracle=_clf_calibration_oracle())
+def classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the trained
+    quality classifier — the eval step between training a filter and
+    TRUSTING its probabilities as sampling weights (a miscalibrated
+    filter silently skews the kept corpus; ECE is the one-number summary
+    every data-filtering report should carry). Ten fixed-width bins over
+    the predicted probability: (bin, n, avg_prob, frac_pos, gap, ece).
+
+    Scale shape: scoring is the in-row broadcast-model pass; the
+    reliability table is ONE bounded groupBy (<= bins rows) plus a
+    broadcast one-row ECE — nothing corpus-sized moves. The oracle
+    replays training, scoring, binning, and the ECE fold."""
+    from wallaroo_spark.operators import inference as _inf
+    from wallaroo_spark.operators.text import tokens as _tk
+
+    bins = 10
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.withColumn(
+        "y", F.array_contains(_tk(F.col("text")), "vector").cast("int")
+    )
+    model = _inf.linear_classifier_fit(train, "y")
+    scored = _inf.linear_classifier_score(train, model)
+    binned = scored.withColumn(
+        "bin",
+        F.least(F.floor(F.col("clf_prob") * bins), F.lit(bins - 1)).cast("int"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("clf_prob"), 4).alias("avg_prob"),
+        F.round(F.avg("y"), 4).alias("frac_pos"),
+    )
+    tot = per.agg(
+        F.round(
+            F.sum(F.col("n") * F.abs(F.col("avg_prob") - F.col("frac_pos")))
+            / F.sum("n"),
+            4,
+        ).alias("ece")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "n", "avg_prob", "frac_pos",
+            F.round(F.abs(F.col("avg_prob") - F.col("frac_pos")), 4).alias("gap"),
+            "ece",
+        )
+        .orderBy("bin")
+    )
