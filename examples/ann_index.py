@@ -155,6 +155,7 @@ def build_pq_index(
     sub_dim: int = 8,
     k: int = 16,
     opq: bool = False,
+    packed: bool = True,
 ):
     """Commit the compressed IVF-PQ index: coarse codebook (n_cells
     rows), fine codebook (m*k rows), and the coded corpus
@@ -181,6 +182,8 @@ def build_pq_index(
         "vec_id", F.element_at("codes", 1).alias("cell")
     )
     codes = similarity.pq_encode(corpus, fine, m=m, sub_dim=sub_dim)
+    if packed:  # one INT32-sized word per vector — the production store
+        codes = similarity.pq_pack_codes(codes, m=m, k=k)
     tables.update(
         {
             "pq_coarse": coarse,

@@ -304,6 +304,7 @@ def test_ivfpq_probe_stream_parity(spark, sf_dir, tmpdir):
     )
     codes = S.pq_encode(corpus, fine, m=m, sub_dim=sub_dim)
     idx = codes.join(cells, "vec_id").localCheckpoint()
+    idx_packed = S.pq_pack_codes(codes, m=m, k=k).join(cells, "vec_id").localCheckpoint()
 
     want = sorted(
         map(
@@ -323,6 +324,16 @@ def test_ivfpq_probe_stream_parity(spark, sf_dir, tmpdir):
         )
     )
     assert got_batch == want
+    got_packed = sorted(
+        map(
+            tuple,
+            S.topk_cut(
+                S.ivfpq_probe(queries, coarse, fine, idx_packed, nprobe=nprobe),
+                topk,
+            ).collect(),
+        )
+    )
+    assert got_packed == want
 
     # true stream: query vectors arrive as files; per-batch cut via
     # foreachBatch is the documented usage

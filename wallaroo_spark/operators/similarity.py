@@ -1996,7 +1996,10 @@ def ivfpq_probe(
     tiebreak as the batch probe cut), the ADC table is an in-row keyed
     map (m*k entries), and candidates come from a stream-static equi-join
     on the cell id — no state, no watermark, Spark executes it per
-    micro-batch. Scoring is numerically IDENTICAL to `ivfpq_topk`'s
+    micro-batch. ``codes_with_cells`` may carry either the array codes
+    (``codes``) or the packed one-integer form (``code_word`` from
+    pq_pack_codes — the production storage); distances are bit-identical
+    either way. Scoring is numerically IDENTICAL to `ivfpq_topk`'s
     (same rounded folds), so a per-batch `topk_cut` reproduces the batch
     search exactly (tests/test_pq.py parity).
 
@@ -2045,9 +2048,23 @@ def ivfpq_probe(
         F.map_from_entries(F.array(*entries)).alias("_tbl"),
         F.explode(F.transform(probes, lambda s: s["cell"])).alias(cell_col),
     )
-    return probed.join(codes_with_cells, cell_col).select(
-        query_id, id_col, _adc_fold(m, k, round_dp)
-    )
+    joined = probed.join(codes_with_cells, cell_col)
+    if "code_word" in codes_with_cells.columns:
+        # packed index (pq_pack_codes): unpack per subspace with a static
+        # shift+mask — same left-to-right fold, bit-identical distances
+        bits = max(1, (k - 1).bit_length())
+        mask = (1 << bits) - 1
+        dist = None
+        for j in range(m):
+            code_j = F.shiftright(F.col("code_word"), j * bits).bitwiseAND(
+                F.lit(mask)
+            )
+            t = F.element_at(F.col("_tbl"), (F.lit(j * k) + code_j).cast("int"))
+            dist = t if dist is None else dist + t
+        return joined.select(
+            query_id, id_col, F.round(dist, round_dp).alias("approx_dist")
+        )
+    return joined.select(query_id, id_col, _adc_fold(m, k, round_dp))
 
 
 def topk_cut(
