@@ -6418,3 +6418,77 @@ def classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bin")
     )
+
+
+def _clf_threshold_oracle() -> str:
+    """Replay classifier training/scoring (nested _clf_oracle), then the
+    operating-point sweep: for each candidate threshold, the confusion
+    counts and P/R/F1 from ONE pass (cross join with the 9-row threshold
+    list, conditional sums)."""
+    return f"""
+    WITH sc AS ({_clf_oracle()}),
+    lab AS (SELECT doc_id,
+                   CAST(list_contains({_TOKS_SQL}, 'vector') AS INT) AS y
+            FROM documents WHERE len({_TOKS_SQL}) > 0),
+    j AS (SELECT s.clf_prob, l.y FROM sc s JOIN lab l USING (doc_id)),
+    th AS (SELECT round(g.g * 0.1, 1) AS threshold
+           FROM (SELECT unnest(generate_series(1, 9)) AS g) g),
+    cm AS (SELECT t.threshold,
+                  sum(CASE WHEN j.clf_prob >= t.threshold AND j.y = 1 THEN 1 ELSE 0 END) AS tp,
+                  sum(CASE WHEN j.clf_prob >= t.threshold AND j.y = 0 THEN 1 ELSE 0 END) AS fp,
+                  sum(CASE WHEN j.clf_prob < t.threshold AND j.y = 1 THEN 1 ELSE 0 END) AS fn,
+                  sum(CASE WHEN j.clf_prob < t.threshold AND j.y = 0 THEN 1 ELSE 0 END) AS tn
+           FROM j, th t GROUP BY t.threshold)
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round(tp / greatest(tp + fp, 1)::DOUBLE, 4) AS precision,
+           round(tp / greatest(tp + fn, 1)::DOUBLE, 4) AS recall,
+           round(2.0 * tp / greatest(2 * tp + fp + fn, 1)::DOUBLE, 4) AS f1
+    FROM cm ORDER BY threshold
+    """
+
+
+@query("classifier_threshold_sweep", oracle=_clf_threshold_oracle())
+def classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for the trained quality classifier: per
+    candidate threshold 0.1..0.9, the confusion counts and
+    precision/recall/F1 — how a data-filtering deployment picks its cut
+    (keep-rate vs purity is THE filtering tradeoff; the calibration
+    report says whether the probabilities are trustworthy, this one says
+    where to cut them). One corpus pass: scored docs cross-join the
+    9-row threshold list and the confusion matrix falls out of
+    conditional sums (map-side combined, <= 9 rows out)."""
+    from wallaroo_spark.operators import inference as _inf
+    from wallaroo_spark.operators.text import tokens as _tk
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.withColumn(
+        "y", F.array_contains(_tk(F.col("text")), "vector").cast("int")
+    )
+    model = _inf.linear_classifier_fit(train, "y")
+    scored = _inf.linear_classifier_score(train, model)
+    th = spark.range(1, 10).select(
+        F.round(F.col("id") * 0.1, 1).alias("threshold")
+    )
+    hit = F.col("clf_prob") >= F.col("threshold")
+    cm = (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum((hit & (F.col("y") == 1)).cast("long")).alias("tp"),
+            F.sum((hit & (F.col("y") == 0)).cast("long")).alias("fp"),
+            F.sum((~hit & (F.col("y") == 1)).cast("long")).alias("fn"),
+            F.sum((~hit & (F.col("y") == 0)).cast("long")).alias("tn"),
+        )
+    )
+    p = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)).cast("double")
+    r = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)).cast("double")
+    f1 = (2 * F.col("tp")) / F.greatest(
+        2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)
+    ).cast("double")
+    return cm.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        F.round(p, 4).alias("precision"),
+        F.round(r, 4).alias("recall"),
+        F.round(f1, 4).alias("f1"),
+    ).orderBy("threshold")
