@@ -2174,3 +2174,53 @@ def pq_topk_packed(
         .filter(F.col("rank") <= topk)
         .select(query_id, id_col, "approx_dist", "rank")
     )
+
+
+def pq_distortion_report(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Quantization-distortion report for a PQ codebook — the OPQ
+    objective measured directly: per-subspace mean squared reconstruction
+    error (the assigned-centroid error IS the min distance, so no
+    join-back to codes is needed), their ordered-fold total, and the
+    max/min subspace imbalance the eigenvalue-allocation step exists to
+    flatten. One broadcast-codebook scan + a bounded (m-row) aggregate;
+    totals fold in sub order so the oracle replays bit-for-bit.
+    Returns one row: (recon_mse, sub_mse_max, sub_mse_min, imbalance)."""
+    sv = _pq_subvecs(corpus, m, sub_dim, id_col, vec_col)
+    cb = codebook.select("sub", "cent_id", F.col("centroid").alias("_cv"))
+    errs = (
+        sv.join(F.broadcast(cb), "sub")
+        .select(
+            id_col,
+            "sub",
+            F.round(_sqdist(F.col("_sv"), F.col("_cv")), round_dp).alias("_d"),
+        )
+        .groupBy(id_col, "sub")
+        .agg(F.min("_d").alias("_e"))
+    )
+    per = errs.groupBy("sub").agg(
+        F.round(F.avg("_e"), round_dp).alias("sub_mse")
+    )
+    return per.agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "sub_mse"))),
+                    lambda s: s["sub_mse"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("recon_mse"),
+        F.round(F.max("sub_mse"), 4).alias("sub_mse_max"),
+        F.round(F.min("sub_mse"), 4).alias("sub_mse_min"),
+        F.round(F.max("sub_mse") / F.min("sub_mse"), 4).alias("imbalance"),
+    )

@@ -5364,23 +5364,12 @@ def _pq_sqd_sql(a: str, b: str, ds: int = 8) -> str:
     )
 
 
-def _pq_oracle(
-    m: int = 8,
-    ds: int = 8,
-    k: int = 16,
-    iters: int = 2,
-    topk: int = 3,
-    rerank_shortlist: int | None = None,
-    e_sql: str | None = None,
-) -> str:
-    """Replay pq_train/pq_encode/pq_topk in SQL: salted-hash seeds, per-
-    subspace Lloyd steps with 6dp-rounded argmin, code assignment, and the
-    ADC scan — every rounding at the same point as the engine. With
-    ``rerank_shortlist``, the final block instead replays the two-stage
-    pipeline: ADC shortlist -> exact full-vector L2 re-rank (pq_topk_rerank).
-    ``e_sql`` overrides the vector source (must yield vec_id, v DOUBLE[]) —
-    the hook the OPQ arms use to feed rotated/permuted vectors through the
-    SAME replay chain."""
+def _pq_train_blocks(
+    m: int, ds: int, k: int, iters: int, e_sql: str | None = None
+) -> list[str]:
+    """The shared pq_train replay blocks (e/seeds/cb0/sv + the Lloyd
+    iterations up to cb{iters}) — used by the search oracles AND the
+    distortion oracle."""
     sqd = _pq_sqd_sql
     e_def = e_sql or "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
     blocks = [f"""
@@ -5411,6 +5400,28 @@ def _pq_oracle(
               FROM dm{i} GROUP BY 1, 2, 3),
     cb{i + 1} AS MATERIALIZED (SELECT sub, cent_id, list(mv ORDER BY dim) AS cv
               FROM mn{i} GROUP BY sub, cent_id)""")
+    return blocks
+
+
+def _pq_oracle(
+    m: int = 8,
+    ds: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    topk: int = 3,
+    rerank_shortlist: int | None = None,
+    e_sql: str | None = None,
+) -> str:
+    """Replay pq_train/pq_encode/pq_topk in SQL: salted-hash seeds, per-
+    subspace Lloyd steps with 6dp-rounded argmin, code assignment, and the
+    ADC scan — every rounding at the same point as the engine. With
+    ``rerank_shortlist``, the final block instead replays the two-stage
+    pipeline: ADC shortlist -> exact full-vector L2 re-rank (pq_topk_rerank).
+    ``e_sql`` overrides the vector source (must yield vec_id, v DOUBLE[]) —
+    the hook the OPQ arms use to feed rotated/permuted vectors through the
+    SAME replay chain."""
+    sqd = _pq_sqd_sql
+    blocks = _pq_train_blocks(m, ds, k, iters, e_sql)
     blocks.append(f"""
     corp AS (SELECT * FROM sv WHERE vec_id >= 10),
     codes AS (SELECT vec_id, sub, cent_id FROM (
@@ -6492,3 +6503,78 @@ def classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r, 4).alias("recall"),
         F.round(f1, 4).alias("f1"),
     ).orderBy("threshold")
+
+
+def _pq_distortion_sql(
+    m: int = 8, ds: int = 8, k: int = 16, iters: int = 2,
+    e_sql: str | None = None,
+) -> str:
+    """Replay pq_train then the distortion measure: the assigned-centroid
+    reconstruction error IS the min rounded distance, per-sub MSE at 6dp,
+    total folded in sub order with a 0.0-prepended list_reduce (Spark's
+    aggregate-fold twin)."""
+    sqd = _pq_sqd_sql
+    blocks = _pq_train_blocks(m, ds, k, iters, e_sql)
+    blocks.append(f"""
+    corp AS (SELECT * FROM sv WHERE vec_id >= 10),
+    err AS (SELECT c.vec_id, c.sub,
+                   min(round({sqd("c.sv", "cb.cv", ds)}, 6)) AS e
+            FROM corp c JOIN cb{iters} cb USING (sub) GROUP BY 1, 2),
+    per AS (SELECT sub, round(avg(e), 6) AS sub_mse FROM err GROUP BY sub)""")
+    final = """
+    SELECT round(list_reduce(list_prepend(0.0, list(sub_mse ORDER BY sub)),
+                             (a, x) -> a + x), 4) AS recon_mse,
+           round(max(sub_mse), 4) AS sub_mse_max,
+           round(min(sub_mse), 4) AS sub_mse_min,
+           round(max(sub_mse) / min(sub_mse), 4) AS imbalance
+    FROM per"""
+    return "WITH " + ",".join(blocks) + final
+
+
+def _pq_distortion_report_oracle() -> str:
+    rr_src = similarity.hadamard_rotate_sql(
+        64, "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+    )
+    arms = [
+        ("opq_perm", _pq_distortion_sql(e_sql=_opq_perm_e_sql())),
+        ("opq_rr", _pq_distortion_sql(e_sql=_opq_perm_e_sql(src=rr_src))),
+        ("pq_plain", _pq_distortion_sql()),
+    ]
+    parts = "\n    UNION ALL\n".join(
+        f"    SELECT '{name}' AS variant, recon_mse, sub_mse_max, sub_mse_min, imbalance FROM ({sql})"
+        for name, sql in arms
+    )
+    return f"SELECT * FROM (\n{parts}\n    ) ORDER BY variant"
+
+
+@query("pq_distortion_report", oracle=_pq_distortion_report_oracle())
+def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-distortion audit (`similarity.pq_distortion_report`):
+    the OPQ OBJECTIVE measured directly — per-arm total reconstruction
+    MSE and the max/min subspace imbalance that eigenvalue allocation
+    exists to flatten. Where the recall audit measures end effect, this
+    measures the quantity the rotation actually optimizes, so the two
+    together close the loop (a rotation that lowers distortion but not
+    recall, as on this isotropic corpus, is doing its job on a corpus
+    that never needed it). One broadcast-codebook scan per arm + m-row
+    aggregates; training is the shared oracle-replayed Lloyd chain."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus_ids = F.col("vec_id") >= 10
+
+    def arm(vecs: DataFrame) -> DataFrame:
+        cb = similarity.pq_train(vecs, iters=2)
+        return similarity.pq_distortion_report(vecs.filter(corpus_ids), cb)
+
+    permuted = similarity.apply_dim_permutation(
+        emb, similarity.opq_fit_permutation(emb)
+    )
+    rot = similarity.hadamard_rotate(emb, d=64)
+    rr = similarity.apply_dim_permutation(rot, similarity.opq_fit_permutation(rot))
+    out = None
+    for name, vecs in [("opq_perm", permuted), ("opq_rr", rr), ("pq_plain", emb)]:
+        part = arm(vecs).select(
+            F.lit(name).alias("variant"),
+            "recon_mse", "sub_mse_max", "sub_mse_min", "imbalance",
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("variant")
