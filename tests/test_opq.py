@@ -199,3 +199,23 @@ def test_opq_permutation_lowers_distortion_on_anisotropic(spark):
     )
     assert opq.recon_mse < 0.7 * plain.recon_mse, (opq, plain)
     assert opq.imbalance < plain.imbalance, (opq, plain)
+
+
+def test_embedding_drift_detects_injected_shift(spark):
+    """A/A control reads ~zero; an injected mean shift + norm scaling
+    must move both signals."""
+    # ~unit-norm vectors (the histogram range is [0, 2), the
+    # unit-normalized-pipeline contract)
+    base = _make_vectors(spark, [0.25] * 16, 400)
+    a = base.filter("vec_id % 2 = 0")
+    b = base.filter("vec_id % 2 = 1")
+    from pyspark.sql import functions as F
+
+    ctl = S.embedding_drift(b, a).collect()[0]
+    assert ctl.mean_shift_l2 < 0.3 and ctl.norm_tv < 0.2, ctl
+
+    shifted = b.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * 1.5 + 0.2)
+    )
+    drift = S.embedding_drift(shifted, a).collect()[0]
+    assert drift.mean_shift_l2 > 0.5 and drift.norm_tv > 0.5, drift

@@ -2224,3 +2224,100 @@ def pq_distortion_report(
         F.round(F.min("sub_mse"), 4).alias("sub_mse_min"),
         F.round(F.max("sub_mse") / F.min("sub_mse"), 4).alias("imbalance"),
     )
+
+
+def embedding_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    n_bins: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding-space drift between a current corpus slice and a
+    reference slice — the vector-modality sibling of `text.corpus_drift`
+    (which watches token histograms): per-dim mean shift folded into an
+    L2 norm (dim-ordered fold, engine-exact), plus total-variation
+    distance between the two slices' vector-NORM histograms (fixed
+    [0, 2) range, ``n_bins`` buckets — unit-normalized embedding
+    pipelines drift here first when an encoder or preprocessing change
+    slips in).
+
+    Scale shape: two bounded aggregations — per-dim means (d rows) and
+    norm-histogram counts (n_bins rows per side); nothing corpus-sized
+    shuffles, both combine map-side. Returns one row:
+    (n_ref, n_cur, mean_shift_l2, norm_tv)."""
+
+    def dim_means(df, tag):
+        return (
+            df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.round(F.avg("x"), round_dp).alias(f"m_{tag}"))
+        )
+
+    def norm_hist(df, tag):
+        b = F.least(
+            F.floor(_norm(F.col(vec_col).cast("array<double>")) / 2.0 * n_bins),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count("*").alias(f"c_{tag}")
+        )
+
+    shift = (
+        dim_means(cur, "cur")
+        .join(dim_means(ref, "ref"), "dim")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        "dim",
+                                        ((F.col("m_cur") - F.col("m_ref"))
+                                         * (F.col("m_cur") - F.col("m_ref"))).alias("d2"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["d2"],
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                ),
+                round_dp,
+            ).alias("mean_shift_l2")
+        )
+    )
+    counts = (
+        norm_hist(cur, "cur")
+        .join(norm_hist(ref, "ref"), "bin", "outer")
+        .na.fill({"c_cur": 0, "c_ref": 0})
+    )
+    totals = counts.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    tv = (
+        counts.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            # exact-integer TV numerator (fold-order-proof across engines):
+            # sum |c_cur*n_ref - c_ref*n_cur|, one float division at the end
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("c_cur") * F.col("n_ref")
+                        - F.col("c_ref") * F.col("n_cur")
+                    )
+                )
+                / (F.lit(2.0) * F.max("n_cur") * F.max("n_ref")),
+                round_dp,
+            ).alias("norm_tv"),
+        )
+    )
+    return tv.crossJoin(F.broadcast(shift)).select(
+        "n_ref", "n_cur", "mean_shift_l2", "norm_tv"
+    )

@@ -6578,3 +6578,54 @@ def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out.orderBy("variant")
+
+
+@query(
+    "embedding_drift_report",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ref AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+    cur AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+    mr AS (SELECT dim, round(avg(x), 6) AS m FROM (
+        SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM ref)
+        GROUP BY 1),
+    mc AS (SELECT dim, round(avg(x), 6) AS m FROM (
+        SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM cur)
+        GROUP BY 1),
+    sh AS (SELECT round(sqrt(list_reduce(list_prepend(0.0,
+               list((mc.m - mr.m) * (mc.m - mr.m) ORDER BY mr.dim)),
+               (a, x) -> a + x)), 6) AS mean_shift_l2
+           FROM mr JOIN mc USING (dim)),
+    nr AS (SELECT least(CAST(floor(sqrt(list_reduce([y * y for y in v],
+               (a, x) -> a + x)) / 2.0 * 16) AS INT), 15) AS bin FROM ref),
+    nc AS (SELECT least(CAST(floor(sqrt(list_reduce([y * y for y in v],
+               (a, x) -> a + x)) / 2.0 * 16) AS INT), 15) AS bin FROM cur),
+    hr AS (SELECT bin, count(*) AS c_ref FROM nr GROUP BY 1),
+    hc AS (SELECT bin, count(*) AS c_cur FROM nc GROUP BY 1),
+    h AS (SELECT coalesce(hr.bin, hc.bin) AS bin,
+                 coalesce(c_ref, 0) AS c_ref, coalesce(c_cur, 0) AS c_cur
+          FROM hr FULL OUTER JOIN hc ON hr.bin = hc.bin),
+    t AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+                 CAST(sum(c_cur) AS BIGINT) AS n_cur FROM h),
+    tv AS (SELECT t.n_ref, t.n_cur,
+                  round(sum(abs(c_cur * t.n_ref - c_ref * t.n_cur))
+                        / (2.0 * t.n_cur * t.n_ref), 6) AS norm_tv
+           FROM h, t GROUP BY t.n_ref, t.n_cur)
+    SELECT tv.n_ref, tv.n_cur, sh.mean_shift_l2, tv.norm_tv FROM tv, sh
+    """,
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift (`similarity.embedding_drift`): the
+    vector-modality sibling of the token-histogram corpus_drift family —
+    per-dim mean shift folded into one L2 number plus total-variation
+    distance between vector-norm histograms (16 bins over [0, 2); the
+    first place a silent encoder or preprocessing change shows up in a
+    unit-normalized pipeline). Slices here: even vs odd vec_id (a
+    same-distribution A/A control, so the expected drift is ~0 — the
+    honest baseline). Two bounded aggregations (d rows + n_bins rows),
+    map-side combined, exact-integer TV numerator."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        emb.filter(F.col("vec_id") % 2 == 0),
+    )
