@@ -219,3 +219,69 @@ def test_embedding_drift_detects_injected_shift(spark):
     )
     drift = S.embedding_drift(shifted, a).collect()[0]
     assert drift.mean_shift_l2 > 0.5 and drift.norm_tv > 0.5, drift
+
+
+def test_windowed_embedding_drift_stream_matches_batch(spark, tmpdir):
+    """EmbeddingDriftAggregation drained over a stream reproduces the
+    per-window batch embedding_drift numbers: norm TV exactly (integer
+    math), mean shift to output rounding (per-dim float sum order
+    differs between a streaming accumulator and Spark's partial agg)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from wallaroo_spark.api import aggregation as A
+    from wallaroo_spark.sources import read_table
+
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    ref = emb.filter("vec_id % 2 = 0")
+    cur = emb.filter("vec_id % 2 = 1").select(
+        "vec_id", "embedding",
+        (F.lit(T0) + F.make_interval(secs=F.col("vec_id") * 50)).alias("ts"),
+    )
+    stats = S.embedding_reference_stats(ref)
+
+    # batch truth per 1-hour window
+    want = {}
+    for r in cur.select(
+        F.window("ts", "1 hour").getField("start").alias("ws"), "vec_id"
+    ).groupBy("ws").agg(F.collect_list("vec_id").alias("ids")).collect():
+        sl = cur.filter(F.col("vec_id").isin([int(i) for i in r.ids]))
+        d = S.embedding_drift(sl, ref, round_dp=4).collect()[0]
+        want[int(r.ws.timestamp())] = (d.n_cur, d.mean_shift_l2, d.norm_tv)
+
+    agg = S.EmbeddingDriftAggregation(stats)
+    sealed = cur.select(F.lit("g").alias("k"), "embedding", "ts").unionByName(
+        spark.createDataFrame(
+            [("g", [], T0 + dt.timedelta(days=30))],
+            "k string, embedding array<double>, ts timestamp",
+        )
+    )
+    sealed.coalesce(1).write.mode("overwrite").parquet(str(tmpdir) + "/in")
+    sdf = spark.readStream.schema(sealed.schema).parquet(str(tmpdir) + "/in")
+    out = A.windowed_agg_stream(
+        sdf.withWatermark("ts", "0 seconds"), ["k"], "ts", agg,
+        "n_vectors bigint, mean_shift_l2 double, norm_tv double", 3600,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_emb_drift")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmpdir) + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        int(r.window_start): (r.n_vectors, r.mean_shift_l2, r.norm_tv)
+        for r in spark.sql("SELECT * FROM t_emb_drift").collect()
+        if r.n_vectors > 0
+    }
+    assert set(got) == set(want) and len(got) >= 3
+    for ws, (n, shift, tv) in want.items():
+        gn, gshift, gtv = got[ws]
+        assert gn == n and gtv == tv, (ws, got[ws], want[ws])
+        assert abs(gshift - shift) < 2e-3, (ws, gshift, shift)

@@ -2321,3 +2321,112 @@ def embedding_drift(
     return tv.crossJoin(F.broadcast(shift)).select(
         "n_ref", "n_cur", "mean_shift_l2", "norm_tv"
     )
+
+
+def embedding_reference_stats(
+    ref: DataFrame,
+    n_bins: int = 16,
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> dict:
+    """Capture the reference side of `embedding_drift` as a model-sized
+    dict (d means + n_bins histogram counts + n) for embedding into an
+    `EmbeddingDriftAggregation` — computed once, shipped by value with
+    the aggregation instance exactly like `reference_token_probs`."""
+    means = {
+        int(r["dim"]): float(r["m"])
+        for r in (
+            ref.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.round(F.avg("x"), round_dp).alias("m"))
+            .collect()
+        )
+    }
+    b = F.least(
+        F.floor(_norm(F.col(vec_col).cast("array<double>")) / 2.0 * n_bins),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    hist_rows = ref.select(b.alias("bin")).groupBy("bin").count().collect()
+    hist = [0] * n_bins
+    for r in hist_rows:
+        hist[int(r["bin"])] = int(r["count"])
+    return {
+        "means": [means[i] for i in range(len(means))],
+        "hist": hist,
+        "n_ref": sum(hist),
+    }
+
+
+class EmbeddingDriftAggregation:
+    """Windowed embedding drift as a user Aggregation (the facade
+    contract, like DriftAggregation): per-(key, window) the accumulator
+    is d per-dim sums + a count + an n_bins norm-histogram — bounded
+    state whatever the stream; output = mean-shift L2 and exact-integer
+    norm TV against the EMBEDDED reference stats
+    (`embedding_reference_stats`, captured at construction, pickled by
+    value). The TV is integer math so streamed windows reproduce the
+    batch number exactly; the mean shift matches to output rounding
+    (float sum order differs between a streaming accumulator and
+    Spark's partial aggregate)."""
+
+    def __init__(self, ref_stats: dict, vec_field: str = "embedding",
+                 round_dp: int = 4):
+        self.means = [float(x) for x in ref_stats["means"]]
+        self.hist = [int(x) for x in ref_stats["hist"]]
+        self.n_ref = int(ref_stats["n_ref"])
+        self.vec_field = vec_field
+        self.round_dp = round_dp
+
+    def name(self) -> str:
+        return "embedding_drift"
+
+    def initial_accumulator(self):
+        return {
+            "s": [0.0] * len(self.means),
+            "n": 0,
+            "h": [0] * len(self.hist),
+        }
+
+    def update(self, rec, acc) -> None:
+        import math
+
+        raw = rec[self.vec_field]  # arrives as a numpy array via Arrow
+        if raw is None or len(raw) == 0:
+            return
+        v = [float(x) for x in raw]
+        s = acc["s"]
+        for i, x in enumerate(v):
+            s[i] += x
+        acc["n"] += 1
+        nb = len(self.hist)
+        b = min(int(math.floor(math.sqrt(sum(x * x for x in v)) / 2.0 * nb)), nb - 1)
+        acc["h"][b] += 1
+
+    def combine(self, a, b):
+        return {
+            "s": [x + y for x, y in zip(a["s"], b["s"])],
+            "n": a["n"] + b["n"],
+            "h": [x + y for x, y in zip(a["h"], b["h"])],
+        }
+
+    def output(self, key, acc):
+        import math
+
+        def r(x, dp):
+            s = 10.0 ** dp
+            return math.floor(x * s + 0.5) / s if x >= 0 else -math.floor(-x * s + 0.5) / s
+
+        n = acc["n"]
+        if n == 0:
+            return {"n_vectors": 0, "mean_shift_l2": 0.0, "norm_tv": 0.0}
+        shift = math.sqrt(
+            sum((sv / n - m) ** 2 for sv, m in zip(acc["s"], self.means))
+        )
+        tv_num = sum(
+            abs(c * self.n_ref - rc * n) for c, rc in zip(acc["h"], self.hist)
+        )
+        return {
+            "n_vectors": n,
+            "mean_shift_l2": r(shift, self.round_dp),
+            "norm_tv": r(tv_num / (2.0 * n * self.n_ref), self.round_dp),
+        }
