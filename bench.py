@@ -115,6 +115,12 @@ HEADLINE = [
     "ann_recall_audit",
     "opq_recall_audit",
     "ivf_sizing_report",
+    "pq_topk_packed_adc",
+    "lsh_tuning_report",
+    "minhash_lsh_pairs_tuned90",
+    "classifier_calibration_report",
+    "classifier_threshold_sweep",
+    "embedding_drift_report",
 ]
 
 
