@@ -6442,7 +6442,7 @@ def _clf_threshold_oracle() -> str:
                    CAST(list_contains({_TOKS_SQL}, 'vector') AS INT) AS y
             FROM documents WHERE len({_TOKS_SQL}) > 0),
     j AS (SELECT s.clf_prob, l.y FROM sc s JOIN lab l USING (doc_id)),
-    th AS (SELECT round(g.g * 0.1, 1) AS threshold
+    th AS (SELECT round(CAST(g.g AS DOUBLE) * 0.1, 1) AS threshold
            FROM (SELECT unnest(generate_series(1, 9)) AS g) g),
     cm AS (SELECT t.threshold,
                   sum(CASE WHEN j.clf_prob >= t.threshold AND j.y = 1 THEN 1 ELSE 0 END) AS tp,
