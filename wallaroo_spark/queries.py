@@ -5708,6 +5708,7 @@ def _ivfpq_res_oracle(
     n_cells: int = 8,
     nprobe: int = 3,
     topk: int = 3,
+    e_sql: str | None = None,
 ) -> str:
     """Replay ivfpq_residual_topk: coarse chain first (raw vectors), then
     residuals v - centroid[cell] feed the fine chain, and the ADC table is
@@ -5716,9 +5717,10 @@ def _ivfpq_res_oracle(
     subtraction (no fold — bit-exact by construction)."""
     sqd = _pq_sqd_sql
     d = m * ds
+    e_def = e_sql or "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
     res = f"[ (e.v[i] - cb.cv[i]) for i in generate_series(1, {d}) ]"
     blocks = [f"""
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS ({e_def}),
     sd AS (SELECT vec_id, row_number() OVER (
                   ORDER BY {H.md5int_sql("CAST(vec_id AS VARCHAR) || ':pqseed'")},
                            vec_id) - 1 AS rn, v
@@ -5935,6 +5937,31 @@ _ANN_AUDIT_TOPK = 10
 _ANN_AUDIT_SHORTLIST = 30
 
 
+def _opq_perm_e_sql(
+    m: int = 8,
+    ds: int = 8,
+    src: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+) -> str:
+    """Vector source that fits and applies the variance-balancing
+    dimension permutation (similarity.opq_fit_permutation): per-dim
+    variance with the engine-symmetric avg(x*x) - avg(x)^2 at 6dp, rank
+    by (var DESC, dim), snake-allocate rank r to subspace slot — the same
+    arithmetic cut as the Spark side."""
+    return f"""
+    WITH raw AS ({src}),
+    dx AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM raw),
+    dv AS (SELECT dim, round(avg(x*x) - avg(x)*avg(x), 6) AS var
+           FROM dx GROUP BY 1),
+    rk AS (SELECT dim, row_number() OVER (ORDER BY var DESC, dim) - 1 AS r
+           FROM dv),
+    pm AS (SELECT list(dim ORDER BY
+               (CASE WHEN (r // {m}) % 2 = 0 THEN r % {m}
+                     ELSE {m - 1} - (r % {m}) END) * {ds} + (r // {m})) AS p
+           FROM rk)
+    SELECT raw.vec_id, [raw.v[s] for s in pm.p] AS v FROM raw, pm
+    """
+
+
 def _ann_recall_oracle(topk: int = _ANN_AUDIT_TOPK) -> str:
     """Recall@k audit oracle: exact L2 top-k ground truth joined against
     every ANN variant's replayed result set. Each variant's full oracle
@@ -5946,6 +5973,10 @@ def _ann_recall_oracle(topk: int = _ANN_AUDIT_TOPK) -> str:
         ("ivfpq_adaptive", _ivfpq_adaptive_oracle(topk=topk)),
         ("ivfpq_plain", _ivfpq_oracle(topk=topk)),
         ("ivfpq_residual", _ivfpq_res_oracle(topk=topk)),
+        # residual encoding composed with the OPQ-lite permutation: the
+        # permutation is orthogonal, so the raw-vector truth still applies
+        ("ivfpq_residual_opq",
+         _ivfpq_res_oracle(topk=topk, e_sql=_opq_perm_e_sql())),
         ("pq_adc", _pq_oracle(topk=topk)),
         ("pq_rerank", _pq_oracle(topk=topk, rerank_shortlist=_ANN_AUDIT_SHORTLIST)),
     ]
@@ -6040,6 +6071,15 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, corpus, qs, topk=topk, candidate_budget=200, n_cells=8
         ),
     }
+    p_emb = similarity.apply_dim_permutation(
+        emb.select("vec_id", "embedding"), similarity.opq_fit_permutation(emb)
+    )
+    variants["ivfpq_residual_opq"] = similarity.ivfpq_residual_topk(
+        p_emb,
+        p_emb.filter(F.col("vec_id") >= 10),
+        p_emb.filter(F.col("vec_id") < 10),
+        topk=topk, n_cells=8, nprobe=3,
+    )
     out = None
     for name, df in variants.items():
         approx = df.select("query_id", "vec_id").withColumn("_c", F.lit(1))
@@ -6051,31 +6091,6 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out.orderBy("variant")
-
-
-def _opq_perm_e_sql(
-    m: int = 8,
-    ds: int = 8,
-    src: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
-) -> str:
-    """Vector source that fits and applies the variance-balancing
-    dimension permutation (similarity.opq_fit_permutation): per-dim
-    variance with the engine-symmetric avg(x*x) - avg(x)^2 at 6dp, rank
-    by (var DESC, dim), snake-allocate rank r to subspace slot — the same
-    arithmetic cut as the Spark side."""
-    return f"""
-    WITH raw AS ({src}),
-    dx AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM raw),
-    dv AS (SELECT dim, round(avg(x*x) - avg(x)*avg(x), 6) AS var
-           FROM dx GROUP BY 1),
-    rk AS (SELECT dim, row_number() OVER (ORDER BY var DESC, dim) - 1 AS r
-           FROM dv),
-    pm AS (SELECT list(dim ORDER BY
-               (CASE WHEN (r // {m}) % 2 = 0 THEN r % {m}
-                     ELSE {m - 1} - (r % {m}) END) * {ds} + (r // {m})) AS p
-           FROM rk)
-    SELECT raw.vec_id, [raw.v[s] for s in pm.p] AS v FROM raw, pm
-    """
 
 
 def _opq_recall_oracle(topk: int = _ANN_AUDIT_TOPK, d: int = 64) -> str:
