@@ -16,6 +16,12 @@ The 100 TB shape this engine exists for, composed from its pieces:
                               shingles: a broadcast bit test, never a
                               corpus shuffle)
       -> stratified sample   (per-language deterministic %, no RNG)
+
+    Before trusting a trained classifier gate, run the round-9 eval
+    pair on its scores: `classifier_calibration_report` (reliability
+    bins + ECE — are the probabilities meaningful?) and
+    `classifier_threshold_sweep` (P/R/F1 per cut — where to gate).
+    A miscalibrated filter silently skews the kept corpus.
       -> near-dup dedup      (MinHash-LSH clusters -> canonical survivors,
                               broadcast anti-join: the corpus never shuffles)
       -> semantic dedup      (SemDeDup: k-means clusters the embeddings,
