@@ -192,11 +192,20 @@ def main() -> None:
     # partition owns an HDFS-backed state store whose per-batch commit
     # (delta file + snapshot bookkeeping) is FIXED COST — at sf0.1 the agg
     # state is ~1500 users x hours, so 32 stores were pure commit overhead
-    # (measured 5.7s cold / 1.9s warm; 8 stores: 1.3s / 1.1s). Size state
-    # partitions to state volume like any shuffle: ~8 is right for this SF;
-    # a 1000-executor deployment with billions of keys raises it back up.
+    # (measured 5.7s cold / 1.9s warm; 8 stores: 1.3s / 1.1s; r9 A/B:
+    # 4 stores warm 0.93s vs 8 stores 1.10s). Size state partitions to
+    # state volume like any shuffle: ~4 is right for this SF; a
+    # 1000-executor deployment with billions of keys raises it back up.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # The trailing no-data micro-batch only advances the watermark to
+    # evict state — in update mode it emits nothing, and a one-shot drain
+    # never reuses the state, so skipping it is pure commit savings
+    # (measured r9 A/B at parts=4: 1.05-1.41s -> 0.72-0.77s per drain).
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     ss_times = []
     try:
         for _ in range(2):
@@ -224,6 +233,9 @@ def main() -> None:
     finally:
         # restore even when the drain raises, so later timings keep 32 parts
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     timings["structured_streaming_window"] = round(min(ss_times), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
