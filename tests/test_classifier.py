@@ -157,3 +157,65 @@ def test_sgd_deterministic_and_empty_batch_safe(spark):
     assert sparse["clf_b"] is not None
     assert len(sparse["clf_w"]) == 64
     assert all(w is not None for w in sparse["clf_w"])
+
+
+def test_windowed_calibration_stream_matches_batch_exactly(spark, tmpdir):
+    """CalibrationAggregation drained over a stream reproduces the batch
+    windowed_calibration numbers EXACTLY — probs are 4dp-rounded so the
+    ECE is integer math until one final division (no float-fold drift
+    between the streaming accumulator and Spark's partial agg)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from wallaroo_spark.api import aggregation as A
+    from wallaroo_spark.operators import inference as I
+    from wallaroo_spark.operators.text import tokens as tk
+    from wallaroo_spark.sources import read_table
+
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    train = docs.withColumn(
+        "y", F.array_contains(tk(F.col("text")), "vector").cast("int")
+    )
+    model = I.linear_classifier_fit(train, "y")
+    scored = I.linear_classifier_score(train, model).select(
+        "doc_id", "clf_prob", "y",
+        (F.lit(T0) + F.make_interval(secs=F.col("doc_id") * 50)).alias("ts"),
+    ).localCheckpoint()
+
+    want = {
+        int(r.window_start.timestamp()): (r.n_scored, r.ece)
+        for r in I.windowed_calibration(scored).collect()
+    }
+
+    agg = I.CalibrationAggregation()
+    sealed = scored.select(
+        F.lit("g").alias("k"), "clf_prob", "y", "ts"
+    ).unionByName(
+        spark.createDataFrame(
+            [("g", None, None, T0 + dt.timedelta(days=30))],
+            "k string, clf_prob double, y int, ts timestamp",
+        )
+    )
+    sealed.coalesce(1).write.mode("overwrite").parquet(str(tmpdir) + "/in")
+    sdf = spark.readStream.schema(sealed.schema).parquet(str(tmpdir) + "/in")
+    out = A.windowed_agg_stream(
+        sdf.withWatermark("ts", "0 seconds"), ["k"], "ts", agg,
+        "n_scored bigint, ece double", 3600,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_calib_win")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmpdir) + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        int(r.window_start): (r.n_scored, r.ece)
+        for r in spark.sql("SELECT * FROM t_calib_win").collect()
+        if r.n_scored > 0
+    }
+    assert got == want and len(got) >= 3

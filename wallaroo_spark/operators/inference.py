@@ -402,3 +402,104 @@ def linear_classifier_fit_sgd(
             model = new_w.crossJoin(F.broadcast(new_b)).localCheckpoint(eager=True)
     docs.unpersist()
     return model
+
+
+def windowed_calibration(
+    scored: "DataFrame",
+    ts_col: str = "ts",
+    size: str = "1 hour",
+    label_col: str = "y",
+    prob_col: str = "clf_prob",
+    bins: int = 10,
+    round_dp: int = 4,
+) -> "DataFrame":
+    """Per-time-window expected calibration error over already-scored
+    rows — the monitoring form of the calibration report: watch a
+    deployed filter's ECE drift as the corpus drifts (the batch twin of
+    `CalibrationAggregation`).
+
+    Exactness trick: ``prob_col`` is the 4dp-rounded classifier output,
+    so prob*10^4 is an exact integer and the whole ECE collapses to the
+    INTEGER identity sum_b |sp_b - 10^4*np_b| / (10^4 * N) — no float
+    fold anywhere, so the streaming facade twin reproduces it exactly.
+    One bounded (window x bins) groupBy. Returns
+    (window_start, n_scored, ece)."""
+    b = F.least(F.floor(F.col(prob_col) * bins), F.lit(bins - 1)).cast("int")
+    sp = F.round(F.col(prob_col) * 10000).cast("long")
+    per = (
+        scored.groupBy(
+            F.window(ts_col, size).getField("start").alias("window_start"),
+            b.alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(sp).alias("sp"),
+            F.sum(F.col(label_col).cast("long")).alias("np"),
+        )
+    )
+    return (
+        per.groupBy("window_start")
+        .agg(
+            F.sum("n").alias("n_scored"),
+            F.round(
+                F.sum(F.abs(F.col("sp") - 10000 * F.col("np")))
+                / (F.lit(10000.0) * F.sum("n")),
+                round_dp,
+            ).alias("ece"),
+        )
+    )
+
+
+class CalibrationAggregation:
+    """Windowed ECE as a user Aggregation (the facade contract): per
+    (key, window) the accumulator is 3 integer arrays of ``bins``
+    entries (count, prob*10^4 sum, positives) — bounded state; output
+    reproduces `windowed_calibration` EXACTLY because probs are
+    4dp-rounded so the whole computation is integer until one final
+    division. The streaming deployment shape: score in-row upstream
+    (linear_classifier_score is a stateless map), monitor ECE per
+    window here."""
+
+    def __init__(self, bins: int = 10, prob_field: str = "clf_prob",
+                 label_field: str = "y", round_dp: int = 4):
+        self.bins = bins
+        self.prob_field = prob_field
+        self.label_field = label_field
+        self.round_dp = round_dp
+
+    def name(self) -> str:
+        return "calibration"
+
+    def initial_accumulator(self):
+        return {"n": [0] * self.bins, "sp": [0] * self.bins,
+                "np": [0] * self.bins}
+
+    def update(self, rec, acc) -> None:
+        import math
+
+        p = rec[self.prob_field]
+        if p is None:
+            return
+        p = float(p)
+        if math.isnan(p):  # Arrow renders a null double as NaN
+            return
+        b = min(int(math.floor(p * self.bins)), self.bins - 1)
+        acc["n"][b] += 1
+        acc["sp"][b] += int(math.floor(p * 10000 + 0.5))
+        acc["np"][b] += int(rec[self.label_field] or 0)
+
+    def combine(self, a, b):
+        return {k: [x + y for x, y in zip(a[k], b[k])] for k in ("n", "sp", "np")}
+
+    def output(self, key, acc):
+        import math
+
+        def r(x, dp):
+            s = 10.0 ** dp
+            return math.floor(x * s + 0.5) / s
+
+        n = sum(acc["n"])
+        if n == 0:
+            return {"n_scored": 0, "ece": 0.0}
+        num = sum(abs(sp - 10000 * np) for sp, np in zip(acc["sp"], acc["np"]))
+        return {"n_scored": n, "ece": r(num / (10000.0 * n), self.round_dp)}

@@ -6644,3 +6644,51 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 1),
         emb.filter(F.col("vec_id") % 2 == 0),
     )
+
+
+@query(
+    "windowed_calibration_ece",
+    oracle=f"""
+    WITH sc AS ({_clf_oracle()}),
+    lab AS (SELECT doc_id,
+                   CAST(list_contains({_TOKS_SQL}, 'vector') AS INT) AS y
+            FROM documents WHERE len({_TOKS_SQL}) > 0),
+    j AS (SELECT date_trunc('hour',
+                     TIMESTAMP '2024-01-01' + s.doc_id * INTERVAL 50 SECOND
+                 ) AS ws,
+                 least(CAST(floor(s.clf_prob * 10) AS INT), 9) AS bin,
+                 CAST(round(s.clf_prob * 10000) AS BIGINT) AS sp, l.y
+          FROM sc s JOIN lab l USING (doc_id)),
+    per AS (SELECT ws, bin, count(*) AS n, sum(sp) AS sp,
+                   sum(y) AS np
+            FROM j GROUP BY 1, 2)
+    SELECT CAST(ws AS TIMESTAMP) AS window_start,
+           CAST(sum(n) AS BIGINT) AS n_scored,
+           round(sum(abs(sp - 10000 * np)) / (10000.0 * sum(n)), 4) AS ece
+    FROM per GROUP BY ws
+    """,
+)
+def windowed_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration drift over the TIME axis
+    (`inference.windowed_calibration`): per-hourly-window expected
+    calibration error of the deployed quality classifier — the
+    monitoring form of classifier_calibration_report (its streaming twin
+    is `CalibrationAggregation` on the facade, exact-parity-tested:
+    probs are 4dp-rounded so the whole ECE is integer math until one
+    final division). A filter that was calibrated at deploy time and
+    drifts with the corpus silently skews what it keeps; this is the
+    alarm for it. One bounded (window x bins) groupBy."""
+    from wallaroo_spark.operators import inference as _inf
+    from wallaroo_spark.operators.text import tokens as _tk
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.withColumn(
+        "y", F.array_contains(_tk(F.col("text")), "vector").cast("int")
+    )
+    model = _inf.linear_classifier_fit(train, "y")
+    scored = _inf.linear_classifier_score(train, model).withColumn(
+        "ts",
+        F.lit("2024-01-01 00:00:00").cast("timestamp")
+        + F.make_interval(secs=F.col("doc_id") * 50),
+    )
+    return _inf.windowed_calibration(scored, ts_col="ts", size="1 hour")
