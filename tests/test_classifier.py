@@ -219,3 +219,62 @@ def test_windowed_calibration_stream_matches_batch_exactly(spark, tmpdir):
         if r.n_scored > 0
     }
     assert got == want and len(got) >= 3
+
+
+def test_windowed_calibration_per_key_slices(spark, tmpdir):
+    """Per-slice streaming calibration for free: CalibrationAggregation
+    under the facade's key columns gives per-(lang, window) ECE — each
+    slice's bins accumulate independently and match the batch twin
+    computed on that slice alone."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from wallaroo_spark.api import aggregation as A
+    from wallaroo_spark.operators import inference as I
+    from wallaroo_spark.operators.text import tokens as tk
+    from wallaroo_spark.sources import read_table
+
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    train = docs.withColumn(
+        "y", F.array_contains(tk(F.col("text")), "vector").cast("int")
+    )
+    model = I.linear_classifier_fit(train, "y")
+    scored = I.linear_classifier_score(train, model).select(
+        "doc_id", "lang", "clf_prob", "y",
+        (F.lit(T0) + F.make_interval(secs=F.col("doc_id") * 50)).alias("ts"),
+    ).localCheckpoint()
+
+    want = {}
+    for lang in [r.lang for r in scored.select("lang").distinct().collect()]:
+        for r in I.windowed_calibration(scored.filter(F.col("lang") == lang)).collect():
+            want[(lang, int(r.window_start.timestamp()))] = (r.n_scored, r.ece)
+
+    sealed = scored.select("lang", "clf_prob", "y", "ts").unionByName(
+        spark.createDataFrame(
+            [("en", None, None, T0 + dt.timedelta(days=30))],
+            "lang string, clf_prob double, y int, ts timestamp",
+        )
+    )
+    sealed.coalesce(1).write.mode("overwrite").parquet(str(tmpdir) + "/in")
+    sdf = spark.readStream.schema(sealed.schema).parquet(str(tmpdir) + "/in")
+    out = A.windowed_agg_stream(
+        sdf.withWatermark("ts", "0 seconds"), ["lang"], "ts",
+        I.CalibrationAggregation(), "n_scored bigint, ece double", 3600,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_calib_slice")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmpdir) + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.lang, int(r.window_start)): (r.n_scored, r.ece)
+        for r in spark.sql("SELECT * FROM t_calib_slice").collect()
+        if r.n_scored > 0
+    }
+    assert got == want and len({k[0] for k in got}) >= 2
