@@ -208,10 +208,19 @@ def probe_pq_index(
 ):
     """Score incoming query vectors against the persisted PQ index —
     `incoming` may be a STREAM (the probe is a stateless stream-static
-    join; apply `topk_cut` per micro-batch via foreachBatch, exactly as
-    tests/test_pq.py's parity test does) or a batch frame (cut inline).
-    An OPQ index (pq_perm table present) permutes incoming vectors first
-    — in-row, stream-safe."""
+    join; pass ``topk=None`` and apply `topk_cut` per micro-batch via
+    foreachBatch, exactly as tests/test_pq.py's parity test does) or a
+    batch frame (cut inline). An OPQ index (pq_perm table present)
+    permutes incoming vectors first — in-row, stream-safe."""
+    if topk is not None and incoming.isStreaming:
+        # the inline cut is a global row_number window — not stream-
+        # expressible; fail here with the recipe instead of letting
+        # Spark raise an opaque AnalysisException at plan time
+        raise ValueError(
+            "probe_pq_index: topk cut is a global rank and cannot run on a "
+            "streaming input — pass topk=None and apply similarity.topk_cut "
+            "per micro-batch via foreachBatch"
+        )
     if t.table_files("pq_perm"):
         incoming = similarity.apply_dim_permutation(
             incoming, t.read(spark, "pq_perm")

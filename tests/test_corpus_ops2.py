@@ -537,3 +537,15 @@ def test_c4_gopher_filter_battery_flags(spark):
     assert not out[5].flag_word_len and not out[5].keep
     assert not out[6].flag_symbol and not out[6].keep
     assert not out[7].flag_no_boiler and not out[7].keep
+
+
+def test_bpe_train_iters_ceiling_guard(spark):
+    """One Spark job per merge step: vocab-scale iters must fail fast with
+    the driver-local recipe, before any job launches."""
+    import pytest
+
+    from wallaroo_spark.operators import text as T
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError, match="driver-local"):
+        T.bpe_train(df, iters=T.BPE_MAX_ITERS + 1)

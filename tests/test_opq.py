@@ -285,3 +285,31 @@ def test_windowed_embedding_drift_stream_matches_batch(spark, tmpdir):
         gn, gshift, gtv = got[ws]
         assert gn == n and gtv == tv, (ws, got[ws], want[ws])
         assert abs(gshift - shift) < 2e-3, (ws, gshift, shift)
+
+
+def test_hadamard_signs_validation(spark):
+    """ADVICE r9: a short (or explicitly empty) custom signs list must be
+    a loud error, not a silent null-padded zip_with output."""
+    import pytest
+
+    df = _make_vectors(spark, [1.0] * 16, 4)
+    for bad in ([1, -1], []):
+        with pytest.raises(ValueError, match="16 signs"):
+            S.hadamard_rotate(df, d=16, signs=bad)
+        with pytest.raises(ValueError, match="16 signs"):
+            S.hadamard_rotate_sql(
+                16, "SELECT vec_id, embedding::DOUBLE[] AS v FROM vin",
+                signs=bad,
+            )
+
+
+def test_ivf_sizing_report_empty_corpus_sentinel(spark):
+    """ADVICE r9 parity: ivf_auto_size raises on n < 1; the Column twin
+    emits ZERO rows for an empty corpus instead of silently inventing
+    geometry."""
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert S.ivf_sizing_report(empty).count() == 0
+    with pytest.raises(ValueError, match=">= 1"):
+        S.ivf_auto_size(0)

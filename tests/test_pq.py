@@ -381,3 +381,27 @@ def test_pq_packed_codes_roundtrip_and_parity(spark, sf_dir):
 
     with pytest.raises(ValueError):
         S.pq_pack_codes(codes, m=16, k=16)  # 64 bits: one past the BIGINT budget
+
+
+def test_probe_pq_index_rejects_inline_topk_on_stream(spark, tmpdir):
+    """ADVICE r9: the default inline topk cut is a global rank — on a
+    streaming input probe_pq_index must fail fast with the foreachBatch
+    recipe instead of an opaque AnalysisException at plan time."""
+    import sys
+    from pathlib import Path
+
+    import pytest
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from examples.ann_index import probe_pq_index
+    from wallaroo_spark.sinks.manifest import MultiManifestTable
+
+    qdf = spark.createDataFrame(
+        [(0, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmpdir) + "/probe_guard_stream"
+    qdf.write.mode("overwrite").parquet(path)
+    sdf = spark.readStream.schema(qdf.schema).parquet(path)
+    t = MultiManifestTable(str(tmpdir) + "/probe_guard_idx")
+    with pytest.raises(ValueError, match="topk=None"):
+        probe_pq_index(spark, t, sdf)

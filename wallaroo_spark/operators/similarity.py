@@ -1734,7 +1734,14 @@ def hadamard_rotate(
     """
     if d & (d - 1) or d < 2:
         raise ValueError(f"hadamard_rotate: d must be a power of two, got {d}")
-    signs = signs or hadamard_signs(d)
+    # `is None`, not `or`: an explicitly-passed empty list must be an error,
+    # not a silent fall-through to defaults; a short list would null-pad
+    # through zip_with and silently zero the output (ADVICE r9)
+    signs = hadamard_signs(d) if signs is None else signs
+    if len(signs) != d:
+        raise ValueError(
+            f"hadamard_rotate: need exactly {d} signs, got {len(signs)}"
+        )
     out_col = out_col or vec_col
     idx = F.sequence(F.lit(1), F.lit(d))
     sarr = F.array(*[F.lit(float(s)) for s in signs])
@@ -1784,7 +1791,11 @@ def hadamard_rotate_sql(
     scale literal. Returns a SELECT producing (keep, vec_alias)."""
     if d & (d - 1) or d < 2:
         raise ValueError(f"hadamard_rotate_sql: d must be a power of two, got {d}")
-    signs = signs or hadamard_signs(d)
+    signs = hadamard_signs(d) if signs is None else signs
+    if len(signs) != d:
+        raise ValueError(
+            f"hadamard_rotate_sql: need exactly {d} signs, got {len(signs)}"
+        )
     slits = "[" + ", ".join(f"{float(s)!r}" for s in signs) + "]"
     q = (
         f"SELECT {keep}, [({vec_alias})[i] * ({slits})[i] "
@@ -1910,7 +1921,9 @@ def ivf_auto_size(n: int, topk: int = 10) -> dict:
     every IVF deployment starts from (FAISS guideline: nlist ~ c*sqrt(N)),
     bounded so cells stay statistically meaningful:
 
-      n_cells          = clamp(2, floor(sqrt(n)), n // 8)  (>=8 vectors/cell)
+      n_cells          = clamp(2, floor(sqrt(n)), n // 8)  (>=8 vectors/cell
+                         for n >= 16; below that the 2-cell floor wins and
+                         cells may hold fewer — e.g. n=8 gives 2 cells of 4)
       nprobe           = max(1, n_cells // 8)              (~1/8 of cells)
       candidate_budget = max(4*topk, nprobe * ceil(n/n_cells))
                          (the expected candidate volume of nprobe average
@@ -1942,7 +1955,9 @@ def ivf_sizing_report(
     one count aggregate — no collect, no driver round-trip), so the
     sizing a 100 TB corpus would get is itself a queryable, oracle-gated
     artifact: (n_corpus, n_cells, nprobe, candidate_budget,
-    probe_fraction)."""
+    probe_fraction). An EMPTY corpus yields ZERO rows (the 0-row
+    sentinel) — parity with ivf_auto_size, which raises on n < 1,
+    rather than silently emitting geometry for nothing."""
     n = F.col("_n")
     n_cells = F.greatest(
         F.lit(2),
@@ -1955,6 +1970,7 @@ def ivf_sizing_report(
     )
     return (
         df.agg(F.count(id_col).alias("_n"))
+        .filter(F.col("_n") >= 1)
         .select(
             F.col("_n").alias("n_corpus"),
             n_cells.cast("int").alias("n_cells"),
@@ -2305,14 +2321,21 @@ def embedding_drift(
             F.max("n_ref").alias("n_ref"),
             F.max("n_cur").alias("n_cur"),
             # exact-integer TV numerator (fold-order-proof across engines):
-            # sum |c_cur*n_ref - c_ref*n_cur|, one float division at the end
+            # sum |c_cur*n_ref - c_ref*n_cur|, one float division at the end.
+            # The products run in DECIMAL(38,0): BIGINT*BIGINT wraps silently
+            # in non-ANSI Spark once both slices pass ~3e9 rows (ADVICE r9);
+            # decimal keeps the numerator exact to ~1e38 — far past any
+            # per-slice row count. The streaming twin needs no such cast:
+            # Python ints are arbitrary-precision.
             F.round(
                 F.sum(
                     F.abs(
-                        F.col("c_cur") * F.col("n_ref")
-                        - F.col("c_ref") * F.col("n_cur")
+                        F.col("c_cur").cast("decimal(38,0)")
+                        * F.col("n_ref").cast("decimal(38,0)")
+                        - F.col("c_ref").cast("decimal(38,0)")
+                        * F.col("n_cur").cast("decimal(38,0)")
                     )
-                )
+                ).cast("double")
                 / (F.lit(2.0) * F.max("n_cur") * F.max("n_ref")),
                 round_dp,
             ).alias("norm_tv"),

@@ -866,6 +866,9 @@ def token_budget_filter(
     )
 
 
+BPE_MAX_ITERS = 512  # one Spark job per merge step; see bpe_train docstring
+
+
 def bpe_train(df, iters: int = 4, text: str = "text"):
     """Distributed BPE vocabulary training (the merge loop of Sennrich et
     al., 2016): learn ``iters`` merges by repeatedly taking the most
@@ -896,7 +899,23 @@ def bpe_train(df, iters: int = 4, text: str = "text"):
     the DuckDB oracle.
 
     Returns the learned merge table: (step, left, right, pair_count).
+
+    Scale posture: each merge step is ONE bounded Spark job over the
+    word-TYPE table (a pair-count shuffle + a 1-row driver argmax), so
+    ``iters`` merges cost ``iters`` jobs — fine for the few-hundred-merge
+    tables this engine trains, wrong for a 30k-merge production vocab
+    (30k driver round-trips). ``BPE_MAX_ITERS`` guards that cliff: past
+    it, collect the type table (vocab-bounded by definition — millions of
+    rows from trillions of tokens) and run the merge loop driver-local,
+    which is exactly what reference tokenizer trainers do.
     """
+    if iters > BPE_MAX_ITERS:
+        raise ValueError(
+            f"bpe_train: {iters} merges would launch {iters} Spark jobs "
+            f"(one per merge step; ceiling {BPE_MAX_ITERS}). For vocab-scale "
+            "merge tables, collect the word-type frequency table (bounded by "
+            "vocabulary, not corpus) and run the merge loop driver-local."
+        )
     spark = df.sparkSession
     words = (
         df.select(F.explode(tokens(F.col(text))).alias("w"))
