@@ -6692,3 +6692,33 @@ def windowed_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.make_interval(secs=F.col("doc_id") * 50),
     )
     return _inf.windowed_calibration(scored, ts_col="ts", size="1 hour")
+
+
+@query(
+    "windowed_distinct_hll",
+    oracle="WITH "
+    + _sk.hll_sql(
+        "user_id",
+        "SELECT date_trunc('hour', ts) AS window_start, user_id FROM events",
+        by="window_start,",
+    )
+    + "\n    ORDER BY window_start",
+)
+def windowed_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hourly window via HLL (`sketch.hll_registers/
+    hll_estimate` keyed by the tumbling window) — the TIME-axis form of
+    distinct_users_hll and the batch twin of the facade's
+    `HLLAggregation` (streaming windowed HLL, parity-tested register-for-
+    register in tests/test_streaming.py: register max-merge is order-
+    insensitive, so a drained stream reproduces this sketch EXACTLY).
+    Completes the sketch-family pattern: CMS, quantiles, Misra-Gries,
+    drift, and calibration all have windowed batch + streaming twins;
+    HLL now does too. Keyspace is windows x 2^p registers — bounded
+    however large the stream, map-side partial max."""
+    ev = read_table(spark, sf_dir, "events")
+    win = ev.select(
+        F.window("ts", "1 hour").getField("start").alias("window_start"),
+        "user_id",
+    )
+    regs = _sk.hll_registers(win, "user_id", by=["window_start"])
+    return _sk.hll_estimate(regs, by=["window_start"]).orderBy("window_start")
