@@ -1323,6 +1323,10 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     round_dp: int = 6,
+    coarse: DataFrame | None = None,
+    fine: DataFrame | None = None,
+    cells: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the coarse-partition + code-scan composition that makes PQ
     search sub-linear in the corpus — FAISS's default index family at
@@ -1346,26 +1350,37 @@ def ivfpq_topk(
     one count scan), so a 100 TB corpus gets a sane index without hand
     tuning; the numeric defaults exist for oracle-replayable test
     geometry.
+
+    ``coarse``/``fine``/``cells``/``codes`` accept PRECOMPUTED index
+    artifacts (exactly the frames the internal calls below would build:
+    coarse/fine codebooks from pq_train, ``cells`` = (id_col, _cell)
+    coarse assignment, ``codes`` = pq_encode output) — the multi-arm
+    audit/benchmark path trains once and shares, instead of re-running
+    two Lloyd chains per arm. Results are identical by construction.
     """
     if n_cells is None or nprobe is None:
         auto = ivf_auto_size(corpus.count(), topk)
         n_cells = n_cells if n_cells is not None else auto["n_cells"]
         nprobe = nprobe if nprobe is not None else auto["nprobe"]
     d = m * sub_dim
-    coarse = pq_train(
-        train_df, m=1, sub_dim=d, k=n_cells, iters=2,
-        id_col=id_col, vec_col=vec_col, round_dp=round_dp,
-    )
-    fine = pq_train(
-        train_df, m=m, sub_dim=sub_dim, k=k, iters=2,
-        id_col=id_col, vec_col=vec_col, round_dp=round_dp,
-    )
-    cells = pq_encode(corpus, coarse, m=1, sub_dim=d, id_col=id_col,
-                      vec_col=vec_col, round_dp=round_dp).select(
-        id_col, F.element_at("codes", 1).alias("_cell")
-    )
-    codes = pq_encode(corpus, fine, m=m, sub_dim=sub_dim, id_col=id_col,
-                      vec_col=vec_col, round_dp=round_dp)
+    if coarse is None:
+        coarse = pq_train(
+            train_df, m=1, sub_dim=d, k=n_cells, iters=2,
+            id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+        )
+    if fine is None:
+        fine = pq_train(
+            train_df, m=m, sub_dim=sub_dim, k=k, iters=2,
+            id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+        )
+    if cells is None:
+        cells = pq_encode(corpus, coarse, m=1, sub_dim=d, id_col=id_col,
+                          vec_col=vec_col, round_dp=round_dp).select(
+            id_col, F.element_at("codes", 1).alias("_cell")
+        )
+    if codes is None:
+        codes = pq_encode(corpus, fine, m=m, sub_dim=sub_dim, id_col=id_col,
+                          vec_col=vec_col, round_dp=round_dp)
 
     # query -> nprobe nearest coarse cells (tiny: Q x n_cells)
     qv = queries.select(
@@ -1432,6 +1447,8 @@ def ivfpq_residual_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     round_dp: int = 6,
+    coarse: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Residual IVF-PQ — FAISS's default encoding: the fine codebook
     quantizes RESIDUALS (v - coarse_centroid[cell]) instead of raw
@@ -1450,6 +1467,10 @@ def ivfpq_residual_topk(
     Output: (query_id, vec_id, approx_dist, rank).
     n_cells=None / nprobe=None derive geometry from the corpus count
     (ivf_auto_size, the production default — see ivfpq_topk).
+    ``coarse``/``corpus_cells`` accept the precomputed coarse codebook
+    and the CORPUS side's (id_col, _cell) assignment (the artifacts this
+    variant shares with the plain/adaptive compositions — the fine
+    codebook cannot be shared, it trains on residuals).
     """
     if n_cells is None or nprobe is None:
         auto = ivf_auto_size(corpus.count(), topk)
@@ -1462,23 +1483,26 @@ def ivfpq_residual_topk(
             v.cast("array<double>"), c, lambda x, y: x - y
         )
 
-    coarse = pq_train(
-        train_df, m=1, sub_dim=d, k=n_cells, iters=2,
-        id_col=id_col, vec_col=vec_col, round_dp=round_dp,
-    )
+    if coarse is None:
+        coarse = pq_train(
+            train_df, m=1, sub_dim=d, k=n_cells, iters=2,
+            id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+        )
     ccb = coarse.select(
         F.col("cent_id").alias("_cell"), F.col("centroid").alias("_ccv")
     )
 
-    def cells_of(df):
+    def cells_of(df, pre=None):
+        if pre is not None:
+            return pre
         return pq_encode(
             df, coarse, m=1, sub_dim=d, id_col=id_col, vec_col=vec_col,
             round_dp=round_dp,
         ).select(id_col, F.element_at("codes", 1).alias("_cell"))
 
-    def residuals_of(df):
+    def residuals_of(df, pre=None):
         return (
-            df.join(cells_of(df), id_col)
+            df.join(cells_of(df, pre), id_col)
             .join(F.broadcast(ccb), "_cell")
             .select(
                 id_col, "_cell",
@@ -1491,7 +1515,7 @@ def ivfpq_residual_topk(
         tres, m=m, sub_dim=sub_dim, k=k, iters=2,
         id_col=id_col, vec_col="_rv", round_dp=round_dp,
     )
-    cres = residuals_of(corpus)
+    cres = residuals_of(corpus, corpus_cells)
     codes = pq_encode(
         cres, fine, m=m, sub_dim=sub_dim, id_col=id_col, vec_col="_rv",
         round_dp=round_dp,
@@ -1568,6 +1592,10 @@ def ivfpq_adaptive_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     round_dp: int = 6,
+    coarse: DataFrame | None = None,
+    fine: DataFrame | None = None,
+    cells: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with ADAPTIVE probing: instead of a fixed nprobe, each query
     probes its nearest cells (by coarse distance) until the CUMULATIVE
@@ -1586,6 +1614,8 @@ def ivfpq_adaptive_topk(
     Output: (query_id, vec_id, approx_dist, rank).
     candidate_budget=None / n_cells=None derive geometry from the corpus
     count (ivf_auto_size, the production default — see ivfpq_topk).
+    ``coarse``/``fine``/``cells``/``codes`` accept precomputed index
+    artifacts (see ivfpq_topk) for the shared-training audit path.
     """
     if n_cells is None or candidate_budget is None:
         auto = ivf_auto_size(corpus.count(), topk)
@@ -1595,14 +1625,16 @@ def ivfpq_adaptive_topk(
             else auto["candidate_budget"]
         )
     d = m * sub_dim
-    coarse = pq_train(
-        train_df, m=1, sub_dim=d, k=n_cells, iters=2,
-        id_col=id_col, vec_col=vec_col, round_dp=round_dp,
-    )
-    cells = pq_encode(corpus, coarse, m=1, sub_dim=d, id_col=id_col,
-                      vec_col=vec_col, round_dp=round_dp).select(
-        id_col, F.element_at("codes", 1).alias("_cell")
-    )
+    if coarse is None:
+        coarse = pq_train(
+            train_df, m=1, sub_dim=d, k=n_cells, iters=2,
+            id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+        )
+    if cells is None:
+        cells = pq_encode(corpus, coarse, m=1, sub_dim=d, id_col=id_col,
+                          vec_col=vec_col, round_dp=round_dp).select(
+            id_col, F.element_at("codes", 1).alias("_cell")
+        )
     sizes = cells.groupBy("_cell").agg(F.count("*").alias("_n"))
 
     qv = queries.select(
@@ -1631,12 +1663,14 @@ def ivfpq_adaptive_topk(
         .select(query_id, "_cell")
     )
 
-    fine = pq_train(
-        train_df, m=m, sub_dim=sub_dim, k=k, iters=2,
-        id_col=id_col, vec_col=vec_col, round_dp=round_dp,
-    )
-    codes = pq_encode(corpus, fine, m=m, sub_dim=sub_dim, id_col=id_col,
-                      vec_col=vec_col, round_dp=round_dp)
+    if fine is None:
+        fine = pq_train(
+            train_df, m=m, sub_dim=sub_dim, k=k, iters=2,
+            id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+        )
+    if codes is None:
+        codes = pq_encode(corpus, fine, m=m, sub_dim=sub_dim, id_col=id_col,
+                          vec_col=vec_col, round_dp=round_dp)
     qsv = _pq_subvecs(queries, m, sub_dim, id_col, vec_col).withColumnRenamed(
         id_col, query_id
     )

@@ -6054,21 +6054,38 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # bounded: queries x topk rows
     )
 
+    # shared index artifacts, trained ONCE (r9 VERDICT #6): the fine
+    # codebook/codes serve pq_adc, pq_rerank, ivfpq_plain and
+    # ivfpq_adaptive (identical pq_train calls by construction); the
+    # coarse codebook + cell assignment serve all three IVF arms
+    # (residual's FINE book can't be shared — it trains on residuals).
+    # localCheckpoint pins each so no arm re-runs a Lloyd chain.
     cb = similarity.pq_train(emb, iters=2)
     codes = similarity.pq_encode(corpus, cb).localCheckpoint(eager=True)
+    coarse = similarity.pq_train(
+        emb, m=1, sub_dim=64, k=8, iters=2
+    ).localCheckpoint(eager=True)
+    cells = (
+        similarity.pq_encode(corpus, coarse, m=1, sub_dim=64)
+        .select("vec_id", F.element_at("codes", 1).alias("_cell"))
+        .localCheckpoint(eager=True)
+    )
     variants = {
         "pq_adc": similarity.pq_topk(codes, cb, qs, topk=topk),
         "pq_rerank": similarity.pq_topk_rerank(
             codes, cb, qs, corpus, topk=topk, shortlist=_ANN_AUDIT_SHORTLIST
         ),
         "ivfpq_plain": similarity.ivfpq_topk(
-            emb, corpus, qs, topk=topk, n_cells=8, nprobe=3
+            emb, corpus, qs, topk=topk, n_cells=8, nprobe=3,
+            coarse=coarse, fine=cb, cells=cells, codes=codes,
         ),
         "ivfpq_residual": similarity.ivfpq_residual_topk(
-            emb, corpus, qs, topk=topk, n_cells=8, nprobe=3
+            emb, corpus, qs, topk=topk, n_cells=8, nprobe=3,
+            coarse=coarse, corpus_cells=cells,
         ),
         "ivfpq_adaptive": similarity.ivfpq_adaptive_topk(
-            emb, corpus, qs, topk=topk, candidate_budget=200, n_cells=8
+            emb, corpus, qs, topk=topk, candidate_budget=200, n_cells=8,
+            coarse=coarse, fine=cb, cells=cells, codes=codes,
         ),
     }
     p_emb = similarity.apply_dim_permutation(
