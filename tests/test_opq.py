@@ -313,3 +313,77 @@ def test_ivf_sizing_report_empty_corpus_sentinel(spark):
     assert S.ivf_sizing_report(empty).count() == 0
     with pytest.raises(ValueError, match=">= 1"):
         S.ivf_auto_size(0)
+
+
+def _rotated_anisotropic(spark, n, seed=11):
+    """Anisotropic corpus whose dominant directions are NOT axis-aligned
+    AND whose per-dim variances are EXACTLY flat: diagonal scales pushed
+    through the normalized Walsh-Hadamard matrix (every squared entry
+    1/d, so each output dim carries the same variance mix). The
+    variance-balancing permutation is provably blind here — it ranks a
+    constant — while the full OPQ rotation recovers the principal axes
+    and re-allocates them. Measured on this fixture: plain 0.10,
+    permutation 0.07, rotation 0.57 recall@5."""
+    rng = np.random.default_rng(seed)
+    scales = np.array([8.0, 7.0, 6.0, 5.0] + [0.1] * 12)
+    h = np.array([[1.0]])
+    while h.shape[0] < 16:
+        h = np.block([[h, h], [h, -h]])
+    mix = h / 4.0
+    mat = (rng.standard_normal((n, 16)) * scales) @ mix.T
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_opq_rotation_is_orthogonal_and_balanced(spark):
+    df = _rotated_anisotropic(spark, 200)
+    rot = S.opq_fit_rotation(df, m=4, sub_dim=4)
+    rm = np.asarray(rot)
+    assert rm.shape == (16, 16)
+    # orthogonal to the entry-rounding tolerance
+    assert float(np.abs(rm @ rm.T - np.eye(16)).max()) < 1e-6
+    # applying it preserves pairwise L2 (to fp tolerance)
+    out = S.apply_rotation(df, rot)
+    o = {r.vec_id: np.asarray(r.embedding) for r in df.collect()}
+    p = {r.vec_id: np.asarray(r.embedding) for r in out.collect()}
+    assert abs(
+        float(np.sum((o[0] - o[1]) ** 2)) - float(np.sum((p[0] - p[1]) ** 2))
+    ) < 1e-5
+    # eigenvalue allocation balances the subspace variance LOG-PRODUCTS
+    # (the OPQ-P objective): spread under 1.5 nats on this corpus, where
+    # naive PCA-order grouping leaves ~20+ nats between subspaces
+    mat = np.stack([p[i] for i in range(200)])
+    var = mat.var(axis=0)
+    lp = [float(np.log(var[j * 4:(j + 1) * 4]).sum()) for j in range(4)]
+    assert max(lp) - min(lp) < 1.5, lp
+
+
+def test_opq_rotation_beats_permutation_on_rotated_anisotropy(spark):
+    """The claim that justifies the full rotation over OPQ-lite: when the
+    dominant directions are dense (not axis-aligned), the permutation
+    cannot rebalance them but the learned rotation can — recall AND the
+    distortion objective (pq_distortion_report) both recover."""
+    n_queries, topk, m, sub_dim, k = 6, 5, 4, 4, 8
+    df = _rotated_anisotropic(spark, 246)
+    truth = _exact_topk(df, n_queries, topk)
+
+    plain = _pq_recall(df, n_queries, topk, m, sub_dim, k, truth)
+    permuted = S.apply_dim_permutation(
+        df, S.opq_fit_permutation(df, m=m, sub_dim=sub_dim)
+    )
+    perm = _pq_recall(permuted, n_queries, topk, m, sub_dim, k, truth)
+    rotated = S.apply_rotation(df, S.opq_fit_rotation(df, m=m, sub_dim=sub_dim))
+    rot = _pq_recall(rotated, n_queries, topk, m, sub_dim, k, truth)
+    assert rot >= perm + 0.15, f"rot {rot:.2f} vs perm {perm:.2f} (plain {plain:.2f})"
+
+    def distortion(vecs):
+        cb = S.pq_train(vecs, m=m, sub_dim=sub_dim, k=k, iters=2)
+        row = S.pq_distortion_report(
+            vecs.filter(F.col("vec_id") >= n_queries), cb,
+            m=m, sub_dim=sub_dim,
+        ).collect()[0]
+        return float(row.recon_mse)
+
+    d_perm = distortion(permuted)
+    d_rot = distortion(rotated)
+    assert d_rot < d_perm, f"rot mse {d_rot} vs perm mse {d_perm}"

@@ -1945,6 +1945,180 @@ def apply_dim_permutation(
     )
 
 
+def _covariance_partials(df: DataFrame, vec_col: str, d: int):
+    """One corpus pass -> the d x d second-moment matrix: each Arrow
+    partition reduces to ONE fixed-size partial (count, per-dim sums,
+    flattened sum of outer products — d*(d+1)+1 doubles) via mapInPandas,
+    and the ~numPartitions partial rows sum on the driver. This is the
+    100 TB shape for a covariance: corpus-sized work is embarrassingly
+    parallel map-side numpy; the driver reduce touches kilobytes.
+    Returns (n, sums[d], second_moments[d*d]) as numpy arrays."""
+    import numpy as np
+
+    vdim = d
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(vdim)
+        ss = np.zeros((vdim, vdim))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=float) for v in pdf["_v"]])
+            n += mat.shape[0]
+            s += mat.sum(axis=0)
+            ss += mat.T @ mat
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .mapInPandas(gen, "n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("opq_fit_rotation: empty corpus")
+    n = sum(int(r["n"]) for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.asarray(r["ss"]) for r in rows], axis=0).reshape(vdim, vdim)
+    return n, s, ss
+
+
+def opq_fit_rotation(
+    df: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    vec_col: str = "embedding",
+    round_dp: int = 8,
+) -> list[list[float]]:
+    """Parametric OPQ (Ge et al., "Optimized Product Quantization", CVPR
+    2013, OPQ-P): learn the full d x d orthogonal rotation that PCA-aligns
+    the corpus and EIGENVALUE-ALLOCATES the principal directions across
+    the m PQ subspaces so every subspace carries a balanced share of the
+    variance product — the closed-form solution of the OPQ objective
+    under the independence assumption, and the step up from
+    `opq_fit_permutation`, which can only balance variance that is
+    already axis-aligned (a permutation is the restriction of this
+    rotation to the natural basis).
+
+    Mechanics: ONE corpus pass collects the d x d covariance
+    (`_covariance_partials` — fixed-size map-side numpy partials, a
+    kilobyte driver reduce), then driver-side `np.linalg.eigh` (a d x d
+    eigensolve — bounded work, the same class as the k-means centroid
+    collect); eigenvectors are sign-fixed (largest-|component| positive)
+    for determinism, eigenvalues greedily allocated in descending order
+    to the subspace with the smallest running log-product that still has
+    a free slot (Ge et al.'s balanced allocation). Row i of the returned
+    matrix is the eigenvector assigned to output slot i, so output dims
+    [j*sub_dim, (j+1)*sub_dim) ARE subspace j's allocation; entries are
+    rounded to ``round_dp`` (1e-8 off exact orthogonality — irrelevant at
+    ANN precision, keeps the matrix stable to print/persist).
+
+    The fit is a DRIVER-side eigensolve no SQL engine replays, so queries
+    built on it register rows-only oracles; the measurable objective is
+    `pq_distortion_report` (recon MSE + subspace imbalance), pinned by
+    tests/test_opq.py: on anisotropy the permutation cannot see (a dense
+    rotation of dominant dims), recall and distortion both recover.
+
+    Returns the rotation as a plain list-of-rows matrix (model-sized,
+    pickles by value); apply with `apply_rotation`. Rotated vectors feed
+    the standard pq_train/pq_encode/pq_topk path unchanged.
+    """
+    import math
+
+    import numpy as np
+
+    d = m * sub_dim
+    n, s, ss = _covariance_partials(df, vec_col, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending, orthonormal columns
+    order = np.argsort(evals)[::-1]
+    evals = evals[order]
+    evecs = evecs[:, order]
+    # deterministic sign: largest-|component| entry of each eigenvector
+    # positive (first index on ties)
+    for j in range(d):
+        col = evecs[:, j]
+        piv = int(np.argmax(np.abs(col)))
+        if col[piv] < 0:
+            evecs[:, j] = -col
+    # balanced eigenvalue allocation: descending eigenvalues, each to the
+    # subspace with the smallest running log-product and a free slot
+    log_prod = [0.0] * m
+    slots = [0] * m
+    assign: list[list[int]] = [[] for _ in range(m)]
+    for rank in range(d):
+        lam = max(float(evals[rank]), 1e-12)
+        j = min(
+            (b for b in range(m) if slots[b] < sub_dim),
+            key=lambda b: (log_prod[b], b),
+        )
+        assign[j].append(rank)
+        log_prod[j] += math.log(lam)
+        slots[j] += 1
+    rows = []
+    for j in range(m):
+        for rank in assign[j]:
+            rows.append(
+                [round(float(x), round_dp) for x in evecs[:, rank]]
+            )
+    return rows
+
+
+def apply_rotation(
+    df: DataFrame,
+    rot: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rotate every vector by a learned orthogonal matrix, in-row:
+    out[i] = sum_j R[i][j] * v[j] — a transform over the matrix rows with
+    a zip_with/aggregate dot product per output dim. The matrix rides as
+    ONE broadcast row (model-sized: d*d doubles), so the stage is a pure
+    stateless map at scan speed — no shuffle, no per-vector join; on a
+    STREAMING ``df`` the matrix embeds as literal arrays instead (the
+    apply_dim_permutation pattern), keeping the stage stream-safe."""
+    d = len(rot)
+    if any(len(r) != d for r in rot):
+        raise ValueError("apply_rotation: rotation matrix must be square")
+    out_col = out_col or vec_col
+
+    def dot_rows(rmat):
+        v = F.col("_vin")
+        return F.transform(
+            rmat,
+            lambda row: F.aggregate(
+                F.zip_with(row, v, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    prepped = df.withColumn("_vin", F.col(vec_col).cast("array<double>"))
+    if df.isStreaming:
+        rmat = F.array(
+            *[F.array(*[F.lit(float(x)) for x in row]) for row in rot]
+        )
+        return (
+            prepped.withColumn(out_col, dot_rows(rmat)).drop("_vin")
+        )
+    one = df.sparkSession.createDataFrame(
+        [([list(map(float, row)) for row in rot],)],
+        "_rmat array<array<double>>",
+    )
+    return (
+        prepped.crossJoin(F.broadcast(one))
+        .withColumn(out_col, dot_rows(F.col("_rmat")))
+        .drop("_rmat", "_vin")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF auto-sizing (round 9): derive index geometry from the corpus count
 # ---------------------------------------------------------------------------
