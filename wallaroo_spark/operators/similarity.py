@@ -1433,6 +1433,69 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_topk_rerank(
+    train_df: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int,
+    shortlist: int = 100,
+    n_cells: int | None = 8,
+    nprobe: int | None = 3,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    round_dp: int = 6,
+    coarse: DataFrame | None = None,
+    fine: DataFrame | None = None,
+    cells: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ + exact re-rank: the full production search recipe (the
+    FAISS `index.search` shape with refine) — the coarse partition makes
+    the scan sub-linear, ADC over 4-byte codes produces a ``shortlist``
+    per query, and ONLY those candidates join back to float vectors for
+    exact L2 ranking. Rerank is the recall-recovery lever: ADC ranking
+    noise (the dominant error at small m*k) is eliminated for everything
+    the probed cells contain, so recall converges to the CELL-coverage
+    ceiling as shortlist grows — measured in ann_recall_prod_audit,
+    where this arm at auto-sized geometry is the config users actually
+    get. The expensive float math touches Q x shortlist rows however
+    large the corpus; n_cells=None / nprobe=None auto-size from the
+    corpus count (ivf_auto_size). Output: (query_id, vec_id, l2_dist,
+    rank)."""
+    cands = ivfpq_topk(
+        train_df, corpus, queries, topk=shortlist, n_cells=n_cells,
+        nprobe=nprobe, m=m, sub_dim=sub_dim, k=k, id_col=id_col,
+        vec_col=vec_col, query_id=query_id, round_dp=round_dp,
+        coarse=coarse, fine=fine, cells=cells, codes=codes,
+    ).select(query_id, id_col)
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    exact = (
+        corpus.join(F.broadcast(cands), id_col)
+        .join(F.broadcast(q), query_id)
+        .select(
+            query_id,
+            id_col,
+            F.round(
+                _sqdist(F.col(vec_col).cast("array<double>"), F.col("_qv")),
+                round_dp,
+            ).alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("l2_dist"), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id, id_col, "l2_dist", "rank")
+    )
+
+
 def ivfpq_residual_topk(
     train_df: DataFrame,
     corpus: DataFrame,

@@ -5599,25 +5599,41 @@ def _ivfpq_oracle(
     ds: int = 8,
     k: int = 16,
     iters: int = 2,
-    n_cells: int = 8,
-    nprobe: int = 3,
+    n_cells: int | str = 8,
+    nprobe: int | str = 3,
     topk: int = 3,
+    geo_sql: str | None = None,
+    rerank_shortlist: int | None = None,
 ) -> str:
     """Replay ivfpq_topk in SQL: the coarse quantizer is the SAME Lloyd
     chain as PQ with one subspace spanning the whole vector (seeds are the
     n_cells lowest by the shared salt — a prefix of the fine seeds), cells
     and codes by rounded-argmin, probes by rounded coarse distance, ADC
-    restricted to probed cells' candidates with the ordered fold."""
+    restricted to probed cells' candidates with the ordered fold.
+
+    ``n_cells``/``nprobe`` may be SQL EXPRESSION strings (scalar
+    subqueries against a ``geo_sql`` CTE injected after ``e``) — the
+    auto-sized-geometry replay: DuckDB evaluates the same sqrt-N rule the
+    Spark side derives from the corpus count, so the production defaults
+    are oracle-gated, not just the hand-pinned test dials. With
+    ``rerank_shortlist``, the final block replays ivfpq_topk_rerank's
+    exact re-rank of the ADC shortlist."""
     sqd = _pq_sqd_sql
     d = m * ds
+    seed_n = (
+        max(k, n_cells) if isinstance(n_cells, int)
+        else f"greatest({k}, {n_cells})"
+    )
+    geo = f"{geo_sql}," if geo_sql else ""
     blocks = [f"""
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {geo}
     sd AS (SELECT row_number() OVER (
                   ORDER BY {H.md5int_sql("CAST(vec_id AS VARCHAR) || ':pqseed'")},
                            vec_id) - 1 AS rn, v
            FROM e QUALIFY row_number() OVER (
                   ORDER BY {H.md5int_sql("CAST(vec_id AS VARCHAR) || ':pqseed'")},
-                           vec_id) <= {max(k, n_cells)}),
+                           vec_id) <= {seed_n}),
     subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
     fcb0 AS (SELECT s.sub, sd.rn AS cent_id,
                     sd.v[s.sub * {ds} + 1 : s.sub * {ds} + {ds}] AS cv
@@ -5673,12 +5689,31 @@ def _ivfpq_oracle(
               JOIN qtbl t ON t.query_id = cd.query_id
                          AND t.sub = co.sub AND t.cent_id = co.cent_id
               GROUP BY 1, 2)""")
-    final = f"""
+    if rerank_shortlist is None:
+        final = f"""
     SELECT query_id, vec_id, approx_dist, rank FROM (
         SELECT query_id, vec_id, approx_dist,
                CAST(row_number() OVER (PARTITION BY query_id
                    ORDER BY approx_dist, vec_id) AS INT) AS rank
         FROM adist) WHERE rank <= {topk}"""
+        return "WITH " + ",".join(blocks) + final
+    blocks.append(f"""
+    rcands AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY approx_dist, vec_id) AS rk
+        FROM adist) WHERE rk <= {rerank_shortlist}),
+    rexact AS (SELECT cd.query_id, cd.vec_id,
+                      round({sqd("cv.v", "qv.v", d)}, 6) AS l2_dist
+               FROM rcands cd
+               JOIN e cv ON cv.vec_id = cd.vec_id
+               JOIN e qv ON qv.vec_id = cd.query_id)""")
+    final = f"""
+    SELECT query_id, vec_id, l2_dist, rank FROM (
+        SELECT query_id, vec_id, l2_dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY l2_dist, vec_id) AS INT) AS rank
+        FROM rexact) WHERE rank <= {topk}"""
     return "WITH " + ",".join(blocks) + final
 
 
@@ -6856,4 +6891,161 @@ def opq_rotation_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionAll(
         arm("opq_rot", similarity.apply_rotation(emb, similarity.opq_fit_rotation(emb)))
     )
+    return out.orderBy("variant")
+
+
+_ANN_PROD_SHORTLIST = 60
+
+
+def _ivf_geo_sql() -> str:
+    """The ivf_auto_size sqrt-N rule as a geo CTE over the corpus count —
+    the SQL twin of the Python function (same integer clamps), referenced
+    by the auto-geometry oracle arms as scalar subqueries."""
+    return """geo0 AS (SELECT greatest(2, least(CAST(floor(sqrt(count(*))) AS BIGINT),
+                                       count(*) // 8)) AS n_cells
+               FROM e WHERE vec_id >= 10),
+    geo AS (SELECT n_cells, greatest(1, n_cells // 8) AS nprobe FROM geo0)"""
+
+
+def _ann_recall_prod_oracle(topk: int = _ANN_AUDIT_TOPK) -> str:
+    """Recall@k for the PRODUCTION search configs: auto-sized geometry
+    (replayed via the geo CTE's sqrt-N scalar subqueries) with and
+    without the exact re-rank stage, plus re-rank at the hand-pinned toy
+    dials. Same truth/hits shape as _ann_recall_oracle."""
+    sqd = _pq_sqd_sql
+    nc = "(SELECT n_cells FROM geo)"
+    np_ = "(SELECT nprobe FROM geo)"
+    variants = [
+        ("ivfpq_auto",
+         _ivfpq_oracle(topk=topk, n_cells=nc, nprobe=np_,
+                       geo_sql=_ivf_geo_sql())),
+        ("ivfpq_auto_rerank",
+         _ivfpq_oracle(topk=topk, n_cells=nc, nprobe=np_,
+                       geo_sql=_ivf_geo_sql(),
+                       rerank_shortlist=_ANN_PROD_SHORTLIST)),
+        ("ivfpq_toy_rerank",
+         _ivfpq_oracle(topk=topk, rerank_shortlist=_ANN_PROD_SHORTLIST)),
+    ]
+    vblocks = ",\n    ".join(f"v_{name} AS ({sql})" for name, sql in variants)
+    hits = "\n    UNION ALL\n".join(
+        f"""    SELECT '{name}' AS variant, count(*) AS n_true,
+           count(a.vec_id) AS n_caught
+    FROM truth t LEFT JOIN v_{name} a
+      ON a.query_id = t.query_id AND a.vec_id = t.vec_id"""
+        for name, _ in variants
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    truth AS (SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round({sqd("c.v", "q.v", 64)}, 6), c.vec_id) AS rk
+        FROM e c, e q WHERE c.vec_id >= 10 AND q.vec_id < 10) WHERE rk <= {topk}),
+    {vblocks},
+    hits AS (
+{hits})
+    SELECT variant, CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           round(n_caught / CAST(n_true AS DOUBLE), 4) AS recall
+    FROM hits ORDER BY variant
+    """
+
+
+@query("ann_recall_prod_audit", oracle=_ann_recall_prod_oracle())
+def ann_recall_prod_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 at the PRODUCTION configuration (r9 VERDICT #2): the
+    registered ann_recall_audit pins toy dials (n_cells=8, nprobe=3) for
+    cheap oracle geometry, so the one recall number a user saw did NOT
+    describe what `n_cells=None` deployments actually get. This audit
+    measures exactly that: (a) auto-sized geometry (ivf_auto_size's
+    sqrt-N rule — the SQL oracle replays the same rule as a geo CTE, so
+    the production default is hash-gated, not hand-pinned), (b) auto
+    geometry + exact re-rank of the ADC shortlist (ivfpq_topk_rerank —
+    the full FAISS-shaped recipe and the known recall-recovery lever),
+    (c) re-rank at the toy dials for continuity with ann_recall_audit.
+
+    Re-rank eliminates ADC ranking noise for everything the probed
+    cells contain, so (b) converges to the cell-coverage ceiling as the
+    shortlist grows; the nprobe/shortlist dials table lives in NOTES.md
+    (measured at sf0.1, with the recall@10 >= 0.8 operating point).
+
+    Scale shape: truth is the bounded 10-query broadcast scan (recall is
+    a statistic); the fine codebook/codes train once and serve all arms;
+    rerank float math touches Q x shortlist rows however large the
+    corpus."""
+    topk = _ANN_AUDIT_TOPK
+    from pyspark.sql.window import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    qs = emb.filter(F.col("vec_id") < 10)
+
+    qv = qs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    exact = corpus.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            similarity._sqdist(
+                F.col("embedding").cast("array<double>"), F.col("_qv")
+            ),
+            6,
+        ).alias("_d"),
+    )
+    w = Window.partitionBy("query_id").orderBy("_d", "vec_id")
+    truth = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+    auto = similarity.ivf_auto_size(corpus.count(), topk)
+    nc, np_ = auto["n_cells"], auto["nprobe"]
+    # shared artifacts (the r9 #6 discipline): ONE fine codebook/code set
+    # serves every arm; one coarse book per geometry
+    cb = similarity.pq_train(emb, iters=2)
+    codes = similarity.pq_encode(corpus, cb).localCheckpoint(eager=True)
+
+    def coarse_and_cells(n_cells):
+        coarse = similarity.pq_train(
+            emb, m=1, sub_dim=64, k=n_cells, iters=2
+        ).localCheckpoint(eager=True)
+        cells = (
+            similarity.pq_encode(corpus, coarse, m=1, sub_dim=64)
+            .select("vec_id", F.element_at("codes", 1).alias("_cell"))
+            .localCheckpoint(eager=True)
+        )
+        return coarse, cells
+
+    coarse_a, cells_a = coarse_and_cells(nc)
+    coarse_t, cells_t = coarse_and_cells(8)
+    variants = {
+        "ivfpq_auto": similarity.ivfpq_topk(
+            emb, corpus, qs, topk=topk, n_cells=nc, nprobe=np_,
+            coarse=coarse_a, fine=cb, cells=cells_a, codes=codes,
+        ),
+        "ivfpq_auto_rerank": similarity.ivfpq_topk_rerank(
+            emb, corpus, qs, topk=topk, shortlist=_ANN_PROD_SHORTLIST,
+            n_cells=nc, nprobe=np_,
+            coarse=coarse_a, fine=cb, cells=cells_a, codes=codes,
+        ),
+        "ivfpq_toy_rerank": similarity.ivfpq_topk_rerank(
+            emb, corpus, qs, topk=topk, shortlist=_ANN_PROD_SHORTLIST,
+            n_cells=8, nprobe=3,
+            coarse=coarse_t, fine=cb, cells=cells_t, codes=codes,
+        ),
+    }
+    out = None
+    for name, df in variants.items():
+        approx = df.select("query_id", "vec_id").withColumn("_c", F.lit(1))
+        part = truth.join(approx, ["query_id", "vec_id"], "left").agg(
+            F.lit(name).alias("variant"),
+            F.count("*").alias("n_true"),
+            F.count("_c").alias("n_caught"),
+            F.round(F.count("_c") / F.count("*").cast("double"), 4).alias("recall"),
+        )
+        out = part if out is None else out.unionAll(part)
     return out.orderBy("variant")
