@@ -121,6 +121,10 @@ HEADLINE = [
     "classifier_calibration_report",
     "classifier_threshold_sweep",
     "embedding_drift_report",
+    # round-10 additions
+    "windowed_distinct_hll",
+    "opq_rotation_audit",
+    "ann_recall_prod_audit",
 ]
 
 

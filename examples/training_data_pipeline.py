@@ -37,9 +37,17 @@ The 100 TB shape this engine exists for, composed from its pieces:
       -> sequence packing    (GPT-style concat-then-chunk layout of the
                               train split; writer-ready per-sequence part
                               manifests)
-      -> atomic publish      (corpus snapshot + sequence manifests commit
-                              as ONE MultiManifestTable transaction —
-                              cross-table atomicity, paired time travel)
+      -> post-deploy monitors (per-window classifier ECE + embedding
+                              drift of the kept corpus vs the full-corpus
+                              reference — the alarms that fire when the
+                              deployed gates go stale; bounded aggregates,
+                              streaming twins exist for both)
+      -> atomic publish      (corpus snapshot + sequence manifests + BOTH
+                              monitor tables commit as ONE
+                              MultiManifestTable transaction —
+                              cross-table atomicity, paired time travel;
+                              a snapshot is never visible without its
+                              calibration/drift certificate)
 
 Every stage is a narrow transformation or a broadcast join against a
 pairs-sized side table, so the full corpus streams through with ONE
@@ -142,6 +150,28 @@ def build_corpus(spark, sf_dir: str, out_dir: str, quality_min: float = 0.5):
         .drop("clf_prob", "clf_pred")
     )
 
+    # 1g. POST-DEPLOY MONITORS (round 10): the gate above was calibrated
+    # at deploy time; corpora drift, and a drifted filter silently skews
+    # what it keeps. Two alarm tables ride the SAME atomic publish below:
+    #   * per-window ECE of the deployed classifier over the scored
+    #     corpus (windowed_calibration — streaming twin:
+    #     CalibrationAggregation, exact-parity-tested), windows
+    #     synthesized from doc_id exactly as the registered
+    #     windowed_calibration_ece query does;
+    #   * embedding drift of the KEPT corpus vs the full-corpus reference
+    #     (embedding_drift — mean-shift L2 + exact-integer norm TV;
+    #     streaming twin: EmbeddingDriftAggregation).
+    # Both are bounded aggregates (windows x bins / d + n_bins rows) —
+    # monitoring is free at any corpus size.
+    monitor_ece = inference.windowed_calibration(
+        inference.linear_classifier_score(train, clf).withColumn(
+            "ts",
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id") * 50),
+        ),
+        ts_col="ts", size="1 hour", label_col="_y",
+    )
+
     # 2. class-balanced thinning — deterministic per-language percentages
     sampled = text.stratified_sample(
         kept, "lang", {"en": 100, "de": 80, "fr": 80, "es": 80, "zh": 80}
@@ -192,8 +222,25 @@ def build_corpus(spark, sf_dir: str, out_dir: str, quality_min: float = 0.5):
     packed = text.pack_manifest(
         tagged.filter(F.col("split") == "train"), seq_len=256
     )
+    # 1g (cont.): embedding drift of the KEPT corpus vs the full corpus —
+    # computed on the final survivor set so the published snapshot carries
+    # its own drift certificate
+    monitor_drift = similarity.embedding_drift(
+        emb.join(
+            tagged.select(F.col("doc_id").alias("vec_id")), "vec_id",
+            "left_semi",
+        ),
+        emb,
+    )
     table = MultiManifestTable(out_dir)
-    table.append_multi({"corpus": tagged, "sequences": packed})
+    table.append_multi(
+        {
+            "corpus": tagged,
+            "sequences": packed,
+            "monitor_calibration": monitor_ece,
+            "monitor_drift": monitor_drift,
+        }
+    )
     return table
 
 
@@ -208,3 +255,5 @@ if __name__ == "__main__":
     final.groupBy("split").count().show()
     print(f"corpus committed under {out_dir}")
     print(f"{table.read(spark, 'sequences').count()} training sequences (same transaction)")
+    table.read(spark, "monitor_calibration").orderBy("window_start").show(5)
+    table.read(spark, "monitor_drift").show()

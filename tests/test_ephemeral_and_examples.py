@@ -257,6 +257,18 @@ def test_training_data_pipeline_example(spark, tmp_path):
     )
     assert sum(r.n_tokens_filled for r in man) == train_tokens
 
+    # round-10 stage held: BOTH post-deploy monitors landed in the SAME
+    # transaction as the snapshot they certify — per-window classifier
+    # ECE (in [0,1], nonempty, window totals = scored corpus) and the
+    # kept-vs-full embedding-drift report (valid counts, TV in [0,1])
+    cal = table.read(spark, "monitor_calibration", version=0).collect()
+    assert cal and all(0.0 <= r.ece <= 1.0 for r in cal)
+    assert all(r.n_scored > 0 for r in cal)
+    dr = table.read(spark, "monitor_drift", version=0).collect()
+    assert len(dr) == 1
+    assert 0 < dr[0].n_cur <= dr[0].n_ref
+    assert 0.0 <= dr[0].norm_tv <= 1.0 and dr[0].mean_shift_l2 >= 0.0
+
     # round-7 stage held: corpus + sequence manifests landed in ONE
     # transaction (single log version covers both tables), so a later
     # commit to one table leaves the published pair travel-consistent
