@@ -154,7 +154,7 @@ def build_pq_index(
     m: int = 8,
     sub_dim: int = 8,
     k: int = 16,
-    opq: bool = False,
+    opq: bool | str = False,
     packed: bool = True,
 ):
     """Commit the compressed IVF-PQ index: coarse codebook (n_cells
@@ -163,15 +163,29 @@ def build_pq_index(
     MultiManifestTable transaction. At 100 TB the codes table is the only
     corpus-sized artifact; both codebooks are broadcast-sized forever.
 
-    ``opq=True`` fits the OPQ-lite variance-balancing permutation on the
-    train set, encodes the PERMUTED vectors, and commits the permutation
-    as a fourth table in the SAME transaction — the rotation is part of
-    the index (codes are meaningless without it), so it must version
-    atomically with the codebooks; `probe_pq_index` applies it to
-    incoming queries automatically."""
+    ``opq`` selects the learned orthogonal pre-transform, fitted on the
+    train set and committed as a table in the SAME transaction — the
+    transform is part of the index (codes are meaningless without it),
+    so it must version atomically with the codebooks; `probe_pq_index`
+    applies it to incoming queries automatically (stream-safe):
+
+      * ``True`` / ``"perm"`` — OPQ-lite variance-balancing dimension
+        permutation (table ``pq_perm``);
+      * ``"rot"`` — FULL parametric OPQ rotation
+        (`similarity.opq_fit_rotation`, driver-side eigensolve; table
+        ``pq_rot`` = d rows of (row_idx, coeffs), the d x d matrix).
+    """
     d = m * sub_dim
     tables = {}
-    if opq:
+    if opq == "rot":
+        rot = similarity.opq_fit_rotation(train, m=m, sub_dim=sub_dim)
+        train = similarity.apply_rotation(train, rot)
+        corpus = similarity.apply_rotation(corpus, rot)
+        tables["pq_rot"] = spark.createDataFrame(
+            [(i, row) for i, row in enumerate(rot)],
+            "row_idx int, coeffs array<double>",
+        )
+    elif opq:
         perm = similarity.opq_fit_permutation(train, m=m, sub_dim=sub_dim)
         train = similarity.apply_dim_permutation(train, perm)
         corpus = similarity.apply_dim_permutation(corpus, perm)
@@ -210,8 +224,8 @@ def probe_pq_index(
     `incoming` may be a STREAM (the probe is a stateless stream-static
     join; pass ``topk=None`` and apply `topk_cut` per micro-batch via
     foreachBatch, exactly as tests/test_pq.py's parity test does) or a
-    batch frame (cut inline). An OPQ index (pq_perm table present)
-    permutes incoming vectors first — in-row, stream-safe."""
+    batch frame (cut inline). An OPQ index (pq_perm or pq_rot table
+    present) transforms incoming vectors first — in-row, stream-safe."""
     if topk is not None and incoming.isStreaming:
         # the inline cut is a global row_number window — not stream-
         # expressible; fail here with the recipe instead of letting
@@ -221,7 +235,16 @@ def probe_pq_index(
             "streaming input — pass topk=None and apply similarity.topk_cut "
             "per micro-batch via foreachBatch"
         )
-    if t.table_files("pq_perm"):
+    if t.table_files("pq_rot"):
+        rot = [
+            list(r["coeffs"])
+            for r in sorted(
+                t.read(spark, "pq_rot").collect(),
+                key=lambda r: int(r["row_idx"]),
+            )
+        ]
+        incoming = similarity.apply_rotation(incoming, rot)
+    elif t.table_files("pq_perm"):
         incoming = similarity.apply_dim_permutation(
             incoming, t.read(spark, "pq_perm")
         )

@@ -387,3 +387,64 @@ def test_opq_rotation_beats_permutation_on_rotated_anisotropy(spark):
     d_perm = distortion(permuted)
     d_rot = distortion(rotated)
     assert d_rot < d_perm, f"rot mse {d_rot} vs perm mse {d_perm}"
+
+
+def test_opq_rotation_index_build_probe_parity(spark, tmpdir):
+    """A rotation index (opq='rot') commits the d x d matrix WITH the
+    codebooks; probing it must equal running ivfpq_topk on manually-
+    rotated inputs — and the probe must apply the rotation to a genuine
+    stream too (the literal-matrix stream-safe path)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import ann_index
+
+    from pyspark.sql import functions as F
+
+    from wallaroo_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 4)
+
+    t = ann_index.build_pq_index(
+        spark, emb, corpus, str(tmpdir) + "/rot_idx", opq="rot"
+    )
+    assert t.table_files("pq_rot") and not t.table_files("pq_perm")
+    got = sorted(map(tuple, ann_index.probe_pq_index(
+        spark, t, queries, nprobe=3, topk=4).collect()))
+
+    rot = S.opq_fit_rotation(emb)
+    r_emb = S.apply_rotation(emb, rot)
+    want = sorted(map(tuple, S.ivfpq_topk(
+        r_emb,
+        r_emb.filter(F.col("vec_id") >= 10),
+        r_emb.filter(F.col("vec_id") < 4),
+        topk=4, n_cells=8, nprobe=3,
+    ).collect()))
+    assert got == want
+
+    # streaming probe through the same rotation index
+    qdf = queries.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmpdir) + "/rot_qs"
+    qdf.write.mode("overwrite").parquet(path)
+    sdf = spark.readStream.schema(qdf.schema).parquet(path)
+    out = []
+
+    def sink(batch_df, _bid):
+        out.extend(map(tuple, S.topk_cut(batch_df, 4).collect()))
+
+    q = (
+        ann_index.probe_pq_index(spark, t, sdf, nprobe=3, topk=None)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmpdir) + "/rot_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(out) == want
