@@ -2134,6 +2134,91 @@ def opq_fit_rotation(
     return rows
 
 
+def opq_refine_rotation(
+    df: DataFrame,
+    rot: list[list[float]] | None = None,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    np_iters: int = 8,
+    sample: int = 2048,
+    kmeans_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 8,
+) -> tuple[list[list[float]], list[float]]:
+    """NON-parametric OPQ (Ge et al. CVPR 2013, Algorithm 1 / OPQ-NP):
+    refine a rotation by alternating (a) PQ codebook fit in the rotated
+    space and (b) the orthogonal Procrustes solve R = (UV^T)^T from the
+    SVD of X^T X_hat — a direct descent on the true quantization
+    objective, which OPQ-P's Gaussian-independence assumption only
+    approximates.
+
+    Runs DRIVER-side on a BOUNDED deterministic sample (salted-md5 rank
+    over ids, lowest ``sample`` rows — the FAISS posture: OPQ trains on
+    a sample, the learned R applies corpus-wide in-row via
+    `apply_rotation`). Per iteration: m tiny k-means fits (seeds = the
+    first k sample rows in hash order, ``kmeans_iters`` Lloyd steps) and
+    one d x d SVD — kilobyte-scale work however large the corpus.
+    Initial ``rot`` defaults to the parametric `opq_fit_rotation` fit
+    (the alternation then starts from the eigen-allocated solution and
+    can only improve its own objective).
+
+    Returns (rotation, history) where history[i] is the in-sample mean
+    squared quantization error after iteration i — monotone
+    non-increasing up to codebook re-seeding noise (pinned by
+    tests/test_opq.py). Rows-only oracle territory, like the parametric
+    fit; the corpus-level check is `pq_distortion_report`.
+    """
+    import numpy as np
+
+    from wallaroo_spark.functions import hashing as H
+
+    d = m * sub_dim
+    h = H.md5int_col(F.concat(F.col(id_col).cast("string"), F.lit(":opqnp")))
+    rows = (
+        df.select(
+            F.col(id_col).alias("_i"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            h.alias("_h"),
+        )
+        .orderBy("_h", "_i")
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("opq_refine_rotation: empty corpus")
+    x = np.stack([np.asarray(r["_v"], dtype=float) for r in rows])
+    if rot is None:
+        rot = opq_fit_rotation(df, m=m, sub_dim=sub_dim, vec_col=vec_col,
+                               round_dp=round_dp)
+    r = np.asarray(rot, dtype=float)
+    kk = min(k, x.shape[0])
+    history: list[float] = []
+    for _ in range(np_iters):
+        y = x @ r.T
+        y_hat = np.empty_like(y)
+        for j in range(m):
+            sub = y[:, j * sub_dim:(j + 1) * sub_dim]
+            cents = sub[:kk].copy()  # hash-order seeds, pq_train's rule
+            for _ in range(kmeans_iters):
+                d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(kk):
+                    mask = assign == c
+                    if mask.any():
+                        cents[c] = sub[mask].mean(axis=0)
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            y_hat[:, j * sub_dim:(j + 1) * sub_dim] = cents[d2.argmin(axis=1)]
+        history.append(float(((y - y_hat) ** 2).sum(axis=1).mean()))
+        # Procrustes: min ||X Q - Y_hat||_F over orthogonal Q; our row
+        # convention is y = x @ R^T, so R = Q^T
+        u, _, vt = np.linalg.svd(x.T @ y_hat)
+        r = (u @ vt).T
+    out = [[round(float(v), round_dp) for v in row] for row in r]
+    return out, history
+
+
 def apply_rotation(
     df: DataFrame,
     rot: list[list[float]],
