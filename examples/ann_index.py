@@ -277,4 +277,12 @@ if __name__ == "__main__":
         spark, emb, emb.filter(F.col("vec_id") >= 10), index_dir + "_pq"
     )
     probe_pq_index(spark, pq_t, emb.filter(F.col("vec_id") < 10)).show()
-    print(f"indexes committed under {index_dir} and {index_dir}_pq")
+    rot_t = build_pq_index(
+        spark, emb, emb.filter(F.col("vec_id") >= 10), index_dir + "_rot",
+        opq="rot",
+    )
+    probe_pq_index(spark, rot_t, emb.filter(F.col("vec_id") < 10)).show()
+    print(
+        f"indexes committed under {index_dir}, {index_dir}_pq "
+        f"and {index_dir}_rot (full-OPQ)"
+    )
