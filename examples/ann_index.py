@@ -175,6 +175,29 @@ def build_pq_index(
         (`similarity.opq_fit_rotation`, driver-side eigensolve; table
         ``pq_rot`` = d rows of (row_idx, coeffs), the d x d matrix).
     """
+    tables = _pq_index_tables(
+        spark, train, corpus, n_cells=n_cells, m=m, sub_dim=sub_dim, k=k,
+        opq=opq, packed=packed,
+    )
+    t = MultiManifestTable(index_dir)
+    t.append_multi(tables)
+    return t
+
+
+def _pq_index_tables(
+    spark,
+    train,
+    corpus,
+    n_cells: int = 8,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    opq: bool | str = False,
+    packed: bool = True,
+) -> dict:
+    """The full PQ-index table set (codebooks, codes, optional transform,
+    distortion baseline) — shared by the initial build and the
+    distortion-gated refit so both commit the SAME artifact shape."""
     d = m * sub_dim
     tables = {}
     if opq == "rot":
@@ -203,11 +226,106 @@ def build_pq_index(
             "pq_coarse": coarse,
             "pq_fine": fine,
             "pq_codes": codes.join(cells, "vec_id"),
+            # build-time distortion baseline (the OPQ objective) — the
+            # drift gate refit_pq_index measures against; 1 row
+            "pq_distortion": similarity.pq_distortion_report(
+                corpus, fine, m=m, sub_dim=sub_dim
+            ),
         }
     )
-    t = MultiManifestTable(index_dir)
-    t.append_multi(tables)
-    return t
+    return tables
+
+
+def _apply_index_transform(spark, t: MultiManifestTable, vectors):
+    """Apply the index's committed orthogonal pre-transform (pq_rot or
+    pq_perm, whichever is present) to ``vectors`` — the ONE shared rule
+    for probes, refreshes and refits, so encoded spaces can never
+    desynchronize from the committed codebooks."""
+    if t.table_files("pq_rot"):
+        rot = [
+            list(r["coeffs"])
+            for r in sorted(
+                t.read(spark, "pq_rot").collect(),
+                key=lambda r: int(r["row_idx"]),
+            )
+        ]
+        return similarity.apply_rotation(vectors, rot)
+    if t.table_files("pq_perm"):
+        return similarity.apply_dim_permutation(vectors, t.read(spark, "pq_perm"))
+    return vectors
+
+
+def refresh_pq_index(
+    spark,
+    t: MultiManifestTable,
+    new_vectors,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+):
+    """Append NEW vectors to the PQ index under the FROZEN codebooks —
+    the postings-grow/codebooks-refit-rarely maintenance pattern, PQ
+    form: transform (if the index carries one), assign coarse cells,
+    encode fine codes, match the committed storage form (packed word vs
+    array codes), and append to pq_codes as one manifest version. The
+    corpus-sized work is one in-row encode pass over ONLY the new
+    vectors."""
+    d = m * sub_dim
+    vecs = _apply_index_transform(spark, t, new_vectors)
+    coarse = t.read(spark, "pq_coarse")
+    fine = t.read(spark, "pq_fine")
+    cells = similarity.pq_encode(vecs, coarse, m=1, sub_dim=d).select(
+        "vec_id", F.element_at("codes", 1).alias("cell")
+    )
+    codes = similarity.pq_encode(vecs, fine, m=m, sub_dim=sub_dim)
+    if "code_word" in t.read(spark, "pq_codes").columns:
+        codes = similarity.pq_pack_codes(codes, m=m, k=k)
+    t.append_multi({"pq_codes": codes.join(cells, "vec_id")})
+
+
+def refit_pq_index(
+    spark,
+    t: MultiManifestTable,
+    train,
+    corpus,
+    max_mse_growth: float = 0.2,
+    n_cells: int = 8,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+):
+    """Distortion-gated codebook re-fit — the PQ sibling of
+    `refit_index`'s assignment-drift gate, measured on the OPQ objective
+    itself: recompute `pq_distortion_report` for the COMMITTED fine
+    codebook over the CURRENT corpus (in the index's committed transform
+    space) and re-train + re-encode + atomically overwrite ONLY when
+    reconstruction MSE grew past ``max_mse_growth`` vs the build-time
+    baseline committed with the index. Below the threshold the index is
+    untouched (returns None) — codebook refits are the expensive rare
+    event; the distortion measurement is one broadcast-codebook scan +
+    an m-row aggregate.
+
+    The refit preserves the index's transform KIND but re-fits it on the
+    current train slice (a stale rotation is part of what drifted), so
+    codebooks, codes, transform and the new distortion baseline swap in
+    ONE overwrite_multi transaction."""
+    vecs = _apply_index_transform(spark, t, corpus)
+    fine = t.read(spark, "pq_fine")
+    cur = similarity.pq_distortion_report(
+        vecs, fine, m=m, sub_dim=sub_dim
+    ).first()
+    base = t.read(spark, "pq_distortion").first()
+    if float(cur["recon_mse"]) <= float(base["recon_mse"]) * (1.0 + max_mse_growth):
+        return None
+    opq = "rot" if t.table_files("pq_rot") else (
+        True if t.table_files("pq_perm") else False
+    )
+    packed = "code_word" in t.read(spark, "pq_codes").columns
+    tables = _pq_index_tables(
+        spark, train, corpus, n_cells=n_cells, m=m, sub_dim=sub_dim, k=k,
+        opq=opq, packed=packed,
+    )
+    return t.overwrite_multi(tables)
 
 
 def probe_pq_index(
@@ -235,19 +353,7 @@ def probe_pq_index(
             "streaming input — pass topk=None and apply similarity.topk_cut "
             "per micro-batch via foreachBatch"
         )
-    if t.table_files("pq_rot"):
-        rot = [
-            list(r["coeffs"])
-            for r in sorted(
-                t.read(spark, "pq_rot").collect(),
-                key=lambda r: int(r["row_idx"]),
-            )
-        ]
-        incoming = similarity.apply_rotation(incoming, rot)
-    elif t.table_files("pq_perm"):
-        incoming = similarity.apply_dim_permutation(
-            incoming, t.read(spark, "pq_perm")
-        )
+    incoming = _apply_index_transform(spark, t, incoming)
     scored = similarity.ivfpq_probe(
         incoming,
         t.read(spark, "pq_coarse"),

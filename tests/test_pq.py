@@ -405,3 +405,64 @@ def test_probe_pq_index_rejects_inline_topk_on_stream(spark, tmpdir):
     t = MultiManifestTable(str(tmpdir) + "/probe_guard_idx")
     with pytest.raises(ValueError, match="topk=None"):
         probe_pq_index(spark, t, sdf)
+
+
+def test_pq_index_refresh_and_distortion_gated_refit(spark, sf_dir, tmpdir):
+    """PQ-index maintenance lifecycle: (a) refresh appends NEW vectors
+    encoded against the FROZEN codebooks (+ the committed transform) in
+    the committed storage form; (b) refit is gated on the OPQ objective —
+    a no-op while distortion holds, an ATOMIC full swap (codebooks,
+    codes, transform, new baseline) when forced."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import ann_index
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 300))
+    new = emb.filter(F.col("vec_id") >= 300)
+
+    t = ann_index.build_pq_index(
+        spark, old, old, str(tmpdir) + "/life_idx", opq="rot"
+    )
+    n_old = t.read(spark, "pq_codes").count()
+    assert n_old == old.count()
+    assert t.read(spark, "pq_distortion").count() == 1
+
+    # refresh: postings grow, codebooks frozen; new codes match a direct
+    # encode of the transformed new vectors against the committed books
+    ann_index.refresh_pq_index(spark, t, new)
+    codes_all = t.read(spark, "pq_codes")
+    assert codes_all.count() == n_old + new.count()
+    fresh = codes_all.filter(F.col("vec_id") >= 300)
+    direct = S.pq_pack_codes(
+        S.pq_encode(
+            ann_index._apply_index_transform(spark, t, new),
+            t.read(spark, "pq_fine"),
+        )
+    )
+    got = {(r.vec_id, r.code_word) for r in fresh.select("vec_id", "code_word").collect()}
+    want = {(r.vec_id, r.code_word) for r in direct.collect()}
+    assert got == want
+
+    # a refreshed vector is probe-reachable through the same index
+    probe = ann_index.probe_pq_index(
+        spark, t, emb.filter(F.col("vec_id") == 301), nprobe=8, topk=5
+    )
+    assert 301 in {r.vec_id for r in probe.collect()}
+
+    # distortion gate: same corpus -> no-op at a generous threshold
+    v_before = t.versions()
+    assert ann_index.refit_pq_index(spark, t, old, old, max_mse_growth=10.0) is None
+    assert t.versions() == v_before
+
+    # forced refit (threshold -1 => any distortion exceeds base*0):
+    # atomic overwrite with a fresh baseline over the FULL corpus
+    full = emb.filter(F.col("vec_id") >= 10)
+    assert ann_index.refit_pq_index(
+        spark, t, full, full, max_mse_growth=-1.0
+    ) is not None
+    assert t.read(spark, "pq_codes").count() == full.count()
+    assert t.read(spark, "pq_distortion").count() == 1
+    assert t.table_files("pq_rot")  # transform kind preserved through refit
