@@ -199,11 +199,28 @@ def _pq_index_tables(
     distortion baseline) — shared by the initial build and the
     distortion-gated refit so both commit the SAME artifact shape."""
     d = m * sub_dim
-    tables = {}
+    tables = {
+        # explicit geometry record: consumers (probe/refresh/refit) read
+        # m/sub_dim/k/n_cells from HERE, never from caller defaults — a
+        # non-default build probed or refreshed with default dials would
+        # otherwise mis-slice subvectors and silently corrupt the index
+        # (and k cannot be derived from the codebook: Lloyd drops empty
+        # centroids, while packed code words keep the ORIGINAL bit width)
+        "pq_meta": spark.createDataFrame(
+            [(n_cells, m, sub_dim, k, bool(packed))],
+            "n_cells int, m int, sub_dim int, k int, packed boolean",
+        ),
+    }
     if opq == "rot":
         rot = similarity.opq_fit_rotation(train, m=m, sub_dim=sub_dim)
         train = similarity.apply_rotation(train, rot)
-        corpus = similarity.apply_rotation(corpus, rot)
+        # one checkpointed pass: the rotated corpus feeds THREE consumers
+        # (cell encode, code encode, distortion baseline) — without the
+        # cut each would re-run the crossJoin+transform lineage from the
+        # raw corpus (on a cluster use a reliable checkpoint dir)
+        corpus = similarity.apply_rotation(corpus, rot).localCheckpoint(
+            eager=True
+        )
         tables["pq_rot"] = spark.createDataFrame(
             [(i, row) for i, row in enumerate(rot)],
             "row_idx int, coeffs array<double>",
@@ -211,7 +228,9 @@ def _pq_index_tables(
     elif opq:
         perm = similarity.opq_fit_permutation(train, m=m, sub_dim=sub_dim)
         train = similarity.apply_dim_permutation(train, perm)
-        corpus = similarity.apply_dim_permutation(corpus, perm)
+        corpus = similarity.apply_dim_permutation(
+            corpus, perm
+        ).localCheckpoint(eager=True)
         tables["pq_perm"] = perm
     coarse = similarity.pq_train(train, m=1, sub_dim=d, k=n_cells, iters=2)
     fine = similarity.pq_train(train, m=m, sub_dim=sub_dim, k=k, iters=2)
@@ -234,6 +253,20 @@ def _pq_index_tables(
         }
     )
     return tables
+
+
+def _index_geometry(spark, t: MultiManifestTable, **fallback) -> dict:
+    """Read the index's committed geometry (pq_meta) — the single source
+    of truth for every consumer. Falls back to the caller-supplied dials
+    only for legacy indexes committed before pq_meta existed."""
+    if t.table_files("pq_meta"):
+        r = t.read(spark, "pq_meta").first()
+        return {
+            "n_cells": int(r["n_cells"]), "m": int(r["m"]),
+            "sub_dim": int(r["sub_dim"]), "k": int(r["k"]),
+            "packed": bool(r["packed"]),
+        }
+    return fallback
 
 
 def _apply_index_transform(spark, t: MultiManifestTable, vectors):
@@ -269,7 +302,10 @@ def refresh_pq_index(
     encode fine codes, match the committed storage form (packed word vs
     array codes), and append to pq_codes as one manifest version. The
     corpus-sized work is one in-row encode pass over ONLY the new
-    vectors."""
+    vectors. Geometry comes from the committed pq_meta (the m/sub_dim/k
+    parameters are a legacy-index fallback only)."""
+    g = _index_geometry(spark, t, m=m, sub_dim=sub_dim, k=k)
+    m, sub_dim, k = g["m"], g["sub_dim"], g["k"]
     d = m * sub_dim
     vecs = _apply_index_transform(spark, t, new_vectors)
     coarse = t.read(spark, "pq_coarse")
@@ -308,15 +344,23 @@ def refit_pq_index(
     The refit preserves the index's transform KIND but re-fits it on the
     current train slice (a stale rotation is part of what drifted), so
     codebooks, codes, transform and the new distortion baseline swap in
-    ONE overwrite_multi transaction."""
-    vecs = _apply_index_transform(spark, t, corpus)
-    fine = t.read(spark, "pq_fine")
-    cur = similarity.pq_distortion_report(
-        vecs, fine, m=m, sub_dim=sub_dim
-    ).first()
-    base = t.read(spark, "pq_distortion").first()
-    if float(cur["recon_mse"]) <= float(base["recon_mse"]) * (1.0 + max_mse_growth):
-        return None
+    ONE overwrite_multi transaction. Geometry comes from the committed
+    pq_meta (parameters are a legacy-index fallback); an index committed
+    BEFORE the baseline existed has nothing to gate on, so it refits
+    unconditionally and ESTABLISHES the baseline."""
+    g = _index_geometry(spark, t, n_cells=n_cells, m=m, sub_dim=sub_dim, k=k)
+    n_cells, m, sub_dim, k = g["n_cells"], g["m"], g["sub_dim"], g["k"]
+    if t.table_files("pq_distortion"):
+        vecs = _apply_index_transform(spark, t, corpus)
+        fine = t.read(spark, "pq_fine")
+        cur = similarity.pq_distortion_report(
+            vecs, fine, m=m, sub_dim=sub_dim
+        ).first()
+        base = t.read(spark, "pq_distortion").first()
+        if float(cur["recon_mse"]) <= float(base["recon_mse"]) * (
+            1.0 + max_mse_growth
+        ):
+            return None
     opq = "rot" if t.table_files("pq_rot") else (
         True if t.table_files("pq_perm") else False
     )
@@ -343,7 +387,12 @@ def probe_pq_index(
     join; pass ``topk=None`` and apply `topk_cut` per micro-batch via
     foreachBatch, exactly as tests/test_pq.py's parity test does) or a
     batch frame (cut inline). An OPQ index (pq_perm or pq_rot table
-    present) transforms incoming vectors first — in-row, stream-safe."""
+    present) transforms incoming vectors first — in-row, stream-safe.
+    Geometry comes from the committed pq_meta (the m/sub_dim/k
+    parameters are a legacy-index fallback only); nprobe/topk are the
+    caller's per-query dials."""
+    g = _index_geometry(spark, t, m=m, sub_dim=sub_dim, k=k)
+    m, sub_dim, k = g["m"], g["sub_dim"], g["k"]
     if topk is not None and incoming.isStreaming:
         # the inline cut is a global row_number window — not stream-
         # expressible; fail here with the recipe instead of letting

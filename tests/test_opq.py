@@ -465,10 +465,12 @@ def test_opq_np_refinement_descends_objective(spark):
     )
     rm = np.asarray(r1)
     assert float(np.abs(rm @ rm.T - np.eye(16)).max()) < 1e-6
-    # the alternation descends its objective: last iterate strictly below
-    # the first (monotone up to re-seeding noise; endpoints are the claim)
+    # the alternation descends its objective: the RETURNED rotation's
+    # objective (history[-1] — evaluated by a final codebook fit) at or
+    # below the starting rotation's (monotone up to re-seeding noise;
+    # endpoints are the claim)
     assert hist[-1] <= hist[0] * 1.0001, hist
-    assert len(hist) == 6
+    assert len(hist) == 7  # np_iters entering-objectives + the final one
 
     rec_p = _pq_recall(S.apply_rotation(df, r0), n_queries, topk, m, sub_dim, k, truth)
     rec_np = _pq_recall(S.apply_rotation(df, r1), n_queries, topk, m, sub_dim, k, truth)
@@ -484,3 +486,17 @@ def test_opq_np_refinement_descends_objective(spark):
     assert distortion(S.apply_rotation(df, r1)) <= distortion(
         S.apply_rotation(df, r0)
     ) * 1.1
+
+
+def test_apply_rotation_rejects_dimension_mismatch(spark):
+    """A d-mismatch must raise, not null-pad through zip_with (the same
+    failure class as the hadamard signs guard)."""
+    import pytest
+
+    df16 = _make_vectors(spark, [1.0] * 16, 4)
+    rot = S.opq_fit_rotation(df16, m=4, sub_dim=4)
+    short = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="expected 16-dim"):
+        S.apply_rotation(short, rot).collect()

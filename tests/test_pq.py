@@ -466,3 +466,43 @@ def test_pq_index_refresh_and_distortion_gated_refit(spark, sf_dir, tmpdir):
     assert t.read(spark, "pq_codes").count() == full.count()
     assert t.read(spark, "pq_distortion").count() == 1
     assert t.table_files("pq_rot")  # transform kind preserved through refit
+
+
+def test_pq_index_consumers_use_committed_geometry(spark, sf_dir, tmpdir):
+    """probe/refresh read m/sub_dim/k from the committed pq_meta, not
+    caller defaults — a non-default build refreshed/probed with default
+    dials must still encode/score correctly (the silent-corruption case:
+    default 8x8 slicing against a 4x16 codebook null-pads distances)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import ann_index
+
+    m, sub_dim, k = 4, 16, 8
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 300))
+    new = emb.filter(F.col("vec_id") >= 300)
+
+    t = ann_index.build_pq_index(
+        spark, old, old, str(tmpdir) + "/geo_idx", m=m, sub_dim=sub_dim, k=k
+    )
+    meta = t.read(spark, "pq_meta").first()
+    assert (meta["m"], meta["sub_dim"], meta["k"]) == (m, sub_dim, k)
+
+    # refresh with DEFAULT args: geometry must come from pq_meta
+    ann_index.refresh_pq_index(spark, t, new)
+    fresh = t.read(spark, "pq_codes").filter(F.col("vec_id") >= 300)
+    direct = S.pq_pack_codes(
+        S.pq_encode(new, t.read(spark, "pq_fine"), m=m, sub_dim=sub_dim),
+        m=m, k=k,
+    )
+    got = {(r.vec_id, r.code_word) for r in fresh.select("vec_id", "code_word").collect()}
+    want = {(r.vec_id, r.code_word) for r in direct.collect()}
+    assert got == want
+
+    # probe with DEFAULT args: distances must be real, not null-padded
+    scored = ann_index.probe_pq_index(
+        spark, t, emb.filter(F.col("vec_id") < 3), nprobe=3, topk=4
+    ).collect()
+    assert scored and all(r.approx_dist is not None for r in scored)

@@ -71,16 +71,44 @@ def main():
         hit = truth.join(approx, ["query_id", "vec_id"], "left_semi").count()
         return hit / n_true
 
-    # cell-coverage ceiling per nprobe: recall of the EXACT ranker
-    # restricted to probed cells (what rerank converges to)
+    # cell-coverage ceiling per nprobe: |truth ∩ probed cells| / |truth| —
+    # exactly what exact re-rank converges to as the shortlist grows (a
+    # truth member in a probed cell can only rank BETTER within the
+    # candidate subset), computed as cheap joins instead of an unbounded-
+    # shortlist rerank whose candidate frame would be driver-broadcast
+    ccb = coarse.select(
+        F.col("cent_id").alias("_cell"), F.col("centroid").alias("_cv")
+    )
+    qv2 = qs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    ranked_cells = (
+        qv2.crossJoin(F.broadcast(ccb))
+        .select(
+            "query_id", "_cell",
+            F.round(S._sqdist(F.col("_qv"), F.col("_cv")), 6).alias("_pd"),
+        )
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("_pd", "_cell")
+            ),
+        )
+        .localCheckpoint(eager=True)  # Q x n_cells rows
+    )
+    truth_cells = truth.join(cells, "vec_id")  # truth member -> its cell
+
     for nprobe in sorted({auto["nprobe"], 8, 11, 16, 22, nc // 2}):
         if nprobe < 1 or nprobe > nc:
             continue
-        ceiling_df = S.ivfpq_topk_rerank(
-            emb, corpus, qs, topk=topk, shortlist=10 ** 9, n_cells=nc,
-            nprobe=nprobe, coarse=coarse, fine=cb, cells=cells, codes=codes,
+        probed = ranked_cells.filter(F.col("_pr") <= nprobe).select(
+            "query_id", "_cell"
         )
-        ceil = recall(ceiling_df)
+        ceil = (
+            truth_cells.join(probed, ["query_id", "_cell"], "left_semi").count()
+            / n_true
+        )
         print(f"nprobe={nprobe:3d}  scan={nprobe/nc:5.1%}  "
               f"cell-coverage ceiling={ceil:.3f}")
         for shortlist in (60, 120, 200):

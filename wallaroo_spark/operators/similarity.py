@@ -2164,8 +2164,11 @@ def opq_refine_rotation(
     (the alternation then starts from the eigen-allocated solution and
     can only improve its own objective).
 
-    Returns (rotation, history) where history[i] is the in-sample mean
-    squared quantization error after iteration i — monotone
+    Returns (rotation, history): history has np_iters + 1 entries —
+    history[0] is the STARTING rotation's in-sample mean squared
+    quantization error and history[-1] the RETURNED rotation's (a final
+    codebook fit evaluates the last Procrustes step, so the number a
+    caller gates on describes the matrix it gets back) — monotone
     non-increasing up to codebook re-seeding noise (pinned by
     tests/test_opq.py). Rows-only oracle territory, like the parametric
     fit; the corpus-level check is `pq_distortion_report`.
@@ -2194,9 +2197,12 @@ def opq_refine_rotation(
                                round_dp=round_dp)
     r = np.asarray(rot, dtype=float)
     kk = min(k, x.shape[0])
-    history: list[float] = []
-    for _ in range(np_iters):
-        y = x @ r.T
+
+    def evaluate(rm):
+        """Fit sample codebooks in the rotated space; return the
+        reconstruction (for the Procrustes step) and the objective —
+        the MSE OF ``rm``, measured with its own best codebooks."""
+        y = x @ rm.T
         y_hat = np.empty_like(y)
         for j in range(m):
             sub = y[:, j * sub_dim:(j + 1) * sub_dim]
@@ -2210,11 +2216,18 @@ def opq_refine_rotation(
                         cents[c] = sub[mask].mean(axis=0)
             d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             y_hat[:, j * sub_dim:(j + 1) * sub_dim] = cents[d2.argmin(axis=1)]
-        history.append(float(((y - y_hat) ** 2).sum(axis=1).mean()))
+        return y_hat, float(((y - y_hat) ** 2).sum(axis=1).mean())
+
+    history: list[float] = []
+    for _ in range(np_iters):
+        y_hat, mse = evaluate(r)
+        history.append(mse)  # objective of the rotation ENTERING this step
         # Procrustes: min ||X Q - Y_hat||_F over orthogonal Q; our row
         # convention is y = x @ R^T, so R = Q^T
         u, _, vt = np.linalg.svd(x.T @ y_hat)
         r = (u @ vt).T
+    _, mse = evaluate(r)
+    history.append(mse)  # objective of the RETURNED rotation
     out = [[round(float(v), round_dp) for v in row] for row in r]
     return out, history
 
@@ -2231,7 +2244,12 @@ def apply_rotation(
     ONE broadcast row (model-sized: d*d doubles), so the stage is a pure
     stateless map at scan speed — no shuffle, no per-vector join; on a
     STREAMING ``df`` the matrix embeds as literal arrays instead (the
-    apply_dim_permutation pattern), keeping the stage stream-safe."""
+    apply_dim_permutation pattern), keeping the stage stream-safe.
+
+    Vector length is runtime-GUARDED against the matrix dimension: a
+    mismatch would otherwise null-pad through zip_with and silently
+    null every output (the same failure class as the hadamard_rotate
+    signs fix) — here it raises per row instead."""
     d = len(rot)
     if any(len(r) != d for r in rot):
         raise ValueError("apply_rotation: rotation matrix must be square")
@@ -2248,7 +2266,18 @@ def apply_rotation(
             ),
         )
 
-    prepped = df.withColumn("_vin", F.col(vec_col).cast("array<double>"))
+    vin = F.col(vec_col).cast("array<double>")
+    prepped = df.withColumn(
+        "_vin",
+        F.when(F.size(vin) == d, vin).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"apply_rotation: expected {d}-dim vectors, got "),
+                    F.size(vin).cast("string"),
+                )
+            )
+        ),
+    )
     if df.isStreaming:
         rmat = F.array(
             *[F.array(*[F.lit(float(x)) for x in row]) for row in rot]

@@ -5997,6 +5997,59 @@ def _opq_perm_e_sql(
     """
 
 
+def _ann_exact_truth(emb: DataFrame, topk: int) -> DataFrame:
+    """Exact L2 top-k ground truth shared by ALL recall audits
+    (ann_recall_audit / opq_recall_audit / opq_rotation_audit /
+    ann_recall_prod_audit): the bounded 10-query x corpus broadcast scan
+    (recall is a STATISTIC over a fixed query sample), localCheckpointed
+    to queries x topk rows. One definition so the cut rule (6dp-rounded
+    distance, vec_id tiebreak) can never desynchronize across audits or
+    drift from the shared SQL truth block."""
+    from pyspark.sql.window import Window
+
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    exact = (
+        emb.filter(F.col("vec_id") >= 10)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                similarity._sqdist(
+                    F.col("embedding").cast("array<double>"), F.col("_qv")
+                ),
+                6,
+            ).alias("_d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("_d", "vec_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _recall_table(truth: DataFrame, arms: dict) -> DataFrame:
+    """Per-arm recall rows (variant, n_true, n_caught, recall) against a
+    shared truth — the LEFT-JOIN hit-count shape every audit emits."""
+    out = None
+    for name, df in arms.items():
+        approx = df.select("query_id", "vec_id").withColumn("_c", F.lit(1))
+        part = truth.join(approx, ["query_id", "vec_id"], "left").agg(
+            F.lit(name).alias("variant"),
+            F.count("*").alias("n_true"),
+            F.count("_c").alias("n_caught"),
+            F.round(F.count("_c") / F.count("*").cast("double"), 4).alias("recall"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("variant")
+
+
 def _ann_recall_oracle(topk: int = _ANN_AUDIT_TOPK) -> str:
     """Recall@k audit oracle: exact L2 top-k ground truth joined against
     every ANN variant's replayed result set. Each variant's full oracle
@@ -6061,33 +6114,10 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pq_rerank arms. Recall joins are per-variant LEFT JOINs on a
     topk-bounded pair set."""
     topk = _ANN_AUDIT_TOPK
-    from pyspark.sql.window import Window
-
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 10)
     qs = emb.filter(F.col("vec_id") < 10)
-
-    qv = qs.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("_qv"),
-    )
-    exact = corpus.crossJoin(F.broadcast(qv)).select(
-        "query_id",
-        "vec_id",
-        F.round(
-            similarity._sqdist(
-                F.col("embedding").cast("array<double>"), F.col("_qv")
-            ),
-            6,
-        ).alias("_d"),
-    )
-    w = Window.partitionBy("query_id").orderBy("_d", "vec_id")
-    truth = (
-        exact.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= topk)
-        .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)  # bounded: queries x topk rows
-    )
+    truth = _ann_exact_truth(emb, topk)
 
     # shared index artifacts, trained ONCE (r9 VERDICT #6): the fine
     # codebook/codes serve pq_adc, pq_rerank, ivfpq_plain and
@@ -6132,17 +6162,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_emb.filter(F.col("vec_id") < 10),
         topk=topk, n_cells=8, nprobe=3,
     )
-    out = None
-    for name, df in variants.items():
-        approx = df.select("query_id", "vec_id").withColumn("_c", F.lit(1))
-        part = truth.join(approx, ["query_id", "vec_id"], "left").agg(
-            F.lit(name).alias("variant"),
-            F.count("*").alias("n_true"),
-            F.count("_c").alias("n_caught"),
-            F.round(F.count("_c") / F.count("*").cast("double"), 4).alias("recall"),
-        )
-        out = part if out is None else out.unionAll(part)
-    return out.orderBy("variant")
+    return _recall_table(truth, variants)
 
 
 def _opq_recall_oracle(topk: int = _ANN_AUDIT_TOPK, d: int = 64) -> str:
@@ -6209,36 +6229,9 @@ def opq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d-row aggregation; both transforms apply in-row at scan speed; the
     rest is the production PQ path."""
     topk = _ANN_AUDIT_TOPK
-    from pyspark.sql.window import Window
-
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     d = 64
-
-    qv = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("_qv"),
-    )
-    exact = (
-        emb.filter(F.col("vec_id") >= 10)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                similarity._sqdist(
-                    F.col("embedding").cast("array<double>"), F.col("_qv")
-                ),
-                6,
-            ).alias("_d"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy("_d", "vec_id")
-    truth = (
-        exact.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= topk)
-        .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    truth = _ann_exact_truth(emb, topk)
 
     def pq_arm(vecs: DataFrame) -> DataFrame:
         cb = similarity.pq_train(vecs, iters=2)
@@ -6252,22 +6245,11 @@ def opq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rot = similarity.hadamard_rotate(emb, d=d)
     rr = similarity.apply_dim_permutation(rot, similarity.opq_fit_permutation(rot))
-    arms = {
+    return _recall_table(truth, {
         "pq_plain": pq_arm(emb),
         "opq_perm": pq_arm(permuted),
         "opq_rr": pq_arm(rr),
-    }
-    out = None
-    for name, df in arms.items():
-        approx = df.select("query_id", "vec_id").withColumn("_c", F.lit(1))
-        part = truth.join(approx, ["query_id", "vec_id"], "left").agg(
-            F.lit(name).alias("variant"),
-            F.count("*").alias("n_true"),
-            F.count("_c").alias("n_caught"),
-            F.round(F.count("_c") / F.count("*").cast("double"), 4).alias("recall"),
-        )
-        out = part if out is None else out.unionAll(part)
-    return out.orderBy("variant")
+    })
 
 
 @query(
@@ -6802,35 +6784,8 @@ def opq_rotation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform applies in-row at scan speed (one broadcast matrix row);
     everything downstream is the production PQ path."""
     topk = _ANN_AUDIT_TOPK
-    from pyspark.sql.window import Window
-
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    qv = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("_qv"),
-    )
-    exact = (
-        emb.filter(F.col("vec_id") >= 10)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                similarity._sqdist(
-                    F.col("embedding").cast("array<double>"), F.col("_qv")
-                ),
-                6,
-            ).alias("_d"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy("_d", "vec_id")
-    truth = (
-        exact.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= topk)
-        .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    truth = _ann_exact_truth(emb, topk)
 
     def pq_arm(vecs: DataFrame) -> DataFrame:
         cb = similarity.pq_train(vecs, iters=2)
@@ -6841,7 +6796,7 @@ def opq_rotation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rot = similarity.opq_fit_rotation(emb)
     rot_np, _hist = similarity.opq_refine_rotation(emb, rot=rot)
-    arms = {
+    return _recall_table(truth, {
         "pq_plain": pq_arm(emb),
         "opq_perm": pq_arm(
             similarity.apply_dim_permutation(
@@ -6852,18 +6807,7 @@ def opq_rotation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the non-parametric alternation (opq_refine_rotation) from the
         # parametric start — the full Ge et al. pipeline on the surface
         "opq_rot_np": pq_arm(similarity.apply_rotation(emb, rot_np)),
-    }
-    out = None
-    for name, df in arms.items():
-        approx = df.select("query_id", "vec_id").withColumn("_c", F.lit(1))
-        part = truth.join(approx, ["query_id", "vec_id"], "left").agg(
-            F.lit(name).alias("variant"),
-            F.count("*").alias("n_true"),
-            F.count("_c").alias("n_caught"),
-            F.round(F.count("_c") / F.count("*").cast("double"), 4).alias("recall"),
-        )
-        out = part if out is None else out.unionAll(part)
-    return out.orderBy("variant")
+    })
 
 
 @query("opq_rotation_distortion")
@@ -6980,33 +6924,10 @@ def ann_recall_prod_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank float math touches Q x shortlist rows however large the
     corpus."""
     topk = _ANN_AUDIT_TOPK
-    from pyspark.sql.window import Window
-
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 10)
     qs = emb.filter(F.col("vec_id") < 10)
-
-    qv = qs.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("_qv"),
-    )
-    exact = corpus.crossJoin(F.broadcast(qv)).select(
-        "query_id",
-        "vec_id",
-        F.round(
-            similarity._sqdist(
-                F.col("embedding").cast("array<double>"), F.col("_qv")
-            ),
-            6,
-        ).alias("_d"),
-    )
-    w = Window.partitionBy("query_id").orderBy("_d", "vec_id")
-    truth = (
-        exact.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= topk)
-        .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    truth = _ann_exact_truth(emb, topk)
 
     auto = similarity.ivf_auto_size(corpus.count(), topk)
     nc, np_ = auto["n_cells"], auto["nprobe"]
@@ -7044,14 +6965,4 @@ def ann_recall_prod_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             coarse=coarse_t, fine=cb, cells=cells_t, codes=codes,
         ),
     }
-    out = None
-    for name, df in variants.items():
-        approx = df.select("query_id", "vec_id").withColumn("_c", F.lit(1))
-        part = truth.join(approx, ["query_id", "vec_id"], "left").agg(
-            F.lit(name).alias("variant"),
-            F.count("*").alias("n_true"),
-            F.count("_c").alias("n_caught"),
-            F.round(F.count("_c") / F.count("*").cast("double"), 4).alias("recall"),
-        )
-        out = part if out is None else out.unionAll(part)
-    return out.orderBy("variant")
+    return _recall_table(truth, variants)
