@@ -6153,9 +6153,12 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             coarse=coarse, fine=cb, cells=cells, codes=codes,
         ),
     }
+    # pin the permuted frame: the residual arm's internal coarse/fine
+    # chains consume it many times, and without the cut each consumer
+    # re-runs the crossJoin+transform lineage from the raw scan
     p_emb = similarity.apply_dim_permutation(
         emb.select("vec_id", "embedding"), similarity.opq_fit_permutation(emb)
-    )
+    ).localCheckpoint(eager=True)
     variants["ivfpq_residual_opq"] = similarity.ivfpq_residual_topk(
         p_emb,
         p_emb.filter(F.col("vec_id") >= 10),
@@ -6240,11 +6243,16 @@ def opq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes, cb, vecs.filter(F.col("vec_id") < 10), topk=topk
         )
 
+    # pin each transformed frame once: every pq_arm consumes its input
+    # from several branches (seed scan, subvector persist, encode, query
+    # side), and the transform lineage would re-run per branch
     permuted = similarity.apply_dim_permutation(
         emb, similarity.opq_fit_permutation(emb)
-    )
+    ).localCheckpoint(eager=True)
     rot = similarity.hadamard_rotate(emb, d=d)
-    rr = similarity.apply_dim_permutation(rot, similarity.opq_fit_permutation(rot))
+    rr = similarity.apply_dim_permutation(
+        rot, similarity.opq_fit_permutation(rot)
+    ).localCheckpoint(eager=True)
     return _recall_table(truth, {
         "pq_plain": pq_arm(emb),
         "opq_perm": pq_arm(permuted),
@@ -6616,9 +6624,11 @@ def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     permuted = similarity.apply_dim_permutation(
         emb, similarity.opq_fit_permutation(emb)
-    )
+    ).localCheckpoint(eager=True)
     rot = similarity.hadamard_rotate(emb, d=64)
-    rr = similarity.apply_dim_permutation(rot, similarity.opq_fit_permutation(rot))
+    rr = similarity.apply_dim_permutation(
+        rot, similarity.opq_fit_permutation(rot)
+    ).localCheckpoint(eager=True)
     out = None
     for name, vecs in [("opq_perm", permuted), ("opq_rr", rr), ("pq_plain", emb)]:
         part = arm(vecs).select(
@@ -6803,10 +6813,14 @@ def opq_rotation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 emb, similarity.opq_fit_permutation(emb)
             )
         ),
-        "opq_rot": pq_arm(similarity.apply_rotation(emb, rot)),
+        "opq_rot": pq_arm(
+            similarity.apply_rotation(emb, rot).localCheckpoint(eager=True)
+        ),
         # the non-parametric alternation (opq_refine_rotation) from the
         # parametric start — the full Ge et al. pipeline on the surface
-        "opq_rot_np": pq_arm(similarity.apply_rotation(emb, rot_np)),
+        "opq_rot_np": pq_arm(
+            similarity.apply_rotation(emb, rot_np).localCheckpoint(eager=True)
+        ),
     })
 
 
@@ -6839,7 +6853,12 @@ def opq_rotation_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = out.unionAll(
-        arm("opq_rot", similarity.apply_rotation(emb, similarity.opq_fit_rotation(emb)))
+        arm(
+            "opq_rot",
+            similarity.apply_rotation(
+                emb, similarity.opq_fit_rotation(emb)
+            ).localCheckpoint(eager=True),
+        )
     )
     return out.orderBy("variant")
 
