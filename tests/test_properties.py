@@ -599,3 +599,67 @@ def test_lsh_tune_rule():
 
     with pytest.raises(ValueError):
         minhash_lsh_pairs(None, bands=8, rows=4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-4, max_value=4,
+                      allow_nan=False, allow_infinity=False),
+            min_size=8, max_size=8,
+        ),
+        min_size=12, max_size=40,
+    )
+)
+def test_opq_rotation_family_invariants(vecs):
+    """Property: for ANY corpus, opq_fit_rotation returns an orthogonal
+    matrix (R R^T = I to rounding tolerance), every row assigned once
+    (square), and apply_rotation preserves pairwise squared L2 to fp
+    tolerance — the invariant that makes the raw-vector exact-truth
+    valid for every rotated recall arm."""
+    import numpy as np
+
+    from wallaroo_spark.operators import similarity as S
+
+    spark = _get_spark()
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rot = S.opq_fit_rotation(df, m=2, sub_dim=4)
+    rm = np.asarray(rot)
+    assert rm.shape == (8, 8)
+    assert float(np.abs(rm @ rm.T - np.eye(8)).max()) < 1e-6
+
+    out = {r.vec_id: np.asarray(r.embedding)
+           for r in S.apply_rotation(df, rot).collect()}
+    orig = {i: np.asarray(v) for i, v in rows}
+    a, b = 0, len(rows) - 1
+    d_orig = float(np.sum((orig[a] - orig[b]) ** 2))
+    d_rot = float(np.sum((out[a] - out[b]) ** 2))
+    assert abs(d_orig - d_rot) <= 1e-6 * max(1.0, d_orig)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=2, max_value=16),
+       st.integers(min_value=2, max_value=16))
+def test_pq_pack_codes_roundtrip_any_geometry(m, k):
+    """Property: pack/unpack is a bijection for ANY (m, k) that fits one
+    BIGINT — the shift/mask fold recovers every code exactly (the packed
+    ADC path depends on this for bit-identity with the array path)."""
+    import random
+
+    from wallaroo_spark.operators import similarity as S
+
+    bits = max(1, (k - 1).bit_length())
+    if m * bits > 63:
+        return  # guarded by pq_pack_codes's ValueError; not this test
+    spark = _get_spark()
+    rnd = random.Random(m * 100 + k)
+    rows = [(i, [rnd.randrange(k) for _ in range(m)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, codes array<int>")
+    packed = {r.vec_id: r.code_word
+              for r in S.pq_pack_codes(df, m=m, k=k).collect()}
+    mask = (1 << bits) - 1
+    for i, codes in rows:
+        got = [(packed[i] >> (j * bits)) & mask for j in range(m)]
+        assert got == codes, (m, k, codes, got)

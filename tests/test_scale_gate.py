@@ -32,6 +32,10 @@ GATED = [
     # round-8 additions: the fingerprint-pair sibling and the new ANN path
     "simhash_near_pairs",
     "pq_topk_adc",
+    # round-10 addition: the production-geometry audit — auto-sizing makes
+    # the coarse Lloyd join N*sqrt(N) per training, which is exactly the
+    # shape a regression would push superlinear
+    "ann_recall_prod_audit",
 ]
 EXP_BOUND = 1.5
 
