@@ -15,11 +15,19 @@ system, composed from the engine's pieces.
     query:   load the index, probe with `ivf_topk(corpus_assigned=...)` —
              the corpus-side assignment is never recomputed
     PQ:      `build_pq_index` commits the compressed form of the same
-             lifecycle — coarse + fine codebooks and the 4-byte codes
-             (the ONLY corpus-sized artifact, 128x smaller than float64)
-             in one transaction; `probe_pq_index` scores incoming
-             vectors (batch OR stream — `similarity.ivfpq_probe` is
-             stateless per micro-batch) against the frozen index
+             lifecycle — coarse + fine codebooks, the 4-byte codes
+             (the ONLY corpus-sized artifact, 128x smaller than float64),
+             an explicit pq_meta geometry record, the optional learned
+             transform (OPQ permutation or full rotation matrix), and
+             the build-time distortion baseline, all in one transaction;
+             `probe_pq_index` scores incoming vectors (batch OR stream —
+             `similarity.ivfpq_probe` is stateless per micro-batch)
+             against the frozen index; `refresh_pq_index` appends new
+             vectors under the frozen codebooks; `refit_pq_index`
+             re-trains ONLY when reconstruction MSE (the OPQ objective,
+             re-measured against the committed baseline) drifted past
+             threshold — swapping codebooks, codes, transform and a new
+             baseline atomically
 
 At 100 TB the assignments table is the big artifact (written once,
 partitionable by cent_id for co-located probes); centroids are k rows.
