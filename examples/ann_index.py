@@ -311,10 +311,21 @@ def refresh_pq_index(
     array codes), and append to pq_codes as one manifest version. The
     corpus-sized work is one in-row encode pass over ONLY the new
     vectors. Geometry comes from the committed pq_meta (the m/sub_dim/k
-    parameters are a legacy-index fallback only)."""
+    parameters are a legacy-index fallback only).
+
+    Idempotent by construction (ADVICE r10): vec_ids already committed
+    in pq_codes are dropped BEFORE encoding, so a re-run refresh (or a
+    refresh slice overlapping the build corpus) cannot append duplicate
+    postings that would make probes return duplicate candidates. The
+    guard is one anti-join of the (small) new slice against the codes
+    table's pruned vec_id column — the scan reads one column, and the
+    join keys on the new slice's side stay broadcast-sized."""
     g = _index_geometry(spark, t, m=m, sub_dim=sub_dim, k=k)
     m, sub_dim, k = g["m"], g["sub_dim"], g["k"]
     d = m * sub_dim
+    new_vectors = new_vectors.join(
+        t.read(spark, "pq_codes").select("vec_id"), "vec_id", "left_anti"
+    )
     vecs = _apply_index_transform(spark, t, new_vectors)
     coarse = t.read(spark, "pq_coarse")
     fine = t.read(spark, "pq_fine")

@@ -163,8 +163,17 @@ def build_corpus(spark, sf_dir: str, out_dir: str, quality_min: float = 0.5):
     #     streaming twin: EmbeddingDriftAggregation).
     # Both are bounded aggregates (windows x bins / d + n_bins rows) —
     # monitoring is free at any corpus size.
+    # The monitor scores the KEPT corpus — the slice the publish below
+    # actually ships — not the training frame (ADVICE r10: in-sample
+    # training-set ECE is a weak drift alarm, and a certificate that
+    # rides with the snapshot must describe that snapshot). Labels are
+    # re-derived on the kept rows by the same mechanical rule, so the
+    # monitor needs no label column to survive the gates above.
+    mon_src = kept.withColumn(
+        "_y", F.array_contains(_tk(F.col("text")), "vector").cast("int")
+    )
     monitor_ece = inference.windowed_calibration(
-        inference.linear_classifier_score(train, clf).withColumn(
+        inference.linear_classifier_score(mon_src, clf).withColumn(
             "ts",
             F.lit("2024-01-01 00:00:00").cast("timestamp")
             + F.make_interval(secs=F.col("doc_id") * 50),

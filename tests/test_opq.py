@@ -358,6 +358,40 @@ def test_opq_rotation_is_orthogonal_and_balanced(spark):
     assert max(lp) - min(lp) < 1.5, lp
 
 
+def test_covariance_stable_far_from_origin(spark):
+    """ADVICE r10: the textbook E[xx^T] - mean*mean^T cancels
+    catastrophically once ||mean|| >> spread (unnormalized embedding
+    corpora sit far from the origin all the time). The pilot-mean shift
+    keeps every accumulated moment at spread scale, so the covariance —
+    and hence the learned rotation — of corpus and corpus+offset agree."""
+    rng = np.random.default_rng(4)
+    d = 8
+    mat = rng.standard_normal((60, d)) * np.linspace(3.0, 0.3, d)
+    off = mat + 1e7  # x^2 terms ~1e14: the old one-pass formula loses
+    # most of the spread-scale signal here
+
+    def make(m):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in m[i]]) for i in range(len(m))],
+            "vec_id long, embedding array<double>",
+        )
+
+    def cov_of(m):
+        df = make(m)
+        n, s0 = S._mean_partials(df, "embedding", d)
+        pilot = s0 / n
+        n, s, ss = S._covariance_partials(df, "embedding", d, center=pilot)
+        mean = s / n
+        return ss / n - np.outer(mean, mean)
+
+    exact = np.cov(mat, rowvar=False, bias=True)
+    assert float(np.abs(cov_of(mat) - exact).max()) < 1e-9
+    assert float(np.abs(cov_of(off) - exact).max()) < 1e-6
+    # and the full fit stays orthogonal on the offset corpus
+    rm = np.asarray(S.opq_fit_rotation(make(off), m=2, sub_dim=4))
+    assert float(np.abs(rm @ rm.T - np.eye(d)).max()) < 1e-6
+
+
 def test_opq_rotation_beats_permutation_on_rotated_anisotropy(spark):
     """The claim that justifies the full rotation over OPQ-lite: when the
     dominant directions are dense (not axis-aligned), the permutation

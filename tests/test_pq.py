@@ -452,6 +452,15 @@ def test_pq_index_refresh_and_distortion_gated_refit(spark, sf_dir, tmpdir):
     )
     assert 301 in {r.vec_id for r in probe.collect()}
 
+    # refresh is IDEMPOTENT (ADVICE r10): re-running the same refresh —
+    # or refreshing a slice overlapping the build corpus — appends
+    # nothing, so probes can never see duplicate postings
+    ann_index.refresh_pq_index(spark, t, new)
+    ann_index.refresh_pq_index(spark, t, emb.filter(F.col("vec_id") >= 200))
+    after = t.read(spark, "pq_codes")
+    assert after.count() == n_old + new.count()
+    assert after.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+
     # distortion gate: same corpus -> no-op at a generous threshold
     v_before = t.versions()
     assert ann_index.refit_pq_index(spark, t, old, old, max_mse_growth=10.0) is None

@@ -2008,17 +2008,69 @@ def apply_dim_permutation(
     )
 
 
-def _covariance_partials(df: DataFrame, vec_col: str, d: int):
+def _mean_partials(df: DataFrame, vec_col: str, d: int):
+    """One cheap corpus pass (N*d adds, no outer products) -> the exact
+    per-dim sums: each Arrow partition reduces to ONE fixed-size partial
+    (count + d sums) via mapInPandas; the ~numPartitions partial rows sum
+    on the driver. Feeds the pilot-mean shift for `_covariance_partials`.
+    Returns (n, sums[d])."""
+    import numpy as np
+
+    vdim = d
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(vdim)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=float) for v in pdf["_v"]])
+            n += mat.shape[0]
+            s += mat.sum(axis=0)
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()]})
+
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .mapInPandas(gen, "n long, s array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("opq_fit_rotation: empty corpus")
+    n = sum(int(r["n"]) for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    return n, s
+
+
+def _covariance_partials(df: DataFrame, vec_col: str, d: int, center=None):
     """One corpus pass -> the d x d second-moment matrix: each Arrow
     partition reduces to ONE fixed-size partial (count, per-dim sums,
     flattened sum of outer products — d*(d+1)+1 doubles) via mapInPandas,
     and the ~numPartitions partial rows sum on the driver. This is the
     100 TB shape for a covariance: corpus-sized work is embarrassingly
     parallel map-side numpy; the driver reduce touches kilobytes.
-    Returns (n, sums[d], second_moments[d*d]) as numpy arrays."""
+
+    ``center`` (length-d shift vector, typically the corpus mean from
+    `_mean_partials`) is subtracted from every row MAP-SIDE before the
+    moments accumulate. Shifting never changes the covariance in exact
+    arithmetic (cov(x - c) = cov(x) for any fixed c), but it rescues
+    float precision: the textbook E[xx^T] - mean*mean^T cancels
+    catastrophically once ||mean|| >> spread (ADVICE r10 — a corpus of
+    unnormalized embeddings sitting far from the origin would silently
+    degrade the learned rotation), while centered moments keep every
+    accumulated term at the spread's own scale.
+
+    Returns (n, sums[d], second_moments[d*d]) of the SHIFTED rows as
+    numpy arrays — callers apply cov = ss/n - outer(s/n, s/n) as before
+    (with center == mean the correction term is ~0 but kept for
+    exactness)."""
     import numpy as np
 
     vdim = d
+    shift = None if center is None else np.asarray(center, dtype=float)
 
     def gen(batches):
         import numpy as np
@@ -2031,6 +2083,8 @@ def _covariance_partials(df: DataFrame, vec_col: str, d: int):
             if len(pdf) == 0:
                 continue
             mat = np.stack([np.asarray(v, dtype=float) for v in pdf["_v"]])
+            if shift is not None:
+                mat = mat - shift
             n += mat.shape[0]
             s += mat.sum(axis=0)
             ss += mat.T @ mat
@@ -2069,9 +2123,12 @@ def opq_fit_rotation(
     already axis-aligned (a permutation is the restriction of this
     rotation to the natural basis).
 
-    Mechanics: ONE corpus pass collects the d x d covariance
-    (`_covariance_partials` — fixed-size map-side numpy partials, a
-    kilobyte driver reduce), then driver-side `np.linalg.eigh` (a d x d
+    Mechanics: TWO corpus passes collect the d x d covariance — a cheap
+    exact-mean pass (`_mean_partials`), then centered second moments
+    (`_covariance_partials` shifted by the pilot mean, so the moment
+    subtraction never cancels catastrophically; both are fixed-size
+    map-side numpy partials with a kilobyte driver reduce) — then
+    driver-side `np.linalg.eigh` (a d x d
     eigensolve — bounded work, the same class as the k-means centroid
     collect); eigenvectors are sign-fixed (largest-|component| positive)
     for determinism, eigenvalues greedily allocated in descending order
@@ -2097,8 +2154,15 @@ def opq_fit_rotation(
     import numpy as np
 
     d = m * sub_dim
-    n, s, ss = _covariance_partials(df, vec_col, d)
-    mean = s / n
+    # two passes: a cheap exact-mean pass, then CENTERED second moments —
+    # the pilot-mean shift that keeps the covariance numerically stable
+    # for corpora sitting far from the origin (ADVICE r10; cov(x - c) is
+    # cov(x) exactly, so the result is unchanged where the textbook
+    # formula was healthy)
+    n, s0 = _mean_partials(df, vec_col, d)
+    pilot = s0 / n
+    n, s, ss = _covariance_partials(df, vec_col, d, center=pilot)
+    mean = s / n  # residual mean of the shifted rows (~0)
     cov = ss / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending, orthonormal columns
     order = np.argsort(evals)[::-1]
