@@ -158,12 +158,13 @@ def build_pq_index(
     train,
     corpus,
     index_dir: str,
-    n_cells: int = 8,
+    n_cells: int | None = 8,
     m: int = 8,
     sub_dim: int = 8,
     k: int = 16,
     opq: bool | str = False,
     packed: bool = True,
+    coarse_sample: int | None | str = "auto",
 ):
     """Commit the compressed IVF-PQ index: coarse codebook (n_cells
     rows), fine codebook (m*k rows), and the coded corpus
@@ -182,10 +183,18 @@ def build_pq_index(
       * ``"rot"`` — FULL parametric OPQ rotation
         (`similarity.opq_fit_rotation`, driver-side eigensolve; table
         ``pq_rot`` = d rows of (row_idx, coeffs), the d x d matrix).
+
+    ``n_cells=None`` auto-sizes the geometry from the corpus count
+    (ivf_auto_size's sqrt-N rule) AND — the production 100 TB posture —
+    bounds the coarse quantizer's TRAINING set to 39 points/cell
+    (``coarse_sample="auto"``; see pq_train's ``sample``), so the index
+    build never does N^1.5 Lloyd work. The sample size actually used is
+    committed in pq_meta, and `refit_pq_index` replays it, so refits
+    keep the build's training posture.
     """
     tables = _pq_index_tables(
         spark, train, corpus, n_cells=n_cells, m=m, sub_dim=sub_dim, k=k,
-        opq=opq, packed=packed,
+        opq=opq, packed=packed, coarse_sample=coarse_sample,
     )
     t = MultiManifestTable(index_dir)
     t.append_multi(tables)
@@ -196,17 +205,25 @@ def _pq_index_tables(
     spark,
     train,
     corpus,
-    n_cells: int = 8,
+    n_cells: int | None = 8,
     m: int = 8,
     sub_dim: int = 8,
     k: int = 16,
     opq: bool | str = False,
     packed: bool = True,
+    coarse_sample: int | None | str = "auto",
 ) -> dict:
     """The full PQ-index table set (codebooks, codes, optional transform,
     distortion baseline) — shared by the initial build and the
-    distortion-gated refit so both commit the SAME artifact shape."""
+    distortion-gated refit so both commit the SAME artifact shape.
+    ``n_cells=None`` resolves the sqrt-N auto geometry; ``coarse_sample``
+    follows the ivfpq_* convention ("auto" samples 39*n_cells training
+    rows only when geometry is auto-derived)."""
     d = m * sub_dim
+    auto_geo = n_cells is None
+    if auto_geo:
+        n_cells = similarity.ivf_auto_size(corpus.count())["n_cells"]
+    cs = similarity._coarse_sample_rows(coarse_sample, auto_geo, n_cells)
     tables = {
         # explicit geometry record: consumers (probe/refresh/refit) read
         # m/sub_dim/k/n_cells from HERE, never from caller defaults — a
@@ -215,8 +232,9 @@ def _pq_index_tables(
         # (and k cannot be derived from the codebook: Lloyd drops empty
         # centroids, while packed code words keep the ORIGINAL bit width)
         "pq_meta": spark.createDataFrame(
-            [(n_cells, m, sub_dim, k, bool(packed))],
-            "n_cells int, m int, sub_dim int, k int, packed boolean",
+            [(n_cells, m, sub_dim, k, bool(packed), cs)],
+            "n_cells int, m int, sub_dim int, k int, packed boolean, "
+            "coarse_sample int",
         ),
     }
     if opq == "rot":
@@ -240,7 +258,9 @@ def _pq_index_tables(
             corpus, perm
         ).localCheckpoint(eager=True)
         tables["pq_perm"] = perm
-    coarse = similarity.pq_train(train, m=1, sub_dim=d, k=n_cells, iters=2)
+    coarse = similarity.pq_train(
+        train, m=1, sub_dim=d, k=n_cells, iters=2, sample=cs
+    )
     fine = similarity.pq_train(train, m=m, sub_dim=sub_dim, k=k, iters=2)
     cells = similarity.pq_encode(corpus, coarse, m=1, sub_dim=d).select(
         "vec_id", F.element_at("codes", 1).alias("cell")
@@ -269,10 +289,13 @@ def _index_geometry(spark, t: MultiManifestTable, **fallback) -> dict:
     only for legacy indexes committed before pq_meta existed."""
     if t.table_files("pq_meta"):
         r = t.read(spark, "pq_meta").first()
+        rd = r.asDict()
+        cs = rd.get("coarse_sample")  # absent on pre-r11 indexes
         return {
             "n_cells": int(r["n_cells"]), "m": int(r["m"]),
             "sub_dim": int(r["sub_dim"]), "k": int(r["k"]),
             "packed": bool(r["packed"]),
+            "coarse_sample": int(cs) if cs is not None else None,
         }
     return fallback
 
@@ -387,6 +410,10 @@ def refit_pq_index(
     tables = _pq_index_tables(
         spark, train, corpus, n_cells=n_cells, m=m, sub_dim=sub_dim, k=k,
         opq=opq, packed=packed,
+        # replay the BUILD's training posture: an auto-built index keeps
+        # its committed bounded coarse-training sample through refits
+        # (int or None passes through _coarse_sample_rows verbatim)
+        coarse_sample=g.get("coarse_sample"),
     )
     return t.overwrite_multi(tables)
 

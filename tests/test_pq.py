@@ -284,6 +284,60 @@ def test_ivf_auto_size_consistency_and_auto_path(spark, sf_dir):
     assert len(r3) == 9 and all(r.rank <= 3 for r in r3)
 
 
+def test_pq_train_sample_bounds_training_set(spark, sf_dir):
+    """pq_train(sample=s): deterministic (same codebook twice), differs
+    from full-corpus training once s < corpus, degrades to the identical
+    codebook when s >= corpus (the seeds keep the full ':pqseed' rank
+    either way), and the auto path (geometry None) defaults the COARSE
+    training to 39*n_cells rows without changing output shape."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    full = {(r.sub, r.cent_id, tuple(r.centroid))
+            for r in S.pq_train(emb, iters=2).collect()}
+    s1 = {(r.sub, r.cent_id, tuple(r.centroid))
+          for r in S.pq_train(emb, iters=2, sample=60).collect()}
+    s2 = {(r.sub, r.cent_id, tuple(r.centroid))
+          for r in S.pq_train(emb, iters=2, sample=60).collect()}
+    assert s1 == s2  # deterministic salted-hash cut
+    assert s1 != full  # 60 < corpus: the training set genuinely shrank
+    covering = {(r.sub, r.cent_id, tuple(r.centroid))
+                for r in S.pq_train(emb, iters=2, sample=n + 10).collect()}
+    assert covering == full  # sample >= corpus reproduces full training
+
+    # the coarse_sample resolution rule
+    assert S._coarse_sample_rows("auto", True, 20) == 39 * 20
+    assert S._coarse_sample_rows("auto", False, 20) is None
+    assert S._coarse_sample_rows(500, True, 20) == 500
+    assert S._coarse_sample_rows(None, True, 20) is None
+
+
+def test_build_pq_index_auto_geometry_sampled(spark, sf_dir, tmpdir):
+    """build_pq_index(n_cells=None): sqrt-N auto geometry, bounded coarse
+    training sample committed in pq_meta, probe reachable, and refresh
+    keeps the committed posture."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import ann_index
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    t = ann_index.build_pq_index(
+        spark, emb, corpus, str(tmpdir) + "/auto_idx", n_cells=None
+    )
+    meta = t.read(spark, "pq_meta").first()
+    want_cells = S.ivf_auto_size(corpus.count())["n_cells"]
+    assert meta["n_cells"] == want_cells
+    assert meta["coarse_sample"] == S.IVF_TRAIN_POINTS_PER_CELL * want_cells
+    assert t.read(spark, "pq_codes").count() == corpus.count()
+    got = ann_index.probe_pq_index(
+        spark, t, emb.filter(F.col("vec_id") < 3), nprobe=want_cells, topk=3
+    )
+    assert got.count() == 9  # full top-k per query at full probe width
+
+
 def test_ivfpq_probe_stream_parity(spark, sf_dir, tmpdir):
     """The persisted-index probe must reproduce the batch search EXACTLY:
     (a) on a batch incoming frame, topk_cut(ivfpq_probe(...)) equals

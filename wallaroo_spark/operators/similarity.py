@@ -1056,6 +1056,8 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    subvecs: DataFrame | None = None,
+    sample: int | None = None,
 ) -> DataFrame:
     """Train the m per-subspace codebooks: deterministic salted-hash seed
     vectors (md5(id ~ ':pqseed') rank, engine-replayable) sliced into every
@@ -1068,6 +1070,22 @@ def pq_train(
     corpus). Distances and means round to ``round_dp`` so the argmin cut
     and the fixpoint replay bit-for-bit in DuckDB. Returns (sub, cent_id,
     centroid array<double>) — m*k rows, broadcastable.
+
+    ``subvecs`` accepts a PRECOMPUTED (id, sub, _sv) frame (exactly
+    `_pq_subvecs(df, ...)`, typically persisted by a multi-arm audit so
+    train + encode share ONE transform/slice pass); the caller owns its
+    lifecycle — results are identical by construction.
+
+    ``sample`` bounds the TRAINING SET (FAISS posture: quantizers train
+    on a sample, assignment/encode touch the full corpus): the Lloyd
+    iterations run only over the ``sample`` rows ranked lowest by the
+    salted hash md5(id ~ ':pqtrain') (vec_id tiebreak — a deterministic
+    TakeOrdered, the opq_refine_rotation discipline, replayed in SQL as
+    the same hash-rank QUALIFY cut). Seeds keep the full-corpus
+    ':pqseed' rank, so sample=None reproduces today's codebooks exactly.
+    This is THE 100 TB lever for the coarse quantizer: full-corpus Lloyd
+    at sqrt-N cells is N^1.5 work per iteration, sampled training is
+    O(s*sqrt(N)) + one final full assignment pass in pq_encode.
     """
     from wallaroo_spark.functions import hashing as H
 
@@ -1092,7 +1110,26 @@ def pq_train(
         "cent_id",
     ).select("sub", "cent_id", "_cv")
 
-    sv = _pq_subvecs(df, m, sub_dim, id_col, vec_col).persist()
+    train_src = df
+    if sample is not None:
+        hs = H.md5int_col(
+            F.concat(F.col(id_col).cast("string"), F.lit(":pqtrain"))
+        )
+        # deterministic bounded training set: per-partition top-s heaps,
+        # one s-row driver merge (TakeOrdered) — O(N) scan, s rows out
+        train_src = (
+            df.select(id_col, vec_col, hs.alias("_hs"))
+            .orderBy("_hs", id_col)
+            .limit(int(sample))
+            .drop("_hs")
+        )
+    if subvecs is not None and sample is None:
+        sv, _own = subvecs, False
+    else:
+        sv, _own = (
+            _pq_subvecs(train_src, m, sub_dim, id_col, vec_col).persist(),
+            True,
+        )
     for _ in range(iters):
         scored = sv.join(F.broadcast(cb), "sub").select(
             id_col,
@@ -1131,7 +1168,8 @@ def pq_train(
             )
             .localCheckpoint(eager=True)  # m*k rows; cut iteration lineage
         )
-    sv.unpersist()
+    if _own:
+        sv.unpersist()
     return cb.select("sub", "cent_id", F.col("_cv").alias("centroid"))
 
 
@@ -1143,12 +1181,17 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    subvecs: DataFrame | None = None,
 ) -> DataFrame:
     """Quantize vectors to their m nearest-centroid codes (rounded-L2
     argmin, cent_id tiebreak — the same cut rule as training, so codes are
     engine-exact). Returns (id, codes array<int>) — the 100 TB vector
-    store: 4 bytes/vector at the default geometry."""
-    sv = _pq_subvecs(df, m, sub_dim, id_col, vec_col)
+    store: 4 bytes/vector at the default geometry. ``subvecs`` accepts a
+    precomputed (id, sub, _sv) frame (see pq_train) so audits sharing a
+    persisted subvector base skip the transform/slice pass."""
+    sv = subvecs if subvecs is not None else _pq_subvecs(
+        df, m, sub_dim, id_col, vec_col
+    )
     cb = codebook.select("sub", "cent_id", F.col("centroid").alias("_cv"))
     best = (
         sv.join(F.broadcast(cb), "sub")
@@ -1309,6 +1352,24 @@ def pq_topk_rerank(
     )
 
 
+# FAISS's clustering guideline: warn under ~39 training points per
+# centroid — the floor the auto-sampled coarse training provisions for.
+IVF_TRAIN_POINTS_PER_CELL = 39
+
+
+def _coarse_sample_rows(
+    coarse_sample: int | None | str, auto_geo: bool, n_cells: int
+) -> int | None:
+    """Resolve the ``coarse_sample`` dial shared by the ivfpq_* family:
+    ``"auto"`` -> 39 * n_cells WHEN geometry is auto-derived (the
+    production path — bounded sample keeps sqrt-N-cell training O(s) per
+    Lloyd step instead of O(N)), full corpus otherwise; int pins the
+    sample; None forces full-corpus training."""
+    if coarse_sample == "auto":
+        return IVF_TRAIN_POINTS_PER_CELL * int(n_cells) if auto_geo else None
+    return coarse_sample
+
+
 def ivfpq_topk(
     train_df: DataFrame,
     corpus: DataFrame,
@@ -1327,6 +1388,7 @@ def ivfpq_topk(
     fine: DataFrame | None = None,
     cells: DataFrame | None = None,
     codes: DataFrame | None = None,
+    coarse_sample: int | None | str = "auto",
 ) -> DataFrame:
     """IVF-PQ: the coarse-partition + code-scan composition that makes PQ
     search sub-linear in the corpus — FAISS's default index family at
@@ -1357,8 +1419,18 @@ def ivfpq_topk(
     coarse assignment, ``codes`` = pq_encode output) — the multi-arm
     audit/benchmark path trains once and shares, instead of re-running
     two Lloyd chains per arm. Results are identical by construction.
+
+    ``coarse_sample`` bounds the coarse quantizer's TRAINING set (see
+    pq_train's ``sample``): the default ``"auto"`` samples
+    39 * n_cells rows (the FAISS points-per-centroid guideline) WHEN the
+    geometry itself is auto-derived — the production path, where
+    full-corpus Lloyd at sqrt-N cells would be N^1.5 work — and trains
+    on the full corpus when dials are explicit (the oracle-replayable
+    test geometry, unchanged). Pass an int to pin the sample size, or
+    None to force full-corpus training at auto geometry.
     """
-    if n_cells is None or nprobe is None:
+    auto_geo = n_cells is None or nprobe is None
+    if auto_geo:
         auto = ivf_auto_size(corpus.count(), topk)
         n_cells = n_cells if n_cells is not None else auto["n_cells"]
         nprobe = nprobe if nprobe is not None else auto["nprobe"]
@@ -1367,6 +1439,7 @@ def ivfpq_topk(
         coarse = pq_train(
             train_df, m=1, sub_dim=d, k=n_cells, iters=2,
             id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+            sample=_coarse_sample_rows(coarse_sample, auto_geo, n_cells),
         )
     if fine is None:
         fine = pq_train(
@@ -1452,6 +1525,7 @@ def ivfpq_topk_rerank(
     fine: DataFrame | None = None,
     cells: DataFrame | None = None,
     codes: DataFrame | None = None,
+    coarse_sample: int | None | str = "auto",
 ) -> DataFrame:
     """IVF-PQ + exact re-rank: the full production search recipe (the
     FAISS `index.search` shape with refine) — the coarse partition makes
@@ -1471,6 +1545,7 @@ def ivfpq_topk_rerank(
         nprobe=nprobe, m=m, sub_dim=sub_dim, k=k, id_col=id_col,
         vec_col=vec_col, query_id=query_id, round_dp=round_dp,
         coarse=coarse, fine=fine, cells=cells, codes=codes,
+        coarse_sample=coarse_sample,
     ).select(query_id, id_col)
     q = queries.select(
         F.col(id_col).alias(query_id),
@@ -1512,6 +1587,7 @@ def ivfpq_residual_topk(
     round_dp: int = 6,
     coarse: DataFrame | None = None,
     corpus_cells: DataFrame | None = None,
+    coarse_sample: int | None | str = "auto",
 ) -> DataFrame:
     """Residual IVF-PQ — FAISS's default encoding: the fine codebook
     quantizes RESIDUALS (v - coarse_centroid[cell]) instead of raw
@@ -1535,7 +1611,8 @@ def ivfpq_residual_topk(
     variant shares with the plain/adaptive compositions — the fine
     codebook cannot be shared, it trains on residuals).
     """
-    if n_cells is None or nprobe is None:
+    auto_geo = n_cells is None or nprobe is None
+    if auto_geo:
         auto = ivf_auto_size(corpus.count(), topk)
         n_cells = n_cells if n_cells is not None else auto["n_cells"]
         nprobe = nprobe if nprobe is not None else auto["nprobe"]
@@ -1550,6 +1627,7 @@ def ivfpq_residual_topk(
         coarse = pq_train(
             train_df, m=1, sub_dim=d, k=n_cells, iters=2,
             id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+            sample=_coarse_sample_rows(coarse_sample, auto_geo, n_cells),
         )
     ccb = coarse.select(
         F.col("cent_id").alias("_cell"), F.col("centroid").alias("_ccv")
@@ -1659,6 +1737,7 @@ def ivfpq_adaptive_topk(
     fine: DataFrame | None = None,
     cells: DataFrame | None = None,
     codes: DataFrame | None = None,
+    coarse_sample: int | None | str = "auto",
 ) -> DataFrame:
     """IVF-PQ with ADAPTIVE probing: instead of a fixed nprobe, each query
     probes its nearest cells (by coarse distance) until the CUMULATIVE
@@ -1680,7 +1759,8 @@ def ivfpq_adaptive_topk(
     ``coarse``/``fine``/``cells``/``codes`` accept precomputed index
     artifacts (see ivfpq_topk) for the shared-training audit path.
     """
-    if n_cells is None or candidate_budget is None:
+    auto_geo = n_cells is None or candidate_budget is None
+    if auto_geo:
         auto = ivf_auto_size(corpus.count(), topk)
         n_cells = n_cells if n_cells is not None else auto["n_cells"]
         candidate_budget = (
@@ -1692,6 +1772,7 @@ def ivfpq_adaptive_topk(
         coarse = pq_train(
             train_df, m=1, sub_dim=d, k=n_cells, iters=2,
             id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+            sample=_coarse_sample_rows(coarse_sample, auto_geo, n_cells),
         )
     if cells is None:
         cells = pq_encode(corpus, coarse, m=1, sub_dim=d, id_col=id_col,
@@ -2649,6 +2730,7 @@ def pq_distortion_report(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    subvecs: DataFrame | None = None,
 ) -> DataFrame:
     """Quantization-distortion report for a PQ codebook — the OPQ
     objective measured directly: per-subspace mean squared reconstruction
@@ -2657,8 +2739,12 @@ def pq_distortion_report(
     max/min subspace imbalance the eigenvalue-allocation step exists to
     flatten. One broadcast-codebook scan + a bounded (m-row) aggregate;
     totals fold in sub order so the oracle replays bit-for-bit.
-    Returns one row: (recon_mse, sub_mse_max, sub_mse_min, imbalance)."""
-    sv = _pq_subvecs(corpus, m, sub_dim, id_col, vec_col)
+    Returns one row: (recon_mse, sub_mse_max, sub_mse_min, imbalance).
+    ``subvecs`` accepts a precomputed (id, sub, _sv) frame (see
+    pq_train) — the shared-base path for multi-arm audits."""
+    sv = subvecs if subvecs is not None else _pq_subvecs(
+        corpus, m, sub_dim, id_col, vec_col
+    )
     cb = codebook.select("sub", "cent_id", F.col("centroid").alias("_cv"))
     errs = (
         sv.join(F.broadcast(cb), "sub")
