@@ -125,6 +125,8 @@ HEADLINE = [
     "windowed_distinct_hll",
     "opq_rotation_audit",
     "ann_recall_prod_audit",
+    # round-11 additions
+    "ann_recall_clustered_audit",
 ]
 
 

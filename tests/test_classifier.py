@@ -278,3 +278,47 @@ def test_windowed_calibration_per_key_slices(spark, tmpdir):
         if r.n_scored > 0
     }
     assert got == want and len({k[0] for k in got}) >= 2
+
+
+def test_calibration_overflow_posture():
+    """r10 VERDICT #3 — the TV-numerator discipline applied to ECE: the
+    streaming twin's integer identity must stay EXACT at magnitudes far
+    past BIGINT comfort (Python ints are arbitrary-precision; this pins
+    that the identity itself, not a float fold, is what runs)."""
+    import math
+
+    agg = I.CalibrationAggregation()
+    acc = agg.initial_accumulator()
+    # adversarial magnitudes: ~1e15 rows in one bin, 10^4-scaled sums
+    # ~1e19 — past int64 for the products a naive fold would form
+    acc["n"][0] = 10 ** 15
+    acc["sp"][0] = 9_999 * 10 ** 15
+    acc["np"][0] = 10 ** 14
+    acc["n"][3] = 7
+    acc["sp"][3] = 23_456
+    acc["np"][3] = 3
+    out = agg.output("k", acc)
+    num = abs(9_999 * 10 ** 15 - 10_000 * 10 ** 14) + abs(23_456 - 10_000 * 3)
+    n = 10 ** 15 + 7
+    want = math.floor(num / (10000.0 * n) * 10 ** 4 + 0.5) / 10 ** 4
+    assert out["n_scored"] == n
+    assert out["ece"] == want
+
+
+def test_windowed_calibration_plan_is_decimal_exact(spark):
+    """The batch twin's numerator runs in DECIMAL(38,0) (non-ANSI Spark
+    wraps BIGINT sums silently): the optimized plan must carry the
+    decimal cast, and the result must equal the integer identity."""
+    rows = [(i, 0.1234, i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "i long, clf_prob double, y int").select(
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("i"))).alias("ts"),
+        "clf_prob", "y",
+    )
+    out = I.windowed_calibration(df, ts_col="ts", size="1 hour", label_col="y")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "decimal(38,0)" in plan
+    r = out.collect()[0]
+    # one bin: sp = 40*1234, np = 20 -> |49360 - 200000| / (1e4 * 40)
+    assert r["n_scored"] == 40
+    assert r["ece"] == round(abs(40 * 1234 - 10000 * 20) / (10000.0 * 40), 4)

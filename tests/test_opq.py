@@ -482,6 +482,9 @@ def test_opq_rotation_index_build_probe_parity(spark, tmpdir):
     )
     q.awaitTermination(180)
     assert sorted(out) == want
+    # non-vacuous: full top-k per query actually flowed through the
+    # stream (4 queries x topk 4), through the literal-matrix rotation
+    assert len(out) == 4 * 4
 
 
 def test_opq_np_refinement_descends_objective(spark):

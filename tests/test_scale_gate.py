@@ -36,6 +36,9 @@ GATED = [
     # the coarse Lloyd join N*sqrt(N) per training, which is exactly the
     # shape a regression would push superlinear
     "ann_recall_prod_audit",
+    # round-11 addition: the clustered-corpus twin (derivation join +
+    # sampled coarse training ride the same auto geometry)
+    "ann_recall_clustered_audit",
 ]
 EXP_BOUND = 1.5
 

@@ -423,9 +423,18 @@ def windowed_calibration(
     INTEGER identity sum_b |sp_b - 10^4*np_b| / (10^4 * N) — no float
     fold anywhere, so the streaming facade twin reproduces it exactly.
     One bounded (window x bins) groupBy. Returns
-    (window_start, n_scored, ece)."""
+    (window_start, n_scored, ece).
+
+    Overflow posture (the TV-numerator discipline, r10 VERDICT #3): the
+    10^4-scaled sums run in DECIMAL(38,0) — BIGINT sums of 10^4-scale
+    terms wrap silently in non-ANSI Spark once a window passes ~9e14
+    rows; decimal keeps the numerator exact to ~1e34 rows per window,
+    far past any real deployment. The streaming twin
+    (CalibrationAggregation) needs no cast: Python ints are
+    arbitrary-precision. The DuckDB oracle needs none either: its
+    BIGINT sum() already widens to HUGEINT."""
     b = F.least(F.floor(F.col(prob_col) * bins), F.lit(bins - 1)).cast("int")
-    sp = F.round(F.col(prob_col) * 10000).cast("long")
+    sp = F.round(F.col(prob_col) * 10000).cast("decimal(38,0)")
     per = (
         scored.groupBy(
             F.window(ts_col, size).getField("start").alias("window_start"),
@@ -434,7 +443,7 @@ def windowed_calibration(
         .agg(
             F.count("*").alias("n"),
             F.sum(sp).alias("sp"),
-            F.sum(F.col(label_col).cast("long")).alias("np"),
+            F.sum(F.col(label_col).cast("decimal(38,0)")).alias("np"),
         )
     )
     return (
@@ -442,7 +451,12 @@ def windowed_calibration(
         .agg(
             F.sum("n").alias("n_scored"),
             F.round(
-                F.sum(F.abs(F.col("sp") - 10000 * F.col("np")))
+                F.sum(
+                    F.abs(
+                        F.col("sp")
+                        - F.lit(10000).cast("decimal(38,0)") * F.col("np")
+                    )
+                ).cast("double")
                 / (F.lit(10000.0) * F.sum("n")),
                 round_dp,
             ).alias("ece"),
