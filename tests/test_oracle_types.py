@@ -61,6 +61,12 @@ def test_every_query_has_an_oracle_or_documented_exemption(duck):
     # as the objective check"); the objective/improvement claims are
     # pinned by tests/test_opq.py instead. Everything else must be
     # oracle-gated.
-    exempt = {"opq_rotation_audit", "opq_rotation_distortion"}
+    exempt = {
+        "opq_rotation_audit",
+        "opq_rotation_distortion",
+        # r11: same eigensolve family — the rotation composed with the
+        # production (auto + sampled + rerank) search recipe
+        "opq_rotation_prod_audit",
+    }
     missing = [n for n in entrymod.queries() if n not in oracles and n not in exempt]
     assert not missing, f"queries registered without an oracle: {missing}"

@@ -7214,8 +7214,8 @@ def ann_recall_clustered_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.1-scale noise), searched by the SAME auto-sized IVF-PQ index
     family. Arms: auto geometry raw ADC, + exact re-rank, + re-rank with
     sampled coarse training (the full production posture). Measured at
-    sf0.1: recall@10 = 1.0 (rerank arms) at ~11% scan fraction
-    (nprobe/n_cells = 8/70) — on clustered data the index recovers
+    sf0.1: recall@10 = 1.0 (rerank arms) at ~11.4% scan fraction
+    (nprobe/n_cells = 5/44) — on clustered data the index recovers
     everything the cell partition covers, and the dials table in
     NOTES.md carries the numbers.
 
@@ -7266,3 +7266,131 @@ def ann_recall_clustered_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     return _recall_table(truth, variants)
+
+
+def _ivf_cell_skew_oracle() -> str:
+    """Replay the PRODUCTION coarse index build (auto sqrt-N geometry +
+    39/cell sampled training — the same c-chain _ivfpq_oracle replays,
+    trimmed to cells) and aggregate the cell-size distribution."""
+    sqd = _pq_sqd_sql
+    mh = H.md5int_sql
+    nc = "(SELECT n_cells FROM geo)"
+    blocks = [f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_ivf_geo_sql()},
+    sd AS (SELECT row_number() OVER (
+                  ORDER BY {mh("CAST(vec_id AS VARCHAR) || ':pqseed'")},
+                           vec_id) - 1 AS rn, v
+           FROM e QUALIFY row_number() OVER (
+                  ORDER BY {mh("CAST(vec_id AS VARCHAR) || ':pqseed'")},
+                           vec_id) <= {nc}),
+    ccb0 AS (SELECT 0 AS sub, rn AS cent_id, v AS cv FROM sd WHERE rn < {nc}),
+    csv AS MATERIALIZED (SELECT vec_id, 0 AS sub, v AS sv FROM e),
+    csvt AS MATERIALIZED (SELECT vec_id, 0 AS sub, v AS sv FROM e
+          QUALIFY row_number() OVER (
+              ORDER BY {mh("CAST(vec_id AS VARCHAR) || ':pqtrain'")},
+                       vec_id) <= 39 * {nc})"""]
+    for i in range(2):
+        blocks.append(f"""
+    casg{i} AS (SELECT sub, cent_id, sv FROM (
+        SELECT x.vec_id, x.sub, cb.cent_id, x.sv,
+               row_number() OVER (PARTITION BY x.vec_id, x.sub
+                   ORDER BY round({sqd("x.sv", "cb.cv", 64)}, 6), cb.cent_id) AS rk
+        FROM csvt x JOIN ccb{i} cb USING (sub)) WHERE rk = 1),
+    cdm{i} AS (SELECT sub, cent_id, generate_subscripts(sv, 1) AS dim, unnest(sv) AS x
+                 FROM casg{i}),
+    cmn{i} AS (SELECT sub, cent_id, dim, round(avg(x), 6) AS mv
+                 FROM cdm{i} GROUP BY 1, 2, 3),
+    ccb{i + 1} AS MATERIALIZED (SELECT sub, cent_id, list(mv ORDER BY dim) AS cv
+                 FROM cmn{i} GROUP BY sub, cent_id)""")
+    blocks.append(f"""
+    cells AS (SELECT vec_id, cent_id AS cell FROM (
+        SELECT x.vec_id, cb.cent_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY round({sqd("x.sv", "cb.cv", 64)}, 6), cb.cent_id) AS rk
+        FROM csv x JOIN ccb2 cb USING (sub)
+        WHERE x.vec_id >= 10) WHERE rk = 1),
+    per AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell)""")
+    final = """
+    SELECT CAST(count(*) AS BIGINT) AS n_cells_realized,
+           CAST(sum(n) AS BIGINT) AS n_vecs,
+           CAST(max(n) AS BIGINT) AS max_cell,
+           CAST(min(n) AS BIGINT) AS min_cell,
+           round(avg(n), 2) AS avg_cell,
+           round(max(n) / avg(n), 4) AS imbalance,
+           round(max(n) / CAST(sum(n) AS DOUBLE), 4) AS max_cell_frac
+    FROM per"""
+    return "WITH " + ",".join(blocks) + final
+
+
+@query("ivf_cell_skew_report", oracle=_ivf_cell_skew_oracle())
+def ivf_cell_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-size skew of the PRODUCTION coarse partition (auto sqrt-N
+    geometry, 39/cell sampled training — exactly the index
+    `build_pq_index(n_cells=None)` commits): one row of
+    (n_cells_realized, n_vecs, max/min/avg cell, imbalance = max/avg,
+    max_cell_frac). At 100 TB this is THE probe-cost diagnostic — a
+    whale cell means every query probing it scans max_cell_frac of the
+    corpus (the skew ivfpq_adaptive_topk's budget probing exists to
+    bound), and n_cells_realized < n_cells flags dead centroids
+    (hash-seeded Lloyd drops empties). Bounded work beyond the encode
+    pass: per-cell counts are one map-side-combined groupBy over
+    n_cells keys; the report is a 1-row aggregate of that."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    nc = similarity.ivf_auto_size(corpus.count())["n_cells"]
+    coarse = similarity.pq_train(
+        emb, m=1, sub_dim=64, k=nc, iters=2,
+        sample=similarity.IVF_TRAIN_POINTS_PER_CELL * nc,
+    )
+    cells = similarity.pq_encode(corpus, coarse, m=1, sub_dim=64).select(
+        "vec_id", F.element_at("codes", 1).alias("cell")
+    )
+    per = cells.groupBy("cell").agg(F.count("*").alias("n"))
+    return per.agg(
+        F.count("*").alias("n_cells_realized"),
+        F.sum("n").alias("n_vecs"),
+        F.max("n").alias("max_cell"),
+        F.min("n").alias("min_cell"),
+        F.round(F.avg("n"), 2).alias("avg_cell"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("imbalance"),
+        F.round(F.max("n") / F.sum("n").cast("double"), 4).alias("max_cell_frac"),
+    )
+
+
+@query("opq_rotation_prod_audit")
+def opq_rotation_prod_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAXIMAL-quality production recipe in one number (r10 NOTES
+    candidate #1): full parametric OPQ rotation + auto-sized IVF-PQ +
+    sampled coarse training + exact re-rank, against the same pipeline
+    without the rotation. The rotation is orthogonal, so the exact
+    raw-vector truth applies to both arms. ROWS-ONLY oracle by
+    declaration: the rotation embeds the driver-side eigensolve (the
+    r9-VERDICT-pre-approved shape, same family as opq_rotation_audit);
+    the honest expectation on THIS corpus is parity (isotropic data —
+    the rotation's win lives on anisotropy, pinned by tests/test_opq.py).
+
+    Scale shape: rotation applies in-row (one broadcast matrix); both
+    arms are the prod-audit pipeline — sampled sqrt-N coarse training,
+    bounded truth scan, Q x shortlist rerank."""
+    topk = _ANN_AUDIT_TOPK
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    truth = _ann_exact_truth(emb, topk)
+
+    def arm(vecs: DataFrame) -> DataFrame:
+        corpus = vecs.filter(F.col("vec_id") >= 10)
+        qs = vecs.filter(F.col("vec_id") < 10)
+        auto = similarity.ivf_auto_size(corpus.count(), topk)
+        return similarity.ivfpq_topk_rerank(
+            vecs, corpus, qs, topk=topk, shortlist=_ANN_PROD_SHORTLIST,
+            n_cells=auto["n_cells"], nprobe=auto["nprobe"],
+            coarse_sample=similarity.IVF_TRAIN_POINTS_PER_CELL
+            * auto["n_cells"],
+        )
+
+    rot = similarity.opq_fit_rotation(emb)
+    rotated = similarity.apply_rotation(emb, rot).localCheckpoint(eager=True)
+    return _recall_table(truth, {
+        "auto_sampled_rerank": arm(emb),
+        "rot_auto_sampled_rerank": arm(rotated),
+    })
