@@ -1074,7 +1074,9 @@ def pq_train(
     ``subvecs`` accepts a PRECOMPUTED (id, sub, _sv) frame (exactly
     `_pq_subvecs(df, ...)`, typically persisted by a multi-arm audit so
     train + encode share ONE transform/slice pass); the caller owns its
-    lifecycle — results are identical by construction.
+    lifecycle — results are identical by construction. When ``sample``
+    is ALSO set, ``subvecs`` is ignored (the bounded training set is
+    re-sliced from ``df`` so the sample cut stays authoritative).
 
     ``sample`` bounds the TRAINING SET (FAISS posture: quantizers train
     on a sample, assignment/encode touch the full corpus): the Lloyd

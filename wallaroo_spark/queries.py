@@ -6192,6 +6192,11 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_emb = similarity.apply_dim_permutation(
         emb.select("vec_id", "embedding"), similarity.opq_fit_permutation(emb)
     ).localCheckpoint(eager=True)
+    # r10 NOTES candidate #4 (pre-share the permuted-space coarse chain)
+    # was MEASURED MOOT in r11: pq_train localCheckpoints its codebook
+    # per iteration, so the permuted Lloyd chain never re-executes per
+    # consumer anyway — pre-sharing only added eager-checkpoint barriers
+    # (same-host A/B: 28.2 s without vs 29.8 s with). Left unshared.
     variants["ivfpq_residual_opq"] = similarity.ivfpq_residual_topk(
         p_emb,
         p_emb.filter(F.col("vec_id") >= 10),
@@ -7366,9 +7371,11 @@ def opq_rotation_prod_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the rotation. The rotation is orthogonal, so the exact
     raw-vector truth applies to both arms. ROWS-ONLY oracle by
     declaration: the rotation embeds the driver-side eigensolve (the
-    r9-VERDICT-pre-approved shape, same family as opq_rotation_audit);
-    the honest expectation on THIS corpus is parity (isotropic data —
-    the rotation's win lives on anisotropy, pinned by tests/test_opq.py).
+    r9-VERDICT-pre-approved shape, same family as opq_rotation_audit).
+    Measured at sf0.1: rotation 0.39 vs 0.31 recall@10 at identical scan
+    cost — the synthetic corpus carries enough residual anisotropy for
+    the eigen-allocation to pay even here (its designed win, on dense
+    anisotropy, is pinned by tests/test_opq.py).
 
     Scale shape: rotation applies in-row (one broadcast matrix); both
     arms are the prod-audit pipeline — sampled sqrt-N coarse training,
