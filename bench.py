@@ -127,6 +127,8 @@ HEADLINE = [
     "ann_recall_prod_audit",
     # round-11 additions
     "ann_recall_clustered_audit",
+    "ivf_cell_skew_report",
+    "pq_topk_sampled_train",
 ]
 
 

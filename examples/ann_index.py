@@ -339,10 +339,18 @@ def refresh_pq_index(
     Idempotent by construction (ADVICE r10): vec_ids already committed
     in pq_codes are dropped BEFORE encoding, so a re-run refresh (or a
     refresh slice overlapping the build corpus) cannot append duplicate
-    postings that would make probes return duplicate candidates. The
-    guard is one anti-join of the (small) new slice against the codes
-    table's pruned vec_id column — the scan reads one column, and the
-    join keys on the new slice's side stay broadcast-sized."""
+    postings that would make probes return duplicate candidates.
+    CONTRACT: refresh is append-only BY ID — a vector resubmitted under
+    an existing vec_id with a CHANGED embedding is dropped too (its
+    committed code stays); updating vectors in place is a re-encode,
+    which belongs to the refit/overwrite path, not a postings append.
+    Plan shape: a left_anti join whose right side is the codes table's
+    pruned single-column vec_id scan — Spark cannot broadcast the left
+    side of an anti-join, so this shuffles corpus ids (one slim BIGINT
+    column). At true 100 TB postings scale, swap the guard for the
+    Bloom form (`dedup.decontaminate_bloom` — bitmap-broadcast anti-join
+    with a tiny false-positive skip rate) exactly as the training
+    pipeline example does for decontamination."""
     g = _index_geometry(spark, t, m=m, sub_dim=sub_dim, k=k)
     m, sub_dim, k = g["m"], g["sub_dim"], g["k"]
     d = m * sub_dim

@@ -391,6 +391,17 @@ def test_covariance_stable_far_from_origin(spark):
     rm = np.asarray(S.opq_fit_rotation(make(off), m=2, sub_dim=4))
     assert float(np.abs(rm @ rm.T - np.eye(d)).max()) < 1e-6
 
+    # the PERMUTATION fit (review r11 #2) gets the same guarantee: the
+    # centered two-pass variance must rank dims identically with and
+    # without the offset (the uncentered identity lost the ranks here)
+    def perm_of(m_):
+        return sorted(
+            (r.new_pos, r.src_dim)
+            for r in S.opq_fit_permutation(make(m_), m=2, sub_dim=4).collect()
+        )
+
+    assert perm_of(mat) == perm_of(off)
+
 
 def test_opq_rotation_beats_permutation_on_rotated_anisotropy(spark):
     """The claim that justifies the full rotation over OPQ-lite: when the

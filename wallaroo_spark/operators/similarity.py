@@ -1431,8 +1431,11 @@ def ivfpq_topk(
     test geometry, unchanged). Pass an int to pin the sample size, or
     None to force full-corpus training at auto geometry.
     """
-    auto_geo = n_cells is None or nprobe is None
-    if auto_geo:
+    # sampling keys off the COARSE dial alone: an explicit n_cells with a
+    # defaulted nprobe is still a hand-pinned quantizer geometry and keeps
+    # full-corpus training (matches build_pq_index's n_cells-is-None rule)
+    auto_geo = n_cells is None
+    if n_cells is None or nprobe is None:
         auto = ivf_auto_size(corpus.count(), topk)
         n_cells = n_cells if n_cells is not None else auto["n_cells"]
         nprobe = nprobe if nprobe is not None else auto["nprobe"]
@@ -1613,8 +1616,11 @@ def ivfpq_residual_topk(
     variant shares with the plain/adaptive compositions — the fine
     codebook cannot be shared, it trains on residuals).
     """
-    auto_geo = n_cells is None or nprobe is None
-    if auto_geo:
+    # sampling keys off the COARSE dial alone: an explicit n_cells with a
+    # defaulted nprobe is still a hand-pinned quantizer geometry and keeps
+    # full-corpus training (matches build_pq_index's n_cells-is-None rule)
+    auto_geo = n_cells is None
+    if n_cells is None or nprobe is None:
         auto = ivf_auto_size(corpus.count(), topk)
         n_cells = n_cells if n_cells is not None else auto["n_cells"]
         nprobe = nprobe if nprobe is not None else auto["nprobe"]
@@ -1761,8 +1767,9 @@ def ivfpq_adaptive_topk(
     ``coarse``/``fine``/``cells``/``codes`` accept precomputed index
     artifacts (see ivfpq_topk) for the shared-training audit path.
     """
-    auto_geo = n_cells is None or candidate_budget is None
-    if auto_geo:
+    # as in ivfpq_topk: only an auto n_cells makes the TRAINING sampled
+    auto_geo = n_cells is None
+    if n_cells is None or candidate_budget is None:
         auto = ivf_auto_size(corpus.count(), topk)
         n_cells = n_cells if n_cells is not None else auto["n_cells"]
         candidate_budget = (
@@ -2005,25 +2012,38 @@ def opq_fit_permutation(
 ) -> DataFrame:
     """Learn the variance-balancing dimension permutation — parametric
     OPQ's eigenvalue-allocation step in the natural basis: rank the d
-    dimensions by corpus variance (6dp-rounded avg(x^2) - avg(x)^2, dim
-    tiebreak — the same symmetric-rounding cut rule as pq_train), then
-    snake-allocate ranks across the m subspaces (round j hands each
-    subspace exactly one dimension, alternating direction), balancing
-    every subspace's variance mass. A permutation is an orthogonal map:
-    L2 distances are preserved exactly.
+    dimensions by corpus variance (6dp-rounded, dim tiebreak — the same
+    symmetric-rounding cut rule as pq_train), then snake-allocate ranks
+    across the m subspaces (round j hands each subspace exactly one
+    dimension, alternating direction), balancing every subspace's
+    variance mass. A permutation is an orthogonal map: L2 distances are
+    preserved exactly.
 
-    One bounded aggregation (d rows out of any corpus size); the rank is
-    the one-row sorted-collect, not a partition-less window. Returns
+    Variance is CENTERED two-pass (avg((x - mu)^2) against the per-dim
+    6dp-rounded mean — the covariance pilot-shift discipline, r11): the
+    textbook avg(x^2) - avg(x)^2 identity cancels catastrophically for
+    corpora far from the origin, silently randomizing the ranks this
+    fit exists to compute. The rounded mu keeps the oracle replay exact
+    (same two rounded aggregates in DuckDB).
+
+    Two bounded aggregations (d rows out of any corpus size); the rank
+    is the one-row sorted-collect, not a partition-less window. Returns
     (new_pos, src_dim), both 1-based: output slot new_pos takes original
     dimension src_dim.
     """
     dims = df.select(
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("_d0", "x")
     ).select((F.col("_d0") + 1).alias("dim"), "x")
-    dv = dims.groupBy("dim").agg(
-        F.round(
-            F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"), round_dp
-        ).alias("_var")
+    mu = dims.groupBy("dim").agg(F.round(F.avg("x"), round_dp).alias("_mu"))
+    dv = (
+        dims.join(F.broadcast(mu), "dim")
+        .groupBy("dim")
+        .agg(
+            F.round(
+                F.avg((F.col("x") - F.col("_mu")) * (F.col("x") - F.col("_mu"))),
+                round_dp,
+            ).alias("_var")
+        )
     )
     ranked = (
         dv.agg(

@@ -6012,14 +6012,16 @@ def _opq_perm_e_sql(
 ) -> str:
     """Vector source that fits and applies the variance-balancing
     dimension permutation (similarity.opq_fit_permutation): per-dim
-    variance with the engine-symmetric avg(x*x) - avg(x)^2 at 6dp, rank
+    CENTERED variance — avg((x - mu)^2) against the 6dp-rounded per-dim
+    mean (the cancellation-proof two-pass form, r11) — rounded 6dp, rank
     by (var DESC, dim), snake-allocate rank r to subspace slot — the same
     arithmetic cut as the Spark side."""
     return f"""
     WITH raw AS ({src}),
     dx AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM raw),
-    dv AS (SELECT dim, round(avg(x*x) - avg(x)*avg(x), 6) AS var
-           FROM dx GROUP BY 1),
+    dmu AS (SELECT dim, round(avg(x), 6) AS mu FROM dx GROUP BY 1),
+    dv AS (SELECT dx.dim AS dim, round(avg((dx.x - dmu.mu) * (dx.x - dmu.mu)), 6) AS var
+           FROM dx JOIN dmu ON dx.dim = dmu.dim GROUP BY dx.dim),
     rk AS (SELECT dim, row_number() OVER (ORDER BY var DESC, dim) - 1 AS r
            FROM dv),
     pm AS (SELECT list(dim ORDER BY
@@ -7124,11 +7126,12 @@ def _clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateless map at scan speed; at any corpus size the centers table is
     sqrt-N rows, broadcastable."""
     import hashlib
-    import math
 
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = emb.filter(F.col("vec_id") >= 10).count()
-    n_clusters = max(2, min(int(math.floor(math.sqrt(n))), n // 8))
+    # ONE source of truth for the sqrt-N clamp (code-review r11: a third
+    # inline copy would silently diverge if the sizing rule changed)
+    n_clusters = similarity.ivf_auto_size(n)["n_cells"]
 
     def h(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
@@ -7401,3 +7404,23 @@ def opq_rotation_prod_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "auto_sampled_rerank": arm(emb),
         "rot_auto_sampled_rerank": arm(rotated),
     })
+
+
+@query("pq_topk_sampled_train", oracle=_pq_oracle(sample=60))
+def pq_topk_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k with a SAMPLE-TRAINED fine codebook (pq_train(sample=60)
+    — the bounded ':pqtrain' hash-rank training set; seeds keep the
+    full-corpus rank): hash-gates the sampled-training replay for the
+    FINE (m=8) chain, the path the IVF oracles' coarse-only csvt block
+    does not exercise (code-review r11 #5 — an unexercised parity hook
+    in a bit-exact-replay subsystem is a liability). The 60-row sample
+    genuinely bites at every SF (500-2000 row corpora), so codebooks
+    differ from full training and the gate proves the cut, not just the
+    shape. Encode + ADC scan run over the FULL corpus as always — the
+    FAISS posture end to end."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = similarity.pq_train(emb, iters=2, sample=60)
+    codes = similarity.pq_encode(emb.filter(F.col("vec_id") >= 10), cb)
+    return similarity.pq_topk(
+        codes, cb, emb.filter(F.col("vec_id") < 10), topk=3
+    )
