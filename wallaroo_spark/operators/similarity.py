@@ -2142,7 +2142,7 @@ def _mean_partials(df: DataFrame, vec_col: str, d: int):
         .collect()
     )
     if not rows:
-        raise ValueError("opq_fit_rotation: empty corpus")
+        raise ValueError("_mean_partials: empty corpus")
     n = sum(int(r["n"]) for r in rows)
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     return n, s
@@ -2202,7 +2202,7 @@ def _covariance_partials(df: DataFrame, vec_col: str, d: int, center=None):
         .collect()
     )
     if not rows:
-        raise ValueError("opq_fit_rotation: empty corpus")
+        raise ValueError("_covariance_partials: empty corpus")
     n = sum(int(r["n"]) for r in rows)
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     ss = np.sum([np.asarray(r["ss"]) for r in rows], axis=0).reshape(vdim, vdim)
