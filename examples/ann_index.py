@@ -423,7 +423,77 @@ def refit_pq_index(
         # (int or None passes through _coarse_sample_rows verbatim)
         coarse_sample=g.get("coarse_sample"),
     )
+    if t.table_files("pq_tombstones"):
+        # a refit re-encodes the corpus it was HANDED — stale tombstones
+        # from the previous snapshot would silently hide rows the caller
+        # deliberately re-committed, so they reset in the same atomic swap
+        tables["pq_tombstones"] = spark.createDataFrame(
+            [], "vec_id long"
+        ).repartition(1)
     return t.overwrite_multi(tables)
+
+
+def delete_pq_vectors(spark, t: MultiManifestTable, vec_ids):
+    """Tombstone DELETE — the missing quarter of the index lifecycle
+    (build / refresh / refit / delete): deleting from a 100 TB codes
+    table by rewriting it would cost a full-corpus write per delete, so
+    deletes are SOFT — one append of the ids to a ``pq_tombstones``
+    table (the Delta/Lucene deletion-vector posture); probes anti-join
+    the (small, broadcastable) tombstone set and `compact_pq_index`
+    folds tombstones into a codes rewrite only when they pass a
+    threshold. Idempotent by construction: ids not present in pq_codes
+    or already tombstoned are dropped, and an effectively-empty delete
+    commits nothing (no useless manifest version).
+
+    Contract: delete is BY ID, and a tombstoned id stays invisible to
+    probes AND to `refresh_pq_index` (whose codes anti-join still sees
+    the tombstoned row) until a compaction physically removes it —
+    after which refresh may re-add the id with a fresh embedding (the
+    documented resurrection path)."""
+    ids = vec_ids.select("vec_id").distinct()
+    ids = ids.join(
+        t.read(spark, "pq_codes").select("vec_id"), "vec_id", "left_semi"
+    )
+    if t.table_files("pq_tombstones"):
+        ids = ids.join(
+            t.read(spark, "pq_tombstones"), "vec_id", "left_anti"
+        )
+    ids = ids.repartition(1).localCheckpoint(eager=True)
+    if ids.count() == 0:
+        return None
+    return t.append_multi({"pq_tombstones": ids})
+
+
+def _live_codes(spark, t: MultiManifestTable):
+    """The probe-visible codes snapshot: committed codes minus
+    tombstones (one anti-join against the bounded tombstone set)."""
+    codes = t.read(spark, "pq_codes")
+    if t.table_files("pq_tombstones"):
+        codes = codes.join(
+            F.broadcast(t.read(spark, "pq_tombstones")), "vec_id", "left_anti"
+        )
+    return codes
+
+
+def compact_pq_index(
+    spark, t: MultiManifestTable, max_tombstone_frac: float = 0.1
+):
+    """Threshold-gated tombstone compaction — the delete sibling of
+    `refit_pq_index`'s drift gate: below ``max_tombstone_frac`` the
+    index is untouched (returns None — soft deletes stay cheap); above
+    it, ONE overwrite_multi atomically replaces pq_codes with the live
+    rows and resets pq_tombstones to empty, so readers see either the
+    tombstone view or the compacted view, never a mix. The rewrite cost
+    is paid once per threshold crossing, not per delete."""
+    if not t.table_files("pq_tombstones"):
+        return None
+    n_tomb = t.read(spark, "pq_tombstones").count()
+    n_codes = t.read(spark, "pq_codes").count()
+    if n_codes == 0 or n_tomb / n_codes <= max_tombstone_frac:
+        return None
+    live = _live_codes(spark, t).localCheckpoint(eager=True)
+    empty = spark.createDataFrame([], "vec_id long").repartition(1)
+    return t.overwrite_multi({"pq_codes": live, "pq_tombstones": empty})
 
 
 def probe_pq_index(
@@ -461,7 +531,7 @@ def probe_pq_index(
         incoming,
         t.read(spark, "pq_coarse"),
         t.read(spark, "pq_fine"),
-        t.read(spark, "pq_codes"),
+        _live_codes(spark, t),  # committed codes minus tombstones
         nprobe=nprobe,
         m=m,
         sub_dim=sub_dim,

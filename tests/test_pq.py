@@ -569,3 +569,61 @@ def test_pq_index_consumers_use_committed_geometry(spark, sf_dir, tmpdir):
         spark, t, emb.filter(F.col("vec_id") < 3), nprobe=3, topk=4
     ).collect()
     assert scored and all(r.approx_dist is not None for r in scored)
+
+
+def test_pq_index_tombstone_delete_and_compaction(spark, sf_dir, tmpdir):
+    """The delete quarter of the index lifecycle: soft tombstone delete
+    (idempotent, no rewrite), probe invisibility, threshold-gated atomic
+    compaction, and the documented resurrection path via refresh."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import ann_index
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    n = corpus.count()
+    t = ann_index.build_pq_index(spark, emb, corpus, str(tmpdir) + "/del_idx")
+
+    doomed = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+    assert ann_index.delete_pq_vectors(spark, t, doomed) is not None
+    n_del = doomed.count()
+
+    # probes can no longer see the tombstoned ids, at ANY probe width
+    got = ann_index.probe_pq_index(
+        spark, t, emb.filter(F.col("vec_id") == 25), nprobe=8, topk=5
+    )
+    hit_ids = {r.vec_id for r in got.collect()}
+    assert hit_ids and not (hit_ids & set(range(20, 40)))
+    assert ann_index._live_codes(spark, t).count() == n - n_del
+    # codes table itself untouched (soft delete)
+    assert t.read(spark, "pq_codes").count() == n
+
+    # idempotent: re-deleting the same slice (plus unknown ids) commits
+    # NOTHING — no new manifest version, no duplicate tombstones
+    v = t.versions()
+    assert ann_index.delete_pq_vectors(spark, t, doomed) is None
+    assert t.versions() == v
+    assert t.read(spark, "pq_tombstones").count() == n_del
+
+    # gated compaction: generous threshold -> no-op; real threshold ->
+    # one atomic swap (codes shrink, tombstones reset) and probes agree
+    assert ann_index.compact_pq_index(spark, t, max_tombstone_frac=0.9) is None
+    assert t.read(spark, "pq_codes").count() == n
+    assert ann_index.compact_pq_index(spark, t, max_tombstone_frac=0.01) is not None
+    assert t.read(spark, "pq_codes").count() == n - n_del
+    assert t.read(spark, "pq_tombstones").count() == 0
+    got2 = ann_index.probe_pq_index(
+        spark, t, emb.filter(F.col("vec_id") == 25), nprobe=8, topk=5
+    )
+    assert not ({r.vec_id for r in got2.collect()} & set(range(20, 40)))
+
+    # resurrection: after compaction the ids are physically gone, so a
+    # refresh may re-add them — and probes see them again
+    ann_index.refresh_pq_index(spark, t, doomed)
+    assert t.read(spark, "pq_codes").count() == n
+    got3 = ann_index.probe_pq_index(
+        spark, t, emb.filter(F.col("vec_id") == 25), nprobe=8, topk=5
+    )
+    assert {r.vec_id for r in got3.collect()} & set(range(20, 40))
