@@ -197,8 +197,18 @@ def build_pq_index(
         opq=opq, packed=packed, coarse_sample=coarse_sample,
     )
     t = MultiManifestTable(index_dir)
-    t.append_multi(tables)
+    t.append_multi(tables, partition_by=_PQ_PARTITION)
     return t
+
+
+# pq_codes is CELL-PARTITIONED at rest (Hive-style `_wsp_cell=<v>/` file
+# buckets carried in the manifest paths): probes touch only nprobe of the
+# n_cells buckets, so `probe_pq_index` plans a file-pruned scan reading
+# ~nprobe/n_cells of the codes files — at 1e10 vectors / sqrt-N geometry
+# that is the difference between scanning the full 40 GB codes table and
+# ~nprobe/1e5 of it per probe batch. Build, refresh, refit and compaction
+# all write through this spec so the layout survives the whole lifecycle.
+_PQ_PARTITION = {"pq_codes": "cell"}
 
 
 def _pq_index_tables(
@@ -366,7 +376,9 @@ def refresh_pq_index(
     codes = similarity.pq_encode(vecs, fine, m=m, sub_dim=sub_dim)
     if "code_word" in t.read(spark, "pq_codes").columns:
         codes = similarity.pq_pack_codes(codes, m=m, k=k)
-    t.append_multi({"pq_codes": codes.join(cells, "vec_id")})
+    t.append_multi(
+        {"pq_codes": codes.join(cells, "vec_id")}, partition_by=_PQ_PARTITION
+    )
 
 
 def refit_pq_index(
@@ -430,7 +442,7 @@ def refit_pq_index(
         tables["pq_tombstones"] = spark.createDataFrame(
             [], "vec_id long"
         ).repartition(1)
-    return t.overwrite_multi(tables)
+    return t.overwrite_multi(tables, partition_by=_PQ_PARTITION)
 
 
 def delete_pq_vectors(spark, t: MultiManifestTable, vec_ids):
@@ -464,14 +476,34 @@ def delete_pq_vectors(spark, t: MultiManifestTable, vec_ids):
     return t.append_multi({"pq_tombstones": ids})
 
 
-def _live_codes(spark, t: MultiManifestTable):
-    """The probe-visible codes snapshot: committed codes minus
-    tombstones (one anti-join against the bounded tombstone set)."""
-    codes = t.read(spark, "pq_codes")
+# Above this many tombstoned ids the probe stops BROADCASTING the set
+# (1e6 longs ~ 8 MB serialized — comfortably under executor broadcast
+# budgets; beyond it the set is no longer "small" and a forced broadcast
+# could OOM at 100 TB): the anti-join falls back to Spark's own strategy
+# (shuffle; AQE may still broadcast if stats allow). The join stays EXACT
+# either way — a Bloom pre-filter is wrong here because its false
+# positives would hide LIVE rows from probes, not just skip extra work.
+_TOMBSTONE_BROADCAST_MAX = 1_000_000
+
+
+def _live_codes(spark, t: MultiManifestTable, parts: dict | None = None):
+    """The probe-visible codes snapshot: committed codes minus tombstones.
+    ``parts`` (e.g. ``{"cell": probed_cells}``) plans a FILE-PRUNED scan
+    over only the matching cell buckets of the partitioned codes table.
+
+    The tombstone set is broadcast only while it is genuinely small
+    (<= _TOMBSTONE_BROADCAST_MAX ids — compaction is opt-in, so nothing
+    bounds its growth between `compact_pq_index` calls; ADVICE r11).
+    Past the threshold the hint is dropped and the anti-join shuffles —
+    correct at any size. If you see the fallback trip in production, run
+    `compact_pq_index` (threshold-gated) to fold tombstones into the
+    codes rewrite and shrink the set back to broadcastable."""
+    codes = t.read(spark, "pq_codes", parts=parts)
     if t.table_files("pq_tombstones"):
-        codes = codes.join(
-            F.broadcast(t.read(spark, "pq_tombstones")), "vec_id", "left_anti"
-        )
+        tomb = t.read(spark, "pq_tombstones")
+        if tomb.count() <= _TOMBSTONE_BROADCAST_MAX:
+            tomb = F.broadcast(tomb)
+        codes = codes.join(tomb, "vec_id", "left_anti")
     return codes
 
 
@@ -493,7 +525,9 @@ def compact_pq_index(
         return None
     live = _live_codes(spark, t).localCheckpoint(eager=True)
     empty = spark.createDataFrame([], "vec_id long").repartition(1)
-    return t.overwrite_multi({"pq_codes": live, "pq_tombstones": empty})
+    return t.overwrite_multi(
+        {"pq_codes": live, "pq_tombstones": empty}, partition_by=_PQ_PARTITION
+    )
 
 
 def probe_pq_index(
@@ -505,6 +539,7 @@ def probe_pq_index(
     m: int = 8,
     sub_dim: int = 8,
     k: int = 16,
+    prune: bool = True,
 ):
     """Score incoming query vectors against the persisted PQ index —
     `incoming` may be a STREAM (the probe is a stateless stream-static
@@ -514,7 +549,17 @@ def probe_pq_index(
     present) transforms incoming vectors first — in-row, stream-safe.
     Geometry comes from the committed pq_meta (the m/sub_dim/k
     parameters are a legacy-index fallback only); nprobe/topk are the
-    caller's per-query dials."""
+    caller's per-query dials.
+
+    BATCH probes plan a FILE-PRUNED codes scan: the batch's probed-cell
+    set (`similarity.ivfpq_probed_cells` — the exact cell expression the
+    probe join evaluates, so pruning can never drop a matched cell) is
+    collected driver-side (bounded by n_cells) and pushed into the
+    manifest read as a partition predicate, so only ~nprobe/n_cells of
+    the cell-bucketed codes files are opened. Rows are identical with or
+    without pruning (``prune=False`` forces the full scan — the A/B
+    lever and the escape hatch). Streams keep the full-scan plan: a
+    stream cannot collect its cell set at plan time."""
     g = _index_geometry(spark, t, m=m, sub_dim=sub_dim, k=k)
     m, sub_dim, k = g["m"], g["sub_dim"], g["k"]
     if topk is not None and incoming.isStreaming:
@@ -527,11 +572,23 @@ def probe_pq_index(
             "per micro-batch via foreachBatch"
         )
     incoming = _apply_index_transform(spark, t, incoming)
+    coarse = t.read(spark, "pq_coarse")
+    parts = None
+    if prune and not incoming.isStreaming:
+        cells = [
+            int(r["cell"])
+            for r in similarity.ivfpq_probed_cells(
+                incoming, coarse, nprobe=nprobe
+            ).collect()
+        ]
+        if cells:  # empty incoming -> nothing to prune (result empty anyway)
+            parts = {"cell": cells}
     scored = similarity.ivfpq_probe(
         incoming,
-        t.read(spark, "pq_coarse"),
+        coarse,
         t.read(spark, "pq_fine"),
-        _live_codes(spark, t),  # committed codes minus tombstones
+        # committed codes minus tombstones, file-pruned to probed cells
+        _live_codes(spark, t, parts=parts),
         nprobe=nprobe,
         m=m,
         sub_dim=sub_dim,

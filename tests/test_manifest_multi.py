@@ -4,6 +4,8 @@ multi-table exactly-once stream writer, and age-based log retention."""
 import os
 import time
 
+from pyspark.sql import functions as F
+
 from wallaroo_spark.sinks.manifest import (
     ManifestTable,
     MultiManifestStreamWriter,
@@ -195,3 +197,44 @@ def test_compact_table_tolerates_commits_to_other_tables(spark, tmp_path):
     assert len(t.table_files("corpus")) == 1
     assert sorted(r.i for r in t.read(spark, "corpus").collect()) == list(range(6))
     assert sorted(r.i for r in t.read(spark, "seq").collect()) == [100, 101, 102]
+
+
+def test_partitioned_append_prune_and_vacuum_safety(spark, tmp_path):
+    """Partition-aware manifest (round 12): append_multi(partition_by=)
+    buckets files Hive-style, table_files(parts=) plans a file-pruned
+    subset, data files stay self-contained (the partition column is
+    duplicated into the path, not moved), mixed legacy/unpartitioned
+    files are never pruned, and vacuum(0) must NOT reclaim live
+    partitioned staging dirs (their adds point one level below the
+    staging dir)."""
+    import os
+
+    t = MultiManifestTable(str(tmp_path / "pt"))
+    df = spark.range(20).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 4).alias("cell")
+    )
+    t.append_multi({"codes": df}, partition_by={"codes": "cell"})
+    files = t.table_files("codes")
+    assert files and all(f"{os.sep}_wsp_cell=" in f for f in files)
+
+    pruned = t.table_files("codes", parts={"cell": [1, 3]})
+    assert set(pruned) < set(files)
+    got = t.read(spark, "codes", parts={"cell": [1, 3]})
+    # data files are self-contained: cell survives as a real column
+    assert sorted(r["cell"] for r in got.select("cell").distinct().collect()) == [1, 3]
+    assert got.count() == 10
+
+    # a legacy unpartitioned append cannot be pruned away: its files may
+    # contain any cell, so the parts predicate keeps them
+    t.append_multi({"codes": df.filter(F.col("cell") == 0)})
+    pruned2 = t.table_files("codes", parts={"cell": [1]})
+    legacy = [f for f in pruned2 if f"{os.sep}_wsp_cell=" not in f]
+    assert legacy  # kept despite the predicate
+    assert t.read(spark, "codes", parts={"cell": [1]}).filter(
+        F.col("cell") == 1
+    ).count() == 5
+
+    # vacuum safety: every staged dir is referenced (via its partition
+    # subdirs), so nothing is reclaimable
+    assert t.vacuum(min_age_s=0) == 0
+    assert t.read(spark, "codes").count() == 25

@@ -1785,3 +1785,94 @@ def test_windowed_hll_aggregation_stream_matches_batch(spark, tmpdir):
             r.reg: r.max_rho for r in hll_registers(batch_win, "item").collect()
         }
         assert regs == want, ws
+
+
+def test_count_window_idle_timeout_partial_flush(spark, tmpdir):
+    """Reference S9 parity (VERDICT r11 #2, `windows.pony:483-504`): a
+    count window sitting on n-1 rows flushes PARTIAL when the stream goes
+    idle past the timeout — here the event-time watermark passes
+    last_event_ts + flush_timeout_s via another key's far-future batch —
+    and a FRESH window (advanced window_id) opens for subsequent rows.
+    Without flush_timeout_s the partial stays in state (r11 behavior)."""
+    n = 5
+    a1 = spark.createDataFrame(
+        [Row(key=k, ts=T0 + dt.timedelta(seconds=i), v=1.0)
+         for k in ("a", "c") for i in range(n - 1)]
+    )
+    b = spark.createDataFrame(
+        [Row(key="b", ts=T0 + dt.timedelta(seconds=10_000 + i), v=1.0) for i in range(2)]
+    )
+    # post-flush rows for 'a' ABOVE the advanced watermark: a full window
+    # that must land in the NEXT window_id
+    a2 = spark.createDataFrame(
+        [Row(key="a", ts=T0 + dt.timedelta(seconds=20_000 + i), v=2.0) for i in range(n)]
+    )
+    a1.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+    b.coalesce(1).write.mode("append").parquet(tmpdir + "/in")
+    a2.coalesce(1).write.mode("append").parquet(tmpdir + "/in")
+    sdf = (
+        spark.readStream.schema(a1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir + "/in")
+    )
+    out = S.count_window_stream(
+        sdf.withWatermark("ts", "0 seconds"), ["key"], value_col="v", n=n,
+        ts_col="ts", flush_timeout_s=5.0,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_cw_flush")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r.window_id, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_cw_flush WHERE key='a'").collect()
+    )
+    # window 0 = the idle-flushed PARTIAL (n-1 rows); window 1 = the full
+    # post-flush window — fresh window opened after the flush
+    assert rows == [(0, n - 1, float(n - 1)), (1, n, 2.0 * n)]
+    # key 'c' goes silent FOREVER: only the event-time TIMER (hasTimedOut)
+    # can flush its partial — the pure on_timeout path of the reference
+    rows_c = [
+        (r.window_id, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_cw_flush WHERE key='c'").collect()
+    ]
+    assert rows_c == [(0, n - 1, float(n - 1))]
+
+    # same feed WITHOUT the timeout: only the complete window emits, the
+    # n-1 partial stays in state (r11 behavior pinned)
+    sdf2 = (
+        spark.readStream.schema(a1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir + "/in")
+    )
+    out2 = S.count_window_stream(sdf2, ["key"], value_col="v", n=n, ts_col="ts")
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("t_cw_noflush")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows2 = sorted(
+        (r.window_id, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_cw_noflush WHERE key='a'").collect()
+    )
+    # rows a1(4) + a2(5) in event order = one full window at id 0; the
+    # remaining 4 stay in state
+    assert rows2 == [(0, n, 6.0)]
+
+
+def test_count_window_flush_timeout_requires_ts(spark):
+    import pytest as _pytest
+
+    df = _events(spark, n=3)
+    with _pytest.raises(ValueError, match="flush_timeout_s needs ts_col"):
+        S.count_window_stream(df, ["key"], value_col="v", n=5,
+                              flush_timeout_s=5.0)

@@ -1074,9 +1074,12 @@ def pq_train(
     ``subvecs`` accepts a PRECOMPUTED (id, sub, _sv) frame (exactly
     `_pq_subvecs(df, ...)`, typically persisted by a multi-arm audit so
     train + encode share ONE transform/slice pass); the caller owns its
-    lifecycle — results are identical by construction. When ``sample``
-    is ALSO set, ``subvecs`` is ignored (the bounded training set is
-    re-sliced from ``df`` so the sample cut stays authoritative).
+    lifecycle — results are identical by construction. Passing ``subvecs``
+    TOGETHER with ``sample`` is a ValueError (ADVICE r11): the sample cut
+    re-slices from ``df``, so a caller-persisted subvector base would be
+    silently discarded — wasted shared-artifact work and an audit trap.
+    Pre-cut the sample yourself if you want both (slice the sampled
+    frame through `_pq_subvecs` and pass that).
 
     ``sample`` bounds the TRAINING SET (FAISS posture: quantizers train
     on a sample, assignment/encode touch the full corpus): the Lloyd
@@ -1091,6 +1094,13 @@ def pq_train(
     """
     from wallaroo_spark.functions import hashing as H
 
+    if subvecs is not None and sample is not None:
+        raise ValueError(
+            "pq_train: subvecs and sample are mutually exclusive — the "
+            "sample cut re-slices from df and would silently ignore the "
+            "precomputed subvector base; pre-sample df and slice it "
+            "through _pq_subvecs if you want both"
+        )
     h = H.md5int_col(F.concat(F.col(id_col).cast("string"), F.lit(":pqseed")))
     seeds = (
         df.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"), h.alias("_h"))
@@ -1125,7 +1135,7 @@ def pq_train(
             .limit(int(sample))
             .drop("_hs")
         )
-    if subvecs is not None and sample is None:
+    if subvecs is not None:
         sv, _own = subvecs, False
     else:
         sv, _own = (
@@ -2539,6 +2549,58 @@ def ivf_sizing_report(
 # ---------------------------------------------------------------------------
 
 
+def _probe_cell_array(vcol: Column, crows, nprobe: int, round_dp: int) -> Column:
+    """The probe-cell selection expression shared by `ivfpq_probe` and
+    `ivfpq_probed_cells`: per row, the ``nprobe`` nearest coarse cells as a
+    sorted array of (rounded distance, cell) structs — ONE definition, so a
+    driver-side pruning set computed from it is equal (not merely a
+    superset) to the cells the probe join will actually touch."""
+    cell_structs = [
+        F.struct(
+            F.round(
+                _sqdist(vcol, F.array(*[F.lit(x) for x in cv])), round_dp
+            ).alias("d"),
+            F.lit(cid).cast("long").alias("cell"),
+        )
+        for cid, cv in crows
+    ]
+    return F.slice(
+        F.array_sort(F.array(*cell_structs)), 1, min(nprobe, len(crows))
+    )
+
+
+def ivfpq_probed_cells(
+    incoming: DataFrame,
+    coarse: DataFrame,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """The DISTINCT coarse cells a probe batch will touch — the driver of
+    FILE PRUNING over a cell-partitioned codes store (manifest
+    ``table_files(parts={"cell": ...})``): collect this bounded set (at
+    most min(n_cells, nprobe * n_queries) rows — n_cells is sqrt-N, e.g.
+    1e5 at 1e10 vectors), prune the codes scan to those buckets, and the
+    probe reads ~nprobe/n_cells of the files instead of all of them.
+    Built from the EXACT probe-cell expression `ivfpq_probe` evaluates
+    (same rounding, same cell tiebreak), so pruning can never drop a cell
+    the probe join would have matched. Batch inputs only — a streaming
+    probe cannot collect its cell set at plan time (prune per micro-batch
+    in foreachBatch instead)."""
+    crows = [
+        (int(r["cent_id"]), [float(x) for x in r["centroid"]])
+        for r in coarse.collect()
+    ]
+    if not crows:
+        raise ValueError("ivfpq_probed_cells: empty coarse codebook")
+    inc = incoming.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    probes = _probe_cell_array(F.col("_v"), crows, nprobe, round_dp)
+    return inc.select(
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias("cell")
+    ).distinct()
+
+
 def ivfpq_probe(
     incoming: DataFrame,
     coarse: DataFrame,
@@ -2590,18 +2652,7 @@ def ivfpq_probe(
         F.col(id_col).alias(query_id),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    cell_structs = [
-        F.struct(
-            F.round(
-                _sqdist(F.col("_v"), F.array(*[F.lit(x) for x in cv])), round_dp
-            ).alias("d"),
-            F.lit(cid).cast("long").alias("cell"),
-        )
-        for cid, cv in crows
-    ]
-    probes = F.slice(
-        F.array_sort(F.array(*cell_structs)), 1, min(nprobe, len(crows))
-    )
+    probes = _probe_cell_array(F.col("_v"), crows, nprobe, round_dp)
     entries = []
     for sub, cid, cv in frows:
         sv = F.slice(F.col("_v"), sub * sub_dim + 1, sub_dim)

@@ -48,6 +48,39 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Hive-style partition directory prefix for manifest-managed partitioned
+# writes (`_wsp_<col>=<value>/`): the partition key travels IN the file
+# path, so every manifest entry (a list of paths) carries it with zero
+# log-schema change — checkpoints, expiry, vacuum and the optimistic
+# commit loop all inherit partition awareness for free, exactly how
+# Hive/Delta/Iceberg encode partition values for file pruning.
+_PART_PREFIX = "_wsp_"
+
+
+def _file_partitions(path: str) -> dict[str, str]:
+    """Partition (col -> value) carried by a file path's `_wsp_col=value`
+    directory segments; empty for unpartitioned files."""
+    out: dict[str, str] = {}
+    for seg in path.split(os.sep):
+        if seg.startswith(_PART_PREFIX) and "=" in seg:
+            col, val = seg[len(_PART_PREFIX):].split("=", 1)
+            out[col] = val
+    return out
+
+
+def _parts_match(path: str, parts: dict) -> bool:
+    """True iff the file can contain rows satisfying ``parts`` (col ->
+    iterable of allowed values). A file WITHOUT a given key's segment is
+    kept — a legacy unpartitioned file may contain any value, so pruning
+    it would be silently wrong; only files that DECLARE a non-matching
+    value are pruned."""
+    segs = _file_partitions(path)
+    for col, vals in parts.items():
+        if col in segs and segs[col] not in {str(v) for v in vals}:
+            return False
+    return True
 
 
 class LogStore:
@@ -468,7 +501,11 @@ class ManifestTable:
         now = time.time()
         removed = 0
         for d in self._vacuum_candidates():
-            if d in referenced:
+            # a candidate is referenced if any add points at it directly OR
+            # at a partition subdir beneath it (`<uuid>/_wsp_col=v/part...`
+            # dirnames land one level below the staging dir)
+            pfx = d + os.sep
+            if d in referenced or any(r.startswith(pfx) for r in referenced):
                 continue
             try:
                 if now - os.path.getmtime(d) < min_age_s:
@@ -530,11 +567,28 @@ class MultiManifestTable(ManifestTable):
     """
 
     def _write_parts_for(
-        self, table: str, df: DataFrame, n_files: int | None = None
+        self,
+        table: str,
+        df: DataFrame,
+        n_files: int | None = None,
+        partition_col: str | None = None,
     ) -> list[str]:
+        """Stage one table's parts. ``partition_col`` buckets the files by
+        that column's value (Hive layout under `_wsp_<col>=<value>/`): the
+        column is DUPLICATED into the path rather than moved there —
+        Spark's partitionBy strips its column from the data files, but
+        manifest readers open file lists directly (no Hive discovery), so
+        the data files must stay self-contained. Readers that pass a
+        ``parts`` predicate to `table_files`/`read` then plan a
+        file-pruned scan touching only matching buckets."""
         d = os.path.join(self._data, table, uuid.uuid4().hex)
         w = df.coalesce(n_files) if n_files else df
-        w.write.parquet(d)
+        if partition_col:
+            pk = _PART_PREFIX + partition_col
+            w = w.withColumn(pk, F.col(partition_col).cast("string"))
+            w.write.partitionBy(pk).parquet(d)
+        else:
+            w.write.parquet(d)
         return sorted(
             os.path.join(r, n)
             for r, _, names in os.walk(d)
@@ -545,26 +599,56 @@ class MultiManifestTable(ManifestTable):
     def _prefix(self, table: str) -> str:
         return os.path.join(self._data, table) + os.sep
 
-    def table_files(self, table: str, version: int | None = None) -> list[str]:
+    def table_files(
+        self,
+        table: str,
+        version: int | None = None,
+        parts: dict | None = None,
+    ) -> list[str]:
+        """The table's snapshot file set; ``parts`` ({col: values}) prunes
+        to files whose path-carried partition value matches — the manifest
+        counterpart of Hive partition pruning. Files written without the
+        key (legacy/unpartitioned) are always kept: they may contain any
+        value, so only files declaring a NON-matching value are pruned."""
         p = self._prefix(table)
-        return [f for f in self.snapshot_files(version) if f.startswith(p)]
+        files = [f for f in self.snapshot_files(version) if f.startswith(p)]
+        if parts:
+            files = [f for f in files if _parts_match(f, parts)]
+        return files
 
-    def append_multi(self, dfs: dict[str, DataFrame]) -> int:
+    def append_multi(
+        self,
+        dfs: dict[str, DataFrame],
+        partition_by: dict[str, str] | None = None,
+    ) -> int:
         """Stage every table's parts (publishes nothing), then ONE atomic
         commit covering all of them. A crash mid-staging leaves only orphan
-        dirs for vacuum(); no reader ever sees a partial transaction."""
+        dirs for vacuum(); no reader ever sees a partial transaction.
+        ``partition_by`` ({table: col}) cell-buckets the named tables'
+        files so readers can plan file-pruned scans (`table_files(parts=)`)."""
+        pb = partition_by or {}
         adds: list[str] = []
         for table, df in dfs.items():
-            adds.extend(self._write_parts_for(table, df))
+            adds.extend(
+                self._write_parts_for(table, df, partition_col=pb.get(table))
+            )
         return self._commit(adds=adds, removes=[])
 
-    def overwrite_multi(self, dfs: dict[str, DataFrame]) -> int:
+    def overwrite_multi(
+        self,
+        dfs: dict[str, DataFrame],
+        partition_by: dict[str, str] | None = None,
+    ) -> int:
         """Atomically replace every named table's snapshot (tables not named
         are untouched). removes is a callable so a lost race re-reads the
-        winner's snapshot — last-writer-wins per table, never a merge."""
+        winner's snapshot — last-writer-wins per table, never a merge.
+        ``partition_by`` as in `append_multi`."""
+        pb = partition_by or {}
         adds: list[str] = []
         for table, df in dfs.items():
-            adds.extend(self._write_parts_for(table, df))
+            adds.extend(
+                self._write_parts_for(table, df, partition_col=pb.get(table))
+            )
         names = list(dfs)
 
         def removes():
@@ -572,26 +656,49 @@ class MultiManifestTable(ManifestTable):
 
         return self._commit(adds=adds, removes=removes)
 
-    def read(self, spark, table: str, version: int | None = None) -> DataFrame:  # type: ignore[override]
-        files = self.table_files(table, version)
+    def read(  # type: ignore[override]
+        self,
+        spark,
+        table: str,
+        version: int | None = None,
+        parts: dict | None = None,
+    ) -> DataFrame:
+        """Read the table snapshot; ``parts`` plans a FILE-PRUNED scan over
+        only the matching partition buckets (see `table_files`). An empty
+        pruned set on a non-empty table is a legitimate result (no bucket
+        matches) and raises the same empty-snapshot error — callers that
+        can see an empty predicate coming should skip the read."""
+        files = self.table_files(table, version, parts=parts)
         if not files:
-            raise ValueError(f"empty snapshot for table {table!r}")
+            raise ValueError(
+                f"empty snapshot for table {table!r}"
+                + (f" under parts predicate {parts!r}" if parts else "")
+            )
         return spark.read.parquet(*files)
 
-    def compact_table(self, table: str, n_files: int = 1) -> int:
+    def compact_table(
+        self, table: str, n_files: int = 1, partition_col: str | None = None
+    ) -> int:
         """Rewrite ONE logical table's snapshot into ``n_files`` files and
         swap it in a single commit; every other table's file set is
         untouched (their files are simply absent from this entry's
         adds/removes). Aborts on a concurrent change to the SAME table —
         commits touching other tables are fine and the retry proceeds on
-        top of them (per-table optimistic concurrency)."""
+        top of them (per-table optimistic concurrency). ``partition_col``
+        keeps (or establishes) the cell-bucketed layout through the
+        rewrite — ``n_files`` then caps files PER bucket."""
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
         old = self.table_files(table)
         if not old:
             raise ValueError(f"empty snapshot for table {table!r}")
-        adds = self._write_parts_for(table, spark.read.parquet(*old), n_files=n_files)
+        adds = self._write_parts_for(
+            table,
+            spark.read.parquet(*old),
+            n_files=n_files,
+            partition_col=partition_col,
+        )
 
         def removes_or_abort():
             cur = self.table_files(table)

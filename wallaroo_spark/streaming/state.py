@@ -131,35 +131,104 @@ def count_window_stream(
     value_col: str,
     n: int,
     ts_col: str = "",
+    flush_timeout_s: float | None = None,
 ) -> DataFrame:
     """Streaming tumbling count window (reference S9, `windows.pony:106-115`):
     per key, every n messages emit (window_id, n_events, total_value) and
     reset. Carry-over state (partial count/sum) persists across micro-batches
     in the state store.
-    """
+
+    ``flush_timeout_s`` adds the reference's idle-timeout partial flush
+    (`windows.pony:483-487` timeout_interval = 5 s; on_timeout at :495-504
+    emits the partial window and resets the accumulator): when the
+    EVENT-TIME watermark passes ``last_event_ts + flush_timeout_s`` with a
+    non-empty partial window, the partial is emitted with its current
+    window_id (n_events < n identifies it as partial) and a FRESH window
+    opens (window_id advances) — the reference's wall-clock timer made
+    deterministic via event time, the same discipline as the ephemeral /
+    late-policy operators. Requires ``ts_col`` and an upstream
+    ``withWatermark``. Default None keeps the exact r11 behavior AND state
+    schema (existing query checkpoints stay compatible)."""
     key_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
     out_schema = (
         ", ".join(f"{k} {key_types[k]}" for k in keys)
         + ", window_id bigint, n_events bigint, total_value double"
     )
-    state_schema = "window_id bigint, cnt bigint, acc double"
+    if flush_timeout_s is None:
+        state_schema = "window_id bigint, cnt bigint, acc double"
 
-    def run(key: tuple, pdf_iter: Iterable[pd.DataFrame], gs: GroupState) -> Iterator[pd.DataFrame]:
-        win_id, cnt, acc = gs.get if gs.exists else (0, 0, 0.0)
+        def run(key: tuple, pdf_iter: Iterable[pd.DataFrame], gs: GroupState) -> Iterator[pd.DataFrame]:
+            win_id, cnt, acc = gs.get if gs.exists else (0, 0, 0.0)
+            outs = []
+            for pdf in pdf_iter:
+                if ts_col:
+                    pdf = pdf.sort_values(ts_col, kind="mergesort")
+                for v in pdf[value_col]:
+                    cnt += 1
+                    acc += float(v)
+                    if cnt == n:
+                        outs.append((*key, win_id, cnt, acc))
+                        win_id, cnt, acc = win_id + 1, 0, 0.0
+            gs.update((win_id, cnt, acc))
+            if outs:
+                yield pd.DataFrame(outs, columns=[*keys, "window_id", "n_events", "total_value"])
+
+        return sdf.groupBy(*keys).applyInPandasWithState(
+            run, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+
+    if not ts_col:
+        raise ValueError(
+            "count_window_stream: flush_timeout_s needs ts_col (the idle "
+            "deadline is event-time: last event ts + timeout) and an "
+            "upstream withWatermark"
+        )
+    state_schema = "window_id bigint, cnt bigint, acc double, last_ts double"
+    cols = [*keys, "window_id", "n_events", "total_value"]
+
+    def run_t(key: tuple, pdf_iter: Iterable[pd.DataFrame], gs: GroupState) -> Iterator[pd.DataFrame]:
+        if gs.hasTimedOut:
+            win_id, cnt, acc, last_ts = gs.get
+            outs = []
+            if cnt > 0:  # partial flush: emit and open a fresh window
+                outs.append((*key, win_id, cnt, acc))
+                win_id, cnt, acc = win_id + 1, 0, 0.0
+            # empty window needs no timer; next data re-arms it
+            gs.update((win_id, cnt, acc, last_ts))
+            if outs:
+                yield pd.DataFrame(outs, columns=cols)
+            return
+        win_id, cnt, acc, last_ts = gs.get if gs.exists else (0, 0, 0.0, 0.0)
         outs = []
         for pdf in pdf_iter:
-            if ts_col:
-                pdf = pdf.sort_values(ts_col, kind="mergesort")
-            for v in pdf[value_col]:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                ep = ts.timestamp()
+                # inline gap flush: a key with NEW data in a batch never
+                # gets its hasTimedOut call (Spark fires timers only for
+                # data-less keys), so an event arriving after an idle gap
+                # must flush the stale partial itself — event-time gap >
+                # timeout, the deterministic replay of the reference's
+                # wall-clock timer
+                if cnt > 0 and ep > last_ts + flush_timeout_s:
+                    outs.append((*key, win_id, cnt, acc))
+                    win_id, cnt, acc = win_id + 1, 0, 0.0
+                last_ts = max(last_ts, ep)
                 cnt += 1
                 acc += float(v)
                 if cnt == n:
                     outs.append((*key, win_id, cnt, acc))
                     win_id, cnt, acc = win_id + 1, 0, 0.0
-        gs.update((win_id, cnt, acc))
+        gs.update((win_id, cnt, acc, last_ts))
+        if cnt > 0:
+            # idle deadline: watermark STRICTLY past last event + timeout
+            # (+1ms), clamped above the current watermark (Spark rejects
+            # timers at-or-below it — the ephemeral/late discipline)
+            deadline_ms = int((last_ts + flush_timeout_s) * 1000) + 1
+            gs.setTimeoutTimestamp(max(deadline_ms, gs.getCurrentWatermarkMs() + 1))
         if outs:
-            yield pd.DataFrame(outs, columns=[*keys, "window_id", "n_events", "total_value"])
+            yield pd.DataFrame(outs, columns=cols)
 
     return sdf.groupBy(*keys).applyInPandasWithState(
-        run, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        run_t, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
     )
