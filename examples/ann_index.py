@@ -597,6 +597,26 @@ def probe_pq_index(
     return similarity.topk_cut(scored, topk) if topk is not None else scored
 
 
+def probe_pq_index_batch(spark, t: MultiManifestTable, batch_df, nprobe: int = 3,
+                         topk: int | None = 3):
+    """The foreachBatch form of the pruned probe: each micro-batch of query
+    vectors is a BATCH frame inside foreachBatch, so it can collect its
+    probed-cell set and plan the same file-pruned scan the batch path
+    plans — streams get the nprobe/n_cells I/O cut per micro-batch, plus
+    the per-batch topk cut (batch-local == global: a query's candidates
+    all arrive in its batch).
+
+        def sink(batch_df, _bid):
+            out = probe_pq_index_batch(spark, t, batch_df, nprobe=4, topk=5)
+            ...write out...
+        scored_stream.writeStream.foreachBatch(sink)...
+
+    Note the index snapshot is re-resolved per batch (manifest reads are
+    cheap — one log replay), so a refresh/compact committed mid-stream
+    takes effect at the next micro-batch boundary, atomically."""
+    return probe_pq_index(spark, t, batch_df, nprobe=nprobe, topk=topk)
+
+
 if __name__ == "__main__":
     import tempfile
 

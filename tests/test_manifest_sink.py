@@ -338,3 +338,36 @@ def test_expire_log_keep_checkpoints_preserves_travel_window(spark, tmp_path):
         t.read(spark, version=1)
     with _pytest.raises(ValueError):
         t.expire_log(keep_checkpoints=0)
+
+
+def test_engine_surface_exactly_once_recipe(spark, tmp_path):
+    """VERDICT r11 #6: the documented effectively-once ConnectorSink
+    replacement at the ENGINE surface — Pipeline.to_sink_foreach_batch +
+    ManifestStreamWriter (examples/exactly_once_sink.py) — restart-replays
+    without duplicates: a second availableNow pass over the same
+    checkpoint processes only new files, and a hard replay of a committed
+    batch appends nothing."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    from exactly_once_sink import run_once
+
+    from wallaroo_spark.sinks.manifest import ManifestStreamWriter
+
+    src = str(tmp_path / "src")
+    t = ManifestTable(str(tmp_path / "t"))
+    ck = str(tmp_path / "ck")
+    d1 = _df(spark, 0, 6)
+    d1.write.mode("append").parquet(src)
+    w = run_once(spark, src, t, ck, d1.schema)
+    assert sorted(r.i for r in t.read(spark).collect()) == list(range(6))
+
+    _df(spark, 6, 10).write.mode("append").parquet(src)
+    w = run_once(spark, src, t, ck, d1.schema)
+    assert sorted(r.i for r in t.read(spark).collect()) == list(range(10))
+
+    # 2PC crash window: replaying committed batch 0 is a no-op
+    w(_df(spark, 0, 6), 0)
+    assert sorted(r.i for r in t.read(spark).collect()) == list(range(10))
+    assert len(w._committed_batches()) == 2

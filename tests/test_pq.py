@@ -819,3 +819,95 @@ def test_live_codes_tombstone_broadcast_gate(spark, sf_dir, tmpdir, monkeypatch)
     )
     assert got == want
     assert not ({g[1] for g in got} & set(range(15, 30)))
+
+
+def test_pq_encode_inrow_join_parity(spark, sf_dir):
+    """VERDICT r11 #5: the in-row encode (zero shuffles, codebook inlined
+    as one projection expression) must produce code-for-code identical
+    output to the join form (the measured default — SCALE.md r12) for
+    both geometries; subvecs defines the row set so it is join-only, and
+    over-sized codebooks refuse to inline."""
+    import pytest
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    for g in (dict(m=8, sub_dim=8, k=16), dict(m=1, sub_dim=64, k=8)):
+        cb = S.pq_train(emb, iters=2, **g).localCheckpoint(eager=True)
+        a = {r.vec_id: list(r.codes) for r in S.pq_encode(
+            emb, cb, m=g["m"], sub_dim=g["sub_dim"], method="join").collect()}
+        b = {r.vec_id: list(r.codes) for r in S.pq_encode(
+            emb, cb, m=g["m"], sub_dim=g["sub_dim"], method="inrow").collect()}
+        c = {r.vec_id: list(r.codes) for r in S.pq_encode(
+            emb, cb, m=g["m"], sub_dim=g["sub_dim"]).collect()}  # default=join
+        assert a == b == c and len(a) == emb.count()
+    # subvecs defines the (filtered) row set — join plan consumes it
+    sv = S._pq_subvecs(emb, 8, 8, "vec_id", "embedding")
+    cb = S.pq_train(emb, iters=1)
+    sub = S.pq_encode(emb, cb, subvecs=sv.filter(F.col("vec_id") < 20))
+    assert sub.count() == emb.filter(F.col("vec_id") < 20).count()
+    with pytest.raises(ValueError, match="join plan consumes"):
+        S.pq_encode(emb, cb, subvecs=sv, method="inrow")
+    # the literal-size guard rails the 100 TB coarse-quantizer case
+    import wallaroo_spark.operators.similarity as sim
+    orig = sim._PQ_ENCODE_INROW_MAX_LITERALS
+    try:
+        sim._PQ_ENCODE_INROW_MAX_LITERALS = 8
+        with pytest.raises(ValueError, match="too large to inline"):
+            S.pq_encode(emb, cb, method="inrow")
+    finally:
+        sim._PQ_ENCODE_INROW_MAX_LITERALS = orig
+    # the in-row plan is shuffle-free (pure projection over the scan)
+    plan = S.pq_encode(emb, cb, method="inrow")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_streaming_probe_foreach_batch_pruned(spark, sf_dir, tmpdir):
+    """probe_pq_index_batch inside foreachBatch: each micro-batch plans
+    the file-pruned codes scan (strict subset of the codes files when the
+    batch's probed cells allow it) and the drained rows equal the batch
+    probe exactly."""
+    ann_index = _ann_index_mod()
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 4)
+    t = ann_index.build_pq_index(spark, emb, corpus, str(tmpdir) + "/fb_idx")
+    nprobe, topk = 2, 3
+
+    want = sorted(
+        map(
+            tuple,
+            ann_index.probe_pq_index(
+                spark, t, queries, nprobe=nprobe, topk=topk
+            ).collect(),
+        )
+    )
+    all_files = set(t.table_files("pq_codes"))
+
+    qdf = queries.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmpdir) + "/fb_qstream"
+    qdf.write.mode("overwrite").parquet(path)
+    sdf = spark.readStream.schema(qdf.schema).parquet(path)
+    out, scans = [], []
+
+    def sink(batch_df, _bid):
+        got = ann_index.probe_pq_index_batch(
+            spark, t, batch_df, nprobe=nprobe, topk=topk
+        )
+        scanned = {
+            ("/" + f[len("file:"):].lstrip("/")) if f.startswith("file:") else f
+            for f in got.inputFiles()
+            if f"{os.sep}pq_codes{os.sep}" in f
+        }
+        scans.append(scanned)
+        out.extend(map(tuple, got.collect()))
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmpdir) + "/fb_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(out) == want
+    assert scans and all(s < all_files for s in scans)  # every batch pruned

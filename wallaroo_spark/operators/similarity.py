@@ -1185,6 +1185,14 @@ def pq_train(
     return cb.select("sub", "cent_id", F.col("_cv").alias("centroid"))
 
 
+# pq_encode method="inrow" inlines the codebook as literal expressions only
+# up to this many centroid doubles (m*k*sub_dim): the default fine geometry
+# is 1024, a sf0.1 auto coarse quantizer 2816, both comfortably inside
+# expression-tree comfort; a production sqrt-N coarse quantizer (1e5 cells
+# x 64 dims = 6.4M literals) raises and must broadcast-join instead.
+_PQ_ENCODE_INROW_MAX_LITERALS = 65536
+
+
 def pq_encode(
     df: DataFrame,
     codebook: DataFrame,
@@ -1194,13 +1202,83 @@ def pq_encode(
     vec_col: str = "embedding",
     round_dp: int = 6,
     subvecs: DataFrame | None = None,
+    method: str = "join",
 ) -> DataFrame:
     """Quantize vectors to their m nearest-centroid codes (rounded-L2
     argmin, cent_id tiebreak — the same cut rule as training, so codes are
     engine-exact). Returns (id, codes array<int>) — the 100 TB vector
     store: 4 bytes/vector at the default geometry. ``subvecs`` accepts a
-    precomputed (id, sub, _sv) frame (see pq_train) so audits sharing a
-    persisted subvector base skip the transform/slice pass."""
+    precomputed (id, sub, _sv) frame (see pq_train); it both shares the
+    slice pass AND defines the encoded ROW SET (callers filter it), so it
+    is join-plan-only.
+
+    Two physically different plans, identical codes (VERDICT r11 #5; the
+    measured A/B is in SCALE.md round 12):
+
+    - ``method="join"`` (default — the measured winner) — subvector rows
+      broadcast-join the codebook (N*m*k scored rows through whole-stage
+      codegen) and two partial-agg shuffles of N*m slim rows (argmin,
+      then code re-assembly) pick the codes. With evaluation FORCED
+      (a bare count() lets Catalyst prune a pure projection and time
+      nothing — the trap the first A/B fell into), this wins 1.1-2x on
+      local[32]: the scored rows flow through vectorized codegen, while
+      the in-row form pays interpreted expression-tree evaluation per
+      row.
+    - ``method="inrow"`` — the codebook (m*k rows, bounded) collapses
+      into ONE projection expression per row: per subspace an array_min
+      over k (rounded distance, cent_id) structs — `ivfpq_probe`'s
+      probe-side shape — a pure map, ZERO shuffles, no row generation.
+      ~2x more CPU at bench scale, but the shuffle it avoids is
+      intra-memory on local[32] and a NETWORK hop on a real cluster:
+      opt in when shuffle bandwidth, not CPU, is the binding constraint
+      (or when a shuffle-free single-stage plan is structurally needed,
+      e.g. under a streaming source). Guard-railed: codebooks beyond
+      ``_PQ_ENCODE_INROW_MAX_LITERALS`` centroid doubles (m*k*sub_dim —
+      a 100 TB sqrt-N coarse quantizer is ~6.4M) and ``subvecs`` both
+      raise rather than silently degrade.
+    """
+    if method not in ("join", "inrow"):
+        raise ValueError(f"pq_encode: unknown method {method!r}")
+    if method == "inrow":
+        if subvecs is not None:
+            raise ValueError(
+                "pq_encode: subvecs defines the encoded row set and only "
+                "the join plan consumes it; drop subvecs or use "
+                "method='join'"
+            )
+        rows = [
+            (int(r["sub"]), int(r["cent_id"]), [float(x) for x in r["centroid"]])
+            for r in codebook.collect()
+        ]
+        if not rows:
+            raise ValueError("pq_encode: empty codebook")
+        if len(rows) * sub_dim > _PQ_ENCODE_INROW_MAX_LITERALS:
+            raise ValueError(
+                "pq_encode: codebook too large to inline "
+                f"({len(rows) * sub_dim} centroid doubles > "
+                f"{_PQ_ENCODE_INROW_MAX_LITERALS}); use method='join'"
+            )
+        by_sub: dict[int, list] = {}
+        for sub, cid, cv in rows:
+            by_sub.setdefault(sub, []).append((cid, cv))
+        v = F.col(vec_col).cast("array<double>")
+        code_exprs = []
+        for j in range(m):
+            svj = F.slice(v, j * sub_dim + 1, sub_dim)
+            cands = F.array(*[
+                F.struct(
+                    F.round(
+                        _sqdist(svj, F.array(*[F.lit(x) for x in cv])), round_dp
+                    ).alias("d"),
+                    F.lit(cid).cast("int").alias("c"),
+                )
+                for cid, cv in sorted(by_sub.get(j, []))
+            ])
+            # array_min over (d, c) structs = lexicographic min = the same
+            # rounded-distance argmin with cent_id tiebreak, O(k) per row
+            # (array_sort would pay O(k log k) for the same first element)
+            code_exprs.append(F.array_min(cands)["c"])
+        return df.select(id_col, F.array(*code_exprs).alias("codes"))
     sv = subvecs if subvecs is not None else _pq_subvecs(
         df, m, sub_dim, id_col, vec_col
     )

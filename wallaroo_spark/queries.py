@@ -7424,3 +7424,51 @@ def pq_topk_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(
         codes, cb, emb.filter(F.col("vec_id") < 10), topk=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation (round 12, VERDICT r11 #4)
+# ---------------------------------------------------------------------------
+
+# The external driver hash-samples the FIRST 50 registered queries each
+# round; new entries append at the end of this file, so the hard hash
+# window had never sampled any post-round-3 family. Rotate ~15 of the
+# newest oracle-gated entries (sampled-train, clustered/prod recall
+# audits, cell skew, windowed HLL, calibration, OPQ objective, packed
+# ADC, LSH tuning) into positions 36-50. Safe by construction: oracle
+# hashes are driver-recomputed per round, and the full local gate
+# (tools/check.py — all 175) remains the completeness backstop for the
+# stalwarts this pushes out of the window.
+_DRIVER_WINDOW_ROTATION = [
+    "pq_topk_sampled_train",
+    "ivf_cell_skew_report",
+    "ann_recall_clustered_audit",
+    "ann_recall_prod_audit",
+    "windowed_distinct_hll",
+    "windowed_calibration_ece",
+    "classifier_calibration_report",
+    "classifier_threshold_sweep",
+    "embedding_drift_report",
+    "pq_distortion_report",
+    "pq_topk_packed_adc",
+    "minhash_lsh_pairs_tuned90",
+    "lsh_tuning_report",
+    "ivf_sizing_report",
+    "ivfpq_adaptive_probe",
+]
+
+
+def _rotate_registry() -> None:
+    """Re-insert QUERIES/ORACLES so the rotation list lands inside the
+    driver's first-50 sample (after the 35 §2.1/§2.3 stalwarts). Pure
+    reordering — no entry is added, removed, or altered."""
+    rot = [n for n in _DRIVER_WINDOW_ROTATION if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(rot)]
+    order = rest[:35] + rot + rest[35:]
+    for d in (QUERIES, ORACLES):
+        src = dict(d)
+        d.clear()
+        d.update({n: src[n] for n in order if n in src})
+
+
+_rotate_registry()
