@@ -68,9 +68,17 @@ def build_index(spark, corpus, index_dir: str, k: int = 6, iters: int = 2):
                 "cent_id", F.col("embedding").cast("array<double>").alias("embedding")
             ),
             "assignments": assigned.select("vec_id", "embedding", "cent_id"),
-        }
+        },
+        partition_by=_IVF_PARTITION,
     )
     return t
+
+
+# Like pq_codes, the (corpus-sized) assignments table is cent_id-bucketed
+# at rest so probes plan a file-pruned scan of only the probed centroids'
+# postings — the docstring's "partitionable by cent_id for co-located
+# probes" made physical (round 12).
+_IVF_PARTITION = {"assignments": "cent_id"}
 
 
 def refresh_index(spark, t: MultiManifestTable, new_vectors):
@@ -78,7 +86,8 @@ def refresh_index(spark, t: MultiManifestTable, new_vectors):
     cents = load_centroids(spark, t)
     assigned = _assign(new_vectors, cents)
     t.append_multi(
-        {"assignments": assigned.select("vec_id", "embedding", "cent_id")}
+        {"assignments": assigned.select("vec_id", "embedding", "cent_id")},
+        partition_by=_IVF_PARTITION,
     )
 
 
@@ -137,19 +146,41 @@ def refit_index(
                 "cent_id", F.col("embedding").cast("array<double>").alias("embedding")
             ),
             "assignments": assigned.select("vec_id", "embedding", "cent_id"),
-        }
+        },
+        partition_by=_IVF_PARTITION,
     )
 
 
-def query_index(spark, t: MultiManifestTable, queries, k: int = 3, nprobe: int = 2):
-    """Probe the persisted index: no corpus-side assignment recompute."""
+def query_index(spark, t: MultiManifestTable, queries, k: int = 3,
+                nprobe: int = 2, prune: bool = True):
+    """Probe the persisted index: no corpus-side assignment recompute, and
+    (batch probes) a FILE-PRUNED postings scan — the query batch's probed
+    centroids (`similarity.ivf_probed_cells`, the exact ranking
+    `ivf_topk`'s query-side assignment evaluates) prune the cent_id-
+    bucketed assignments read to ~nprobe/k of the files. ``prune=False``
+    forces the full scan (A/B lever / escape hatch)."""
+    cents = load_centroids(spark, t)
+    parts = None
+    if prune and not queries.isStreaming:
+        probed = [
+            int(r["cent_id"])
+            for r in similarity.ivf_probed_cells(
+                queries, cents.withColumnRenamed("cent_id", "vec_id"),
+                nprobe=nprobe,
+            ).collect()
+        ]
+        if probed:
+            parts = {"cent_id": probed}
+    assigned = t.read(spark, "assignments", parts=parts).select(
+        "vec_id", "embedding", "cent_id"
+    )
     return similarity.ivf_topk(
         corpus=None,
         queries=queries,
-        centroids=load_centroids(spark, t).withColumnRenamed("cent_id", "vec_id"),
+        centroids=cents.withColumnRenamed("cent_id", "vec_id"),
         k=k,
         nprobe=nprobe,
-        corpus_assigned=load_assignments(spark, t),
+        corpus_assigned=assigned,
     )
 
 

@@ -549,3 +549,56 @@ def test_bpe_train_iters_ceiling_guard(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     with pytest.raises(ValueError, match="driver-local"):
         T.bpe_train(df, iters=T.BPE_MAX_ITERS + 1)
+
+
+def test_ivf_assignments_cell_partitioned_query_prunes_files(spark, tmp_path):
+    """Round 12: the IVF assignments table is cent_id-bucketed at rest and
+    query_index plans a file-pruned scan of only the probed centroids'
+    postings — file-list-asserted (inputFiles == pruned subset), rows
+    identical to the forced full scan, and the pruned probe still equals
+    the direct ivf_topk."""
+    import os
+
+    from examples.ann_index import build_index, query_index
+    from wallaroo_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 3)
+    nprobe = 2
+
+    t = build_index(spark, corpus, str(tmp_path / "pidx"))
+    all_files = t.table_files("assignments")
+    assert all_files and all(f"{os.sep}_wsp_cent_id=" in f for f in all_files)
+    all_cells = {
+        int(f.split("_wsp_cent_id=")[1].split(os.sep)[0]) for f in all_files
+    }
+    assert len(all_cells) > nprobe
+
+    probed = {
+        int(r["cent_id"])
+        for r in similarity.ivf_probed_cells(
+            queries,
+            t.read(spark, "centroids").withColumnRenamed("cent_id", "vec_id"),
+            nprobe=nprobe,
+        ).collect()
+    }
+    assert probed and probed < all_cells
+
+    def scan_set(df):
+        out = set()
+        for f in df.inputFiles():
+            if f.startswith("file:"):
+                f = "/" + f[len("file:"):].lstrip("/")
+            if f"{os.sep}assignments{os.sep}" in f:
+                out.add(f)
+        return out
+
+    got = query_index(spark, t, queries, nprobe=nprobe)
+    pruned = set(t.table_files("assignments", parts={"cent_id": probed}))
+    assert scan_set(got) == pruned and pruned < set(all_files)
+
+    full = query_index(spark, t, queries, nprobe=nprobe, prune=False)
+    assert scan_set(full) == set(all_files)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, full.collect()))

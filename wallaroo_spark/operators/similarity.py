@@ -260,6 +260,86 @@ def bucketed_topk(
     )
 
 
+def _ivf_cents(centroids, id_col, vec_col, cent_id):
+    """Centroid frame prepared for assignment (shared by ivf_topk and
+    ivf_probed_cells so the probe-cell rule has ONE definition)."""
+    return centroids.select(
+        F.col(id_col).alias(cent_id),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cvn"),
+    )
+
+
+def _ivf_assign(df, cents, out_id, keep_n, extras, vec_col, cent_id):
+    """ivf_topk's assignment stage, hoisted verbatim (round 12) so the
+    query-side probe ranking is callable standalone: broadcast centroids,
+    cosine ranking, tiebreak min centroid id; keep_n=1 runs as a map-side
+    max_by hash aggregate, keep_n>1 as the ranked window."""
+    d = df.withColumn("_vn", _norm(F.col(vec_col)))
+    scored = d.crossJoin(F.broadcast(cents)).select(
+        F.col(out_id),
+        *extras,
+        vec_col,
+        "_vn",
+        cent_id,
+        (_dot(F.col(vec_col), F.col("_cv")) / (F.col("_vn") * F.col("_cvn"))).alias("_ccos"),
+    )
+    if keep_n == 1:
+        # argmax as a hash aggregate (map-side partial combine) instead
+        # of a Window sort: at scale the window shuffles AND sorts the
+        # full (corpus x centroids) expansion; max_by reduces it map-
+        # side to one row per vector. Tiebreak identical to the ranked
+        # path: max cosine, then min centroid id (-cent_id in the key).
+        return (
+            scored.groupBy(out_id)
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col(vec_col), F.col("_vn"), F.col(cent_id),
+                        *[F.col(x) for x in extras],
+                    ),
+                    F.struct(F.col("_ccos"), -F.col(cent_id)),
+                ).alias("_best")
+            )
+            .select(
+                out_id,
+                F.col(f"_best.{vec_col}").alias(vec_col),
+                F.col("_best._vn").alias("_vn"),
+                F.col(f"_best.{cent_id}").alias(cent_id),
+                *[F.col(f"_best.{x}").alias(x) for x in extras],
+            )
+        )
+    w = Window.partitionBy(out_id).orderBy(F.col("_ccos").desc(), F.col(cent_id))
+    return (
+        scored.withColumn("_crk", F.row_number().over(w))
+        .filter(F.col("_crk") <= keep_n)
+        .drop("_ccos", "_crk")
+    )
+
+
+def ivf_probed_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cent_id",
+) -> DataFrame:
+    """The DISTINCT centroids a query batch will probe — the IVF sibling
+    of `ivfpq_probed_cells`, driving file pruning over a cent_id-
+    partitioned assignments table (examples/ann_index.py `query_index`).
+    Evaluates the EXACT query-side assignment `ivf_topk` runs (`_ivf_assign`
+    — one shared definition: same cosine ranking, same min-cent_id
+    tiebreak), so the pruned file set equals the probed set. Batch inputs
+    only (the set is collected at plan time)."""
+    cents = _ivf_cents(centroids, id_col, vec_col, cent_id)
+    q = _ivf_assign(
+        queries.select(F.col(id_col).alias("_qid"), vec_col),
+        cents, "_qid", nprobe, [], vec_col, cent_id,
+    )
+    return q.select(cent_id).distinct()
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -291,55 +371,8 @@ def ivf_topk(
     scale form of `hard_negative_topk`: same ranking stage, candidate
     generation through the index instead of a full scan). Output then adds
     (query_label, ``exclude_label``)."""
-    cents = centroids.select(
-        F.col(id_col).alias(cent_id),
-        F.col(vec_col).alias("_cv"),
-        _norm(F.col(vec_col)).alias("_cvn"),
-    )
+    cents = _ivf_cents(centroids, id_col, vec_col, cent_id)
     extras = [exclude_label] if exclude_label else []
-
-    def assign(df: DataFrame, out_id: str, keep_n: int) -> DataFrame:
-        # norms precomputed per vector/centroid: one dot per (vec, centroid)
-        d = df.withColumn("_vn", _norm(F.col(vec_col)))
-        scored = d.crossJoin(F.broadcast(cents)).select(
-            F.col(out_id),
-            *extras,
-            vec_col,
-            "_vn",
-            cent_id,
-            (_dot(F.col(vec_col), F.col("_cv")) / (F.col("_vn") * F.col("_cvn"))).alias("_ccos"),
-        )
-        if keep_n == 1:
-            # argmax as a hash aggregate (map-side partial combine) instead
-            # of a Window sort: at scale the window shuffles AND sorts the
-            # full (corpus x centroids) expansion; max_by reduces it map-
-            # side to one row per vector. Tiebreak identical to the ranked
-            # path: max cosine, then min centroid id (-cent_id in the key).
-            return (
-                scored.groupBy(out_id)
-                .agg(
-                    F.max_by(
-                        F.struct(
-                            F.col(vec_col), F.col("_vn"), F.col(cent_id),
-                            *[F.col(x) for x in extras],
-                        ),
-                        F.struct(F.col("_ccos"), -F.col(cent_id)),
-                    ).alias("_best")
-                )
-                .select(
-                    out_id,
-                    F.col(f"_best.{vec_col}").alias(vec_col),
-                    F.col("_best._vn").alias("_vn"),
-                    F.col(f"_best.{cent_id}").alias(cent_id),
-                    *[F.col(f"_best.{x}").alias(x) for x in extras],
-                )
-            )
-        w = Window.partitionBy(out_id).orderBy(F.col("_ccos").desc(), F.col(cent_id))
-        return (
-            scored.withColumn("_crk", F.row_number().over(w))
-            .filter(F.col("_crk") <= keep_n)
-            .drop("_ccos", "_crk")
-        )
 
     if corpus_assigned is not None:
         # persisted-index path: assignments were computed once at build
@@ -348,11 +381,13 @@ def ivf_topk(
             id_col, vec_col, cent_id, *extras
         ).withColumn("_vn", _norm(F.col(vec_col)))
     else:
-        c_assigned = assign(corpus.select(id_col, vec_col, *extras), id_col, 1)
-    q_assigned = assign(
+        c_assigned = _ivf_assign(
+            corpus.select(id_col, vec_col, *extras),
+            cents, id_col, 1, extras, vec_col, cent_id,
+        )
+    q_assigned = _ivf_assign(
         queries.select(F.col(id_col).alias(query_id), vec_col, *extras),
-        query_id,
-        nprobe,
+        cents, query_id, nprobe, extras, vec_col, cent_id,
     ).select(
         query_id,
         F.col(vec_col).alias("_qv"),
