@@ -162,6 +162,9 @@ def query_index(spark, t: MultiManifestTable, queries, k: int = 3,
     cents = load_centroids(spark, t)
     parts = None
     if prune and not queries.isStreaming:
+        # pin the batch before collecting its probed set (same
+        # nondeterminism/double-evaluation guard as probe_pq_index)
+        queries = queries.localCheckpoint(eager=True)
         probed = [
             int(r["cent_id"])
             for r in similarity.ivf_probed_cells(
@@ -169,7 +172,10 @@ def query_index(spark, t: MultiManifestTable, queries, k: int = 3,
                 nprobe=nprobe,
             ).collect()
         ]
-        if probed:
+        # full-scan fallback when no file matches (a probed centroid with
+        # zero postings writes no bucket): correct empty join vs a raised
+        # empty-snapshot error
+        if probed and t.table_files("assignments", parts={"cent_id": probed}):
             parts = {"cent_id": probed}
     assigned = t.read(spark, "assignments", parts=parts).select(
         "vec_id", "embedding", "cent_id"
@@ -516,6 +522,21 @@ def delete_pq_vectors(spark, t: MultiManifestTable, vec_ids):
 # positives would hide LIVE rows from probes, not just skip extra work.
 _TOMBSTONE_BROADCAST_MAX = 1_000_000
 
+# tombstone-count memo keyed by the tombstone table's file set: the count
+# can only change when a commit changes the files, so each probe (incl.
+# every foreachBatch micro-batch) pays the count job at most once per
+# tombstone snapshot instead of once per call
+_TOMBSTONE_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _tombstone_count(spark, t: MultiManifestTable, files: list[str]) -> int:
+    key = tuple(files)
+    if key not in _TOMBSTONE_COUNT_CACHE:
+        if len(_TOMBSTONE_COUNT_CACHE) > 64:  # bounded: old snapshots are dead
+            _TOMBSTONE_COUNT_CACHE.clear()
+        _TOMBSTONE_COUNT_CACHE[key] = spark.read.parquet(*files).count()
+    return _TOMBSTONE_COUNT_CACHE[key]
+
 
 def _live_codes(spark, t: MultiManifestTable, parts: dict | None = None):
     """The probe-visible codes snapshot: committed codes minus tombstones.
@@ -530,9 +551,10 @@ def _live_codes(spark, t: MultiManifestTable, parts: dict | None = None):
     `compact_pq_index` (threshold-gated) to fold tombstones into the
     codes rewrite and shrink the set back to broadcastable."""
     codes = t.read(spark, "pq_codes", parts=parts)
-    if t.table_files("pq_tombstones"):
+    tomb_files = t.table_files("pq_tombstones")
+    if tomb_files:
         tomb = t.read(spark, "pq_tombstones")
-        if tomb.count() <= _TOMBSTONE_BROADCAST_MAX:
+        if _tombstone_count(spark, t, tomb_files) <= _TOMBSTONE_BROADCAST_MAX:
             tomb = F.broadcast(tomb)
         codes = codes.join(tomb, "vec_id", "left_anti")
     return codes
@@ -606,13 +628,24 @@ def probe_pq_index(
     coarse = t.read(spark, "pq_coarse")
     parts = None
     if prune and not incoming.isStreaming:
+        # pin the query batch before collecting its cell set: the probe
+        # join re-evaluates `incoming`, so a nondeterministic input
+        # (unseeded sample, re-listed source) could otherwise probe cells
+        # outside the collected set and silently lose candidates — and a
+        # deterministic one would pay the transform twice
+        incoming = incoming.localCheckpoint(eager=True)
         cells = [
             int(r["cell"])
             for r in similarity.ivfpq_probed_cells(
                 incoming, coarse, nprobe=nprobe
             ).collect()
         ]
-        if cells:  # empty incoming -> nothing to prune (result empty anyway)
+        # empty incoming -> nothing to prune (result empty anyway); and if
+        # NO file matches the probed cells (all tombstoned + compacted
+        # away while the frozen coarse codebook still names them), fall
+        # back to the full scan — it correctly yields zero candidates,
+        # where a parts-pruned read would raise empty-snapshot
+        if cells and t.table_files("pq_codes", parts={"cell": cells}):
             parts = {"cell": cells}
     scored = similarity.ivfpq_probe(
         incoming,

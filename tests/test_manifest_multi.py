@@ -238,3 +238,29 @@ def test_partitioned_append_prune_and_vacuum_safety(spark, tmp_path):
     # subdirs), so nothing is reclaimable
     assert t.vacuum(min_age_s=0) == 0
     assert t.read(spark, "codes").count() == 25
+
+
+def test_compact_table_derives_partitioned_layout(spark, tmp_path):
+    """Self-review r12 #5: compact_table WITHOUT partition_col must keep a
+    uniformly bucketed table bucketed (derived from the files' _wsp_
+    segments) — the pre-partitioning maintenance idiom cannot silently
+    flatten the layout; and an unpartitioned table stays unpartitioned."""
+    t = MultiManifestTable(str(tmp_path / "cp"))
+    df = spark.range(12).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 3).alias("cell")
+    )
+    t.append_multi({"codes": df}, partition_by={"codes": "cell"})
+    t.append_multi({"codes": df.withColumn("vec_id", F.col("vec_id") + 100)},
+                   partition_by={"codes": "cell"})
+    t.compact_table("codes")  # no partition_col passed
+    files = t.table_files("codes")
+    assert files and all(f"{os.sep}_wsp_cell=" in f for f in files)
+    assert t.read(spark, "codes").count() == 24
+    pruned = t.table_files("codes", parts={"cell": [1]})
+    assert pruned and set(pruned) < set(files)
+
+    t.append_multi({"plain": df})
+    t.compact_table("plain")
+    assert all(
+        f"{os.sep}_wsp_" not in f for f in t.table_files("plain")
+    )

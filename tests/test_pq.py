@@ -911,3 +911,64 @@ def test_streaming_probe_foreach_batch_pruned(spark, sf_dir, tmpdir):
     q.awaitTermination(180)
     assert sorted(out) == want
     assert scans and all(s < all_files for s in scans)  # every batch pruned
+
+
+def test_probe_prune_empty_cells_falls_back_to_full_scan(spark, sf_dir, tmpdir):
+    """Self-review r12 #1: when every probed cell's bucket was compacted
+    away (all its vectors tombstoned) while the frozen coarse codebook
+    still names the cells, the pruned probe must degrade to the full scan
+    (which correctly joins to zero candidates) instead of raising
+    empty-snapshot."""
+    ann_index = _ann_index_mod()
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 2)
+    nprobe = 2
+    t = ann_index.build_pq_index(spark, emb, corpus, str(tmpdir) + "/gap_idx")
+
+    # the cells this query batch will probe (post-transform = identity here)
+    probed = {
+        int(r["cell"])
+        for r in S.ivfpq_probed_cells(
+            queries, t.read(spark, "pq_coarse"), nprobe=nprobe
+        ).collect()
+    }
+    # tombstone EVERY vector in those cells, then compact them away
+    victims = t.read(spark, "pq_codes").filter(
+        F.col("cell").isin(*[int(c) for c in probed])
+    ).select("vec_id")
+    assert victims.count() > 0
+    ann_index.delete_pq_vectors(spark, t, victims)
+    assert ann_index.compact_pq_index(spark, t, max_tombstone_frac=0.0) is not None
+    remaining_cells = {
+        int(f.split("_wsp_cell=")[1].split(os.sep)[0])
+        for f in t.table_files("pq_codes")
+    }
+    assert not (probed & remaining_cells)
+
+    # pruned probe: no crash, zero candidates — identical to prune=False
+    got = ann_index.probe_pq_index(spark, t, queries, nprobe=nprobe, topk=3)
+    full = ann_index.probe_pq_index(
+        spark, t, queries, nprobe=nprobe, topk=3, prune=False
+    )
+    assert got.count() == full.count() == 0
+
+
+def test_pq_encode_inrow_drops_null_vectors_like_join(spark, sf_dir):
+    """Self-review r12 #3: a null embedding must be absent from BOTH
+    plans' outputs (the join plan's posexplode emits nothing for it)."""
+    from pyspark.sql import Row
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = S.pq_train(emb, iters=1).localCheckpoint(eager=True)
+    with_null = emb.limit(20).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(
+        spark.createDataFrame(
+            [Row(vec_id=99999, embedding=None)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    a = {r.vec_id for r in S.pq_encode(with_null, cb, method="join").collect()}
+    b = {r.vec_id for r in S.pq_encode(with_null, cb, method="inrow").collect()}
+    assert a == b and 99999 not in a and len(a) == 20

@@ -1296,6 +1296,14 @@ def pq_encode(
         by_sub: dict[int, list] = {}
         for sub, cid, cv in rows:
             by_sub.setdefault(sub, []).append((cid, cv))
+        # null vectors carry no meaningful code: both plans DROP them (see
+        # the join path's symmetric filter) rather than emit the
+        # null-ordering artifact (nulls-first struct comparison would
+        # silently pick the lowest cent_id per subspace). Duplicate ids
+        # remain the caller's contract (the module-wide unique-id
+        # assumption): the join plan's groupBy would collapse them, a
+        # projection cannot.
+        df = df.filter(F.col(vec_col).isNotNull())
         v = F.col(vec_col).cast("array<double>")
         code_exprs = []
         for j in range(m):
@@ -1317,6 +1325,13 @@ def pq_encode(
     sv = subvecs if subvecs is not None else _pq_subvecs(
         df, m, sub_dim, id_col, vec_col
     )
+    # a null source vector slices to null subvectors (slice(null) is null,
+    # and the m-element array around them is NOT null, so posexplode still
+    # emits rows): drop them — their rounded distances would be null and
+    # min_by's nulls-first struct ordering would assign the lowest cent_id
+    # per subspace, committing garbage codes for a vector that has none
+    # (self-review r12; the in-row plan filters symmetrically)
+    sv = sv.filter(F.col("_sv").isNotNull())
     cb = codebook.select("sub", "cent_id", F.col("centroid").alias("_cv"))
     best = (
         sv.join(F.broadcast(cb), "sub")

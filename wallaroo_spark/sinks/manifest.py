@@ -487,25 +487,32 @@ class ManifestTable:
         when no writer can be active (tests, offline maintenance)."""
         import time
 
+        def staging_dir(path: str) -> str:
+            # normalize a data-file path to its STAGING dir: partitioned
+            # writes nest `_wsp_col=v/` segments below it, so strip any
+            # trailing partition segments after taking the dirname —
+            # keeps the candidate check an O(1) set membership instead of
+            # a prefix scan over every referenced dir
+            d = os.path.dirname(path)
+            while os.path.basename(d).startswith(_PART_PREFIX):
+                d = os.path.dirname(d)
+            return d
+
         referenced: set[str] = set()
         for v in self.versions():
             e = self._entry(v)
             for f in e.get("adds", []):
-                referenced.add(os.path.dirname(f))
+                referenced.add(staging_dir(f))
         # checkpoint file sets count as references too: after expire_log()
         # the adds below the oldest checkpoint exist ONLY in checkpoints,
         # and vacuuming those dirs would tear live data out of the table
         for cv in self._checkpoint_versions():
             for fp in json.loads(self.store.read(f"_checkpoints/{cv}.json"))["files"]:
-                referenced.add(os.path.dirname(fp))
+                referenced.add(staging_dir(fp))
         now = time.time()
         removed = 0
         for d in self._vacuum_candidates():
-            # a candidate is referenced if any add points at it directly OR
-            # at a partition subdir beneath it (`<uuid>/_wsp_col=v/part...`
-            # dirnames land one level below the staging dir)
-            pfx = d + os.sep
-            if d in referenced or any(r.startswith(pfx) for r in referenced):
+            if d in referenced:
                 continue
             try:
                 if now - os.path.getmtime(d) < min_age_s:
@@ -686,13 +693,22 @@ class MultiManifestTable(ManifestTable):
         commits touching other tables are fine and the retry proceeds on
         top of them (per-table optimistic concurrency). ``partition_col``
         keeps (or establishes) the cell-bucketed layout through the
-        rewrite — ``n_files`` then caps files PER bucket."""
+        rewrite — ``n_files`` then caps files PER bucket. When not given,
+        the layout is DERIVED from the current files: if every file
+        carries the same single ``_wsp_<col>=`` key, compaction preserves
+        it — a maintenance job calling the pre-partitioning idiom
+        ``compact_table("pq_codes")`` must not silently flatten the
+        bucketing and degrade every future pruned probe to a full scan."""
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
         old = self.table_files(table)
         if not old:
             raise ValueError(f"empty snapshot for table {table!r}")
+        if partition_col is None:
+            keys = [sorted(_file_partitions(f)) for f in old]
+            if keys[0] and len(keys[0]) == 1 and all(k == keys[0] for k in keys):
+                partition_col = keys[0][0]
         adds = self._write_parts_for(
             table,
             spark.read.parquet(*old),
