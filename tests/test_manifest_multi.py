@@ -264,3 +264,44 @@ def test_compact_table_derives_partitioned_layout(spark, tmp_path):
     assert all(
         f"{os.sep}_wsp_" not in f for f in t.table_files("plain")
     )
+
+
+def test_multi_stream_writer_partitioned_appends(spark, tmp_path):
+    """Round 12: MultiManifestStreamWriter(partition_by=) — streamed
+    micro-batch appends land cell-bucketed (pruned reads keep pruning),
+    exactly-once semantics unchanged (replay appends nothing), and a
+    partitioned + legacy-unpartitioned mix still reads correctly."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    t = MultiManifestTable(str(tmp_path / "t"))
+
+    def split(df):
+        return {"codes": df.withColumn("cell", F.col("i") % 3)}
+
+    w = MultiManifestStreamWriter(
+        t, split, query_id="refresh", partition_by={"codes": "cell"}
+    )
+
+    def run_round():
+        sdf = spark.readStream.schema("i long, v string").parquet(src)
+        q = (
+            sdf.writeStream.foreachBatch(w)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _df(spark, 0, 6).write.mode("append").parquet(src)
+    run_round()
+    _df(spark, 6, 12).write.mode("append").parquet(src)
+    run_round()
+    files = t.table_files("codes")
+    assert files and all(f"{os.sep}_wsp_cell=" in f for f in files)
+    got = t.read(spark, "codes", parts={"cell": [1]})
+    assert sorted(r.i for r in got.collect() if r.cell == 1) == [1, 4, 7, 10]
+    assert set(t.table_files("codes", parts={"cell": [1]})) < set(files)
+    # replay: nothing appended
+    w(_df(spark, 0, 6).withColumn("cell", F.col("i") % 3).drop("cell"), 0)
+    assert t.read(spark, "codes").count() == 12
+    assert len(t.committed_txns("refresh")) == 2

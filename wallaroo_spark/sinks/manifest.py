@@ -742,12 +742,24 @@ class MultiManifestStreamWriter:
     replay. ``split_fn(batch_df) -> dict[table, DataFrame]`` derives the
     per-table outputs (e.g. packed corpus rows + their sequence manifests);
     a replayed batch finds its (query_id, batch_id) txn marker and appends
-    nothing to ANY table."""
+    nothing to ANY table. ``partition_by`` ({table: col}) cell-buckets the
+    named tables' files per micro-batch — a STREAMING refresh of a
+    partitioned index (pq_codes, IVF assignments) then keeps the
+    file-pruned probe path intact; without it, streamed appends land
+    unpartitioned, which pruned reads must KEEP (correct but unprunable),
+    slowly eroding the probe-I/O win."""
 
-    def __init__(self, table: MultiManifestTable, split_fn, query_id: str = "q"):
+    def __init__(
+        self,
+        table: MultiManifestTable,
+        split_fn,
+        query_id: str = "q",
+        partition_by: dict[str, str] | None = None,
+    ):
         self.table = table
         self.split_fn = split_fn
         self.query_id = query_id
+        self.partition_by = partition_by or {}
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
         if batch_id in self.table.committed_txns(self.query_id):
@@ -755,7 +767,11 @@ class MultiManifestStreamWriter:
         parts = self.split_fn(df)
         adds: list[str] = []
         for t, part in parts.items():
-            adds.extend(self.table._write_parts_for(t, part))
+            adds.extend(
+                self.table._write_parts_for(
+                    t, part, partition_col=self.partition_by.get(t)
+                )
+            )
         self.table._commit(
             adds=adds,
             removes=[],
