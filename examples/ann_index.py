@@ -612,7 +612,14 @@ def probe_pq_index(
     the cell-bucketed codes files are opened. Rows are identical with or
     without pruning (``prune=False`` forces the full scan — the A/B
     lever and the escape hatch). Streams keep the full-scan plan: a
-    stream cannot collect its cell set at plan time."""
+    stream cannot collect its cell set at plan time.
+
+    HUGE geometry (coarse literals n_cells*d beyond the inline cap): the
+    in-row cell selection cannot even plan — batch probes switch to the
+    broadcast-join form (`similarity.ivfpq_probe_cells_join`, identical
+    rounding/tiebreak) automatically; a huge-geometry STREAM must go
+    through `probe_pq_index_batch` inside foreachBatch (every micro-batch
+    is a batch frame there), and raises here with that recipe."""
     g = _index_geometry(spark, t, m=m, sub_dim=sub_dim, k=k)
     m, sub_dim, k = g["m"], g["sub_dim"], g["k"]
     if topk is not None and incoming.isStreaming:
@@ -626,26 +633,49 @@ def probe_pq_index(
         )
     incoming = _apply_index_transform(spark, t, incoming)
     coarse = t.read(spark, "pq_coarse")
+    d = m * sub_dim
+    n_cells = g.get("n_cells") or coarse.count()
+    huge = n_cells * d > similarity._PQ_ENCODE_INROW_MAX_LITERALS
+    if huge and incoming.isStreaming:
+        raise ValueError(
+            "probe_pq_index: this index's coarse codebook is too large to "
+            "inline as the stream-safe in-row expression "
+            f"({n_cells * d} literals); drive the stream through "
+            "probe_pq_index_batch inside foreachBatch, where each "
+            "micro-batch takes the broadcast-join probe path"
+        )
     parts = None
-    if prune and not incoming.isStreaming:
+    probe_cells = None
+    if not incoming.isStreaming and (prune or huge):
         # pin the query batch before collecting its cell set: the probe
         # join re-evaluates `incoming`, so a nondeterministic input
         # (unseeded sample, re-listed source) could otherwise probe cells
         # outside the collected set and silently lose candidates — and a
         # deterministic one would pay the transform twice
         incoming = incoming.localCheckpoint(eager=True)
-        cells = [
-            int(r["cell"])
-            for r in similarity.ivfpq_probed_cells(
+        if huge:
+            # huge-geometry cell selection: broadcast join, pinned so the
+            # pruning set and the probe join see identical pairs
+            probe_cells = similarity.ivfpq_probe_cells_join(
                 incoming, coarse, nprobe=nprobe
-            ).collect()
-        ]
+            ).localCheckpoint(eager=True)
+            cells = [
+                int(r["cell"])
+                for r in probe_cells.select("cell").distinct().collect()
+            ] if prune else []
+        else:
+            cells = [
+                int(r["cell"])
+                for r in similarity.ivfpq_probed_cells(
+                    incoming, coarse, nprobe=nprobe
+                ).collect()
+            ] if prune else []
         # empty incoming -> nothing to prune (result empty anyway); and if
         # NO file matches the probed cells (all tombstoned + compacted
         # away while the frozen coarse codebook still names them), fall
         # back to the full scan — it correctly yields zero candidates,
         # where a parts-pruned read would raise empty-snapshot
-        if cells and t.table_files("pq_codes", parts={"cell": cells}):
+        if prune and cells and t.table_files("pq_codes", parts={"cell": cells}):
             parts = {"cell": cells}
     scored = similarity.ivfpq_probe(
         incoming,
@@ -653,6 +683,7 @@ def probe_pq_index(
         t.read(spark, "pq_fine"),
         # committed codes minus tombstones, file-pruned to probed cells
         _live_codes(spark, t, parts=parts),
+        probe_cells=probe_cells,
         nprobe=nprobe,
         m=m,
         sub_dim=sub_dim,

@@ -972,3 +972,80 @@ def test_pq_encode_inrow_drops_null_vectors_like_join(spark, sf_dir):
     a = {r.vec_id for r in S.pq_encode(with_null, cb, method="join").collect()}
     b = {r.vec_id for r in S.pq_encode(with_null, cb, method="inrow").collect()}
     assert a == b and 99999 not in a and len(a) == 20
+
+
+def test_ivfpq_probe_join_cell_path_parity(spark, sf_dir, tmpdir, monkeypatch):
+    """Round-13 candidate #5, closed in r12: the huge-geometry probe path
+    (broadcast-join cell selection feeding ivfpq_probe(probe_cells=))
+    must reproduce the literal in-row path row-for-row; probe_pq_index
+    auto-selects it when the coarse codebook exceeds the inline cap,
+    still prunes files, and a huge-geometry STREAM raises with the
+    foreachBatch recipe while probe_pq_index_batch drains it correctly."""
+    import pytest
+    import wallaroo_spark.operators.similarity as sim
+
+    ann_index = _ann_index_mod()
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 4)
+    nprobe, topk = 2, 3
+
+    # direct operator parity at normal geometry
+    d = 64
+    coarse = S.pq_train(emb, m=1, sub_dim=d, k=8, iters=2)
+    fine = S.pq_train(emb, m=8, sub_dim=8, k=16, iters=2)
+    cells = S.pq_encode(corpus, coarse, m=1, sub_dim=d).select(
+        "vec_id", F.element_at("codes", 1).alias("cell")
+    )
+    idx = S.pq_encode(corpus, fine).join(cells, "vec_id").localCheckpoint()
+    want = sorted(map(tuple, S.ivfpq_probe(
+        queries, coarse, fine, idx, nprobe=nprobe).collect()))
+    pc = S.ivfpq_probe_cells_join(queries, coarse, nprobe=nprobe)
+    got = sorted(map(tuple, S.ivfpq_probe(
+        queries, coarse, fine, idx, probe_cells=pc).collect()))
+    assert got == want and want
+
+    # persisted index: force the huge path and compare to the default
+    t = ann_index.build_pq_index(spark, emb, corpus, str(tmpdir) + "/huge_idx")
+    base = sorted(map(tuple, ann_index.probe_pq_index(
+        spark, t, queries, nprobe=nprobe, topk=topk).collect()))
+    monkeypatch.setattr(sim, "_PQ_ENCODE_INROW_MAX_LITERALS", 1)
+    forced = sorted(map(tuple, ann_index.probe_pq_index(
+        spark, t, queries, nprobe=nprobe, topk=topk).collect()))
+    assert forced == base
+    # pruning still applies under the huge path
+    pruned_probe = ann_index.probe_pq_index(
+        spark, t, queries, nprobe=nprobe, topk=topk
+    )
+    scanned = {
+        ("/" + f[len("file:"):].lstrip("/")) if f.startswith("file:") else f
+        for f in pruned_probe.inputFiles()
+        if f"{os.sep}pq_codes{os.sep}" in f
+    }
+    assert scanned < set(t.table_files("pq_codes"))
+
+    # a huge-geometry STREAM raises with the recipe...
+    qdf = queries.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmpdir) + "/huge_qstream"
+    qdf.write.mode("overwrite").parquet(path)
+    sdf = spark.readStream.schema(qdf.schema).parquet(path)
+    with pytest.raises(ValueError, match="probe_pq_index_batch"):
+        ann_index.probe_pq_index(spark, t, sdf, nprobe=nprobe, topk=None)
+
+    # ...and probe_pq_index_batch drains it with identical rows
+    out = []
+
+    def sink(batch_df, _bid):
+        out.extend(map(tuple, ann_index.probe_pq_index_batch(
+            spark, t, batch_df, nprobe=nprobe, topk=topk).collect()))
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmpdir) + "/huge_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(out) == base

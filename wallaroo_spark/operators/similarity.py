@@ -2697,6 +2697,51 @@ def _probe_cell_array(vcol: Column, crows, nprobe: int, round_dp: int) -> Column
     )
 
 
+def ivfpq_probe_cells_join(
+    incoming: DataFrame,
+    coarse: DataFrame,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    cell_col: str = "cell",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(query_id, cell) probe pairs via a BROADCAST JOIN — the
+    huge-geometry form of `ivfpq_probe`'s in-row cell selection. The
+    literal form inlines n_cells*(d+1) constants into one expression:
+    right for stream-safety and bounded geometries, impossible at a
+    production sqrt-N coarse quantizer (1e5 cells x 64 dims = megabytes
+    of expression). Here the coarse codebook stays a broadcast frame:
+    incoming x coarse scored rows (|queries| * n_cells — queries are the
+    small side, so this is bounded work) and a ranked window keep the
+    nprobe nearest. Rounding and tiebreak are IDENTICAL to the literal
+    path (round(sqdist) asc, cell asc — the array_sort struct order), so
+    feeding the result into `ivfpq_probe(probe_cells=...)` reproduces
+    its rows exactly (pytest-pinned). Batch frames only (the window is
+    not stream-expressible; inside foreachBatch every micro-batch is a
+    batch frame — `probe_pq_index_batch` gets this for free)."""
+    c = coarse.select(
+        F.col("cent_id").cast("long").alias(cell_col),
+        F.col("centroid").cast("array<double>").alias("_cv"),
+    )
+    inc = incoming.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    scored = inc.crossJoin(F.broadcast(c)).select(
+        query_id,
+        cell_col,
+        F.round(_sqdist(F.col("_v"), F.col("_cv")), round_dp).alias("_d"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("_d"), F.col(cell_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= nprobe)
+        .select(query_id, cell_col)
+    )
+
+
 def ivfpq_probed_cells(
     incoming: DataFrame,
     coarse: DataFrame,
@@ -2743,6 +2788,7 @@ def ivfpq_probe(
     query_id: str = "query_id",
     cell_col: str = "cell",
     round_dp: int = 6,
+    probe_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a PERSISTED IVF-PQ index with INCOMING query vectors (batch
     or stream): the pq-codes counterpart of `semdedup_probe`. The index
@@ -2765,22 +2811,33 @@ def ivfpq_probe(
     deliberately left to the caller (`topk_cut` per micro-batch via
     foreachBatch, or a distance-threshold filter for a pure stateless
     stream), because a global rank is not a per-row property.
+
+    ``probe_cells`` accepts a PRECOMPUTED (query_id, cell) pair frame
+    (`ivfpq_probe_cells_join` — same rounding, same tiebreak) replacing
+    the in-row cell selection: the HUGE-GEOMETRY path, where inlining a
+    sqrt-N coarse codebook (1e5 cells x d dims) as literals is
+    impossible. The fine ADC table stays an in-row literal map (m*k
+    entries — bounded at any corpus size), so only the cell selection
+    changes plan shape; ``nprobe`` is then carried by ``probe_cells``.
     """
-    crows = [
-        (int(r["cent_id"]), [float(x) for x in r["centroid"]])
-        for r in coarse.collect()
-    ]
+    crows = None
+    if probe_cells is None:
+        crows = [
+            (int(r["cent_id"]), [float(x) for x in r["centroid"]])
+            for r in coarse.collect()
+        ]
+        if not crows:
+            raise ValueError("ivfpq_probe: empty coarse codebook")
     frows = [
         (int(r["sub"]), int(r["cent_id"]), [float(x) for x in r["centroid"]])
         for r in fine.collect()
     ]
-    if not crows or not frows:
-        raise ValueError("ivfpq_probe: empty coarse or fine codebook")
+    if not frows:
+        raise ValueError("ivfpq_probe: empty fine codebook")
     inc = incoming.select(
         F.col(id_col).alias(query_id),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    probes = _probe_cell_array(F.col("_v"), crows, nprobe, round_dp)
     entries = []
     for sub, cid, cv in frows:
         sv = F.slice(F.col("_v"), sub * sub_dim + 1, sub_dim)
@@ -2790,11 +2847,22 @@ def ivfpq_probe(
                 F.lit(sub * k + cid).cast("int").alias("key"), d.alias("value")
             )
         )
-    probed = inc.select(
-        query_id,
-        F.map_from_entries(F.array(*entries)).alias("_tbl"),
-        F.explode(F.transform(probes, lambda s: s["cell"])).alias(cell_col),
-    )
+    if probe_cells is not None:
+        # huge-geometry path: cell pairs precomputed by the broadcast-join
+        # form; each query row keeps its in-row fine ADC table and joins
+        # its cells (|queries| * nprobe pairs — the small side, broadcast)
+        probed = inc.select(
+            query_id, F.map_from_entries(F.array(*entries)).alias("_tbl")
+        ).join(
+            F.broadcast(probe_cells.select(query_id, cell_col)), query_id
+        )
+    else:
+        probes = _probe_cell_array(F.col("_v"), crows, nprobe, round_dp)
+        probed = inc.select(
+            query_id,
+            F.map_from_entries(F.array(*entries)).alias("_tbl"),
+            F.explode(F.transform(probes, lambda s: s["cell"])).alias(cell_col),
+        )
     joined = probed.join(codes_with_cells, cell_col)
     if "code_word" in codes_with_cells.columns:
         # packed index (pq_pack_codes): unpack per subspace with a static
