@@ -373,6 +373,7 @@ def refresh_pq_index(
     m: int = 8,
     sub_dim: int = 8,
     k: int = 16,
+    dedup_guard: str = "exact",
 ):
     """Append NEW vectors to the PQ index under the FROZEN codebooks —
     the postings-grow/codebooks-refit-rarely maintenance pattern, PQ
@@ -391,19 +392,36 @@ def refresh_pq_index(
     an existing vec_id with a CHANGED embedding is dropped too (its
     committed code stays); updating vectors in place is a re-encode,
     which belongs to the refit/overwrite path, not a postings append.
-    Plan shape: a left_anti join whose right side is the codes table's
-    pruned single-column vec_id scan — Spark cannot broadcast the left
-    side of an anti-join, so this shuffles corpus ids (one slim BIGINT
-    column). At true 100 TB postings scale, swap the guard for the
-    Bloom form (`dedup.decontaminate_bloom` — bitmap-broadcast anti-join
-    with a tiny false-positive skip rate) exactly as the training
-    pipeline example does for decontamination."""
+    Plan shape (``dedup_guard="exact"``, default): a left_anti join whose
+    right side is the codes table's pruned single-column vec_id scan —
+    Spark cannot broadcast the left side of an anti-join, so this
+    shuffles corpus ids (one slim BIGINT column). ``dedup_guard="bloom"``
+    is the true-100 TB form (round-13 candidate #6, closed in r12): the
+    committed ids compress to a broadcast Bloom bitmap
+    (`dedup.bloom_bitmap` / `bloom_filter_misses`) and the guard becomes
+    a PURE MAP over only the new vectors — no shuffle, no postings-scale
+    join. No false negatives means duplicates remain impossible (the
+    invariant probes depend on); the tiny false-positive rate instead
+    SKIPS a genuinely-new vector (documented, measurable vs a later
+    exact refresh) — the correct trade direction for an append guard."""
     g = _index_geometry(spark, t, m=m, sub_dim=sub_dim, k=k)
     m, sub_dim, k = g["m"], g["sub_dim"], g["k"]
     d = m * sub_dim
-    new_vectors = new_vectors.join(
-        t.read(spark, "pq_codes").select("vec_id"), "vec_id", "left_anti"
-    )
+    if dedup_guard == "bloom":
+        from wallaroo_spark.operators.dedup import bloom_bitmap, bloom_filter_misses
+
+        committed = t.read(spark, "pq_codes").select(
+            F.col("vec_id").cast("string").alias("_vid")
+        )
+        new_vectors = bloom_filter_misses(
+            new_vectors, "vec_id", bloom_bitmap(committed, "_vid")
+        )
+    elif dedup_guard == "exact":
+        new_vectors = new_vectors.join(
+            t.read(spark, "pq_codes").select("vec_id"), "vec_id", "left_anti"
+        )
+    else:
+        raise ValueError(f"refresh_pq_index: unknown dedup_guard {dedup_guard!r}")
     vecs = _apply_index_transform(spark, t, new_vectors)
     coarse = t.read(spark, "pq_coarse")
     fine = t.read(spark, "pq_fine")

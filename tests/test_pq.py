@@ -1049,3 +1049,42 @@ def test_ivfpq_probe_join_cell_path_parity(spark, sf_dir, tmpdir, monkeypatch):
     )
     q.awaitTermination(180)
     assert sorted(out) == base
+
+
+def test_refresh_pq_index_bloom_guard(spark, sf_dir, tmpdir):
+    """Round-13 candidate #6, closed in r12: refresh_pq_index's
+    dedup_guard='bloom' — committed ids compressed to a broadcast Bloom
+    bitmap, the guard a pure map (no anti-join shuffle). No false
+    negatives: re-refreshing the build corpus appends NOTHING (the
+    duplicate invariant); genuinely-new ids append (fp rate ~0 at this
+    fill) and probes see them."""
+    ann_index = _ann_index_mod()
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 30)
+    n = corpus.count()
+    t = ann_index.build_pq_index(spark, emb, corpus, str(tmpdir) + "/bl_idx")
+
+    # replaying committed vectors through the bloom guard appends nothing
+    ann_index.refresh_pq_index(spark, t, corpus, dedup_guard="bloom")
+    assert t.read(spark, "pq_codes").count() == n
+
+    # genuinely-new vectors pass the guard and become probe-visible
+    newv = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 30))
+    ann_index.refresh_pq_index(spark, t, newv, dedup_guard="bloom")
+    n2 = t.read(spark, "pq_codes").count()
+    assert n2 == n + newv.count()  # fp ~0 at this fill; exact here
+    got = ann_index.probe_pq_index(
+        spark, t, emb.filter(F.col("vec_id") < 2), nprobe=8, topk=50
+    )
+    assert {r.vec_id for r in got.collect()} & set(range(10, 30))
+
+    # parity with the exact guard on a fresh index
+    t2 = ann_index.build_pq_index(spark, emb, corpus, str(tmpdir) + "/ex_idx")
+    ann_index.refresh_pq_index(spark, t2, newv)  # exact
+    a = sorted(map(tuple, t.read(spark, "pq_codes").collect()))
+    b = sorted(map(tuple, t2.read(spark, "pq_codes").collect()))
+    assert a == b
+
+    import pytest
+    with pytest.raises(ValueError, match="unknown dedup_guard"):
+        ann_index.refresh_pq_index(spark, t, newv, dedup_guard="nope")

@@ -881,6 +881,40 @@ def bloom_bitmap(
     )
 
 
+def bloom_filter_misses(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    n_hashes: int = BLOOM_K,
+) -> DataFrame:
+    """Rows of ``df`` whose ``col`` value does NOT hit the broadcast Bloom
+    bitmap (`bloom_bitmap` over the same hash family) — the generic
+    membership NEGATIVE filter behind giant-scale append-dedup guards
+    (e.g. refresh_pq_index's ``dedup_guard="bloom"``): a value present in
+    the filtered set NEVER passes (no false negatives — the invariant
+    that prevents duplicates), while a small false-positive rate drops
+    genuinely-new rows (set by m_bits/n_hashes; callers must tolerate
+    skips, never duplicates). Pure map over ``df`` + one bitmap
+    broadcast — no shuffle, unlike the exact left_anti."""
+    out = df.withColumn("_h", H.hmod_col(F.col(col).cast("string")))
+    for j in range(n_hashes):
+        p = H.perm_col(F.col("_h"), j) % F.lit(m_bits)
+        out = out.withColumn(f"_w{j}", (p / 63).cast("int")).withColumn(
+            f"_b{j}", (p % 63).cast("int")
+        )
+    hit = " AND ".join(
+        f"((shiftright(element_at(bloom, _w{j} + 1), _b{j}) & 1) = 1)"
+        for j in range(n_hashes)
+    )
+    drop = ["bloom", "_h"] + [c for j in range(n_hashes) for c in (f"_w{j}", f"_b{j}")]
+    return (
+        out.crossJoin(F.broadcast(bloom))
+        .filter(~F.expr(hit))
+        .drop(*drop)
+    )
+
+
 def decontaminate_bloom(
     corpus: DataFrame,
     test_set: DataFrame,
