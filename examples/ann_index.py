@@ -408,13 +408,25 @@ def refresh_pq_index(
     m, sub_dim, k = g["m"], g["sub_dim"], g["k"]
     d = m * sub_dim
     if dedup_guard == "bloom":
-        from wallaroo_spark.operators.dedup import bloom_bitmap, bloom_filter_misses
+        from wallaroo_spark.operators.dedup import (
+            bloom_bitmap, bloom_filter_misses, bloom_sized_bits,
+        )
 
-        committed = t.read(spark, "pq_codes").select(
+        codes_files = t.table_files("pq_codes")
+        committed = spark.read.parquet(*codes_files).select(
             F.col("vec_id").cast("string").alias("_vid")
         )
+        # size the bitmap from the COMMITTED count (~10 bits/element ->
+        # ~1.2% fp at k=4, at any scale): the fixed shingle default
+        # saturates (fp -> 1) past a few thousand ids and would turn the
+        # refresh into a silent no-op exactly at the postings scale this
+        # guard targets (self-review r12). The count is memoized per
+        # codes snapshot, like the tombstone count.
+        m_bits = bloom_sized_bits(_file_set_count(spark, t, codes_files))
         new_vectors = bloom_filter_misses(
-            new_vectors, "vec_id", bloom_bitmap(committed, "_vid")
+            new_vectors, "vec_id",
+            bloom_bitmap(committed, "_vid", m_bits=m_bits),
+            m_bits=m_bits,
         )
     elif dedup_guard == "exact":
         new_vectors = new_vectors.join(
@@ -540,20 +552,20 @@ def delete_pq_vectors(spark, t: MultiManifestTable, vec_ids):
 # positives would hide LIVE rows from probes, not just skip extra work.
 _TOMBSTONE_BROADCAST_MAX = 1_000_000
 
-# tombstone-count memo keyed by the tombstone table's file set: the count
-# can only change when a commit changes the files, so each probe (incl.
-# every foreachBatch micro-batch) pays the count job at most once per
-# tombstone snapshot instead of once per call
-_TOMBSTONE_COUNT_CACHE: dict[tuple, int] = {}
+# row-count memo keyed by a table's immutable file set (tombstones for
+# the broadcast gate, codes for the Bloom-guard sizing): the count can
+# only change when a commit changes the files, so each probe/refresh
+# pays the count job at most once per snapshot instead of once per call
+_FILE_SET_COUNT_CACHE: dict[tuple, int] = {}
 
 
-def _tombstone_count(spark, t: MultiManifestTable, files: list[str]) -> int:
+def _file_set_count(spark, t: MultiManifestTable, files: list[str]) -> int:
     key = tuple(files)
-    if key not in _TOMBSTONE_COUNT_CACHE:
-        if len(_TOMBSTONE_COUNT_CACHE) > 64:  # bounded: old snapshots are dead
-            _TOMBSTONE_COUNT_CACHE.clear()
-        _TOMBSTONE_COUNT_CACHE[key] = spark.read.parquet(*files).count()
-    return _TOMBSTONE_COUNT_CACHE[key]
+    if key not in _FILE_SET_COUNT_CACHE:
+        if len(_FILE_SET_COUNT_CACHE) > 64:  # bounded: old snapshots are dead
+            _FILE_SET_COUNT_CACHE.clear()
+        _FILE_SET_COUNT_CACHE[key] = spark.read.parquet(*files).count()
+    return _FILE_SET_COUNT_CACHE[key]
 
 
 def _live_codes(spark, t: MultiManifestTable, parts: dict | None = None):
@@ -572,7 +584,7 @@ def _live_codes(spark, t: MultiManifestTable, parts: dict | None = None):
     tomb_files = t.table_files("pq_tombstones")
     if tomb_files:
         tomb = t.read(spark, "pq_tombstones")
-        if _tombstone_count(spark, t, tomb_files) <= _TOMBSTONE_BROADCAST_MAX:
+        if _file_set_count(spark, t, tomb_files) <= _TOMBSTONE_BROADCAST_MAX:
             tomb = F.broadcast(tomb)
         codes = codes.join(tomb, "vec_id", "left_anti")
     return codes
@@ -652,8 +664,15 @@ def probe_pq_index(
     incoming = _apply_index_transform(spark, t, incoming)
     coarse = t.read(spark, "pq_coarse")
     d = m * sub_dim
-    n_cells = g.get("n_cells") or coarse.count()
-    huge = n_cells * d > similarity._PQ_ENCODE_INROW_MAX_LITERALS
+    # legacy (pre-pq_meta) indexes have no committed n_cells: they all
+    # predate auto geometry and carry bounded toy codebooks, so treat
+    # them as non-huge WITHOUT paying a count() job per probe
+    # (self-review r12 — the literal path collects coarse anyway)
+    n_cells = g.get("n_cells")
+    huge = (
+        n_cells is not None
+        and n_cells * d > similarity._PQ_ENCODE_INROW_MAX_LITERALS
+    )
     if huge and incoming.isStreaming:
         raise ValueError(
             "probe_pq_index: this index's coarse codebook is too large to "

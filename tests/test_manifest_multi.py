@@ -301,7 +301,7 @@ def test_multi_stream_writer_partitioned_appends(spark, tmp_path):
     got = t.read(spark, "codes", parts={"cell": [1]})
     assert sorted(r.i for r in got.collect() if r.cell == 1) == [1, 4, 7, 10]
     assert set(t.table_files("codes", parts={"cell": [1]})) < set(files)
-    # replay: nothing appended
-    w(_df(spark, 0, 6).withColumn("cell", F.col("i") % 3).drop("cell"), 0)
+    # replay: nothing appended (split_fn re-derives cell from the batch)
+    w(_df(spark, 0, 6), 0)
     assert t.read(spark, "codes").count() == 12
     assert len(t.committed_txns("refresh")) == 2

@@ -1088,3 +1088,39 @@ def test_refresh_pq_index_bloom_guard(spark, sf_dir, tmpdir):
     import pytest
     with pytest.raises(ValueError, match="unknown dedup_guard"):
         ann_index.refresh_pq_index(spark, t, newv, dedup_guard="nope")
+
+
+def test_bloom_guard_sizing_and_mismatch_guard(spark, sf_dir, tmpdir):
+    """Self-review r12 round 2: (a) the refresh bloom guard sizes its
+    bitmap from the committed count (~10 bits/element), so it does not
+    saturate at postings scale; (b) bloom_filter_misses REFUSES an
+    m_bits that does not match the bitmap (a silent mismatch would break
+    the no-false-negative invariant); (c) null keys are KEPT, matching
+    the exact left_anti."""
+    import pytest
+    from pyspark.sql import Row
+
+    from wallaroo_spark.operators.dedup import (
+        bloom_bitmap, bloom_filter_misses, bloom_sized_bits,
+    )
+
+    # sizing: grows with n, floored at the shingle default, whole words
+    assert bloom_sized_bits(100) == 32760
+    big = bloom_sized_bits(1_000_000)
+    assert big >= 10_000_000 and big % 63 == 0
+
+    ids = spark.range(500).select(F.col("id").cast("string").alias("v"))
+    mb = bloom_sized_bits(20_000)  # 200k bits — genuinely above the floor
+    bm = bloom_bitmap(ids, "v", m_bits=mb)
+    with pytest.raises(ValueError, match="SAME m_bits"):
+        bloom_filter_misses(spark.range(5).select(F.col("id").alias("x")),
+                            "x", bm)  # default m_bits != built m_bits
+
+    # null keys kept (left_anti parity) + members dropped, misses kept
+    probe = spark.createDataFrame(
+        [Row(x="7"), Row(x="499"), Row(x="99999"), Row(x=None)],
+        "x string",
+    )
+    out = {r.x for r in bloom_filter_misses(probe, "x", bm, m_bits=mb).collect()}
+    assert "99999" in out and None in out
+    assert "7" not in out and "499" not in out

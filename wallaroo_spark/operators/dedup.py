@@ -881,6 +881,17 @@ def bloom_bitmap(
     )
 
 
+def bloom_sized_bits(n: int, bits_per_element: int = 10) -> int:
+    """m_bits sized for ``n`` elements (rounded up to whole 63-bit words,
+    floored at the shingle default): ~10 bits/element at k=4 hashes gives
+    ~1.2% false positives regardless of n — the sizing rule callers of
+    `bloom_bitmap`/`bloom_filter_misses` over LARGE sets must apply; the
+    fixed BLOOM_M_BITS default is sized for ~500-element shingle test
+    sets and SATURATES (fp -> 1) beyond a few thousand elements."""
+    words = max(-(-n * bits_per_element // 63), -(-BLOOM_M_BITS // 63))
+    return words * 63
+
+
 def bloom_filter_misses(
     df: DataFrame,
     col: str,
@@ -896,22 +907,53 @@ def bloom_filter_misses(
     that prevents duplicates), while a small false-positive rate drops
     genuinely-new rows (set by m_bits/n_hashes; callers must tolerate
     skips, never duplicates). Pure map over ``df`` + one bitmap
-    broadcast — no shuffle, unlike the exact left_anti."""
-    out = df.withColumn("_h", H.hmod_col(F.col(col).cast("string")))
-    for j in range(n_hashes):
-        p = H.perm_col(F.col("_h"), j) % F.lit(m_bits)
-        out = out.withColumn(f"_w{j}", (p / 63).cast("int")).withColumn(
-            f"_b{j}", (p % 63).cast("int")
+    broadcast — no shuffle, unlike the exact left_anti.
+
+    Guards (self-review r12): ``m_bits`` must MATCH the value the bitmap
+    was built with — a mismatch would re-map positions inside the other
+    array's range and silently break the no-false-negative invariant, so
+    the word count is validated against the bitmap (ValueError, one tiny
+    1-row job). NULL keys are KEPT (a null never matches the exact
+    left_anti either — the two guards agree). Working columns are
+    uniquely prefixed so caller columns cannot collide."""
+    n_words = -(-m_bits // 63)
+    got_words = int(bloom.select(F.size("bloom").alias("n")).first()["n"])
+    if got_words != n_words:
+        raise ValueError(
+            f"bloom_filter_misses: m_bits={m_bits} expects {n_words} words "
+            f"but the bitmap has {got_words} — pass the SAME m_bits the "
+            "bitmap was built with (a mismatch would silently produce "
+            "false negatives, i.e. duplicate appends)"
         )
-    hit = " AND ".join(
-        f"((shiftright(element_at(bloom, _w{j} + 1), _b{j}) & 1) = 1)"
-        for j in range(n_hashes)
-    )
-    drop = ["bloom", "_h"] + [c for j in range(n_hashes) for c in (f"_w{j}", f"_b{j}")]
+    pfx = "_wsbf"
+    out = df.withColumn(f"{pfx}_h", H.hmod_col(F.col(col).cast("string")))
+    for j in range(n_hashes):
+        p = H.perm_col(F.col(f"{pfx}_h"), j) % F.lit(m_bits)
+        out = out.withColumn(f"{pfx}_w{j}", (p / 63).cast("int")).withColumn(
+            f"{pfx}_b{j}", (p % 63).cast("int")
+        )
+    hit = _bloom_hit_sql(n_hashes, word=f"{pfx}_w", bit=f"{pfx}_b",
+                         bloom=f"{pfx}_bloom")
+    drop = [f"{pfx}_bloom", f"{pfx}_h"] + [
+        c for j in range(n_hashes) for c in (f"{pfx}_w{j}", f"{pfx}_b{j}")
+    ]
     return (
-        out.crossJoin(F.broadcast(bloom))
-        .filter(~F.expr(hit))
+        out.crossJoin(
+            F.broadcast(bloom.select(F.col("bloom").alias(f"{pfx}_bloom")))
+        )
+        .filter(F.col(f"{pfx}_h").isNull() | ~F.expr(hit))
         .drop(*drop)
+    )
+
+
+def _bloom_hit_sql(n_hashes: int, word: str = "_w", bit: str = "_b",
+                   bloom: str = "bloom") -> str:
+    """The Bloom membership bit-test (all n_hashes bits set), as the ONE
+    SQL string both `bloom_filter_misses` and `decontaminate_bloom`
+    evaluate — the 63-bit word packing must never diverge between them."""
+    return " AND ".join(
+        f"((shiftright(element_at({bloom}, {word}{j} + 1), {bit}{j}) & 1) = 1)"
+        for j in range(n_hashes)
     )
 
 
@@ -941,11 +983,9 @@ def decontaminate_bloom(
         probed = probed.withColumn(f"_w{j}", (p / 63).cast("int")).withColumn(
             f"_b{j}", (p % 63).cast("int")
         )
-    # shiftright with a COLUMN shift count only exists in SQL form
-    hit = " AND ".join(
-        f"((shiftright(element_at(bloom, _w{j} + 1), _b{j}) & 1) = 1)"
-        for j in range(n_hashes)
-    )
+    # shiftright with a COLUMN shift count only exists in SQL form; the
+    # bit-test string is shared with bloom_filter_misses (one definition)
+    hit = _bloom_hit_sql(n_hashes)
     return (
         probed.crossJoin(F.broadcast(bloom))
         .filter(F.expr(hit))

@@ -2725,16 +2725,28 @@ def ivfpq_probe_cells_join(
         F.col("cent_id").cast("long").alias(cell_col),
         F.col("centroid").cast("array<double>").alias("_cv"),
     )
+    # rank over DISTINCT (id, vector) pairs: duplicate query rows would
+    # otherwise share one ranking partition and row_number would spend
+    # ranks on the duplicates (losing probe cells vs the literal path,
+    # which probes each row independently); the pairs then join back per
+    # incoming ROW inside ivfpq_probe, reproducing the literal path's
+    # per-row duplicates exactly. Same id with DIFFERENT vectors remains
+    # the caller's unique-id contract, as everywhere in this module.
     inc = incoming.select(
         F.col(id_col).alias(query_id),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    )
+    ).distinct()
     scored = inc.crossJoin(F.broadcast(c)).select(
         query_id,
         cell_col,
         F.round(_sqdist(F.col("_v"), F.col("_cv")), round_dp).alias("_d"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.col("_d"), F.col(cell_col))
+    # nulls LAST to match array_sort's struct ordering in the literal
+    # path (a null/short vector yields null distances; asc default would
+    # put them FIRST and select different cells)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("_d").asc_nulls_last(), F.col(cell_col)
+    )
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= nprobe)
