@@ -374,6 +374,7 @@ def refresh_pq_index(
     sub_dim: int = 8,
     k: int = 16,
     dedup_guard: str = "exact",
+    files_per_cell_budget: int | None = None,
 ):
     """Append NEW vectors to the PQ index under the FROZEN codebooks —
     the postings-grow/codebooks-refit-rarely maintenance pattern, PQ
@@ -403,7 +404,15 @@ def refresh_pq_index(
     join. No false negatives means duplicates remain impossible (the
     invariant probes depend on); the tiny false-positive rate instead
     SKIPS a genuinely-new vector (documented, measurable vs a later
-    exact refresh) — the correct trade direction for an append guard."""
+    exact refresh) — the correct trade direction for an append guard.
+
+    ``files_per_cell_budget``: every refresh appends one file per touched
+    cell directory, so K refreshes accumulate up to K files per hot cell
+    — eroding the probe's file-pruned I/O win and growing every log
+    entry. When any cell's live file count exceeds the budget after the
+    append, a layout-preserving `compact_table("pq_codes")` folds them
+    (amortized: one rewrite per budget-many refreshes, the auto-OPTIMIZE
+    discipline). None (default) leaves maintenance to the caller."""
     g = _index_geometry(spark, t, m=m, sub_dim=sub_dim, k=k)
     m, sub_dim, k = g["m"], g["sub_dim"], g["k"]
     d = m * sub_dim
@@ -443,9 +452,14 @@ def refresh_pq_index(
     codes = similarity.pq_encode(vecs, fine, m=m, sub_dim=sub_dim)
     if "code_word" in t.read(spark, "pq_codes").columns:
         codes = similarity.pq_pack_codes(codes, m=m, k=k)
-    t.append_multi(
+    v = t.append_multi(
         {"pq_codes": codes.join(cells, "vec_id")}, partition_by=_PQ_PARTITION
     )
+    if files_per_cell_budget:
+        counts = t.part_file_counts("pq_codes")
+        if counts and max(counts.values()) > files_per_cell_budget:
+            t.compact_table("pq_codes")
+    return v
 
 
 def refit_pq_index(

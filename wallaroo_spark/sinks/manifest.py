@@ -46,6 +46,8 @@ import json
 import os
 import shutil
 import uuid
+import zlib
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,16 +59,66 @@ from pyspark.sql import functions as F
 # commit loop all inherit partition awareness for free, exactly how
 # Hive/Delta/Iceberg encode partition values for file pruning.
 _PART_PREFIX = "_wsp_"
+# Bucketed layout prefix (`_wspb_<B>_<col>=<bucket>/`): the path carries
+# hash(value) % B instead of the raw value, so the number of directories —
+# and therefore files PER APPEND and manifest-log bytes — is capped at B
+# no matter how many distinct values the column has (n_cells = 1e5 at
+# production ANN geometry). Pruning happens at bucket granularity: a
+# requested value maps to its bucket and only that bucket's files are
+# opened; co-bucketed values ride along and the query's own key
+# filter/join drops them (pruning is an I/O cut, never a correctness
+# boundary). The hash is crc32 — computed identically by Spark's
+# `crc32()` at write time and Python's `zlib.crc32` at prune time.
+_PART_BUCKET_PREFIX = "_wspb_"
+# Hive's directory name for a null partition value (Spark writes it when
+# the partition column is null); matched by a requested value of None.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _bucket_of(value, n_buckets: int) -> int | None:
+    """The bucket a value lands in — MUST stay in lockstep with the write
+    side's ``crc32(cast(col as string)) % B`` expression."""
+    if value is None:
+        return None
+    return zlib.crc32(str(value).encode("utf-8")) % n_buckets
+
+
+def _part_spec(spec) -> tuple[str, int | None]:
+    """Normalize a partition_by value: ``"col"`` (plain Hive layout) or
+    ``("col", B)`` (bucketed) -> (col, buckets|None)."""
+    if isinstance(spec, str):
+        return spec, None
+    col, buckets = spec
+    if int(buckets) < 1:
+        raise ValueError(f"partition buckets must be >= 1, got {buckets}")
+    return col, int(buckets)
 
 
 def _file_partitions(path: str) -> dict[str, str]:
-    """Partition (col -> value) carried by a file path's `_wsp_col=value`
-    directory segments; empty for unpartitioned files."""
+    """Plain-layout partition (col -> value) carried by a file path's
+    `_wsp_col=value` directory segments; empty for unpartitioned or
+    bucket-partitioned files. Values are UNESCAPED: Spark percent-encodes
+    special chars in partition directory names (space -> %20, ':' -> %3A,
+    Hive's escapePathName), so the raw segment would never match the
+    caller's unescaped predicate value."""
     out: dict[str, str] = {}
     for seg in path.split(os.sep):
         if seg.startswith(_PART_PREFIX) and "=" in seg:
             col, val = seg[len(_PART_PREFIX):].split("=", 1)
-            out[col] = val
+            out[unquote(col)] = unquote(val)
+    return out
+
+
+def _file_buckets(path: str) -> dict[str, tuple[int, str]]:
+    """Bucketed-layout partition (col -> (n_buckets, bucket)) carried by a
+    file path's `_wspb_<B>_col=bucket` segments."""
+    out: dict[str, tuple[int, str]] = {}
+    for seg in path.split(os.sep):
+        if seg.startswith(_PART_BUCKET_PREFIX) and "=" in seg:
+            name, val = seg[len(_PART_BUCKET_PREFIX):].split("=", 1)
+            b_str, _, col = name.partition("_")
+            if b_str.isdigit() and col:
+                out[unquote(col)] = (int(b_str), unquote(val))
     return out
 
 
@@ -75,11 +127,29 @@ def _parts_match(path: str, parts: dict) -> bool:
     iterable of allowed values). A file WITHOUT a given key's segment is
     kept — a legacy unpartitioned file may contain any value, so pruning
     it would be silently wrong; only files that DECLARE a non-matching
-    value are pruned."""
+    value (or a non-matching BUCKET under the bucketed layout) are
+    pruned. A requested value of None matches Hive's null-partition
+    directory."""
     segs = _file_partitions(path)
+    bsegs = _file_buckets(path)
     for col, vals in parts.items():
-        if col in segs and segs[col] not in {str(v) for v in vals}:
-            return False
+        if col in segs:
+            allowed = {str(v) for v in vals if v is not None}
+            if any(v is None for v in vals):
+                allowed.add(_HIVE_NULL)
+            if segs[col] not in allowed:
+                return False
+        if col in bsegs:
+            n_buckets, bucket = bsegs[col]
+            allowed_b = {
+                str(b)
+                for b in (_bucket_of(v, n_buckets) for v in vals)
+                if b is not None
+            }
+            if any(v is None for v in vals):
+                allowed_b.add(_HIVE_NULL)
+            if bucket not in allowed_b:
+                return False
     return True
 
 
@@ -494,7 +564,9 @@ class ManifestTable:
             # keeps the candidate check an O(1) set membership instead of
             # a prefix scan over every referenced dir
             d = os.path.dirname(path)
-            while os.path.basename(d).startswith(_PART_PREFIX):
+            while os.path.basename(d).startswith(
+                (_PART_PREFIX, _PART_BUCKET_PREFIX)
+            ):
                 d = os.path.dirname(d)
             return d
 
@@ -579,6 +651,7 @@ class MultiManifestTable(ManifestTable):
         df: DataFrame,
         n_files: int | None = None,
         partition_col: str | None = None,
+        partition_buckets: int | None = None,
     ) -> list[str]:
         """Stage one table's parts. ``partition_col`` buckets the files by
         that column's value (Hive layout under `_wsp_<col>=<value>/`): the
@@ -587,14 +660,37 @@ class MultiManifestTable(ManifestTable):
         manifest readers open file lists directly (no Hive discovery), so
         the data files must stay self-contained. Readers that pass a
         ``parts`` predicate to `table_files`/`read` then plan a
-        file-pruned scan touching only matching buckets."""
+        file-pruned scan touching only matching buckets.
+
+        File-count bound (the 100×-scale discipline): partitioned writes
+        REPARTITION by the path key first, so an append stages at most ONE
+        file per touched value — never the tasks × values explosion a bare
+        ``partitionBy`` produces when every upstream task holds rows of
+        every value. ``partition_buckets`` = B adds the bounded layer
+        (`_wspb_<B>_<col>=<bucket>/`, bucket = crc32(value) % B): file
+        count per append is capped at B no matter how many distinct values
+        exist (n_cells = 1e5 at production ANN geometry would otherwise
+        stage 1e5 files per refresh and bloat every log entry), and
+        `table_files(parts=)` prunes at bucket granularity — the query's
+        own key join drops co-bucketed extras."""
         d = os.path.join(self._data, table, uuid.uuid4().hex)
-        w = df.coalesce(n_files) if n_files else df
         if partition_col:
-            pk = _PART_PREFIX + partition_col
-            w = w.withColumn(pk, F.col(partition_col).cast("string"))
+            if partition_buckets:
+                pk = f"{_PART_BUCKET_PREFIX}{partition_buckets}_{partition_col}"
+                pk_val = F.crc32(
+                    F.col(partition_col).cast("string")
+                ) % partition_buckets
+            else:
+                pk = _PART_PREFIX + partition_col
+                pk_val = F.col(partition_col).cast("string")
+            # hash-repartition by the path key: all rows of one directory
+            # land in one task => exactly one file per touched directory
+            # (n_files caps per-directory count; one file always satisfies
+            # it). This is the shuffle that keeps appends bounded.
+            w = df.withColumn(pk, pk_val).repartition(F.col(pk))
             w.write.partitionBy(pk).parquet(d)
         else:
+            w = df.coalesce(n_files) if n_files else df
             w.write.parquet(d)
         return sorted(
             os.path.join(r, n)
@@ -623,6 +719,26 @@ class MultiManifestTable(ManifestTable):
             files = [f for f in files if _parts_match(f, parts)]
         return files
 
+    def part_file_counts(self, table: str) -> dict[str, int]:
+        """Live file count per partition directory name (plain `_wsp_` or
+        bucketed `_wspb_` segment; unpartitioned files count under "").
+        Driver-side string work over the snapshot paths — the input to a
+        files-per-partition compaction budget: appends add one file per
+        touched directory per commit, so a hot cell's count grows by one
+        per refresh until a `compact_table` folds them."""
+        counts: dict[str, int] = {}
+        for f in self.table_files(table):
+            seg = next(
+                (
+                    s
+                    for s in f.split(os.sep)
+                    if s.startswith((_PART_PREFIX, _PART_BUCKET_PREFIX))
+                ),
+                "",
+            )
+            counts[seg] = counts.get(seg, 0) + 1
+        return counts
+
     def append_multi(
         self,
         dfs: dict[str, DataFrame],
@@ -631,13 +747,18 @@ class MultiManifestTable(ManifestTable):
         """Stage every table's parts (publishes nothing), then ONE atomic
         commit covering all of them. A crash mid-staging leaves only orphan
         dirs for vacuum(); no reader ever sees a partial transaction.
-        ``partition_by`` ({table: col}) cell-buckets the named tables'
-        files so readers can plan file-pruned scans (`table_files(parts=)`)."""
+        ``partition_by`` ({table: col | (col, B)}) cell-buckets the named
+        tables' files so readers can plan file-pruned scans
+        (`table_files(parts=)`); the ``(col, B)`` form caps files per
+        append at B buckets (see `_write_parts_for`)."""
         pb = partition_by or {}
         adds: list[str] = []
         for table, df in dfs.items():
+            col, buckets = _part_spec(pb[table]) if table in pb else (None, None)
             adds.extend(
-                self._write_parts_for(table, df, partition_col=pb.get(table))
+                self._write_parts_for(
+                    table, df, partition_col=col, partition_buckets=buckets
+                )
             )
         return self._commit(adds=adds, removes=[])
 
@@ -653,8 +774,11 @@ class MultiManifestTable(ManifestTable):
         pb = partition_by or {}
         adds: list[str] = []
         for table, df in dfs.items():
+            col, buckets = _part_spec(pb[table]) if table in pb else (None, None)
             adds.extend(
-                self._write_parts_for(table, df, partition_col=pb.get(table))
+                self._write_parts_for(
+                    table, df, partition_col=col, partition_buckets=buckets
+                )
             )
         names = list(dfs)
 
@@ -684,7 +808,11 @@ class MultiManifestTable(ManifestTable):
         return spark.read.parquet(*files)
 
     def compact_table(
-        self, table: str, n_files: int = 1, partition_col: str | None = None
+        self,
+        table: str,
+        n_files: int = 1,
+        partition_col: str | None = None,
+        partition_buckets: int | None = None,
     ) -> int:
         """Rewrite ONE logical table's snapshot into ``n_files`` files and
         swap it in a single commit; every other table's file set is
@@ -692,13 +820,17 @@ class MultiManifestTable(ManifestTable):
         adds/removes). Aborts on a concurrent change to the SAME table —
         commits touching other tables are fine and the retry proceeds on
         top of them (per-table optimistic concurrency). ``partition_col``
-        keeps (or establishes) the cell-bucketed layout through the
-        rewrite — ``n_files`` then caps files PER bucket. When not given,
-        the layout is DERIVED from the current files: if every file
-        carries the same single ``_wsp_<col>=`` key, compaction preserves
-        it — a maintenance job calling the pre-partitioning idiom
-        ``compact_table("pq_codes")`` must not silently flatten the
-        bucketing and degrade every future pruned probe to a full scan."""
+        (+ optional ``partition_buckets``) keeps (or establishes) the
+        cell-bucketed layout through the rewrite — ``n_files`` then caps
+        files PER bucket. When not given, the layout is DERIVED from the
+        current files: if every file that declares a partition key agrees
+        on ONE key (same col, and same bucket count under the bucketed
+        layout), compaction preserves it AND heals any unpartitioned
+        stragglers into that layout (a legacy append must not make a bare
+        ``compact_table("pq_codes")`` silently flatten the bucketing and
+        degrade every future pruned probe to a full scan); files carrying
+        CONFLICTING keys are ambiguous and raise — pass the layout
+        explicitly."""
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
@@ -706,14 +838,28 @@ class MultiManifestTable(ManifestTable):
         if not old:
             raise ValueError(f"empty snapshot for table {table!r}")
         if partition_col is None:
-            keys = [sorted(_file_partitions(f)) for f in old]
-            if keys[0] and len(keys[0]) == 1 and all(k == keys[0] for k in keys):
-                partition_col = keys[0][0]
+            declared = set()
+            for f in old:
+                declared.update((c, None) for c in _file_partitions(f))
+                declared.update(
+                    (c, b) for c, (b, _) in _file_buckets(f).items()
+                )
+            if len(declared) == 1:
+                partition_col, partition_buckets = declared.pop()
+            elif len(declared) > 1:
+                raise ValueError(
+                    f"compact_table({table!r}): current files declare "
+                    "conflicting partition layouts "
+                    f"{sorted(declared, key=lambda cb: (cb[0], cb[1] or 0))}; "
+                    "pass partition_col/partition_buckets explicitly to "
+                    "pick the rewrite layout"
+                )
         adds = self._write_parts_for(
             table,
             spark.read.parquet(*old),
             n_files=n_files,
             partition_col=partition_col,
+            partition_buckets=partition_buckets,
         )
 
         def removes_or_abort():
@@ -742,24 +888,37 @@ class MultiManifestStreamWriter:
     replay. ``split_fn(batch_df) -> dict[table, DataFrame]`` derives the
     per-table outputs (e.g. packed corpus rows + their sequence manifests);
     a replayed batch finds its (query_id, batch_id) txn marker and appends
-    nothing to ANY table. ``partition_by`` ({table: col}) cell-buckets the
-    named tables' files per micro-batch — a STREAMING refresh of a
-    partitioned index (pq_codes, IVF assignments) then keeps the
-    file-pruned probe path intact; without it, streamed appends land
+    nothing to ANY table. ``partition_by`` ({table: col | (col, B)})
+    cell-buckets the named tables' files per micro-batch — a STREAMING
+    refresh of a partitioned index (pq_codes, IVF assignments) then keeps
+    the file-pruned probe path intact; without it, streamed appends land
     unpartitioned, which pruned reads must KEEP (correct but unprunable),
-    slowly eroding the probe-I/O win."""
+    slowly eroding the probe-I/O win.
+
+    ``files_per_part_budget`` bounds the long-run file count: every
+    partitioned append adds one file per touched directory per batch, so
+    a K-batch stream accumulates up to K files per hot cell. When any
+    directory's live count exceeds the budget after a commit, the writer
+    runs `compact_table` (layout-preserving derivation) on that table —
+    amortized O(table/budget) rewrite work, exactly the Delta/Iceberg
+    auto-OPTIMIZE discipline. Compaction is a separate commit AFTER the
+    batch's atomic append (a crash between them just leaves the
+    compaction for the next batch to redo — idempotent maintenance,
+    exactly-once data)."""
 
     def __init__(
         self,
         table: MultiManifestTable,
         split_fn,
         query_id: str = "q",
-        partition_by: dict[str, str] | None = None,
+        partition_by: dict | None = None,
+        files_per_part_budget: int | None = None,
     ):
         self.table = table
         self.split_fn = split_fn
         self.query_id = query_id
         self.partition_by = partition_by or {}
+        self.files_per_part_budget = files_per_part_budget
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
         if batch_id in self.table.committed_txns(self.query_id):
@@ -767,9 +926,14 @@ class MultiManifestStreamWriter:
         parts = self.split_fn(df)
         adds: list[str] = []
         for t, part in parts.items():
+            col, buckets = (
+                _part_spec(self.partition_by[t])
+                if t in self.partition_by
+                else (None, None)
+            )
             adds.extend(
                 self.table._write_parts_for(
-                    t, part, partition_col=self.partition_by.get(t)
+                    t, part, partition_col=col, partition_buckets=buckets
                 )
             )
         self.table._commit(
@@ -778,3 +942,18 @@ class MultiManifestStreamWriter:
             txn={"query_id": self.query_id, "batch_id": batch_id},
             skip_if=lambda: batch_id in self.table.committed_txns(self.query_id),
         )
+        if self.files_per_part_budget:
+            for t in parts:
+                counts = self.table.part_file_counts(t)
+                if counts and max(counts.values()) > self.files_per_part_budget:
+                    # this writer's configured layout wins over derivation:
+                    # a mid-migration table (mixed plain/bucketed files)
+                    # would make the derive path raise as ambiguous
+                    col, buckets = (
+                        _part_spec(self.partition_by[t])
+                        if t in self.partition_by
+                        else (None, None)
+                    )
+                    self.table.compact_table(
+                        t, partition_col=col, partition_buckets=buckets
+                    )
