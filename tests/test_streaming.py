@@ -1876,3 +1876,68 @@ def test_count_window_flush_timeout_requires_ts(spark):
     with _pytest.raises(ValueError, match="flush_timeout_s needs ts_col"):
         S.count_window_stream(df, ["key"], value_col="v", n=5,
                               flush_timeout_s=5.0)
+
+
+def test_count_window_flush_timer_correct_under_non_utc_session_tz(spark, tmpdir):
+    """ADVICE r12 (medium): applyInPandasWithState delivers tz-NAIVE
+    timestamps rendered in the session timezone, and pandas treats naive
+    as UTC — so under a non-UTC session the idle deadline was offset by
+    the zone width from the real-epoch watermark and the timer fired
+    hours early (clamped to watermark+1), flushing partials that the
+    event-time contract says must stay open. Pinned: under
+    America/New_York, a key whose gap never exceeds flush_timeout_s
+    completes its window intact — the buggy epoch math instead emitted a
+    spurious (window 0, 3 rows) partial and pushed the tail into window 1."""
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        n = 5
+        f1 = spark.createDataFrame(
+            [Row(key="c", ts=T0 + dt.timedelta(seconds=i), v=1.0) for i in range(3)]
+        )
+        f2 = spark.createDataFrame([Row(key="b", ts=T0 + dt.timedelta(seconds=4), v=1.0)])
+        f3 = spark.createDataFrame([Row(key="b", ts=T0 + dt.timedelta(seconds=6), v=1.0)])
+        # gap to the tail rows is 4-5s <= timeout: same window must absorb them
+        f4 = spark.createDataFrame(
+            [Row(key="c", ts=T0 + dt.timedelta(seconds=6 + i), v=1.0) for i in range(2)]
+        )
+        for i, f in enumerate((f1, f2, f3, f4)):
+            f.coalesce(1).write.mode("append").parquet(tmpdir + "/in_tz")
+        sdf = (
+            spark.readStream.schema(f1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmpdir + "/in_tz")
+        )
+        out = S.count_window_stream(
+            sdf.withWatermark("ts", "10 seconds"), ["key"], value_col="v", n=n,
+            ts_col="ts", flush_timeout_s=5.0,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_cw_tz")
+            .outputMode("update")
+            .option("checkpointLocation", tmpdir + "/chk_tz")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = sorted(
+            (r.window_id, r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM t_cw_tz WHERE key='c'").collect()
+        )
+        assert rows == [(0, n, float(n))]
+
+        # batch twin of the epoch discipline: ephemeral window starts are
+        # REAL epoch seconds whatever the session timezone renders
+        from wallaroo_spark.streaming.ephemeral import ephemeral_windows_batch
+
+        bdf = spark.createDataFrame(
+            [Row(key="k", ts=T0 + dt.timedelta(seconds=i), v=1.0) for i in range(3)]
+        )
+        got = ephemeral_windows_batch(bdf, ["key"], "ts", "v", 100.0, 0.0).collect()
+        true_epoch = bdf.agg(
+            F.min(F.unix_timestamp("ts")).alias("e")
+        ).first()["e"]
+        assert len(got) == 1 and got[0]["window_start"] == float(true_epoch)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from wallaroo_spark.functions import epoch_seconds
+from wallaroo_spark.streaming.epochs import epoch_fn
 
 # Executors do NOT have wallaroo_spark on their path (the engine ships no
 # code to workers — closures travel by value, see streaming/state.py). A user
@@ -398,6 +399,8 @@ def windowed_agg_stream(
     state_schema = "max_ts double, emit_wm double, wins map<bigint, binary>"
     arity = _output_arity(agg)
     single_key = len(keys) == 1
+    # tz-safe: window starts/deadlines are compared to real-epoch watermark
+    to_ep = epoch_fn(sdf)
 
     def emit_rows(key, wins, ws_list):
         import pickle as _pickle
@@ -442,7 +445,7 @@ def windowed_agg_stream(
         for pdf in pdf_iter:
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             for rec in pdf.to_dict("records"):
-                ep = rec[ts_col].timestamp()
+                ep = to_ep(rec[ts_col])
                 max_ts = max(max_ts, ep)
                 base = int(ep // slide) * slide
                 for i in range(n_wins):

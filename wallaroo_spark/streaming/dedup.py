@@ -43,6 +43,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from wallaroo_spark.streaming.epochs import epoch_fn, from_epoch_fn
+
 from wallaroo_spark.functions import hashing as H
 
 # executors never import wallaroo_spark — serialize this module's helpers
@@ -109,6 +111,9 @@ def minhash_lsh_pairs_stream(
         "ids array<bigint>, tss array<double>, shs array<binary>, mhs array<binary>"
     )
     n_rows, n_bands = H.LSH_ROWS, H.LSH_BANDS
+    # tz-safe: member ages are evicted against the real-epoch watermark;
+    # pair_ts must round-trip back through the session timezone
+    to_ep, from_ep = epoch_fn(sdf), from_epoch_fn(sdf)
 
     def run(key: tuple, pdf_iter: Iterable[pd.DataFrame], gs: GroupState) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -156,7 +161,7 @@ def minhash_lsh_pairs_stream(
                 pdf["_id"], pdf["_ts"], pdf["_hs"], pdf["_mh"], pdf["_band"]
             ):
                 did, band = int(did), int(rband)
-                ts = rts.timestamp()
+                ts = to_ep(rts)
                 sh = _np.unique(_np.asarray(rhs, dtype="<i8"))
                 mh = _np.asarray(rmh, dtype="<i8")
                 for mid, mts, msh, mmh in members:
@@ -184,7 +189,7 @@ def minhash_lsh_pairs_stream(
                     jac = round(inter / union, 4) if union else 0.0
                     if jac >= threshold:
                         a, b = (mid, did) if mid < did else (did, mid)
-                        rows.append((a, b, jac, _pd.Timestamp(max(ts, mts), unit="s")))
+                        rows.append((a, b, jac, from_ep(max(ts, mts))))
                 members.append((did, ts, sh, mh))
 
         save(None)

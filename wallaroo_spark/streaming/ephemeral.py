@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from wallaroo_spark.streaming.epochs import epoch_fn
+
 
 def _out_schema(keys: list[str], key_types: dict[str, str], with_policy: bool = False) -> str:
     base = (
@@ -76,6 +78,7 @@ def ephemeral_windows_batch(
     key_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     schema = _out_schema(keys, key_types, with_policy=late_policy is not None)
     cols = [c.split()[0] for c in schema.split(",")]
+    to_ep = epoch_fn(df)  # tz-safe: emitted starts are real epoch seconds
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col, kind="mergesort")
@@ -85,7 +88,7 @@ def ephemeral_windows_batch(
         cnt, acc = 0, 0.0
         if late_policy is None:
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                ep = ts.timestamp()
+                ep = to_ep(ts)
                 if start is not None and ep > start + trigger_range_s + post_trigger_range_s:
                     outs.append((*kvals, start, cnt, acc, True))  # close + delete state
                     start = None
@@ -98,7 +101,7 @@ def ephemeral_windows_batch(
         else:
             triggered = False
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                ep = ts.timestamp()
+                ep = to_ep(ts)
                 if start is None:
                     start, cnt, acc, triggered = ep, 0, 0.0, False
                 if not triggered:
@@ -140,6 +143,8 @@ def ephemeral_windows_stream(
     schema = _out_schema(keys, key_types, with_policy=late_policy is not None)
     cols = [c.split()[0] for c in schema.split(",")]
     state_schema = "start double, cnt bigint, acc double, triggered boolean"
+    # tz-safe: starts/deadlines are compared against real-epoch watermark ms
+    to_ep = epoch_fn(sdf)
 
     def run(key: tuple, pdf_iter: Iterable[pd.DataFrame], gs: GroupState) -> Iterator[pd.DataFrame]:
         if gs.hasTimedOut:
@@ -173,7 +178,7 @@ def ephemeral_windows_stream(
         for pdf in pdf_iter:
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                ep = ts.timestamp()
+                ep = to_ep(ts)
                 if late_policy is None:
                     if start is not None and ep > start + trigger_range_s + post_trigger_range_s:
                         outs.append((*key, start, cnt, acc, True))

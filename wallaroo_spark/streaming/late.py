@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from wallaroo_spark.operators.late_data import DROP, FIRE_PER_MESSAGE, PLACE_IN_OLDEST_WINDOW
+from wallaroo_spark.streaming.epochs import epoch_fn
 
 
 def windowed_late_policy_stream(
@@ -43,6 +44,9 @@ def windowed_late_policy_stream(
     )
     cols = [c.split()[0] for c in out_schema.split(",")]
     state_schema = "max_ts double, wins map<bigint, array<double>>"
+    # tz-safe epoch: window starts and the idle deadline must be real
+    # epoch (the watermark clamp below is), not naive-as-UTC session-tz
+    to_ep = epoch_fn(sdf)
 
     def run(key: tuple, pdf_iter: Iterable[pd.DataFrame], gs: GroupState) -> Iterator[pd.DataFrame]:
         if gs.hasTimedOut:  # pragma: no cover - final flush path for live streams
@@ -65,7 +69,7 @@ def windowed_late_policy_stream(
         for pdf in pdf_iter:
             pdf = pdf.sort_values(arrival_col, kind="mergesort")
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                ep = ts.timestamp()
+                ep = to_ep(ts)
                 max_ts = max(max_ts, ep)
                 wm = max_ts - delay_s
                 own = int(ep // size_s) * size_s

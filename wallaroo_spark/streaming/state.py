@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
+from wallaroo_spark.streaming.epochs import epoch_fn
+
 # user contract: fn(row: dict, state: dict) -> list[dict] outputs; mutates state
 StateFn = Callable[[dict, dict], list[dict]]
 
@@ -185,6 +187,10 @@ def count_window_stream(
         )
     state_schema = "window_id bigint, cnt bigint, acc double, last_ts double"
     cols = [*keys, "window_id", "n_events", "total_value"]
+    # tz-safe: delivered timestamps are naive in the SESSION timezone,
+    # but the idle deadline is compared against real-epoch watermark ms
+    # (ADVICE r12) — localize before taking the epoch
+    to_ep = epoch_fn(sdf)
 
     def run_t(key: tuple, pdf_iter: Iterable[pd.DataFrame], gs: GroupState) -> Iterator[pd.DataFrame]:
         if gs.hasTimedOut:
@@ -203,7 +209,7 @@ def count_window_stream(
         for pdf in pdf_iter:
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                ep = ts.timestamp()
+                ep = to_ep(ts)
                 # inline gap flush: a key with NEW data in a batch never
                 # gets its hasTimedOut call (Spark fires timers only for
                 # data-less keys), so an event arriving after an idle gap
