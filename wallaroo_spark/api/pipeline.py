@@ -268,11 +268,33 @@ class Pipeline:
             W.sliding(self.df, self.ts_col, list(self.key_cols), list(aggs), size, slide)
         )
 
-    def to_count_windows(self, n: int, aggs_or_value, tiebreak: Sequence[str] = ()) -> "Pipeline":
+    def to_count_windows(
+        self,
+        n: int,
+        aggs_or_value,
+        tiebreak: Sequence[str] = (),
+        flush_timeout_s: float | None = None,
+    ) -> "Pipeline":
+        """S9 count windows: every ``n`` messages per key emit and reset.
+
+        DIVERGENCE NOTE (pick your default deliberately): the reference
+        ALWAYS flushes a partial count window after 5 s of idleness
+        (`windows.pony:483-487` timeout_interval); this engine defaults
+        ``flush_timeout_s=None`` — partials stay in state until the
+        window fills — because adding the idle flush changes the
+        streaming state schema, and existing query checkpoints would not
+        restart against it. Pass ``flush_timeout_s=5.0`` on a NEW query
+        for reference-exact behavior (the wall-clock timer replayed
+        deterministically in event time: a partial flushes when the
+        watermark passes last_event_ts + timeout, identified by
+        n_events < n, and a fresh window_id opens). Streaming-only;
+        batch count windows see the whole input, so there is no idle
+        partial to flush."""
         self._need_keys()
         if self.df.isStreaming:
             out = S.count_window_stream(
-                self.df, list(self.key_cols), value_col=aggs_or_value, n=n, ts_col=self.ts_col
+                self.df, list(self.key_cols), value_col=aggs_or_value, n=n,
+                ts_col=self.ts_col, flush_timeout_s=flush_timeout_s,
             )
         else:
             out = W.count_windows(

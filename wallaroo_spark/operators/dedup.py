@@ -856,7 +856,13 @@ def bloom_bitmap(
     Scale shape: positions explode map-side (n_hashes rows per value), the
     word bitmaps partial-agg through bit_or (4KB of state however many
     values go in), and the final row assembles via map_from_entries — no
-    driver action, broadcastable anywhere."""
+    driver action, broadcastable anywhere.
+
+    The row carries its own geometry (``bloom_m_bits``, ``bloom_k``
+    columns) so membership probes can validate EXACTLY that they hash
+    with the bitmap's parameters — a word-count check alone lets two
+    m_bits in the same 63-bit word bucket slip through and silently break
+    the no-false-negative invariant (ADVICE r12)."""
     # materialize the md5 hash ONCE per value (inlining it into every
     # permutation would recompute the md5 n_hashes times)
     h = F.col("_h")
@@ -877,7 +883,9 @@ def bloom_bitmap(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_words - 1)),
             lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("long")), F.lit(0).cast("long")),
-        ).alias("bloom")
+        ).alias("bloom"),
+        F.lit(int(m_bits)).alias("bloom_m_bits"),
+        F.lit(int(n_hashes)).alias("bloom_k"),
     )
 
 
@@ -909,15 +917,34 @@ def bloom_filter_misses(
     skips, never duplicates). Pure map over ``df`` + one bitmap
     broadcast — no shuffle, unlike the exact left_anti.
 
-    Guards (self-review r12): ``m_bits`` must MATCH the value the bitmap
-    was built with — a mismatch would re-map positions inside the other
-    array's range and silently break the no-false-negative invariant, so
-    the word count is validated against the bitmap (ValueError, one tiny
-    1-row job). NULL keys are KEPT (a null never matches the exact
-    left_anti either — the two guards agree). Working columns are
-    uniquely prefixed so caller columns cannot collide."""
+    Guards (self-review r12, tightened r13): ``m_bits``/``n_hashes`` must
+    MATCH the values the bitmap was built with — a mismatch would re-map
+    positions inside the other array's range and silently break the
+    no-false-negative invariant. The bitmap row carries its exact
+    geometry (`bloom_m_bits`/`bloom_k` columns, written by
+    `bloom_bitmap`), so the validation is EXACT — two m_bits in the same
+    63-bit word bucket (e.g. 32755 vs 32760) no longer slip past a
+    word-count check (ADVICE r12). Legacy geometry-less bitmaps fall
+    back to the word-count check. One tiny 1-row job either way. NULL
+    keys are KEPT (a null never matches the exact left_anti either — the
+    two guards agree). Working columns are uniquely prefixed so caller
+    columns cannot collide."""
     n_words = -(-m_bits // 63)
-    got_words = int(bloom.select(F.size("bloom").alias("n")).first()["n"])
+    if {"bloom_m_bits", "bloom_k"} <= set(bloom.columns):
+        meta = bloom.select(
+            F.size("bloom").alias("n"), "bloom_m_bits", "bloom_k"
+        ).first()
+        if int(meta["bloom_m_bits"]) != int(m_bits) or int(meta["bloom_k"]) != int(n_hashes):
+            raise ValueError(
+                f"bloom_filter_misses: called with m_bits={m_bits}/"
+                f"n_hashes={n_hashes} but the bitmap was built with "
+                f"m_bits={meta['bloom_m_bits']}/n_hashes={meta['bloom_k']} "
+                "— a mismatch re-maps bit positions and silently produces "
+                "false negatives, i.e. duplicate appends"
+            )
+        got_words = int(meta["n"])
+    else:
+        got_words = int(bloom.select(F.size("bloom").alias("n")).first()["n"])
     if got_words != n_words:
         raise ValueError(
             f"bloom_filter_misses: m_bits={m_bits} expects {n_words} words "
@@ -987,7 +1014,7 @@ def decontaminate_bloom(
     # bit-test string is shared with bloom_filter_misses (one definition)
     hit = _bloom_hit_sql(n_hashes)
     return (
-        probed.crossJoin(F.broadcast(bloom))
+        probed.crossJoin(F.broadcast(bloom.select("bloom")))
         .filter(F.expr(hit))
         .groupBy(id_col)
         .agg(F.count("*").alias("n_bloom_hits"))
@@ -1031,7 +1058,13 @@ def decontaminate_filter(
         return cond
 
     contaminated = F.exists(kshingles(F.col(text), k), member)
-    return corpus.crossJoin(F.broadcast(bloom)).filter(~contaminated).drop("bloom")
+    # select only the bitmap array: the geometry columns the bitmap row
+    # now carries must not leak into the corpus output schema
+    return (
+        corpus.crossJoin(F.broadcast(bloom.select("bloom")))
+        .filter(~contaminated)
+        .drop("bloom")
+    )
 
 
 def decontaminate_spans(

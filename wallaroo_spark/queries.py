@@ -7458,13 +7458,47 @@ _DRIVER_WINDOW_ROTATION = [
 ]
 
 
+# The stalwart head: the §2.1/§2.3 families that must STAY inside the
+# driver's first-50 hash window every round, BY NAME (ADVICE r12: the old
+# magic index 35 silently re-sampled whichever entries happened to sit
+# there if any future registration landed above the tail). Registry order
+# is LOAD-BEARING for the external driver's sample — positions 1-35 are
+# this list, 36-50 are _DRIVER_WINDOW_ROTATION, everything else follows
+# in registration order.
+_STALWART_HEAD = [
+    "tumbling_window_sum", "sliding_window_sum", "count_window_sum",
+    "running_total", "session_window_agg", "global_collect_agg",
+    "stateless_filter_alerts", "stateless_map_projection", "word_count",
+    "asof_enrich", "merge_streams", "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
+    "top_orders_per_customer", "rollup_revenue_by_geo",
+    "semi_join_customers_with_urgent_orders", "anti_join_parts_never_ordered",
+    "distinct_order_months", "events_pivot_by_type", "text_token_stats",
+    "text_language_id", "text_quality_score", "doc_fingerprint",
+    "exact_dedup_first_per_group", "ngram_jaccard_pairs",
+    "minhash_lsh_pairs", "simhash_docs", "simhash_near_pairs",
+    "similarity_topk_bruteforce", "similarity_topk_lsh_bucketed",
+    "similarity_topk_lsh_multiprobe", "embedding_norms",
+]
+
+
 def _rotate_registry() -> None:
-    """Re-insert QUERIES/ORACLES so the rotation list lands inside the
-    driver's first-50 sample (after the 35 §2.1/§2.3 stalwarts). Pure
-    reordering — no entry is added, removed, or altered."""
-    rot = [n for n in _DRIVER_WINDOW_ROTATION if n in QUERIES]
-    rest = [n for n in QUERIES if n not in set(rot)]
-    order = rest[:35] + rot + rest[35:]
+    """Re-insert QUERIES/ORACLES so the driver's first-50 sample is exactly
+    `_STALWART_HEAD` + `_DRIVER_WINDOW_ROTATION` — both explicit NAME
+    lists, so a future registration anywhere in this file can never
+    silently shift which entries the external verifier hash-checks. Pure
+    reordering — no entry is added, removed, or altered; any name missing
+    from the registry raises (a deleted stalwart must be a deliberate
+    edit here, not a silent window shift)."""
+    head = _STALWART_HEAD + [n for n in _DRIVER_WINDOW_ROTATION if n in QUERIES]
+    missing = [n for n in head if n not in QUERIES]
+    if missing:
+        raise RuntimeError(
+            f"driver-window head names not registered: {missing}"
+        )
+    rest = [n for n in QUERIES if n not in set(head)]
+    order = head + rest
     for d in (QUERIES, ORACLES):
         src = dict(d)
         d.clear()
