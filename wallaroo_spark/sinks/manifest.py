@@ -122,35 +122,76 @@ def _file_buckets(path: str) -> dict[str, tuple[int, str]]:
     return out
 
 
-def _parts_match(path: str, parts: dict) -> bool:
-    """True iff the file can contain rows satisfying ``parts`` (col ->
-    iterable of allowed values). A file WITHOUT a given key's segment is
+def _parts_matcher(parts: dict):
+    """Compile ``parts`` (col -> iterable of allowed values) into a fast
+    ``path -> bool`` predicate. A file WITHOUT a given key's segment is
     kept — a legacy unpartitioned file may contain any value, so pruning
     it would be silently wrong; only files that DECLARE a non-matching
     value (or a non-matching BUCKET under the bucketed layout) are
     pruned. A requested value of None matches Hive's null-partition
-    directory."""
-    segs = _file_partitions(path)
-    bsegs = _file_buckets(path)
-    for col, vals in parts.items():
-        if col in segs:
-            allowed = {str(v) for v in vals if v is not None}
-            if any(v is None for v in vals):
-                allowed.add(_HIVE_NULL)
-            if segs[col] not in allowed:
-                return False
-        if col in bsegs:
-            n_buckets, bucket = bsegs[col]
-            allowed_b = {
-                str(b)
-                for b in (_bucket_of(v, n_buckets) for v in vals)
-                if b is not None
-            }
-            if any(v is None for v in vals):
-                allowed_b.add(_HIVE_NULL)
-            if bucket not in allowed_b:
-                return False
-    return True
+    directory.
+
+    Compiled ONCE per table_files call: the allowed-value sets (and the
+    per-(col, B) bucket sets, derived lazily since B is only known from a
+    file's own segment) are built up front — at 1e5 snapshot files the
+    naive per-file set rebuild was the dominant probe-metadata cost
+    (measured in tools/manifest_replay_study.py)."""
+    allowed_plain = {
+        col: ({str(v) for v in vals if v is not None},
+              any(v is None for v in vals))
+        for col, vals in parts.items()
+    }
+    bucket_cache: dict[tuple[str, int], tuple[set, bool]] = {}
+
+    def match(path: str) -> bool:
+        for seg in path.split(os.sep):
+            if seg.startswith(_PART_PREFIX) and "=" in seg:
+                col, val = seg[len(_PART_PREFIX):].split("=", 1)
+                got = allowed_plain.get(unquote(col))
+                if got is not None:
+                    vals_set, has_null = got
+                    val = unquote(val)
+                    if val == _HIVE_NULL:
+                        if not has_null:
+                            return False
+                    elif val not in vals_set:
+                        return False
+            elif seg.startswith(_PART_BUCKET_PREFIX) and "=" in seg:
+                name, val = seg[len(_PART_BUCKET_PREFIX):].split("=", 1)
+                b_str, _, col = name.partition("_")
+                if b_str.isdigit() and col:
+                    col = unquote(col)
+                    if col in parts:
+                        key = (col, int(b_str))
+                        got = bucket_cache.get(key)
+                        if got is None:
+                            vals = parts[col]
+                            got = (
+                                {
+                                    str(b)
+                                    for b in (
+                                        _bucket_of(v, key[1]) for v in vals
+                                    )
+                                    if b is not None
+                                },
+                                any(v is None for v in vals),
+                            )
+                            bucket_cache[key] = got
+                        buckets_set, has_null = got
+                        val = unquote(val)
+                        if val == _HIVE_NULL:
+                            if not has_null:
+                                return False
+                        elif val not in buckets_set:
+                            return False
+        return True
+
+    return match
+
+
+def _parts_match(path: str, parts: dict) -> bool:
+    """One-off form of `_parts_matcher` (tests / single-file checks)."""
+    return _parts_matcher(parts)(path)
 
 
 class LogStore:
@@ -358,7 +399,8 @@ class ManifestTable:
                 break
             e = self._entry(v)
             removed = set(e.get("removes", []))
-            files = [f for f in files if f not in removed]
+            if removed:  # pure appends (the common case) skip the O(files) copy
+                files = [f for f in files if f not in removed]
             files.extend(e.get("adds", []))
             if e.get("txn"):
                 txns.append(e["txn"])
@@ -716,7 +758,8 @@ class MultiManifestTable(ManifestTable):
         p = self._prefix(table)
         files = [f for f in self.snapshot_files(version) if f.startswith(p)]
         if parts:
-            files = [f for f in files if _parts_match(f, parts)]
+            match = _parts_matcher(parts)
+            files = [f for f in files if match(f)]
         return files
 
     def part_file_counts(self, table: str) -> dict[str, int]:
