@@ -5621,6 +5621,7 @@ def _ivfpq_oracle(
     geo_sql: str | None = None,
     rerank_shortlist: int | None = None,
     coarse_sample: int | str | None = None,
+    fine_sample: int | str | None = None,
     e_sql: str | None = None,
 ) -> str:
     """Replay ivfpq_topk in SQL: the coarse quantizer is the SAME Lloyd
@@ -5639,9 +5640,14 @@ def _ivfpq_oracle(
     expression over the geo CTE) replays sampled coarse training: the
     coarse Lloyd assignments run over only the lowest-``coarse_sample``
     rows by the salted ':pqtrain' hash rank (pq_train's sample cut);
-    seeds, cells, probes and the fine chain stay full-corpus. ``e_sql``
-    overrides the vector source (must yield vec_id, v DOUBLE[]) — the
-    hook derived/transformed corpora feed through the same chain."""
+    seeds, cells, probes and the fine chain stay full-corpus.
+    ``fine_sample`` does the same to the FINE chain (r12 VERDICT #4):
+    the per-subspace Lloyd trains on the same salted-rank row cut while
+    the encode side (fsv) stays full-corpus — together with
+    coarse_sample this replays the full sampled-training production
+    posture. ``e_sql`` overrides the vector source (must yield vec_id,
+    v DOUBLE[]) — the hook derived/transformed corpora feed through the
+    same chain."""
     sqd = _pq_sqd_sql
     d = m * ds
     seed_n = (
@@ -5676,7 +5682,17 @@ def _ivfpq_oracle(
           QUALIFY row_number() OVER (
               ORDER BY {H.md5int_sql("CAST(vec_id AS VARCHAR) || ':pqtrain'")},
                        vec_id) <= {coarse_sample})""")
-    for p, src, dd in (("f", "fsv", ds), ("c", coarse_src, d)):
+    fine_src = "fsv"
+    if fine_sample is not None:
+        fine_src = "fsvt"
+        blocks.append(f"""
+    fsvt AS MATERIALIZED (SELECT t.vec_id, s.sub,
+                  t.v[s.sub * {ds} + 1 : s.sub * {ds} + {ds}] AS sv
+           FROM (SELECT vec_id, v FROM e
+                 QUALIFY row_number() OVER (
+                     ORDER BY {H.md5int_sql("CAST(vec_id AS VARCHAR) || ':pqtrain'")},
+                              vec_id) <= {fine_sample}) t, subs s)""")
+    for p, src, dd in (("f", fine_src, ds), ("c", coarse_src, d)):
         for i in range(iters):
             blocks.append(f"""
     {p}asg{i} AS (SELECT sub, cent_id, sv FROM (
@@ -6929,6 +6945,10 @@ def opq_rotation_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANN_PROD_SHORTLIST = 60
+# fine-codebook sampled-training set: the same 39-points-per-centroid
+# rule the coarse arm uses, at the fine chain's k=16 centroids/subspace
+# (each subspace trains on the same row cut, so one rule sizes them all)
+_ANN_PROD_FINE_SAMPLE = 39 * 16
 
 
 def _ivf_geo_sql() -> str:
@@ -6967,6 +6987,16 @@ def _ann_recall_prod_oracle(topk: int = _ANN_AUDIT_TOPK) -> str:
                        geo_sql=_ivf_geo_sql(),
                        rerank_shortlist=_ANN_PROD_SHORTLIST,
                        coarse_sample="39 * (SELECT n_cells FROM geo)")),
+        # BOTH quantizers sampled (r12 VERDICT #4): the fine chain is
+        # O(N)/step so sampling it is an accuracy experiment, not a
+        # complexity fix — hash-gated exactly like the coarse arm, with
+        # the fine Lloyd over the 39*k ':pqtrain'-ranked rows
+        ("ivfpq_auto_sampled_fine_rerank",
+         _ivfpq_oracle(topk=topk, n_cells=nc, nprobe=np_,
+                       geo_sql=_ivf_geo_sql(),
+                       rerank_shortlist=_ANN_PROD_SHORTLIST,
+                       coarse_sample="39 * (SELECT n_cells FROM geo)",
+                       fine_sample=_ANN_PROD_FINE_SAMPLE)),
         ("ivfpq_toy_rerank",
          _ivfpq_oracle(topk=topk, rerank_shortlist=_ANN_PROD_SHORTLIST)),
     ]
@@ -7062,6 +7092,11 @@ def ann_recall_prod_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.element_at("codes", 1).alias("_cell"))
         .localCheckpoint(eager=True)
     )
+    # sampled-FINE-codebook artifacts (r12 VERDICT #4): one sampled fine
+    # book + its codes serve the both-sampled arm; every other arm keeps
+    # the shared full-training fine artifacts
+    cb_sf = similarity.pq_train(emb, iters=2, sample=_ANN_PROD_FINE_SAMPLE)
+    codes_sf = similarity.pq_encode(corpus, cb_sf).localCheckpoint(eager=True)
     variants = {
         "ivfpq_auto": similarity.ivfpq_topk(
             emb, corpus, qs, topk=topk, n_cells=nc, nprobe=np_,
@@ -7076,6 +7111,16 @@ def ann_recall_prod_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, corpus, qs, topk=topk, shortlist=_ANN_PROD_SHORTLIST,
             n_cells=nc, nprobe=np_,
             coarse=coarse_s, fine=cb, cells=cells_s, codes=codes,
+        ),
+        # BOTH quantizers sampled (r12 VERDICT #4): fine Lloyd over the
+        # 39*k ':pqtrain'-ranked rows (encode stays full-corpus); delta
+        # vs ivfpq_auto_sampled_rerank isolates what sampling the fine
+        # chain costs in recall — the accuracy experiment, since the
+        # fine chain is already O(N)/step
+        "ivfpq_auto_sampled_fine_rerank": similarity.ivfpq_topk_rerank(
+            emb, corpus, qs, topk=topk, shortlist=_ANN_PROD_SHORTLIST,
+            n_cells=nc, nprobe=np_,
+            coarse=coarse_s, fine=cb_sf, cells=cells_s, codes=codes_sf,
         ),
         "ivfpq_toy_rerank": similarity.ivfpq_topk_rerank(
             emb, corpus, qs, topk=topk, shortlist=_ANN_PROD_SHORTLIST,
