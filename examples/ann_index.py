@@ -202,6 +202,7 @@ def build_pq_index(
     opq: bool | str = False,
     packed: bool = True,
     coarse_sample: int | None | str = "auto",
+    partition_buckets: int | None = None,
 ):
     """Commit the compressed IVF-PQ index: coarse codebook (n_cells
     rows), fine codebook (m*k rows), and the coded corpus
@@ -228,13 +229,20 @@ def build_pq_index(
     build never does N^1.5 Lloyd work. The sample size actually used is
     committed in pq_meta, and `refit_pq_index` replays it, so refits
     keep the build's training posture.
+
+    ``partition_buckets`` = B selects the BOUNDED codes layout
+    (`_pq_partition_spec`): appends stage at most B files instead of one
+    per cell — the right call whenever n_cells is large (auto geometry
+    at real corpus sizes). Committed in pq_meta; the whole lifecycle
+    (refresh/refit/compact) replays it.
     """
     tables = _pq_index_tables(
         spark, train, corpus, n_cells=n_cells, m=m, sub_dim=sub_dim, k=k,
         opq=opq, packed=packed, coarse_sample=coarse_sample,
+        partition_buckets=partition_buckets,
     )
     t = MultiManifestTable(index_dir)
-    t.append_multi(tables, partition_by=_PQ_PARTITION)
+    t.append_multi(tables, partition_by=_pq_partition_spec(partition_buckets))
     return t
 
 
@@ -248,6 +256,20 @@ def build_pq_index(
 _PQ_PARTITION = {"pq_codes": "cell"}
 
 
+def _pq_partition_spec(partition_buckets: int | None) -> dict:
+    """The pq_codes layout spec: one directory per cell (default), or the
+    BOUNDED cell->bucket layout (`("cell", B)` — crc32(cell) % B path
+    directories) when the committed geometry carries partition_buckets.
+    At production sqrt-N geometry one-directory-per-cell means 1e5 dirs
+    per append; B buckets cap files-per-append at B while probes still
+    prune to the probed cells' buckets (the probe's own cell join drops
+    co-bucketed extras). The bucket count is committed in pq_meta so
+    refresh/refit/compaction replay the build's layout."""
+    return {
+        "pq_codes": ("cell", partition_buckets) if partition_buckets else "cell"
+    }
+
+
 def _pq_index_tables(
     spark,
     train,
@@ -259,6 +281,7 @@ def _pq_index_tables(
     opq: bool | str = False,
     packed: bool = True,
     coarse_sample: int | None | str = "auto",
+    partition_buckets: int | None = None,
 ) -> dict:
     """The full PQ-index table set (codebooks, codes, optional transform,
     distortion baseline) — shared by the initial build and the
@@ -279,9 +302,9 @@ def _pq_index_tables(
         # (and k cannot be derived from the codebook: Lloyd drops empty
         # centroids, while packed code words keep the ORIGINAL bit width)
         "pq_meta": spark.createDataFrame(
-            [(n_cells, m, sub_dim, k, bool(packed), cs)],
+            [(n_cells, m, sub_dim, k, bool(packed), cs, partition_buckets)],
             "n_cells int, m int, sub_dim int, k int, packed boolean, "
-            "coarse_sample int",
+            "coarse_sample int, partition_buckets int",
         ),
     }
     if opq == "rot":
@@ -338,11 +361,13 @@ def _index_geometry(spark, t: MultiManifestTable, **fallback) -> dict:
         r = t.read(spark, "pq_meta").first()
         rd = r.asDict()
         cs = rd.get("coarse_sample")  # absent on pre-r11 indexes
+        pb = rd.get("partition_buckets")  # absent on pre-r13 indexes
         return {
             "n_cells": int(r["n_cells"]), "m": int(r["m"]),
             "sub_dim": int(r["sub_dim"]), "k": int(r["k"]),
             "packed": bool(r["packed"]),
             "coarse_sample": int(cs) if cs is not None else None,
+            "partition_buckets": int(pb) if pb is not None else None,
         }
     return fallback
 
@@ -453,7 +478,8 @@ def refresh_pq_index(
     if "code_word" in t.read(spark, "pq_codes").columns:
         codes = similarity.pq_pack_codes(codes, m=m, k=k)
     v = t.append_multi(
-        {"pq_codes": codes.join(cells, "vec_id")}, partition_by=_PQ_PARTITION
+        {"pq_codes": codes.join(cells, "vec_id")},
+        partition_by=_pq_partition_spec(g.get("partition_buckets")),
     )
     if files_per_cell_budget:
         counts = t.part_file_counts("pq_codes")
@@ -515,6 +541,7 @@ def refit_pq_index(
         # its committed bounded coarse-training sample through refits
         # (int or None passes through _coarse_sample_rows verbatim)
         coarse_sample=g.get("coarse_sample"),
+        partition_buckets=g.get("partition_buckets"),
     )
     if t.table_files("pq_tombstones"):
         # a refit re-encodes the corpus it was HANDED — stale tombstones
@@ -523,7 +550,9 @@ def refit_pq_index(
         tables["pq_tombstones"] = spark.createDataFrame(
             [], "vec_id long"
         ).repartition(1)
-    return t.overwrite_multi(tables, partition_by=_PQ_PARTITION)
+    return t.overwrite_multi(
+        tables, partition_by=_pq_partition_spec(g.get("partition_buckets"))
+    )
 
 
 def delete_pq_vectors(spark, t: MultiManifestTable, vec_ids):
@@ -622,8 +651,10 @@ def compact_pq_index(
         return None
     live = _live_codes(spark, t).localCheckpoint(eager=True)
     empty = spark.createDataFrame([], "vec_id long").repartition(1)
+    g = _index_geometry(spark, t)
     return t.overwrite_multi(
-        {"pq_codes": live, "pq_tombstones": empty}, partition_by=_PQ_PARTITION
+        {"pq_codes": live, "pq_tombstones": empty},
+        partition_by=_pq_partition_spec(g.get("partition_buckets")),
     )
 
 

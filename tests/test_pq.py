@@ -1180,3 +1180,65 @@ def test_refresh_pq_index_files_per_cell_budget(spark, sf_dir, tmpdir):
     codes = t.read(spark, "pq_codes")
     assert codes.count() == emb.filter(F.col("vec_id") >= 10).count()
     assert codes.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_pq_index_bucketed_layout_full_lifecycle(spark, sf_dir, tmpdir):
+    """Round 13: build_pq_index(partition_buckets=B) selects the BOUNDED
+    cell->bucket codes layout (files per append <= B at ANY n_cells,
+    `_wspb_<B>_cell=` path directories), commits B in pq_meta, and the
+    whole lifecycle — refresh, tombstone compaction, refit — replays it;
+    probe results are identical pruned vs full-scan throughout."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import ann_index
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 200))
+    t = ann_index.build_pq_index(
+        spark, base, base, str(tmpdir) + "/bkt_idx", partition_buckets=4
+    )
+    files = t.table_files("pq_codes")
+    assert 0 < len(files) <= 4
+    assert all("_wspb_4_cell=" in f for f in files)
+    assert ann_index._index_geometry(spark, t)["partition_buckets"] == 4
+
+    qs = emb.filter(F.col("vec_id") < 10)
+
+    def probes_match():
+        pruned = ann_index.probe_pq_index(spark, t, qs, nprobe=8, topk=5)
+        full = ann_index.probe_pq_index(
+            spark, t, qs, nprobe=8, topk=5, prune=False
+        )
+        assert sorted(map(tuple, pruned.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    probes_match()
+
+    # refresh replays the bucketed layout (no plain _wsp_ stragglers)
+    ann_index.refresh_pq_index(
+        spark, t, emb.filter(F.col("vec_id") >= 200)
+    )
+    assert all("_wspb_4_cell=" in f for f in t.table_files("pq_codes"))
+    probes_match()
+
+    # delete + forced compaction: the atomic codes rewrite keeps the layout
+    ann_index.delete_pq_vectors(
+        spark, t, emb.filter(F.col("vec_id") >= 400).select("vec_id")
+    )
+    assert ann_index.compact_pq_index(spark, t, max_tombstone_frac=0.0) is not None
+    files3 = t.table_files("pq_codes")
+    assert 0 < len(files3) <= 4 and all("_wspb_4_cell=" in f for f in files3)
+    probes_match()
+
+    # forced refit (tiny threshold) rewrites everything; layout + meta survive
+    cur = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 400))
+    assert ann_index.refit_pq_index(
+        spark, t, cur, cur, max_mse_growth=-1.0
+    ) is not None
+    files4 = t.table_files("pq_codes")
+    assert 0 < len(files4) <= 4 and all("_wspb_4_cell=" in f for f in files4)
+    assert ann_index._index_geometry(spark, t)["partition_buckets"] == 4
+    probes_match()
