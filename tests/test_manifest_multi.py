@@ -452,3 +452,42 @@ def test_stream_writer_files_per_part_budget_autocompacts(spark, tmp_path):
     assert sorted(r.i for r in t.read(spark, "codes").collect()) == list(range(30))
     # layout survived every compaction
     assert all(f"{os.sep}_wsp_cell=" in f for f in t.table_files("codes"))
+
+
+def test_partition_column_type_validation_and_write_parallelism(spark, tmp_path):
+    """Round-13 self-review: (a) bool/float partition columns REFUSE at
+    write time — their Spark string rendering ('true', '1.0E20') diverges
+    from Python's str() ('True', '1e+20'), so prune-side values/buckets
+    would silently MISS the written files; (b) files_per_part > 1 salts
+    each directory over that many writer tasks (the parallelism lever for
+    corpus-sized appends) while keeping the per-directory cap and the
+    pruning exact."""
+    import pytest
+
+    t = MultiManifestTable(str(tmp_path / "tv"))
+    bad = spark.range(4).select(
+        F.col("id").alias("i"), (F.col("id") % 2 == 0).alias("flag")
+    )
+    with pytest.raises(ValueError, match="partition portably"):
+        t.append_multi({"x": bad}, partition_by={"x": "flag"})
+    with pytest.raises(ValueError, match="partition portably"):
+        t.append_multi(
+            {"x": bad.withColumn("f", F.col("i") * 1.5)},
+            partition_by={"x": ("f", 4)},
+        )
+
+    df = spark.range(120).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 3).alias("cell")
+    ).repartition(16)
+    t.append_multi({"codes": df}, partition_by={"codes": "cell"},
+                   files_per_part=4)
+    files = t.table_files("codes")
+    # 3 directories x <= 4 salted files each; more than 1 per dir proves
+    # the salt spread rows over multiple writer tasks
+    counts = t.part_file_counts("codes")
+    assert set(counts) == {f"_wsp_cell={c}" for c in range(3)}
+    assert all(1 <= n <= 4 for n in counts.values())
+    assert any(n > 1 for n in counts.values())
+    assert 3 < len(files) <= 12
+    got = t.read(spark, "codes", parts={"cell": [1]}).filter(F.col("cell") == 1)
+    assert got.count() == 40

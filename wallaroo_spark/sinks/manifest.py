@@ -717,6 +717,18 @@ class MultiManifestTable(ManifestTable):
         own key join drops co-bucketed extras."""
         d = os.path.join(self._data, table, uuid.uuid4().hex)
         if partition_col:
+            dtype = dict(df.dtypes).get(partition_col, "")
+            if dtype not in ("tinyint", "smallint", "int", "bigint", "string"):
+                # bool/float/timestamp render DIFFERENTLY in Spark's string
+                # cast vs Python's str() ('true' vs 'True', '1.0E20' vs
+                # '1e+20'), so the prune-side value/bucket computed from the
+                # caller's Python value would silently MISS the files the
+                # write side produced — refuse rather than lose rows
+                raise ValueError(
+                    f"partition column {partition_col!r} has type {dtype!r}; "
+                    "only integer and string columns partition portably "
+                    "(their Spark string rendering matches Python's str())"
+                )
             if partition_buckets:
                 pk = f"{_PART_BUCKET_PREFIX}{partition_buckets}_{partition_col}"
                 pk_val = F.crc32(
@@ -726,10 +738,28 @@ class MultiManifestTable(ManifestTable):
                 pk = _PART_PREFIX + partition_col
                 pk_val = F.col(partition_col).cast("string")
             # hash-repartition by the path key: all rows of one directory
-            # land in one task => exactly one file per touched directory
-            # (n_files caps per-directory count; one file always satisfies
-            # it). This is the shuffle that keeps appends bounded.
-            w = df.withColumn(pk, pk_val).repartition(F.col(pk))
+            # land in one task => exactly one file per touched directory.
+            # This is the shuffle that keeps appends bounded. ``n_files``
+            # here means files PER DIRECTORY: values > 1 salt the
+            # repartition so a directory's rows spread over n_files tasks
+            # — the write-parallelism lever for corpus-sized appends (an
+            # initial 1e10-vector build through B=64 buckets must not
+            # funnel through 64 writer tasks).
+            w = df.withColumn(pk, pk_val)
+            if n_files and n_files > 1:
+                salt = F.pmod(
+                    F.hash(*[F.col(c) for c in df.columns]), F.lit(n_files)
+                )
+                # explicit numPartitions: AQE would otherwise coalesce a
+                # small shuffle to one task and silently drop the salt's
+                # parallelism (at real append sizes partitions exceed the
+                # coalesce target anyway — this pins the semantics)
+                n_parts = int(
+                    df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                )
+                w = w.repartition(n_parts, F.col(pk), salt)
+            else:
+                w = w.repartition(F.col(pk))
             w.write.partitionBy(pk).parquet(d)
         else:
             w = df.coalesce(n_files) if n_files else df
@@ -785,7 +815,8 @@ class MultiManifestTable(ManifestTable):
     def append_multi(
         self,
         dfs: dict[str, DataFrame],
-        partition_by: dict[str, str] | None = None,
+        partition_by: dict | None = None,
+        files_per_part: int | None = None,
     ) -> int:
         """Stage every table's parts (publishes nothing), then ONE atomic
         commit covering all of them. A crash mid-staging leaves only orphan
@@ -793,14 +824,18 @@ class MultiManifestTable(ManifestTable):
         ``partition_by`` ({table: col | (col, B)}) cell-buckets the named
         tables' files so readers can plan file-pruned scans
         (`table_files(parts=)`); the ``(col, B)`` form caps files per
-        append at B buckets (see `_write_parts_for`)."""
+        append at B buckets (see `_write_parts_for`). ``files_per_part``
+        > 1 salts each partitioned directory over that many writer tasks
+        — the parallelism lever for corpus-sized appends (files per
+        append then cap at directories x files_per_part)."""
         pb = partition_by or {}
         adds: list[str] = []
         for table, df in dfs.items():
             col, buckets = _part_spec(pb[table]) if table in pb else (None, None)
             adds.extend(
                 self._write_parts_for(
-                    table, df, partition_col=col, partition_buckets=buckets
+                    table, df, partition_col=col, partition_buckets=buckets,
+                    n_files=files_per_part if col else None,
                 )
             )
         return self._commit(adds=adds, removes=[])
@@ -808,19 +843,21 @@ class MultiManifestTable(ManifestTable):
     def overwrite_multi(
         self,
         dfs: dict[str, DataFrame],
-        partition_by: dict[str, str] | None = None,
+        partition_by: dict | None = None,
+        files_per_part: int | None = None,
     ) -> int:
         """Atomically replace every named table's snapshot (tables not named
         are untouched). removes is a callable so a lost race re-reads the
         winner's snapshot — last-writer-wins per table, never a merge.
-        ``partition_by`` as in `append_multi`."""
+        ``partition_by``/``files_per_part`` as in `append_multi`."""
         pb = partition_by or {}
         adds: list[str] = []
         for table, df in dfs.items():
             col, buckets = _part_spec(pb[table]) if table in pb else (None, None)
             adds.extend(
                 self._write_parts_for(
-                    table, df, partition_col=col, partition_buckets=buckets
+                    table, df, partition_col=col, partition_buckets=buckets,
+                    n_files=files_per_part if col else None,
                 )
             )
         names = list(dfs)
