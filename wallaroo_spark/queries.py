@@ -7477,54 +7477,78 @@ def pq_topk_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The external driver hash-samples the FIRST 50 registered queries each
 # round; new entries append at the end of this file, so the hard hash
-# window had never sampled any post-round-3 family. Rotate ~15 of the
-# newest oracle-gated entries (sampled-train, clustered/prod recall
-# audits, cell skew, windowed HLL, calibration, OPQ objective, packed
-# ADC, LSH tuning) into positions 36-50. Safe by construction: oracle
-# hashes are driver-recomputed per round, and the full local gate
-# (tools/check.py — all 175) remains the completeness backstop for the
-# stalwarts this pushes out of the window.
+# window had never sampled any post-round-3 family. Each round rotates a
+# fresh batch of never-driver-checked families into the window (r12: the
+# 15 newest similarity/audit entries — all green in CORRECTNESS_r12; r13:
+# the head shrinks to 20 §2.1 core stalwarts so THIRTY rotate per round —
+# 99 of 175 families had still never been driver-hash-checked after r12,
+# and 30/round retires that backlog within the build's remaining rounds).
+# Safe by construction: oracle hashes are driver-recomputed per round,
+# every rotated-in name is green in the full local gate (tools/check.py —
+# all 175, the completeness backstop for whatever the window pushes out),
+# and the r13 batch was additionally spot-verified at sf0.01 (the
+# driver's scale) before commit.
 _DRIVER_WINDOW_ROTATION = [
-    "pq_topk_sampled_train",
-    "ivf_cell_skew_report",
-    "ann_recall_clustered_audit",
-    "ann_recall_prod_audit",
-    "windowed_distinct_hll",
-    "windowed_calibration_ece",
-    "classifier_calibration_report",
-    "classifier_threshold_sweep",
-    "embedding_drift_report",
-    "pq_distortion_report",
-    "pq_topk_packed_adc",
-    "minhash_lsh_pairs_tuned90",
-    "lsh_tuning_report",
-    "ivf_sizing_report",
-    "ivfpq_adaptive_probe",
+    # relational / TPC-H tails never sampled by the driver
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q21_suppliers_kept_waiting",
+    "window_ranking_battery",
+    "value_band_range_join",
+    "asof_forward_next_purchase",
+    "signup_purchase_conversion",
+    # dedup / decontamination stack
+    "duplicate_clusters",
+    "near_dedup_corpus",
+    "paragraph_dedup_ccnet",
+    "semdedup_embeddings",
+    "chunk_dedup_stats",
+    "snapshot_novelty",
+    "decontaminate_testset_overlap",
+    "dedup_keep_best_quality",
+    # text quality / filtering
+    "pii_redact_docs",
+    "c4_gopher_filter_battery",
+    "readability_signals",
+    # retrieval / LM scoring / selection
+    "bm25_retrieval_topk",
+    "bpe_train_merges",
+    "reference_lm_perplexity",
+    "trained_quality_classifier",
+    "dsir_importance_select",
+    "token_budget_admit",
+    "pack_sequences",
+    "temperature_mixture_lang",
+    # multimodal + ANN families outside the r12 batch
+    "multimodal_ahash_near_dup",
+    "ivfpq_topk_search",
 ]
 
 
-# The stalwart head: the §2.1/§2.3 families that must STAY inside the
-# driver's first-50 hash window every round, BY NAME (ADVICE r12: the old
-# magic index 35 silently re-sampled whichever entries happened to sit
-# there if any future registration landed above the tail). Registry order
-# is LOAD-BEARING for the external driver's sample — positions 1-35 are
-# this list, 36-50 are _DRIVER_WINDOW_ROTATION, everything else follows
-# in registration order.
+# The stalwart head: the §2.1 pipeline-stage core that must STAY inside
+# the driver's first-50 hash window every round, BY NAME (ADVICE r12: the
+# old magic index 35 silently re-sampled whichever entries happened to
+# sit there if any future registration landed above the tail). Registry
+# order is LOAD-BEARING for the external driver's sample — positions 1-20
+# are this list, 21-50 are _DRIVER_WINDOW_ROTATION, everything else
+# follows in registration order. r13 trimmed this head from 35 to the 20
+# one-per-§2.1-family essentials (the 15 dropped — tpch q3/q5/q10, the
+# text battery, simhash/similarity variants — are multi-round
+# driver-green and stay in the full local gate) to double the rotation
+# bandwidth for the never-checked backlog.
 _STALWART_HEAD = [
     "tumbling_window_sum", "sliding_window_sum", "count_window_sum",
     "running_total", "session_window_agg", "global_collect_agg",
     "stateless_filter_alerts", "stateless_map_projection", "word_count",
     "asof_enrich", "merge_streams", "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
+    "tpch_q6_forecast_revenue",
     "top_orders_per_customer", "rollup_revenue_by_geo",
     "semi_join_customers_with_urgent_orders", "anti_join_parts_never_ordered",
-    "distinct_order_months", "events_pivot_by_type", "text_token_stats",
-    "text_language_id", "text_quality_score", "doc_fingerprint",
-    "exact_dedup_first_per_group", "ngram_jaccard_pairs",
-    "minhash_lsh_pairs", "simhash_docs", "simhash_near_pairs",
-    "similarity_topk_bruteforce", "similarity_topk_lsh_bucketed",
-    "similarity_topk_lsh_multiprobe", "embedding_norms",
+    "events_pivot_by_type",
+    "exact_dedup_first_per_group",
+    "minhash_lsh_pairs",
 ]
 
 
