@@ -435,9 +435,11 @@ def refresh_pq_index(
     cell directory, so K refreshes accumulate up to K files per hot cell
     — eroding the probe's file-pruned I/O win and growing every log
     entry. When any cell's live file count exceeds the budget after the
-    append, a layout-preserving `compact_table("pq_codes")` folds them
-    (amortized: one rewrite per budget-many refreshes, the auto-OPTIMIZE
-    discipline). None (default) leaves maintenance to the caller."""
+    append, `compact_partitions("pq_codes")` folds ONLY the over-budget
+    cells under the committed layout (O(hot cells) per trip — a full
+    `compact_table` rewrite per budget trip would dwarf the appends it
+    amortizes at production codes scale). None (default) leaves
+    maintenance to the caller."""
     g = _index_geometry(spark, t, m=m, sub_dim=sub_dim, k=k)
     m, sub_dim, k = g["m"], g["sub_dim"], g["k"]
     d = m * sub_dim
@@ -482,9 +484,9 @@ def refresh_pq_index(
         partition_by=_pq_partition_spec(g.get("partition_buckets")),
     )
     if files_per_cell_budget:
-        counts = t.part_file_counts("pq_codes")
-        if counts and max(counts.values()) > files_per_cell_budget:
-            t.compact_table("pq_codes")
+        # partial compaction: fold only the cells this refresh pushed over
+        # budget (O(hot cells), never a full-codes rewrite per trip)
+        t.compact_partitions("pq_codes", budget=files_per_cell_budget)
     return v
 
 

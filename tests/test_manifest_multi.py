@@ -491,3 +491,125 @@ def test_partition_column_type_validation_and_write_parallelism(spark, tmp_path)
     assert 3 < len(files) <= 12
     got = t.read(spark, "codes", parts={"cell": [1]}).filter(F.col("cell") == 1)
     assert got.count() == 40
+
+
+def test_compact_partitions_touches_only_hot_dirs(spark, tmp_path):
+    """Round 13: compact_partitions is the INCREMENTAL compaction — only
+    directories over budget are rewritten (O(hot dirs), never a
+    full-table rewrite), cold directories keep their exact file paths,
+    and the fold is one atomic commit."""
+    import pytest
+
+    t = MultiManifestTable(str(tmp_path / "t"))
+
+    def cells(lo, hi):
+        return _df(spark, lo, hi).withColumn("cell", F.col("i") % 3)
+
+    # 2 appends touching all 3 cells -> 2 files/dir
+    t.append_multi({"codes": cells(0, 6)}, partition_by={"codes": "cell"})
+    t.append_multi({"codes": cells(6, 12)}, partition_by={"codes": "cell"})
+    # 2 appends touching ONLY cell 0 -> cell0 at 4 files, others at 2
+    for lo in (12, 15):
+        hot = cells(lo, lo + 3).filter(F.col("cell") == 0)
+        t.append_multi({"codes": hot}, partition_by={"codes": "cell"})
+    before = {s: sorted(f for f in t.table_files("codes") if s in f)
+              for s in ("_wsp_cell=0", "_wsp_cell=1", "_wsp_cell=2")}
+    assert len(before["_wsp_cell=0"]) == 4
+
+    v = t.compact_partitions("codes", budget=2)
+    assert v is not None
+    after = {s: sorted(f for f in t.table_files("codes") if s in f)
+             for s in ("_wsp_cell=0", "_wsp_cell=1", "_wsp_cell=2")}
+    # hot dir folded to one file; cold dirs BYTE-IDENTICAL paths (not rewritten)
+    assert len(after["_wsp_cell=0"]) == 1
+    assert after["_wsp_cell=1"] == before["_wsp_cell=1"]
+    assert after["_wsp_cell=2"] == before["_wsp_cell=2"]
+    # rows intact, pruned read intact
+    got = sorted(r.i for r in t.read(spark, "codes").collect())
+    assert got == [i for i in range(18) if i < 12 or i % 3 == 0]
+    pruned = t.read(spark, "codes", parts={"cell": [0]}).filter(F.col("cell") == 0)
+    assert sorted(r.i for r in pruned.collect()) == [i for i in range(18) if i % 3 == 0]
+
+    # nothing over budget now -> no-op, no new version
+    assert t.compact_partitions("codes", budget=2) is None
+    # exactly one of budget=/segments= is required
+    with pytest.raises(ValueError, match="exactly one"):
+        t.compact_partitions("codes")
+    with pytest.raises(ValueError, match="exactly one"):
+        t.compact_partitions("codes", budget=2, segments=["_wsp_cell=0"])
+
+
+def test_compact_partitions_heals_unpartitioned_stragglers(spark, tmp_path):
+    """A legacy/unpartitioned append stream that trips the budget heals
+    into the table's declared layout when every declared segment agrees
+    on one — the stragglers become prunable instead of permanently
+    pinned to every scan."""
+    t = MultiManifestTable(str(tmp_path / "t"))
+    t.append_multi(
+        {"codes": _df(spark, 0, 6).withColumn("cell", F.col("i") % 3)},
+        partition_by={"codes": "cell"},
+    )
+    for lo in (6, 9, 12):  # three unpartitioned straggler appends
+        t.append_multi(
+            {"codes": _df(spark, lo, lo + 3).withColumn("cell", F.col("i") % 3)}
+        )
+    counts = t.part_file_counts("codes")
+    assert counts[""] >= 3  # unpartitioned appends may split across tasks
+    t.compact_partitions("codes", budget=2)
+    counts = t.part_file_counts("codes")
+    assert "" not in counts  # stragglers folded INTO the layout
+    assert all(s.startswith("_wsp_cell=") for s in counts)
+    assert sorted(r.i for r in t.read(spark, "codes").collect()) == list(range(15))
+
+
+def test_compact_partitions_concurrency_per_file(spark, tmp_path, monkeypatch):
+    """Per-FILE optimistic concurrency: an append landing mid-compaction —
+    even to a directory being compacted — survives (its file is not in
+    the rewrite's removes); a concurrent REMOVAL of a file being
+    compacted aborts (the rewrite would resurrect removed rows)."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    t = MultiManifestTable(path)
+
+    def cells(lo, hi):
+        return _df(spark, lo, hi).withColumn("cell", F.col("i") % 3)
+
+    for lo in (0, 6, 12):
+        t.append_multi({"codes": cells(lo, lo + 6)}, partition_by={"codes": "cell"})
+
+    orig = MultiManifestTable._write_parts_for
+    fired = {"done": False}
+
+    def append_mid_staging(self, table, df, **kw):
+        adds = orig(self, table, df, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            MultiManifestTable(path).append_multi(
+                {"codes": cells(18, 21)}, partition_by={"codes": "cell"}
+            )
+        return adds
+
+    monkeypatch.setattr(MultiManifestTable, "_write_parts_for", append_mid_staging)
+    v = t.compact_partitions("codes", budget=2)
+    assert v is not None
+    # the mid-compaction append's rows AND files are intact
+    assert sorted(r.i for r in t.read(spark, "codes").collect()) == list(range(21))
+    monkeypatch.setattr(MultiManifestTable, "_write_parts_for", orig)
+
+    # concurrent removal: another compaction folds the files first -> abort
+    t2 = MultiManifestTable(str(tmp_path / "t2"))
+    for lo in (0, 6, 12):
+        t2.append_multi({"codes": cells(lo, lo + 6)}, partition_by={"codes": "cell"})
+    fired2 = {"done": False}
+
+    def remove_mid_staging(self, table, df, **kw):
+        adds = orig(self, table, df, **kw)
+        if not fired2["done"]:
+            fired2["done"] = True
+            MultiManifestTable(str(tmp_path / "t2")).compact_table("codes")
+        return adds
+
+    monkeypatch.setattr(MultiManifestTable, "_write_parts_for", remove_mid_staging)
+    with pytest.raises(ValueError, match="rerun compact_partitions"):
+        t2.compact_partitions("codes", budget=2)

@@ -122,6 +122,32 @@ def _file_buckets(path: str) -> dict[str, tuple[int, str]]:
     return out
 
 
+def _part_segment(path: str) -> str:
+    """The path's partition directory segment (`_wsp_...` or `_wspb_...`),
+    or "" for unpartitioned files."""
+    return next(
+        (
+            s
+            for s in path.split(os.sep)
+            if s.startswith((_PART_PREFIX, _PART_BUCKET_PREFIX))
+        ),
+        "",
+    )
+
+
+def _seg_layout(seg: str) -> tuple[str | None, int | None]:
+    """(partition_col, buckets|None) declared by a partition directory
+    segment name; (None, None) for the unpartitioned "" segment."""
+    if seg.startswith(_PART_PREFIX) and "=" in seg:
+        return unquote(seg[len(_PART_PREFIX):].split("=", 1)[0]), None
+    if seg.startswith(_PART_BUCKET_PREFIX) and "=" in seg:
+        name = seg[len(_PART_BUCKET_PREFIX):].split("=", 1)[0]
+        b_str, _, col = name.partition("_")
+        if b_str.isdigit() and col:
+            return unquote(col), int(b_str)
+    return None, None
+
+
 def _parts_matcher(parts: dict):
     """Compile ``parts`` (col -> iterable of allowed values) into a fast
     ``path -> bool`` predicate. A file WITHOUT a given key's segment is
@@ -801,14 +827,7 @@ class MultiManifestTable(ManifestTable):
         per refresh until a `compact_table` folds them."""
         counts: dict[str, int] = {}
         for f in self.table_files(table):
-            seg = next(
-                (
-                    s
-                    for s in f.split(os.sep)
-                    if s.startswith((_PART_PREFIX, _PART_BUCKET_PREFIX))
-                ),
-                "",
-            )
+            seg = _part_segment(f)
             counts[seg] = counts.get(seg, 0) + 1
         return counts
 
@@ -953,6 +972,98 @@ class MultiManifestTable(ManifestTable):
 
         return self._commit(adds=adds, removes=removes_or_abort)
 
+    def compact_partitions(
+        self,
+        table: str,
+        budget: int | None = None,
+        segments: list[str] | None = None,
+        n_files: int = 1,
+    ) -> int | None:
+        """Rewrite ONLY the over-budget partition directories of one table
+        — the incremental form of `compact_table`. Maintenance cost is
+        then O(hot directories), not O(table): an auto-compaction fired
+        from a streaming micro-batch (`MultiManifestStreamWriter`) or an
+        index refresh (`refresh_pq_index`) must not stall the pipeline
+        for a full-table rewrite when one hot cell tripped the budget —
+        at production codes scale (1e10 vectors) a full rewrite per
+        budget trip would dwarf the appends it amortizes. This is Delta/
+        Iceberg's partition-scoped OPTIMIZE discipline.
+
+        Targets: every directory whose live file count exceeds ``budget``,
+        or the explicit ``segments`` list (directory names as returned by
+        `part_file_counts`; pass exactly one of the two). Directories
+        already at <= ``n_files`` files are skipped. Each directory is
+        rewritten under its OWN declared layout (mixed plain/bucketed
+        tables compact each side correctly mid-migration); the
+        unpartitioned "" group, when targeted, heals into the table's
+        layout if every declared segment agrees on one, else it rewrites
+        unpartitioned (always correct — pruned reads keep undeclared
+        files).
+
+        Concurrency is per-FILE optimistic: a concurrent append — even to
+        a directory being compacted — survives untouched (its file is not
+        in this rewrite's removes); only a concurrent REMOVAL of a file
+        being compacted aborts (the rewrite would resurrect removed
+        rows). One atomic commit: readers see every targeted directory
+        fold at once or not at all. Returns the committed version, or
+        None when nothing is over budget."""
+        if (budget is None) == (segments is None):
+            raise ValueError(
+                "compact_partitions: pass exactly one of budget= or segments="
+            )
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        by_seg: dict[str, list[str]] = {}
+        for f in self.table_files(table):
+            by_seg.setdefault(_part_segment(f), []).append(f)
+        if segments is None:
+            segments = [s for s, fs in by_seg.items() if len(fs) > budget]
+        targets = {
+            s: by_seg[s]
+            for s in segments
+            if len(by_seg.get(s, ())) > max(n_files, 1)
+        }
+        if not targets:
+            return None
+        # group target dirs by their own declared layout; one rewrite per
+        # layout, all adds/removes in ONE commit
+        groups: dict[tuple, list[str]] = {}
+        for seg, fs in targets.items():
+            groups.setdefault(_seg_layout(seg), []).extend(fs)
+        if (None, None) in groups:
+            declared = {_seg_layout(s) for s in by_seg if s}
+            if len(declared) == 1:
+                # heal unpartitioned stragglers into the table's layout
+                groups.setdefault(declared.pop(), []).extend(
+                    groups.pop((None, None))
+                )
+        old = sorted(f for fs in targets.values() for f in fs)
+        old_set = set(old)
+        adds: list[str] = []
+        for (col, buckets), fs in groups.items():
+            adds.extend(
+                self._write_parts_for(
+                    table,
+                    spark.read.parquet(*fs),
+                    n_files=n_files,
+                    partition_col=col,
+                    partition_buckets=buckets,
+                )
+            )
+
+        def removes_or_abort():
+            gone = old_set - set(self.table_files(table))
+            if gone:
+                raise ValueError(
+                    f"concurrent commit removed {len(gone)} file(s) of "
+                    f"table {table!r} mid-compaction; rerun "
+                    "compact_partitions"
+                )
+            return old
+
+        return self._commit(adds=adds, removes=removes_or_abort)
+
     def _vacuum_candidates(self) -> list[str]:
         # staging dirs sit one level deeper: _data/<table>/<uuid>
         out: list[str] = []
@@ -979,12 +1090,13 @@ class MultiManifestStreamWriter:
     partitioned append adds one file per touched directory per batch, so
     a K-batch stream accumulates up to K files per hot cell. When any
     directory's live count exceeds the budget after a commit, the writer
-    runs `compact_table` (layout-preserving derivation) on that table —
-    amortized O(table/budget) rewrite work, exactly the Delta/Iceberg
-    auto-OPTIMIZE discipline. Compaction is a separate commit AFTER the
-    batch's atomic append (a crash between them just leaves the
-    compaction for the next batch to redo — idempotent maintenance,
-    exactly-once data)."""
+    runs `compact_partitions` (each hot directory folds under its own
+    declared layout) on that table — O(hot directories) rewrite work per
+    trip, never a full-table rewrite inside a micro-batch, exactly the
+    Delta/Iceberg partition-scoped auto-OPTIMIZE discipline. Compaction
+    is a separate commit AFTER the batch's atomic append (a crash between
+    them just leaves the compaction for the next batch to redo —
+    idempotent maintenance, exactly-once data)."""
 
     def __init__(
         self,
@@ -1024,16 +1136,11 @@ class MultiManifestStreamWriter:
         )
         if self.files_per_part_budget:
             for t in parts:
-                counts = self.table.part_file_counts(t)
-                if counts and max(counts.values()) > self.files_per_part_budget:
-                    # this writer's configured layout wins over derivation:
-                    # a mid-migration table (mixed plain/bucketed files)
-                    # would make the derive path raise as ambiguous
-                    col, buckets = (
-                        _part_spec(self.partition_by[t])
-                        if t in self.partition_by
-                        else (None, None)
-                    )
-                    self.table.compact_table(
-                        t, partition_col=col, partition_buckets=buckets
-                    )
+                # PARTIAL compaction: fold only the directories this
+                # stream's appends pushed over budget — O(hot dirs) work
+                # per trip, so maintenance can never stall a micro-batch
+                # for a full-table rewrite; each directory keeps its own
+                # declared layout (mixed mid-migration tables included)
+                self.table.compact_partitions(
+                    t, budget=self.files_per_part_budget
+                )
