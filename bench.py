@@ -129,6 +129,8 @@ HEADLINE = [
     "ann_recall_clustered_audit",
     "ivf_cell_skew_report",
     "pq_topk_sampled_train",
+    # round-13 additions
+    "fuzzy_name_pairs_ed1",
 ]
 
 

@@ -7472,6 +7472,52 @@ def pq_topk_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) matching — round 13
+# ---------------------------------------------------------------------------
+
+from wallaroo_spark.operators import fuzzy as _fuzzy  # noqa: E402
+
+
+@query(
+    "fuzzy_name_pairs_ed1",
+    oracle=f"""
+    WITH samp AS (
+        SELECT c_name AS name FROM customer
+        QUALIFY row_number() OVER (
+            ORDER BY {H.md5int_sql("c_name || ':fuzzy'")}, c_name) <= 2000
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS dist
+    FROM samp a, samp b
+    WHERE a.name < b.name
+      AND abs(length(a.name) - length(b.name)) <= 1
+      AND levenshtein(a.name, b.name) <= 1
+    """,
+)
+def fuzzy_name_pairs_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity-key matching: every unordered pair of customer
+    names within Levenshtein distance 1, via SymSpell deletion-neighborhood
+    blocking + exact `levenshtein` verify (`operators/fuzzy.py`) — the
+    character-level complement to the shingle/MinHash set-similarity dedup
+    stack (OCR/typo canonicalization of near-identical KEYS before exact
+    dedup, where Jaccard is the wrong metric).
+
+    The ORACLE is the brute-force O(n²) DEFINITION (cross join + distance
+    filter; the length band is implied by ed<=1), so the driver hash
+    certifies the blocking's COMPLETENESS — any candidate the
+    neighborhood join missed would show as an oracle-only row. The
+    salted-md5-rank sample (':fuzzy', 2000 names) bounds the oracle's n²
+    at every SF; the ENGINE path needs no such bound (O(n·len) exploded
+    keys, hash-shuffle join, no cartesian — the 100 TB shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    ranked = cust.select(F.col("c_name").alias("name")).withColumn(
+        "_h", H.md5int_col(F.concat(F.col("name"), F.lit(":fuzzy")))
+    )
+    samp = ranked.orderBy("_h", "name").limit(2000).select("name")
+    return _fuzzy.fuzzy_self_join(samp, "name", k=1)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window rotation (round 12, VERDICT r11 #4)
 # ---------------------------------------------------------------------------
 
@@ -7521,9 +7567,13 @@ _DRIVER_WINDOW_ROTATION = [
     "token_budget_admit",
     "pack_sequences",
     "temperature_mixture_lang",
-    # multimodal + ANN families outside the r12 batch
+    # multimodal family outside the r12 batch
     "multimodal_ahash_near_dup",
-    "ivfpq_topk_search",
+    # round-13 addition (VERDICT r12 #6: new oracle-gated families go
+    # straight into the window): the fuzzy edit-distance join, whose
+    # oracle is the brute-force definition — the driver hash certifies
+    # the deletion-neighborhood blocking's completeness directly
+    "fuzzy_name_pairs_ed1",
 ]
 
 
