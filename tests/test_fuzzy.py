@@ -93,3 +93,62 @@ def test_deletion_variant_counts(spark):
     }
     assert sorted(out["abcd"]) == sorted(["abcd", "bcd", "acd", "abd", "abc"])
     assert sorted(out["aaaa"]) == ["aaa", "aaaa"]
+
+
+def test_fuzzy_lookup_keeps_payload_and_matches(spark):
+    base, typo = _typo_vocab(seed=3)
+    vocab = spark.createDataFrame([(w,) for w in sorted(set(base))], "term string")
+    events = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(typo + [None, "z" * 30])],
+        "event_id long, key string",
+    )
+    got = fuzzy.fuzzy_lookup(events, "key", vocab, "term", k=1)
+    rows = got.collect()
+    # null / over-max_len keys never match; payload column rides through
+    assert set(got.columns) == {"event_id", "key", "match", "dist"}
+    assert all(r.key is not None and len(r.key) <= 24 for r in rows)
+    # parity with the brute-force definition, INCLUDING duplicate rows
+    want = sorted(
+        map(
+            tuple,
+            events.where(F.col("key").isNotNull())
+            .crossJoin(vocab)
+            .withColumn("dist", F.levenshtein("key", "term"))
+            .where(F.col("dist") <= 1)
+            .select("event_id", "key", F.col("term").alias("match"), "dist")
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, rows)) == want and len(want) > 50
+
+
+def test_fuzzy_lookup_streaming_matches_batch(spark, tmp_path):
+    """The lookup is fully stateless (in-row explode, stream-static join,
+    in-row once-per-pair dedup + verify), so it runs on a STREAMING
+    DataFrame with no watermark or state store — and must emit exactly
+    the batch result."""
+    base, typo = _typo_vocab(seed=5)
+    vocab = spark.createDataFrame([(w,) for w in sorted(set(base))], "term string")
+    events = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(typo)], "event_id long, key string"
+    )
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    events.write.parquet(src)
+
+    batch = sorted(
+        map(tuple, fuzzy.fuzzy_lookup(events, "key", vocab, "term", k=1).collect())
+    )
+
+    sdf = spark.readStream.schema("event_id long, key string").parquet(src)
+    out = fuzzy.fuzzy_lookup(sdf, "key", vocab, "term", k=1)
+    assert out.isStreaming
+    got = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(map(tuple, got)) == batch and len(batch) > 30

@@ -12,6 +12,14 @@ in-row ``transform`` explode and a hash-shuffle equi-join — so the cost
 is O(n · len^k) candidates, never O(n²), and it parallelizes like any
 other keyed join.
 
+Candidate de-duplication is IN-ROW, not a distinct shuffle: a pair that
+shares m>1 variants would emit m rows, so each candidate row recomputes
+the SHARED variant set (array_intersect of both sides' neighborhoods)
+and survives only if its join variant is that set's minimum — exactly
+one row per pair, zero extra exchanges, and the whole pipeline stays
+STATELESS, which is what makes `fuzzy_lookup` legal on a streaming
+DataFrame (stream-static join, no watermark, no state store).
+
 Scale shape at 100 TB: the explode factor is len+1 variants at k=1 and
 +C(len,2) at k=2, capped by ``max_len`` (longer strings are dropped, not
 truncated — a truncated string would fabricate matches). Variant-bucket
@@ -32,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["deletion_variants", "fuzzy_self_join", "fuzzy_join"]
+__all__ = ["deletion_variants", "fuzzy_self_join", "fuzzy_join", "fuzzy_lookup"]
 
 
 def deletion_variants(c: Column, k: int = 1) -> Column:
@@ -60,6 +68,26 @@ def deletion_variants(c: Column, k: int = 1) -> Column:
     return F.array_distinct(F.concat(*parts))
 
 
+def _once_per_pair(a: Column, b: Column, var: Column, k: int) -> Column:
+    """True on exactly ONE candidate row per (a, b) pair: the row whose
+    join variant is the minimum of the pair's SHARED variant set,
+    recomputed in-row — de-duplication without a distinct shuffle, and
+    without state (streaming-legal)."""
+    shared = F.array_intersect(deletion_variants(a, k), deletion_variants(b, k))
+    return var == F.array_min(shared)
+
+
+def _vocab_variants(df: DataFrame, col: str, out: str, k: int, max_len: int) -> DataFrame:
+    toks = (
+        df.select(F.col(col).alias(out))
+        .where(F.col(out).isNotNull() & (F.length(out) <= max_len))
+        .distinct()
+    )
+    return toks.select(
+        out, F.explode(deletion_variants(F.col(out), k)).alias("_var")
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -70,28 +98,17 @@ def fuzzy_join(
 ) -> DataFrame:
     """All (left, right) string pairs within Levenshtein distance ``k``,
     via deletion-neighborhood blocking + exact verify. Output columns:
-    ``<left_col>_a``, ``<right_col>_b``, ``dist`` (1..k; equal strings
+    ``<left_col>_a``, ``<right_col>_b``, ``dist`` (0..k; equal strings
     pair at dist 0). Inputs are deduplicated on their string column —
-    this is a VOCABULARY join; join payloads back on the string key.
-    Strings longer than ``max_len`` are dropped (documented cap on the
-    explode factor), as are NULLs."""
+    this is a VOCABULARY join; join payloads back on the string key (or
+    use `fuzzy_lookup` to keep row payloads). Strings longer than
+    ``max_len`` are dropped (documented cap on the explode factor), as
+    are NULLs."""
     la, rb = f"{left_col}_a", f"{right_col}_b"
-
-    def side(df: DataFrame, col: str, out: str) -> DataFrame:
-        toks = (
-            df.select(F.col(col).alias(out))
-            .where(F.col(out).isNotNull() & (F.length(out) <= max_len))
-            .distinct()
-        )
-        return toks.select(
-            out, F.explode(deletion_variants(F.col(out), k)).alias("_var")
-        )
-
     cand = (
-        side(left, left_col, la)
-        .join(side(right, right_col, rb), "_var")
-        .select(la, rb)
-        .distinct()
+        _vocab_variants(left, left_col, la, k, max_len)
+        .join(_vocab_variants(right, right_col, rb, k, max_len), "_var")
+        .where(_once_per_pair(F.col(la), F.col(rb), F.col("_var"), k))
     )
     dist = F.levenshtein(F.col(la), F.col(rb), k)
     return cand.select(la, rb, dist.alias("dist")).where(F.col("dist") >= 0)
@@ -103,21 +120,50 @@ def fuzzy_self_join(
     """All UNORDERED pairs of distinct strings in ``df[col]`` within
     Levenshtein distance ``k`` (``<col>_a < <col>_b`` lexicographically —
     each pair once, no self-pairs). Same blocking + verify as
-    `fuzzy_join`; the candidate set is halved by the ordering predicate
-    before the distinct, so the shuffle carries each pair once."""
+    `fuzzy_join`; the candidate set is halved by the ordering predicate,
+    then de-duplicated in-row (no distinct shuffle)."""
     a, b = f"{col}_a", f"{col}_b"
-    toks = (
-        df.select(F.col(col).alias(col))
-        .where(F.col(col).isNotNull() & (F.length(col) <= max_len))
-        .distinct()
-    )
-    v = toks.select(col, F.explode(deletion_variants(F.col(col), k)).alias("_var"))
+    v = _vocab_variants(df, col, col, k, max_len)
     cand = (
         v.select(F.col(col).alias(a), "_var")
         .join(v.select(F.col(col).alias(b), "_var"), "_var")
         .where(F.col(a) < F.col(b))
-        .select(a, b)
-        .distinct()
+        .where(_once_per_pair(F.col(a), F.col(b), F.col("_var"), k))
     )
     dist = F.levenshtein(F.col(a), F.col(b), k)
     return cand.select(a, b, dist.alias("dist")).where(F.col("dist") > 0)
+
+
+def fuzzy_lookup(
+    df: DataFrame,
+    col: str,
+    vocab: DataFrame,
+    vocab_col: str,
+    k: int = 1,
+    max_len: int = 24,
+) -> DataFrame:
+    """Match every ROW of ``df`` against a static vocabulary: output is
+    ``df``'s columns plus ``match`` (the vocab string within distance
+    ``k``) and ``dist`` — one row per (input row, vocab match), rows with
+    no match dropped. ``df`` rows are NOT deduplicated (they are events,
+    not a vocabulary); NULL / over-``max_len`` keys never match.
+
+    Streaming twin for free: every stage is stateless (in-row variant
+    explode, stream-static equi-join, in-row once-per-pair filter, in-row
+    verify), so ``df`` may be a STREAMING DataFrame — no watermark, no
+    state store, exact batch parity (pytest-pinned). The vocab side is
+    sized like any broadcast dimension; at huge vocabularies the join
+    degrades gracefully to a shuffled hash join on variants."""
+    if "match" in df.columns or "dist" in df.columns:
+        raise ValueError("fuzzy_lookup: input already has a match/dist column")
+    ex = df.where(
+        F.col(col).isNotNull() & (F.length(col) <= max_len)
+    ).select("*", F.explode(deletion_variants(F.col(col), k)).alias("_var"))
+    vv = _vocab_variants(vocab, vocab_col, "match", k, max_len)
+    out = (
+        ex.join(vv, "_var")
+        .where(_once_per_pair(F.col(col), F.col("match"), F.col("_var"), k))
+        .withColumn("dist", F.levenshtein(F.col(col), F.col("match"), k))
+        .where(F.col("dist") >= 0)
+    )
+    return out.drop("_var")
