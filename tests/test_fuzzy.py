@@ -79,6 +79,10 @@ def test_fuzzy_guards_max_len_null_duplicates(spark):
     assert [tuple(r) for r in got] == [("abcd", "abce", 1)]
     with pytest.raises(ValueError, match="k must be 1 or 2"):
         fuzzy.fuzzy_self_join(df, "tok", k=3)
+    # fuzzy_lookup refuses inputs that collide with its outputs/join key
+    clash = df.withColumnRenamed("tok", "_var")
+    with pytest.raises(ValueError, match="_var"):
+        fuzzy.fuzzy_lookup(clash, "_var", df, "tok")
 
 
 def test_deletion_variant_counts(spark):

@@ -537,6 +537,11 @@ def test_compact_partitions_touches_only_hot_dirs(spark, tmp_path):
         t.compact_partitions("codes")
     with pytest.raises(ValueError, match="exactly one"):
         t.compact_partitions("codes", budget=2, segments=["_wsp_cell=0"])
+    # explicit-target form: a typo'd/stale segment must raise, not no-op
+    with pytest.raises(ValueError, match="unknown partition segment"):
+        t.compact_partitions("codes", segments=["_wsp_cel=0"])
+    # a known segment already at <= n_files files is a clean no-op
+    assert t.compact_partitions("codes", segments=["_wsp_cell=0"]) is None
 
 
 def test_compact_partitions_heals_unpartitioned_stragglers(spark, tmp_path):

@@ -12,13 +12,20 @@ in-row ``transform`` explode and a hash-shuffle equi-join — so the cost
 is O(n · len^k) candidates, never O(n²), and it parallelizes like any
 other keyed join.
 
-Candidate de-duplication is IN-ROW, not a distinct shuffle: a pair that
-shares m>1 variants would emit m rows, so each candidate row recomputes
-the SHARED variant set (array_intersect of both sides' neighborhoods)
-and survives only if its join variant is that set's minimum — exactly
-one row per pair, zero extra exchanges, and the whole pipeline stays
-STATELESS, which is what makes `fuzzy_lookup` legal on a streaming
-DataFrame (stream-static join, no watermark, no state store).
+Candidate de-duplication (a pair sharing m>1 variants would emit m
+rows) uses TWO mechanisms, chosen by measurement, not theory:
+`fuzzy_join`/`fuzzy_self_join` dedupe with a plain ``distinct`` — on
+dense serial-number keys at n=30k the in-row alternative below measured
+89.7s vs 5.3s for distinct (the per-candidate neighborhood recompute
+dwarfs a short-string shuffle; A/B in SCALE.md). `fuzzy_lookup` instead
+dedupes IN-ROW via `_once_per_pair` (keep a candidate row only if its
+join variant is the minimum of the pair's shared variant set,
+recomputed in-row): there a distinct would be WRONG — identical payload
+rows must not collapse — and statelessness is what makes the lookup
+legal on a streaming DataFrame (stream-static join, no watermark, no
+state store). The exact-verify filter runs BEFORE the in-row dedup
+(3.4x measured — levenshtein's threshold early-exit kills most false
+candidates cheaply).
 
 Scale shape at 100 TB: the explode factor is len+1 variants at k=1 and
 +C(len,2) at k=2, capped by ``max_len`` (longer strings are dropped, not
@@ -108,7 +115,8 @@ def fuzzy_join(
     cand = (
         _vocab_variants(left, left_col, la, k, max_len)
         .join(_vocab_variants(right, right_col, rb, k, max_len), "_var")
-        .where(_once_per_pair(F.col(la), F.col(rb), F.col("_var"), k))
+        .select(la, rb)
+        .distinct()
     )
     dist = F.levenshtein(F.col(la), F.col(rb), k)
     return cand.select(la, rb, dist.alias("dist")).where(F.col("dist") >= 0)
@@ -120,15 +128,16 @@ def fuzzy_self_join(
     """All UNORDERED pairs of distinct strings in ``df[col]`` within
     Levenshtein distance ``k`` (``<col>_a < <col>_b`` lexicographically —
     each pair once, no self-pairs). Same blocking + verify as
-    `fuzzy_join`; the candidate set is halved by the ordering predicate,
-    then de-duplicated in-row (no distinct shuffle)."""
+    `fuzzy_join`; the candidate set is halved by the ordering predicate
+    before the distinct, so the shuffle carries each pair once."""
     a, b = f"{col}_a", f"{col}_b"
     v = _vocab_variants(df, col, col, k, max_len)
     cand = (
         v.select(F.col(col).alias(a), "_var")
         .join(v.select(F.col(col).alias(b), "_var"), "_var")
         .where(F.col(a) < F.col(b))
-        .where(_once_per_pair(F.col(a), F.col(b), F.col("_var"), k))
+        .select(a, b)
+        .distinct()
     )
     dist = F.levenshtein(F.col(a), F.col(b), k)
     return cand.select(a, b, dist.alias("dist")).where(F.col("dist") > 0)
@@ -154,16 +163,22 @@ def fuzzy_lookup(
     state store, exact batch parity (pytest-pinned). The vocab side is
     sized like any broadcast dimension; at huge vocabularies the join
     degrades gracefully to a shuffled hash join on variants."""
-    if "match" in df.columns or "dist" in df.columns:
-        raise ValueError("fuzzy_lookup: input already has a match/dist column")
+    clash = {"match", "dist", "_var"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"fuzzy_lookup: input already has column(s) {sorted(clash)} "
+            "(match/dist are outputs; _var is the internal join key)"
+        )
     ex = df.where(
         F.col(col).isNotNull() & (F.length(col) <= max_len)
     ).select("*", F.explode(deletion_variants(F.col(col), k)).alias("_var"))
     vv = _vocab_variants(vocab, vocab_col, "match", k, max_len)
     out = (
         ex.join(vv, "_var")
-        .where(_once_per_pair(F.col(col), F.col("match"), F.col("_var"), k))
+        # verify FIRST: the threshold early-exit is far cheaper than the
+        # in-row shared-neighborhood dedup it protects (3.4x measured)
         .withColumn("dist", F.levenshtein(F.col(col), F.col("match"), k))
         .where(F.col("dist") >= 0)
+        .where(_once_per_pair(F.col(col), F.col("match"), F.col("_var"), k))
     )
     return out.drop("_var")

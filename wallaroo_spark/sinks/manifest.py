@@ -137,14 +137,16 @@ def _part_segment(path: str) -> str:
 
 def _seg_layout(seg: str) -> tuple[str | None, int | None]:
     """(partition_col, buckets|None) declared by a partition directory
-    segment name; (None, None) for the unpartitioned "" segment."""
-    if seg.startswith(_PART_PREFIX) and "=" in seg:
-        return unquote(seg[len(_PART_PREFIX):].split("=", 1)[0]), None
-    if seg.startswith(_PART_BUCKET_PREFIX) and "=" in seg:
-        name = seg[len(_PART_BUCKET_PREFIX):].split("=", 1)[0]
-        b_str, _, col = name.partition("_")
-        if b_str.isdigit() and col:
-            return unquote(col), int(b_str)
+    segment name; (None, None) for the unpartitioned "" segment. Defers
+    to the one grammar in `_file_partitions`/`_file_buckets` so pruning
+    and compaction can never parse the same segment differently."""
+    plain = _file_partitions(seg)
+    if plain:
+        return next(iter(plain)), None
+    bucketed = _file_buckets(seg)
+    if bucketed:
+        col, (b, _) = next(iter(bucketed.items()))
+        return col, b
     return None, None
 
 
@@ -1019,6 +1021,17 @@ class MultiManifestTable(ManifestTable):
             by_seg.setdefault(_part_segment(f), []).append(f)
         if segments is None:
             segments = [s for s, fs in by_seg.items() if len(fs) > budget]
+        else:
+            unknown = sorted(set(segments) - set(by_seg))
+            if unknown:
+                # an explicit-target API must distinguish a typo'd/stale
+                # name from "already small enough" — a silent None here
+                # would let a hot directory grow unboundedly
+                raise ValueError(
+                    f"compact_partitions({table!r}): unknown partition "
+                    f"segment(s) {unknown}; live segments come from "
+                    "part_file_counts()"
+                )
         targets = {
             s: by_seg[s]
             for s in segments
