@@ -91,3 +91,49 @@ def test_sliding_panes_matches_direct_sliding(spark):
     assert len(common) >= len(d) - 8  # edge windows may differ at stream tails
     for k in common:
         assert d[k] == p[k]
+
+
+def test_tumbling_per_key_offset_reference_parity(spark):
+    """Round 13 (SURVEY §4 divergence, closed as opt-in): offset="per_key"
+    reproduces the reference's unaligned windows — every key's boundaries
+    shift by a deterministic salted-md5 offset in [0, 0.8*size) — while
+    each key's windows stay internally consistent (same totals, shifted
+    starts)."""
+    from wallaroo_spark.functions import hashing as H
+
+    df = _seq_df(spark)
+    aligned = W.tumbling(df, "ts", ["key"], [F.sum("v").alias("s")], "20 seconds")
+    shifted = W.tumbling(
+        df, "ts", ["key"], [F.sum("v").alias("s")], "20 seconds", offset="per_key"
+    )
+    # per-key totals are alignment-invariant
+    a_tot = {r.key: r.s for r in aligned.groupBy("key").agg(F.sum("s").alias("s")).collect()}
+    s_tot = {r.key: r.s for r in shifted.groupBy("key").agg(F.sum("s").alias("s")).collect()}
+    assert a_tot == s_tot
+    # every start is congruent to the key's salted offset mod size
+    offs = {
+        r.key: r.off
+        for r in df.select(
+            "key",
+            (H.md5int_col(F.concat(F.col("key").cast("string"), F.lit(":walign"))) % 16).alias("off"),
+        ).distinct().collect()
+    }
+    # the smoothing actually spreads keys (the 2-key fixture can collide,
+    # so measure spread over a wider synthetic key range)
+    spread = spark.range(20).select(
+        (H.md5int_col(F.concat(F.col("id").cast("string"), F.lit(":walign"))) % 16).alias("o")
+    ).distinct().count()
+    assert spread > 5
+    for r in shifted.collect():
+        ep = r.window_start.timestamp()
+        assert int(ep) % 20 == offs[r.key], (r.key, ep)
+        assert (r.window_end - r.window_start).total_seconds() == 20
+
+    # fixed integer offset: one stagger for all keys
+    fixed = W.tumbling(df, "ts", ["key"], [F.sum("v").alias("s")], "20 seconds", offset=7)
+    assert all(int(r.window_start.timestamp()) % 20 == 7 for r in fixed.collect())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="integer-seconds size"):
+        W.tumbling(df, "ts", ["key"], [F.sum("v").alias("s")], "1 banana", offset=3)

@@ -15,9 +15,12 @@ windows and the per-message "global window" aggregation
   ``wallaroo_spark.streaming.state``);
 - ephemeral/session windows → native ``F.session_window``.
 
-All windows are **aligned** (epoch-aligned boundaries). The reference's
-default unaligned-random-offset mode (`panes_range_windows.pony:97-100`) is a
-load-smoothing trick, not user semantics — documented divergence (SURVEY §4).
+Windows are **aligned** (epoch-aligned boundaries) by default. The
+reference's default unaligned-random-offset mode
+(`panes_range_windows.pony:97-100`) is a load-smoothing trick, not user
+semantics — documented divergence (SURVEY §4), CLOSED as an opt-in in r13:
+``tumbling(offset="per_key")`` reproduces it with a deterministic salted-md5
+per-key offset (same smoothing, oracle-replayable instead of random).
 
 Scale notes: every operator here is a single hash shuffle on (key[, window])
 with map-side partial aggregation. Sliding windows multiply rows by
@@ -45,18 +48,77 @@ def tumbling(
     keys: Sequence[str],
     aggs: Sequence[Column],
     size: str,
+    offset: int | str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window per key (aligned).
+    """Tumbling event-time window per key.
 
     Maps reference S5 (`windows.pony:37-79`). One shuffle on (keys, window);
     Catalyst does map-side partial agg first.
-    """
-    w = F.window(F.col(ts), size)
+
+    ``offset`` selects the alignment mode:
+
+    - ``None`` (default): epoch-aligned boundaries — the engine's documented
+      default (SURVEY §4 divergence note).
+    - ``"per_key"``: REFERENCE PARITY for the unaligned mode. The reference
+      offsets every per-key window state by a random value up to 80% of the
+      range to break thundering-herd alignment
+      (`panes_range_windows.pony:97-100`); randomness is not replayable, so
+      this mode derives the offset DETERMINISTICALLY per key — salted-md5 of
+      the key string, mod floor(0.8 * size) — which smooths load identically
+      (keys spread across 80% of the range) while staying oracle-exact.
+      Requires ``size`` in integer seconds.
+    - ``int`` seconds: one fixed stagger for every key (deterministic
+      thundering-herd break when cross-key alignment is acceptable).
+
+    Offset modes compute boundaries arithmetically (``F.window`` cannot take
+    a per-key startTime): floor((epoch - off) / size) * size + off — still a
+    plain groupBy, same single-shuffle plan."""
+    if offset is None:
+        w = F.window(F.col(ts), size)
+        return (
+            df.groupBy(*keys, w.alias("w"))
+            .agg(*aggs)
+            .select(*keys, F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *[c for c in _agg_names(aggs)])
+        )
+    from wallaroo_spark.functions import epoch_seconds
+    from wallaroo_spark.functions import hashing as H
+
+    size_s = _size_seconds(size)
+    if offset == "per_key":
+        key_str = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+        off = H.md5int_col(F.concat(key_str, F.lit(":walign"))) % F.lit(
+            int(0.8 * size_s)
+        )
+    else:
+        off = F.lit(int(offset) % size_s)
+    ep = epoch_seconds(ts)
+    start = (F.floor((ep - off) / size_s) * size_s + off).cast("long")
     return (
-        df.groupBy(*keys, w.alias("w"))
+        df.groupBy(*keys, start.alias("_ws"))
         .agg(*aggs)
-        .select(*keys, F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *[c for c in _agg_names(aggs)])
+        .select(
+            *keys,
+            F.timestamp_seconds(F.col("_ws")).alias("window_start"),
+            F.timestamp_seconds(F.col("_ws") + size_s).alias("window_end"),
+            *_agg_names(aggs),
+        )
     )
+
+
+def _size_seconds(size: str | int) -> int:
+    """Integer seconds from a window-size spec (int, or '<n> <unit>')."""
+    if isinstance(size, int):
+        return size
+    n, _, unit = str(size).strip().partition(" ")
+    mult = {
+        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    }.get(unit.strip().lower())
+    if mult is None or not n.isdigit():
+        raise ValueError(
+            f"offset windows need an integer-seconds size, got {size!r}"
+        )
+    return int(n) * mult
 
 
 def _agg_names(aggs: Sequence[Column]) -> list[str]:

@@ -7549,6 +7549,49 @@ def fuzzy_name_pairs_ed2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fuzzy.fuzzy_self_join(samp, "name", k=2)
 
 
+@query(
+    "tumbling_window_sum_unaligned",
+    oracle=f"""
+    SELECT user_id,
+           TIMESTAMP '1970-01-01' + ws * INTERVAL 1 SECOND AS window_start,
+           TIMESTAMP '1970-01-01' + (ws + 3600) * INTERVAL 1 SECOND AS window_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (
+        SELECT user_id, value,
+               CAST(floor((epoch(ts) - off) / 3600) * 3600 + off AS BIGINT) AS ws
+        FROM (
+            SELECT *,
+                   {H.md5int_sql("CAST(user_id AS VARCHAR) || ':walign'")} % 2880 AS off
+            FROM events
+        )
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def tumbling_window_sum_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DEFAULT window alignment, closed as an opt-in
+    (SURVEY §4): every per-key window is offset by up to 80% of the range
+    to break thundering-herd alignment (`panes_range_windows.pony:97-100`).
+    The reference draws the offset at random (unreplayable); this engine
+    derives it deterministically — salted md5 of the key mod
+    floor(0.8 * size) — which spreads keys across the range identically
+    while staying bit-exact under the DuckDB oracle (the same floor
+    arithmetic replayed in SQL)."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.tumbling(
+        ev,
+        ts="ts",
+        keys=["user_id"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+        size="1 hour",
+        offset="per_key",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 12, VERDICT r11 #4)
 # ---------------------------------------------------------------------------
@@ -7573,10 +7616,14 @@ _DRIVER_WINDOW_ROTATION = [
     "tpch_q13_customer_distribution",
     "tpch_q18_large_orders",
     "tpch_q21_suppliers_kept_waiting",
-    "window_ranking_battery",
     "value_band_range_join",
     "asof_forward_next_purchase",
-    "signup_purchase_conversion",
+    # round-13 additions displace two relational rows (window_ranking_battery,
+    # signup_purchase_conversion) to the r14 backlog
+    # (VERDICT r12 #6: new oracle-gated families go straight into the
+    # window): the k=2 fuzzy arm and the reference-parity unaligned window
+    "fuzzy_name_pairs_ed2",
+    "tumbling_window_sum_unaligned",
     # dedup / decontamination stack
     "duplicate_clusters",
     "near_dedup_corpus",
