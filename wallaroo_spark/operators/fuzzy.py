@@ -32,8 +32,11 @@ Scale shape at 100 TB: the explode factor is len+1 variants at k=1 and
 truncated — a truncated string would fabricate matches). Variant-bucket
 skew mirrors `dedup.hamming_pairs`: a variant shared by m strings emits
 C(m,2) candidate rows, which is the irreducible candidate set for that
-bucket, not an artifact of the plan. The verify is Spark's builtin
-``levenshtein(_, _, threshold)`` with early exit.
+bucket, not an artifact of the plan — and m is STRUCTURALLY bounded: the
+strings sharing a length-L variant v at k=1 are v itself plus strings
+reachable by one insertion into v, so m <= 1 + (L+1)·|alphabet| (a few
+hundred for ASCII keys; k=2 squares the insertion term). The verify is
+Spark's builtin ``levenshtein(_, _, threshold)`` with early exit.
 
 Why this belongs in the engine: the reference's dedup surface is
 set-similarity (shingles/MinHash — e.g. its token-set pipelines); an
