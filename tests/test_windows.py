@@ -137,3 +137,43 @@ def test_tumbling_per_key_offset_reference_parity(spark):
 
     with pytest.raises(ValueError, match="integer-seconds size"):
         W.tumbling(df, "ts", ["key"], [F.sum("v").alias("s")], "1 banana", offset=3)
+
+
+def test_tumbling_per_key_offset_streaming_matches_batch(spark, tmp_path):
+    """The unaligned mode's STREAMING twin: native window over
+    (ts - per-key offset) with boundaries shifted back — state eviction
+    stays watermark-driven, and the emitted windows equal the batch
+    arithmetic form exactly."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    rows = [(k, float(t)) for k in ("a", "b", "c", "d") for t in range(0, 100, 7)]
+    df = (
+        spark.createDataFrame(rows, "key string, ep double")
+        .select("key", F.timestamp_seconds("ep").alias("ts"), F.lit(1.0).alias("v"))
+    )
+    df.write.parquet(src)
+
+    batch = W.tumbling(
+        spark.read.parquet(src), "ts", ["key"], [F.sum("v").alias("s")],
+        "20 seconds", offset="per_key",
+    )
+    want = sorted((r.key, r.window_start, r.window_end, r.s) for r in batch.collect())
+
+    sdf = (
+        spark.readStream.schema("key string, ts timestamp, v double")
+        .parquet(src)
+        .withWatermark("ts", "10 seconds")
+    )
+    out = W.tumbling(sdf, "ts", ["key"], [F.sum("v").alias("s")], "20 seconds", offset="per_key")
+    assert out.isStreaming
+    got = []
+    q = (
+        out.writeStream.foreachBatch(lambda d, b: got.extend(d.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted((r.key, r.window_start, r.window_end, r.s) for r in got) == want
+    assert len(want) > 10

@@ -258,9 +258,24 @@ class Pipeline:
         return Pipeline(out, ts_col="", key_cols=self.key_cols)
 
     # -- S5-S11 windows -----------------------------------------------------
-    def to_tumbling(self, size: str, aggs: Sequence[Column]) -> "Pipeline":
+    def to_tumbling(
+        self,
+        size: str,
+        aggs: Sequence[Column],
+        offset: int | str | None = None,
+    ) -> "Pipeline":
+        """S5 tumbling windows. ``offset=None`` = aligned (engine default);
+        ``"per_key"`` = the reference's DEFAULT unaligned mode via a
+        deterministic salted-hash per-key offset (load smoothing,
+        oracle-replayable); int = fixed stagger. Works batch and
+        streaming (see `operators.windows.tumbling`)."""
         self._need_keys()
-        return self._with(W.tumbling(self.df, self.ts_col, list(self.key_cols), list(aggs), size))
+        return self._with(
+            W.tumbling(
+                self.df, self.ts_col, list(self.key_cols), list(aggs), size,
+                offset=offset,
+            )
+        )
 
     def to_sliding(self, size: str, slide: str, aggs: Sequence[Column]) -> "Pipeline":
         self._need_keys()

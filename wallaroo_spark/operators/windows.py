@@ -70,9 +70,14 @@ def tumbling(
     - ``int`` seconds: one fixed stagger for every key (deterministic
       thundering-herd break when cross-key alignment is acceptable).
 
-    Offset modes compute boundaries arithmetically (``F.window`` cannot take
-    a per-key startTime): floor((epoch - off) / size) * size + off — still a
-    plain groupBy, same single-shuffle plan."""
+    Offset modes compute batch boundaries arithmetically (``F.window``
+    cannot take a per-key startTime): floor((epoch - off) / size) * size +
+    off — still a plain groupBy, same single-shuffle plan. On a STREAMING
+    input the same semantics ride the native operator instead: window over
+    (ts - off) with the boundaries shifted back by off after the agg, so
+    watermark-driven state eviction keeps working (the shift is bounded by
+    0.8 * size, so state lingers at most that much longer than aligned —
+    the safe direction). Batch/stream parity is pytest-pinned."""
     if offset is None:
         w = F.window(F.col(ts), size)
         return (
@@ -84,15 +89,33 @@ def tumbling(
     from wallaroo_spark.functions import hashing as H
 
     size_s = _size_seconds(size)
-    if offset == "per_key":
-        key_str = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
-        off = H.md5int_col(F.concat(key_str, F.lit(":walign"))) % F.lit(
-            int(0.8 * size_s)
+
+    def off_col() -> Column:
+        # recomputable before AND after the agg (key columns survive it)
+        if offset == "per_key":
+            key_str = F.concat_ws(
+                "\x1f", *[F.col(k).cast("string") for k in keys]
+            )
+            return H.md5int_col(F.concat(key_str, F.lit(":walign"))) % F.lit(
+                int(0.8 * size_s)
+            )
+        return F.lit(int(offset) % size_s)
+
+    if df.isStreaming:
+        shift = F.make_interval(secs=off_col().cast("double"))
+        w = F.window(F.col(ts) - shift, size)
+        return (
+            df.groupBy(*keys, w.alias("_w"))
+            .agg(*aggs)
+            .select(
+                *keys,
+                (F.col("_w.start") + shift).alias("window_start"),
+                (F.col("_w.end") + shift).alias("window_end"),
+                *_agg_names(aggs),
+            )
         )
-    else:
-        off = F.lit(int(offset) % size_s)
     ep = epoch_seconds(ts)
-    start = (F.floor((ep - off) / size_s) * size_s + off).cast("long")
+    start = (F.floor((ep - off_col()) / size_s) * size_s + off_col()).cast("long")
     return (
         df.groupBy(*keys, start.alias("_ws"))
         .agg(*aggs)
