@@ -177,3 +177,29 @@ def test_tumbling_per_key_offset_streaming_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     assert sorted((r.key, r.window_start, r.window_end, r.s) for r in got) == want
     assert len(want) > 10
+
+
+def test_sliding_per_key_offset(spark):
+    """Unaligned sliding windows: every start is congruent to the key's
+    offset mod slide-grid, totals are alignment-invariant (each event
+    still lands in exactly size/slide windows)."""
+    from wallaroo_spark.functions import hashing as H
+
+    df = _seq_df(spark)
+    out = W.sliding(
+        df, "ts", ["key"], [F.count("*").alias("c")], "20 seconds", "10 seconds",
+        offset="per_key",
+    )
+    rows = out.collect()
+    # each event in exactly 2 windows regardless of alignment
+    assert sum(r.c for r in rows) == 2 * 40
+    offs = {
+        r.key: r.off
+        for r in df.select(
+            "key",
+            (H.md5int_col(F.concat(F.col("key").cast("string"), F.lit(":walign"))) % 16).alias("off"),
+        ).distinct().collect()
+    }
+    for r in rows:
+        assert int(r.window_start.timestamp()) % 10 == offs[r.key] % 10
+        assert (r.window_end - r.window_start).total_seconds() == 20

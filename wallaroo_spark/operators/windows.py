@@ -165,19 +165,50 @@ def sliding(
     aggs: Sequence[Column],
     size: str,
     slide: str,
+    offset: int | str | None = None,
 ) -> DataFrame:
-    """Sliding event-time window (range=size, slide=slide), aligned.
+    """Sliding event-time window (range=size, slide=slide), aligned by
+    default.
 
     Maps reference S6 (`windows.pony:50-76`; pane impl
     `panes_range_windows.pony:392-409`). Spark expands each row into
     size/slide windows then partial-aggregates map-side — equivalent work to
     the reference's pane combine, without custom state.
-    """
-    w = F.window(F.col(ts), size, slide)
+
+    ``offset`` as in `tumbling` (the reference's unaligned mode applies to
+    ALL range windows): ``"per_key"`` shifts every key's window grid by its
+    deterministic salted-md5 offset in [0, 0.8 * size); int = fixed
+    stagger. Implemented for batch AND streaming as the native window over
+    (ts - offset) with boundaries shifted back — one code path, watermark
+    eviction intact on streams."""
+    if offset is None:
+        w = F.window(F.col(ts), size, slide)
+        return (
+            df.groupBy(*keys, w.alias("w"))
+            .agg(*aggs)
+            .select(*keys, F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *_agg_names(aggs))
+        )
+    from wallaroo_spark.functions import hashing as H
+
+    size_s = _size_seconds(size)
+    if offset == "per_key":
+        key_str = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+        off = H.md5int_col(F.concat(key_str, F.lit(":walign"))) % F.lit(
+            int(0.8 * size_s)
+        )
+    else:
+        off = F.lit(int(offset) % size_s)
+    shift = F.make_interval(secs=off.cast("double"))
+    w = F.window(F.col(ts) - shift, size, slide)
     return (
-        df.groupBy(*keys, w.alias("w"))
+        df.groupBy(*keys, w.alias("_w"))
         .agg(*aggs)
-        .select(*keys, F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *_agg_names(aggs))
+        .select(
+            *keys,
+            (F.col("_w.start") + shift).alias("window_start"),
+            (F.col("_w.end") + shift).alias("window_end"),
+            *_agg_names(aggs),
+        )
     )
 
 
