@@ -61,7 +61,8 @@ def canonical_map(vocab: DataFrame, col: str, k: int = 1) -> DataFrame:
     labels = edges.groupBy("src").agg(
         F.least(F.min("dst"), F.min("src")).alias("lbl")
     ).persist()
-    for _ in range(12):  # component diameters are tiny for typo clusters
+    converged = False
+    for _ in range(20):  # doubling => covers diameter 2^20, loop exits earlier
         prop = (
             edges.join(
                 labels.select(F.col("src").alias("dst"), F.col("lbl").alias("nl")),
@@ -70,9 +71,22 @@ def canonical_map(vocab: DataFrame, col: str, k: int = 1) -> DataFrame:
             .groupBy("src")
             .agg(F.min("nl").alias("pl"))
         )
+        # label-of-label pointer doubling: long chains (the dense serial
+        # regime in the module caveat) converge in O(log diameter) rounds,
+        # not O(diameter) — one-hop propagation alone would need a round
+        # per hop and a silent cap would return split components
+        dbl = labels.select(F.col("lbl").alias("dsrc"), F.col("src").alias("_via")).join(
+            labels.select(F.col("src").alias("dsrc"), F.col("lbl").alias("dl")), "dsrc"
+        ).select(F.col("_via").alias("src"), "dl")
         nxt = (
             labels.join(prop, "src", "left")
-            .select("src", F.least("lbl", F.coalesce("pl", "lbl")).alias("lbl"))
+            .join(dbl, "src", "left")
+            .select(
+                "src",
+                F.least(
+                    "lbl", F.coalesce("pl", "lbl"), F.coalesce("dl", "lbl")
+                ).alias("lbl"),
+            )
             .persist()
         )
         changed = (
@@ -84,7 +98,10 @@ def canonical_map(vocab: DataFrame, col: str, k: int = 1) -> DataFrame:
         labels.unpersist()
         labels = nxt
         if changed == 0:
+            converged = True
             break
+    if not converged:  # pragma: no cover - 2^20 diameter is unreachable
+        raise RuntimeError("canonical_map: label propagation did not converge")
     return labels.select(F.col("src").alias(col), F.col("lbl").alias("canonical"))
 
 

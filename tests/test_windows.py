@@ -137,6 +137,10 @@ def test_tumbling_per_key_offset_reference_parity(spark):
 
     with pytest.raises(ValueError, match="integer-seconds size"):
         W.tumbling(df, "ts", ["key"], [F.sum("v").alias("s")], "1 banana", offset=3)
+    # review r13: a 1-second window makes floor(0.8*size)=0 — must refuse
+    # up front, not die in a REMAINDER_BY_ZERO mid-job under ANSI mode
+    with pytest.raises(ValueError, match="sub-second offsets"):
+        W.tumbling(df, "ts", ["key"], [F.sum("v").alias("s")], "1 second", offset="per_key")
 
 
 def test_tumbling_per_key_offset_streaming_matches_batch(spark, tmp_path):
@@ -146,7 +150,9 @@ def test_tumbling_per_key_offset_streaming_matches_batch(spark, tmp_path):
     arithmetic form exactly."""
     src = str(tmp_path / "src")
     ck = str(tmp_path / "ck")
-    rows = [(k, float(t)) for k in ("a", "b", "c", "d") for t in range(0, 100, 7)]
+    # base at a modern epoch: Spark's INITIAL watermark is epoch 0, so a
+    # fixture starting at 0 would see its shifted-negative rows dropped as late
+    rows = [(k, 1_000_000.0 + t) for k in ("a", "b", "c", "d") for t in range(0, 100, 7)]
     df = (
         spark.createDataFrame(rows, "key string, ep double")
         .select("key", F.timestamp_seconds("ep").alias("ts"), F.lit(1.0).alias("v"))
@@ -159,12 +165,15 @@ def test_tumbling_per_key_offset_streaming_matches_batch(spark, tmp_path):
     )
     want = sorted((r.key, r.window_start, r.window_end, r.s) for r in batch.collect())
 
-    sdf = (
-        spark.readStream.schema("key string, ts timestamp, v double")
-        .parquet(src)
-        .withWatermark("ts", "10 seconds")
+    sdf = spark.readStream.schema("key string, ts timestamp, v double").parquet(src)
+    import pytest
+
+    with pytest.raises(ValueError, match="stream_watermark"):
+        W.tumbling(sdf, "ts", ["key"], [F.sum("v").alias("s")], "20 seconds", offset="per_key")
+    out = W.tumbling(
+        sdf, "ts", ["key"], [F.sum("v").alias("s")], "20 seconds",
+        offset="per_key", stream_watermark="10 seconds",
     )
-    out = W.tumbling(sdf, "ts", ["key"], [F.sum("v").alias("s")], "20 seconds", offset="per_key")
     assert out.isStreaming
     got = []
     q = (
@@ -203,3 +212,44 @@ def test_sliding_per_key_offset(spark):
     for r in rows:
         assert int(r.window_start.timestamp()) % 10 == offs[r.key] % 10
         assert (r.window_end - r.window_start).total_seconds() == 20
+
+
+def test_tumbling_offset_streaming_append_mode_evicts(spark, tmp_path):
+    """The review-found state leak, pinned: event-time metadata must
+    survive onto the shifted window column — APPEND mode (which REQUIRES
+    a watermarked aggregation) must run and emit the finalized windows.
+    With an expression inside window() Spark drops the metadata and this
+    query would not even start."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    rows = [(k, 1_000_000.0 + t) for k in ("a", "b", "c") for t in range(0, 200, 11)]
+    df = (
+        spark.createDataFrame(rows, "key string, ep double")
+        .select("key", F.timestamp_seconds("ep").alias("ts"), F.lit(1.0).alias("v"))
+    )
+    df.write.parquet(src)
+    sdf = spark.readStream.schema("key string, ts timestamp, v double").parquet(src)
+    out = W.tumbling(
+        sdf, "ts", ["key"], [F.sum("v").alias("s")], "20 seconds",
+        offset="per_key", stream_watermark="10 seconds",
+    )
+    got = []
+    q = (
+        out.writeStream.foreachBatch(lambda d, b: got.extend(d.collect()))
+        .outputMode("append")  # illegal without a watermarked window
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # finalized windows only, and every emitted window matches batch exactly
+    batch = {
+        (r.key, r.window_start, r.window_end): r.s
+        for r in W.tumbling(
+            spark.read.parquet(src), "ts", ["key"], [F.sum("v").alias("s")],
+            "20 seconds", offset="per_key",
+        ).collect()
+    }
+    assert got, "append mode emitted nothing — watermark did not advance"
+    for r in got:
+        assert batch[(r.key, r.window_start, r.window_end)] == r.s

@@ -263,24 +263,40 @@ class Pipeline:
         size: str,
         aggs: Sequence[Column],
         offset: int | str | None = None,
+        stream_watermark: str | None = None,
     ) -> "Pipeline":
         """S5 tumbling windows. ``offset=None`` = aligned (engine default);
         ``"per_key"`` = the reference's DEFAULT unaligned mode via a
         deterministic salted-hash per-key offset (load smoothing,
         oracle-replayable); int = fixed stagger. Works batch and
-        streaming (see `operators.windows.tumbling`)."""
+        streaming — a streaming offset mode requires ``stream_watermark``
+        (the delay attaches to the shifted event-time column; see
+        `operators.windows.tumbling`)."""
         self._need_keys()
         return self._with(
             W.tumbling(
                 self.df, self.ts_col, list(self.key_cols), list(aggs), size,
-                offset=offset,
+                offset=offset, stream_watermark=stream_watermark,
             )
         )
 
-    def to_sliding(self, size: str, slide: str, aggs: Sequence[Column]) -> "Pipeline":
+    def to_sliding(
+        self,
+        size: str,
+        slide: str,
+        aggs: Sequence[Column],
+        offset: int | str | None = None,
+        stream_watermark: str | None = None,
+    ) -> "Pipeline":
+        """S6 sliding windows; ``offset``/``stream_watermark`` as in
+        `to_tumbling` (the reference's unaligned mode covers all range
+        windows)."""
         self._need_keys()
         return self._with(
-            W.sliding(self.df, self.ts_col, list(self.key_cols), list(aggs), size, slide)
+            W.sliding(
+                self.df, self.ts_col, list(self.key_cols), list(aggs), size,
+                slide, offset=offset, stream_watermark=stream_watermark,
+            )
         )
 
     def to_count_windows(

@@ -49,6 +49,7 @@ def tumbling(
     aggs: Sequence[Column],
     size: str,
     offset: int | str | None = None,
+    stream_watermark: str | None = None,
 ) -> DataFrame:
     """Tumbling event-time window per key.
 
@@ -73,11 +74,17 @@ def tumbling(
     Offset modes compute batch boundaries arithmetically (``F.window``
     cannot take a per-key startTime): floor((epoch - off) / size) * size +
     off — still a plain groupBy, same single-shuffle plan. On a STREAMING
-    input the same semantics ride the native operator instead: window over
-    (ts - off) with the boundaries shifted back by off after the agg, so
-    watermark-driven state eviction keeps working (the shift is bounded by
-    0.8 * size, so state lingers at most that much longer than aligned —
-    the safe direction). Batch/stream parity is pytest-pinned."""
+    input the same semantics ride the native operator on a SHIFTED
+    event-time column: the operator projects ``ts - off``, applies
+    ``withWatermark`` to that bare attribute (Spark only propagates
+    event-time metadata through a bare column, never through an arithmetic
+    expression inside ``window()`` — a silent state leak otherwise), and
+    shifts the boundaries back after the agg. Streaming offset windows
+    therefore REQUIRE ``stream_watermark`` (the delay string); set it here
+    instead of calling ``withWatermark`` upstream. Eviction tracks the
+    shifted clock, at most 0.8 * size later than aligned — the safe
+    direction. Batch/stream parity and append-mode eviction are
+    pytest-pinned."""
     if offset is None:
         w = F.window(F.col(ts), size)
         return (
@@ -86,36 +93,15 @@ def tumbling(
             .select(*keys, F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *[c for c in _agg_names(aggs)])
         )
     from wallaroo_spark.functions import epoch_seconds
-    from wallaroo_spark.functions import hashing as H
 
     size_s = _size_seconds(size)
-
-    def off_col() -> Column:
-        # recomputable before AND after the agg (key columns survive it)
-        if offset == "per_key":
-            key_str = F.concat_ws(
-                "\x1f", *[F.col(k).cast("string") for k in keys]
-            )
-            return H.md5int_col(F.concat(key_str, F.lit(":walign"))) % F.lit(
-                int(0.8 * size_s)
-            )
-        return F.lit(int(offset) % size_s)
-
+    off = _offset_col(keys, offset, size_s)
     if df.isStreaming:
-        shift = F.make_interval(secs=off_col().cast("double"))
-        w = F.window(F.col(ts) - shift, size)
-        return (
-            df.groupBy(*keys, w.alias("_w"))
-            .agg(*aggs)
-            .select(
-                *keys,
-                (F.col("_w.start") + shift).alias("window_start"),
-                (F.col("_w.end") + shift).alias("window_end"),
-                *_agg_names(aggs),
-            )
+        return _offset_stream_window(
+            df, ts, keys, aggs, size, None, off, stream_watermark
         )
     ep = epoch_seconds(ts)
-    start = (F.floor((ep - off_col()) / size_s) * size_s + off_col()).cast("long")
+    start = (F.floor((ep - off) / size_s) * size_s + off).cast("long")
     return (
         df.groupBy(*keys, start.alias("_ws"))
         .agg(*aggs)
@@ -123,6 +109,71 @@ def tumbling(
             *keys,
             F.timestamp_seconds(F.col("_ws")).alias("window_start"),
             F.timestamp_seconds(F.col("_ws") + size_s).alias("window_end"),
+            *_agg_names(aggs),
+        )
+    )
+
+
+def _offset_col(keys: Sequence[str], offset: int | str, size_s: int) -> Column:
+    """The per-row offset-seconds column for unaligned windows.
+
+    NULL keys map to a sentinel ("\\x00") before hashing so the offset is
+    never NULL and multi-key tuples like ('a', NULL) / (NULL, 'a') stay
+    distinct — oracles must replay the same COALESCE (a bare string concat
+    would propagate NULL and silently shunt those rows to a NULL window).
+    """
+    from wallaroo_spark.functions import hashing as H
+
+    mod = int(0.8 * size_s)
+    if offset == "per_key":
+        if mod < 1:
+            raise ValueError(
+                f"per_key offset needs floor(0.8 * size) >= 1 second "
+                f"(size={size_s}s); sub-second offsets are not supported"
+            )
+        key_str = F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(k).cast("string"), F.lit("\x00")) for k in keys],
+        )
+        return H.md5int_col(F.concat(key_str, F.lit(":walign"))) % F.lit(mod)
+    return F.lit(int(offset) % size_s)
+
+
+def _offset_stream_window(
+    df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    size: str,
+    slide: str | None,
+    off: Column,
+    stream_watermark: str | None,
+) -> DataFrame:
+    """Offset windows on a stream: shift the event-time COLUMN, watermark
+    the bare shifted attribute, window natively, shift boundaries back."""
+    if stream_watermark is None:
+        raise ValueError(
+            "streaming offset windows need stream_watermark=<delay> — the "
+            "watermark must attach to the SHIFTED event-time column (Spark "
+            "drops event-time metadata on expressions inside window()), so "
+            "an upstream withWatermark cannot drive eviction here"
+        )
+    shift = F.make_interval(secs=off.cast("double"))
+    shifted = df.withColumn("_ts_shift", F.col(ts) - shift).withWatermark(
+        "_ts_shift", stream_watermark
+    )
+    w = (
+        F.window(F.col("_ts_shift"), size)
+        if slide is None
+        else F.window(F.col("_ts_shift"), size, slide)
+    )
+    return (
+        shifted.groupBy(*keys, w.alias("_w"))
+        .agg(*aggs)
+        .select(
+            *keys,
+            (F.col("_w.start") + shift).alias("window_start"),
+            (F.col("_w.end") + shift).alias("window_end"),
             *_agg_names(aggs),
         )
     )
@@ -166,6 +217,7 @@ def sliding(
     size: str,
     slide: str,
     offset: int | str | None = None,
+    stream_watermark: str | None = None,
 ) -> DataFrame:
     """Sliding event-time window (range=size, slide=slide), aligned by
     default.
@@ -178,9 +230,10 @@ def sliding(
     ``offset`` as in `tumbling` (the reference's unaligned mode applies to
     ALL range windows): ``"per_key"`` shifts every key's window grid by its
     deterministic salted-md5 offset in [0, 0.8 * size); int = fixed
-    stagger. Implemented for batch AND streaming as the native window over
-    (ts - offset) with boundaries shifted back — one code path, watermark
-    eviction intact on streams."""
+    stagger. Batch windows over (ts - offset) with boundaries shifted
+    back; a streaming input routes through the same shifted-column
+    machinery as `tumbling` and REQUIRES ``stream_watermark`` (event-time
+    metadata only survives on a bare watermarked attribute)."""
     if offset is None:
         w = F.window(F.col(ts), size, slide)
         return (
@@ -188,16 +241,11 @@ def sliding(
             .agg(*aggs)
             .select(*keys, F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *_agg_names(aggs))
         )
-    from wallaroo_spark.functions import hashing as H
-
-    size_s = _size_seconds(size)
-    if offset == "per_key":
-        key_str = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
-        off = H.md5int_col(F.concat(key_str, F.lit(":walign"))) % F.lit(
-            int(0.8 * size_s)
+    off = _offset_col(keys, offset, _size_seconds(size))
+    if df.isStreaming:
+        return _offset_stream_window(
+            df, ts, keys, aggs, size, slide, off, stream_watermark
         )
-    else:
-        off = F.lit(int(offset) % size_s)
     shift = F.make_interval(secs=off.cast("double"))
     w = F.window(F.col(ts) - shift, size, slide)
     return (

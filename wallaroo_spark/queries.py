@@ -7562,7 +7562,7 @@ def fuzzy_name_pairs_ed2(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(floor((epoch(ts) - off) / 3600) * 3600 + off AS BIGINT) AS ws
         FROM (
             SELECT *,
-                   {H.md5int_sql("CAST(user_id AS VARCHAR) || ':walign'")} % 2880 AS off
+                   {H.md5int_sql("COALESCE(CAST(user_id AS VARCHAR), chr(0)) || ':walign'")} % 2880 AS off
             FROM events
         )
     )
