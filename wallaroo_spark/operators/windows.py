@@ -80,11 +80,15 @@ def tumbling(
     event-time metadata through a bare column, never through an arithmetic
     expression inside ``window()`` — a silent state leak otherwise), and
     shifts the boundaries back after the agg. Streaming offset windows
-    therefore REQUIRE ``stream_watermark`` (the delay string); set it here
-    instead of calling ``withWatermark`` upstream. Eviction tracks the
-    shifted clock, at most 0.8 * size later than aligned — the safe
-    direction. Batch/stream parity and append-mode eviction are
-    pytest-pinned."""
+    therefore REQUIRE ``stream_watermark`` (the delay string, judged against
+    the REAL clock: internally the shifted-column delay is PADDED by the
+    maximum possible offset so a high-offset key never has its on-time
+    events dropped by a watermark another key advanced — see
+    `_offset_watermark_pad`); set it here instead of calling
+    ``withWatermark`` upstream. Eviction tracks the padded shifted clock,
+    at most 1.6 * size later than aligned — the safe direction.
+    Batch/stream parity, append-mode eviction, and multi-micro-batch
+    no-loss are pytest-pinned."""
     if offset is None:
         w = F.window(F.col(ts), size)
         return (
@@ -98,7 +102,8 @@ def tumbling(
     off = _offset_col(keys, offset, size_s)
     if df.isStreaming:
         return _offset_stream_window(
-            df, ts, keys, aggs, size, None, off, stream_watermark
+            df, ts, keys, aggs, size, None, off, stream_watermark,
+            _offset_watermark_pad(offset, size_s),
         )
     ep = epoch_seconds(ts)
     start = (F.floor((ep - off) / size_s) * size_s + off).cast("long")
@@ -139,6 +144,25 @@ def _offset_col(keys: Sequence[str], offset: int | str, size_s: int) -> Column:
     return F.lit(int(offset) % size_s)
 
 
+def _offset_watermark_pad(offset: int | str, size_s: int) -> int:
+    """Extra watermark-delay seconds a streaming offset window needs so the
+    SHIFTED clock never judges a real-clock-on-time event late.
+
+    The watermark is global but attaches to ``_ts_shift = ts - off(key)``.
+    With per-key offsets a low-offset key advances the shifted watermark to
+    ~max(ts) - delay while a key with offset o has its on-time events at
+    ``ts - o`` — once o > delay they fall below the watermark and Spark
+    silently drops them (the reference judges lateness against the REAL
+    clock per key, `watermarker.pony`). Padding the delay by the maximum
+    possible offset (``floor(0.8 * size)`` for per_key) restores the
+    real-clock bound: for every key, ``ts on-time`` ⟹
+    ``ts - off >= max(ts) - delay - pad``. A FIXED offset shifts every
+    key — and therefore the watermark itself — by the same constant, so the
+    shifted comparison already equals the real-clock one and pad = 0 (a
+    nonzero pad there would only delay append-mode finalization)."""
+    return int(0.8 * size_s) if offset == "per_key" else 0
+
+
 def _offset_stream_window(
     df: DataFrame,
     ts: str,
@@ -148,9 +172,11 @@ def _offset_stream_window(
     slide: str | None,
     off: Column,
     stream_watermark: str | None,
+    pad_s: int,
 ) -> DataFrame:
     """Offset windows on a stream: shift the event-time COLUMN, watermark
-    the bare shifted attribute, window natively, shift boundaries back."""
+    the bare shifted attribute (delay padded by the max per-key offset —
+    see `_offset_watermark_pad`), window natively, shift boundaries back."""
     if stream_watermark is None:
         raise ValueError(
             "streaming offset windows need stream_watermark=<delay> — the "
@@ -158,9 +184,16 @@ def _offset_stream_window(
             "drops event-time metadata on expressions inside window()), so "
             "an upstream withWatermark cannot drive eviction here"
         )
+    clash = {"_ts_shift", "_w"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"offset windows use internal column(s) {sorted(clash)} which "
+            "already exist on the input — rename them first"
+        )
+    delay_s = _size_seconds(stream_watermark) + pad_s
     shift = F.make_interval(secs=off.cast("double"))
     shifted = df.withColumn("_ts_shift", F.col(ts) - shift).withWatermark(
-        "_ts_shift", stream_watermark
+        "_ts_shift", f"{delay_s} seconds"
     )
     w = (
         F.window(F.col("_ts_shift"), size)
@@ -241,10 +274,12 @@ def sliding(
             .agg(*aggs)
             .select(*keys, F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *_agg_names(aggs))
         )
-    off = _offset_col(keys, offset, _size_seconds(size))
+    size_s = _size_seconds(size)
+    off = _offset_col(keys, offset, size_s)
     if df.isStreaming:
         return _offset_stream_window(
-            df, ts, keys, aggs, size, slide, off, stream_watermark
+            df, ts, keys, aggs, size, slide, off, stream_watermark,
+            _offset_watermark_pad(offset, size_s),
         )
     shift = F.make_interval(secs=off.cast("double"))
     w = F.window(F.col(ts) - shift, size, slide)
