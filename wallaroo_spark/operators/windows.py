@@ -91,10 +91,12 @@ def tumbling(
     no-loss are pytest-pinned."""
     if offset is None:
         w = F.window(F.col(ts), size)
-        return (
-            df.groupBy(*keys, w.alias("w"))
-            .agg(*aggs)
-            .select(*keys, F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *[c for c in _agg_names(aggs)])
+        agged = df.groupBy(*keys, w.alias("w")).agg(*aggs)
+        return agged.select(
+            *keys,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *_agg_cols(agged, keys),
         )
     from wallaroo_spark.functions import epoch_seconds
 
@@ -107,15 +109,12 @@ def tumbling(
         )
     ep = epoch_seconds(ts)
     start = (F.floor((ep - off) / size_s) * size_s + off).cast("long")
-    return (
-        df.groupBy(*keys, start.alias("_ws"))
-        .agg(*aggs)
-        .select(
-            *keys,
-            F.timestamp_seconds(F.col("_ws")).alias("window_start"),
-            F.timestamp_seconds(F.col("_ws") + size_s).alias("window_end"),
-            *_agg_names(aggs),
-        )
+    agged = df.groupBy(*keys, start.alias("_ws")).agg(*aggs)
+    return agged.select(
+        *keys,
+        F.timestamp_seconds(F.col("_ws")).alias("window_start"),
+        F.timestamp_seconds(F.col("_ws") + size_s).alias("window_end"),
+        *_agg_cols(agged, keys),
     )
 
 
@@ -200,15 +199,12 @@ def _offset_stream_window(
         if slide is None
         else F.window(F.col("_ts_shift"), size, slide)
     )
-    return (
-        shifted.groupBy(*keys, w.alias("_w"))
-        .agg(*aggs)
-        .select(
-            *keys,
-            (F.col("_w.start") + shift).alias("window_start"),
-            (F.col("_w.end") + shift).alias("window_end"),
-            *_agg_names(aggs),
-        )
+    agged = shifted.groupBy(*keys, w.alias("_w")).agg(*aggs)
+    return agged.select(
+        *keys,
+        (F.col("_w.start") + shift).alias("window_start"),
+        (F.col("_w.end") + shift).alias("window_end"),
+        *_agg_cols(agged, keys),
     )
 
 
@@ -228,18 +224,12 @@ def _size_seconds(size: str | int) -> int:
     return int(n) * mult
 
 
-def _agg_names(aggs: Sequence[Column]) -> list[str]:
-    # Column objects carry their alias in the expression; after .agg() the
-    # output columns are exactly the alias names. Extract via the plan name.
-    names = []
-    for c in aggs:
-        # str(Column) looks like "Column<'sum(x) AS total'>"
-        s = str(c)
-        if " AS " in s:
-            names.append(s.rsplit(" AS ", 1)[1].rstrip("'>").rstrip("`").lstrip("`"))
-        else:  # pragma: no cover - callers should always alias
-            raise ValueError(f"aggregate column must be aliased: {s}")
-    return names
+def _agg_cols(agged: DataFrame, keys: Sequence[str]) -> list[str]:
+    """Aggregate output column names: everything after the grouping columns
+    (keys + the single window column) in the agg result's schema. Schema
+    introspection instead of parsing ``str(Column)`` reprs (VERDICT r13
+    minor: the repr format is one Spark upgrade away from changing)."""
+    return agged.columns[len(keys) + 1 :]
 
 
 def sliding(
@@ -269,10 +259,12 @@ def sliding(
     metadata only survives on a bare watermarked attribute)."""
     if offset is None:
         w = F.window(F.col(ts), size, slide)
-        return (
-            df.groupBy(*keys, w.alias("w"))
-            .agg(*aggs)
-            .select(*keys, F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *_agg_names(aggs))
+        agged = df.groupBy(*keys, w.alias("w")).agg(*aggs)
+        return agged.select(
+            *keys,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *_agg_cols(agged, keys),
         )
     size_s = _size_seconds(size)
     off = _offset_col(keys, offset, size_s)
@@ -283,15 +275,12 @@ def sliding(
         )
     shift = F.make_interval(secs=off.cast("double"))
     w = F.window(F.col(ts) - shift, size, slide)
-    return (
-        df.groupBy(*keys, w.alias("_w"))
-        .agg(*aggs)
-        .select(
-            *keys,
-            (F.col("_w.start") + shift).alias("window_start"),
-            (F.col("_w.end") + shift).alias("window_end"),
-            *_agg_names(aggs),
-        )
+    agged = df.groupBy(*keys, w.alias("_w")).agg(*aggs)
+    return agged.select(
+        *keys,
+        (F.col("_w.start") + shift).alias("window_start"),
+        (F.col("_w.end") + shift).alias("window_end"),
+        *_agg_cols(agged, keys),
     )
 
 
@@ -316,10 +305,12 @@ def sliding_panes(
     pane = F.window(F.col(ts), slide)  # pane size = slide (gcd when slide|size)
     panes = df.groupBy(*keys, pane.alias("p")).agg(*pane_aggs)
     w = F.window(F.col("p.start"), size, slide)
-    return (
-        panes.groupBy(*keys, w.alias("w"))
-        .agg(*final_aggs)
-        .select(*keys, F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *_agg_names(final_aggs))
+    agged = panes.groupBy(*keys, w.alias("w")).agg(*final_aggs)
+    return agged.select(
+        *keys,
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *_agg_cols(agged, keys),
     )
 
 
@@ -387,8 +378,10 @@ def session_windows(
     semantics live in the custom state op (streaming module).
     """
     w = F.session_window(F.col(ts), gap)
-    return (
-        df.groupBy(*keys, w.alias("w"))
-        .agg(*aggs)
-        .select(*keys, F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *_agg_names(aggs))
+    agged = df.groupBy(*keys, w.alias("w")).agg(*aggs)
+    return agged.select(
+        *keys,
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *_agg_cols(agged, keys),
     )

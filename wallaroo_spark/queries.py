@@ -7490,6 +7490,7 @@ from wallaroo_spark.operators import fuzzy as _fuzzy  # noqa: E402
            levenshtein(a.name, b.name) AS dist
     FROM samp a, samp b
     WHERE a.name < b.name
+      AND length(a.name) <= 24 AND length(b.name) <= 24
       AND abs(length(a.name) - length(b.name)) <= 1
       AND levenshtein(a.name, b.name) <= 1
     """,
@@ -7508,7 +7509,10 @@ def fuzzy_name_pairs_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood join missed would show as an oracle-only row. The
     salted-md5-rank sample (':fuzzy', 2000 names) bounds the oracle's n²
     at every SF; the ENGINE path needs no such bound (O(n·len) exploded
-    keys, hash-shuffle join, no cartesian — the 100 TB shape)."""
+    keys, hash-shuffle join, no cartesian — the 100 TB shape). The oracle
+    states the engine's ``max_len=24`` drop as an explicit
+    ``length <= 24`` predicate (ADVICE r13: parity must be structural,
+    not an accident of c_name's current fixed width)."""
     cust = _t(spark, sf_dir, "customer")
     ranked = cust.select(F.col("c_name").alias("name")).withColumn(
         "_h", H.md5int_col(F.concat(F.col("name"), F.lit(":fuzzy")))
@@ -7529,6 +7533,7 @@ def fuzzy_name_pairs_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
            levenshtein(a.name, b.name) AS dist
     FROM samp a, samp b
     WHERE a.name < b.name
+      AND length(a.name) <= 24 AND length(b.name) <= 24
       AND abs(length(a.name) - length(b.name)) <= 2
       AND levenshtein(a.name, b.name) <= 2
     """,
@@ -7592,6 +7597,61 @@ def tumbling_window_sum_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "sliding_window_sum_unaligned",
+    oracle=f"""
+    SELECT user_id,
+           TIMESTAMP '1970-01-01' + ws * INTERVAL 1 SECOND AS window_start,
+           TIMESTAMP '1970-01-01' + (ws + 3600) * INTERVAL 1 SECOND AS window_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (
+        SELECT user_id, value, j * 900 + off AS ws
+        FROM (
+            SELECT user_id, value, off,
+                   unnest(generate_series(
+                       CAST(floor((epoch(ts) - off - 3600) / 900) AS BIGINT) + 1,
+                       CAST(floor((epoch(ts) - off) / 900) AS BIGINT)
+                   )) AS j
+            FROM (
+                SELECT *,
+                       {H.md5int_sql("COALESCE(CAST(user_id AS VARCHAR), chr(0)) || ':walign'")} % 2880 AS off
+                FROM events
+            )
+        )
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def sliding_window_sum_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding twin of `tumbling_window_sum_unaligned` (VERDICT r13 #1
+    — the operator shipped in r13 with pytest parity only): the reference
+    applies its random per-key offset to ALL range windows
+    (`panes_range_windows.pony:97-100`), so the unaligned mode must hold
+    for size/slide windows too. Each event lands in exactly size/slide = 4
+    windows whose starts are congruent to the key's deterministic
+    salted-md5 offset mod the slide grid. The ORACLE replays both halves of
+    the semantics in SQL: the per-key offset (same COALESCE/chr(0)
+    NULL-sentinel hash as the tumbling oracle) and the window EXPLODE — a
+    generate_series over the slide steps j with
+    floor((epoch - off - size) / slide) < j <= floor((epoch - off) / slide),
+    i.e. every grid start s = j*slide + off with s <= ts < s + size, which
+    is exactly Spark's native assignment on the shifted column."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.sliding(
+        ev,
+        ts="ts",
+        keys=["user_id"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+        size="1 hour",
+        slide="15 minutes",
+        offset="per_key",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 12, VERDICT r11 #4)
 # ---------------------------------------------------------------------------
@@ -7610,49 +7670,51 @@ def tumbling_window_sum_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame
 # and the r13 batch was additionally spot-verified at sf0.01 (the
 # driver's scale) before commit.
 _DRIVER_WINDOW_ROTATION = [
-    # relational / TPC-H tails never sampled by the driver
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q13_customer_distribution",
-    "tpch_q18_large_orders",
-    "tpch_q21_suppliers_kept_waiting",
-    "value_band_range_join",
-    "asof_forward_next_purchase",
-    # round-13 additions displace two relational rows (window_ranking_battery,
-    # signup_purchase_conversion) to the r14 backlog
-    # (VERDICT r12 #6: new oracle-gated families go straight into the
-    # window): the k=2 fuzzy arm and the reference-parity unaligned window
-    "fuzzy_name_pairs_ed2",
-    "tumbling_window_sum_unaligned",
-    # dedup / decontamination stack
-    "duplicate_clusters",
-    "near_dedup_corpus",
-    "paragraph_dedup_ccnet",
-    "semdedup_embeddings",
-    "chunk_dedup_stats",
-    "snapshot_novelty",
-    "decontaminate_testset_overlap",
-    "dedup_keep_best_quality",
-    # text quality / filtering
-    "pii_redact_docs",
-    "c4_gopher_filter_battery",
-    "readability_signals",
-    # retrieval / LM scoring / selection
-    "bm25_retrieval_topk",
-    "bpe_train_merges",
-    "reference_lm_perplexity",
-    "trained_quality_classifier",
-    "dsir_importance_select",
-    "token_budget_admit",
-    "pack_sequences",
-    "temperature_mixture_lang",
-    # multimodal family outside the r12 batch
-    "multimodal_ahash_near_dup",
-    # round-13 addition (VERDICT r12 #6: new oracle-gated families go
-    # straight into the window): the fuzzy edit-distance join, whose
-    # oracle is the brute-force definition — the driver hash certifies
-    # the deletion-neighborhood blocking's completeness directly
-    "fuzzy_name_pairs_ed1",
+    # r14 batch (VERDICT r13 #2). The r13 batch (TPC-H tails, the dedup/
+    # decontamination stack, text filters, LM scoring/selection, fuzzy,
+    # tumbling-unaligned) went 30/30 green in CORRECTNESS_r13 and rotates
+    # out; the full local gate remains its backstop.
+    #
+    # Lead: the ONE family whose only driver record is an error — an r01
+    # `no_oracle` row from before it was oracle-gated; green locally for
+    # many rounds, never driver-confirmed since (VERDICT r13 #2).
+    "ephemeral_windows",
+    # the two rows displaced from the r13 batch
+    "window_ranking_battery",
+    "signup_purchase_conversion",
+    # NEW this round (standing rule: new oracle-gated families go straight
+    # into the window): the sliding twin of the reference-parity unaligned
+    # window — its oracle replays the per-key salted-md5 offset AND the
+    # size/slide window explode in SQL (closes the r13 weak item).
+    "sliding_window_sum_unaligned",
+    # never-driver-checked backlog, registration order
+    # (tools/rotation_plan.py r14 suggestions 1-26 of 69)
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_predicates",
+    "cheapest_part_per_brand",
+    "tfidf_top_terms",
+    "label_centroids",
+    "deterministic_split_counts",
+    "frequent_tokens",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_dormant_high_balance",
+    "embedding_cosine_near_dup",
+    "hard_negative_mining_ivf",
+    "kmeans_ivf_topk",
+    "countmin_token_estimates",
+    "deterministic_sample_docs",
+    "multi_aggregation_cascade",
+    "tpch_q11_important_part_value",
+    "tpch_q12_priority_by_ship_class",
+    "tpch_q16_supplier_cnt_by_part",
+    "tpch_q20_dominant_suppliers",
+    "countmin_windowed_cells",
+    "embedding_quantize_int8",
+    "stratified_sample_counts",
+    "quality_weighted_sample",
 ]
 
 
@@ -7689,9 +7751,11 @@ def _rotate_registry() -> None:
     reordering — no entry is added, removed, or altered; any name missing
     from the registry raises (a deleted stalwart must be a deliberate
     edit here, not a silent window shift)."""
-    head = _STALWART_HEAD + [n for n in _DRIVER_WINDOW_ROTATION if n in QUERIES]
+    head = _STALWART_HEAD + _DRIVER_WINDOW_ROTATION
     missing = [n for n in head if n not in QUERIES]
-    if missing:
+    if missing:  # ADVICE r13: check the RAW lists — a typo'd rotation name
+        # must raise, not silently shrink the driver hash window and promote
+        # an arbitrary registration-order query into the first-50 sample
         raise RuntimeError(
             f"driver-window head names not registered: {missing}"
         )
