@@ -54,11 +54,25 @@ def _assign(vectors, cents):
     return similarity.assign_nearest(vectors, cents)
 
 
-def build_index(spark, corpus, index_dir: str, k: int = 6, iters: int = 2):
+def build_index(
+    spark,
+    corpus,
+    index_dir: str,
+    k: int = 6,
+    iters: int = 2,
+    partition_buckets: int | None = None,
+):
     """Fit centroids, assign the corpus, commit BOTH tables in one
     MultiManifestTable transaction — the index is readable only as a
     consistent whole, and per-table compaction keeps the (large)
-    assignments table tidy without rewriting centroids."""
+    assignments table tidy without rewriting centroids.
+
+    ``partition_buckets`` = B selects the BOUNDED assignments layout, the
+    same discipline pq_codes adopted in r13 (`_ivf_partition_spec`):
+    appends stage at most B files instead of one per centroid — the right
+    call at sqrt-N geometry where one-directory-per-cent_id means 1e5
+    dirs per append. Committed in ``ivf_meta`` so refresh/refit/compaction
+    replay the build's layout."""
     cents = similarity.kmeans_fit(corpus, k=k, iters=iters)
     assigned = _assign(corpus, cents)
     t = MultiManifestTable(index_dir)
@@ -68,8 +82,13 @@ def build_index(spark, corpus, index_dir: str, k: int = 6, iters: int = 2):
                 "cent_id", F.col("embedding").cast("array<double>").alias("embedding")
             ),
             "assignments": assigned.select("vec_id", "embedding", "cent_id"),
+            # layout record, pq_meta's sibling: refresh/refit/compact read
+            # partition_buckets from HERE, never from caller defaults
+            "ivf_meta": spark.createDataFrame(
+                [(partition_buckets,)], "partition_buckets int"
+            ),
         },
-        partition_by=_IVF_PARTITION,
+        partition_by=_ivf_partition_spec(partition_buckets),
     )
     return t
 
@@ -77,18 +96,57 @@ def build_index(spark, corpus, index_dir: str, k: int = 6, iters: int = 2):
 # Like pq_codes, the (corpus-sized) assignments table is cent_id-bucketed
 # at rest so probes plan a file-pruned scan of only the probed centroids'
 # postings — the docstring's "partitionable by cent_id for co-located
-# probes" made physical (round 12).
-_IVF_PARTITION = {"assignments": "cent_id"}
+# probes" made physical (round 12); round 14 adds the bounded `(col, B)`
+# bucket form so both index tables share the capped-files-per-append
+# discipline (VERDICT r13 #4).
+def _ivf_partition_spec(partition_buckets: int | None) -> dict:
+    """The assignments layout spec: one directory per cent_id (default),
+    or the BOUNDED cent_id->bucket layout (``("cent_id", B)`` — crc32 %
+    B path directories) when the committed ivf_meta carries
+    partition_buckets. Probes still prune to the probed centroids'
+    buckets; `ivf_topk`'s own cent_id join drops co-bucketed extras."""
+    return {
+        "assignments": ("cent_id", partition_buckets)
+        if partition_buckets
+        else "cent_id"
+    }
 
 
-def refresh_index(spark, t: MultiManifestTable, new_vectors):
-    """Append new vectors under the FROZEN centroids (one manifest version)."""
+def _ivf_layout(spark, t: MultiManifestTable) -> int | None:
+    """The index's committed partition_buckets (ivf_meta), None for the
+    per-cent_id layout and for legacy indexes built before ivf_meta."""
+    if t.table_files("ivf_meta"):
+        pb = t.read(spark, "ivf_meta").first()["partition_buckets"]
+        return int(pb) if pb is not None else None
+    return None
+
+
+def refresh_index(
+    spark,
+    t: MultiManifestTable,
+    new_vectors,
+    files_per_cell_budget: int | None = None,
+):
+    """Append new vectors under the FROZEN centroids (one manifest
+    version), replaying the build's committed assignments layout.
+
+    ``files_per_cell_budget``: every refresh appends one file per touched
+    assignments directory, so K refreshes accumulate up to K files per
+    hot cell — eroding the probe's file-pruned I/O win. When any
+    directory's live file count exceeds the budget after the append,
+    `compact_partitions("assignments")` folds ONLY the over-budget
+    directories under the committed layout (O(hot dirs) per trip — the
+    same bound refresh_pq_index enforces on pq_codes). None (default)
+    leaves maintenance to the caller."""
     cents = load_centroids(spark, t)
     assigned = _assign(new_vectors, cents)
-    t.append_multi(
+    v = t.append_multi(
         {"assignments": assigned.select("vec_id", "embedding", "cent_id")},
-        partition_by=_IVF_PARTITION,
+        partition_by=_ivf_partition_spec(_ivf_layout(spark, t)),
     )
+    if files_per_cell_budget:
+        t.compact_partitions("assignments", budget=files_per_cell_budget)
+    return v
 
 
 def load_centroids(spark, t: MultiManifestTable):
@@ -147,7 +205,7 @@ def refit_index(
             ),
             "assignments": assigned.select("vec_id", "embedding", "cent_id"),
         },
-        partition_by=_IVF_PARTITION,
+        partition_by=_ivf_partition_spec(_ivf_layout(spark, t)),
     )
 
 
