@@ -131,6 +131,9 @@ HEADLINE = [
     "pq_topk_sampled_train",
     # round-13 additions
     "fuzzy_name_pairs_ed1",
+    # round-14 additions
+    "sliding_window_sum_unaligned",
+    "fuzzy_decontaminate_probes",
 ]
 
 
@@ -154,31 +157,44 @@ def main() -> None:
     total = round(time.perf_counter() - t_all, 3)
 
     # rows/s over the events-stream queries (the reference's headline axis).
-    # The shared host throttles unpredictably (NOTES.md), so each stream
-    # query runs twice and BOTH figures are reported: single_pass (the
-    # first, cold-comparable run — the number to compare across rounds and
-    # against the baseline) and best_of_two (peak throughput with the
-    # throttle windows removed; also benefits from warm page cache, so it
-    # is the optimistic bound, not the steady-state claim).
+    # Every stream metric below is measured AFTER a dedicated uncounted
+    # warm-up pass of the same plan (VERDICT r13 #5: the driver's
+    # single-pass figure kept measuring first-run state — codegen, state
+    # store class init, file-listing caches — and swung ±10% against the
+    # builder's idle re-runs every round; the warmed number measures the
+    # PLAN). single_pass = the first measured, warmed run — the number to
+    # compare across rounds (r13 and earlier included cold-start, so r14
+    # single-pass figures step up once); best_of_two = min of the two
+    # measured runs (throttle windows removed — the optimistic bound).
+    # The suite-loop timings above stay cold-inclusive for every query
+    # equally; the queries dict keeps each stream query's overall min.
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     stream_qs = [
         "tumbling_window_sum", "sliding_window_sum", "count_window_sum",
         "running_total", "session_window_agg", "asof_enrich", "stateless_filter_alerts",
     ]
-    single_pass = {q: timings[q] for q in stream_qs}
+    single_pass = {}
+    best_of_two = {}
     for name in stream_qs:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        single_pass[name] = runs[0]
+        best_of_two[name] = min(runs)
+        timings[name] = min(timings[name], *runs)
     sec_single = sum(single_pass[q] for q in stream_qs)
-    sec_best = sum(timings[q] for q in stream_qs)
+    sec_best = sum(best_of_two[q] for q in stream_qs)
 
     # Apples-to-apples headline app: the ported market_spread (the same
     # application behind the baseline's 45k msgs/s Python-API figure).
     # Messages in = every event row (both synthesized streams consume the
-    # events table); two runs, both figures reported as above.
+    # events table); one warm-up + two measured runs, as above.
     from examples.market_spread import build as ms_build
 
+    ms_build(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
     ms_times = []
     for _ in range(2):
         t0 = time.perf_counter()
@@ -218,7 +234,11 @@ def main() -> None:
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     ss_times = []
     try:
-        for _ in range(2):
+        # one warm-up drain (uncounted) + two measured: each drain uses a
+        # fresh checkpoint, so the warm-up's job is the ONE-TIME costs —
+        # streaming codegen, state-store provider class init, source
+        # file-listing caches — not state reuse (VERDICT r13 #5)
+        for i in range(3):
             ck = tempfile.mkdtemp(prefix="bench_chk_")
             sdf = read_table_stream(spark, sf_dir, "events")
             agg = (
@@ -238,7 +258,8 @@ def main() -> None:
             if not finished:  # stalled drain: stop before touching its checkpoint
                 q.stop()
                 raise RuntimeError("structured streaming drain exceeded 600s")
-            ss_times.append(time.perf_counter() - t0)
+            if i > 0:  # i == 0 is the warm-up drain
+                ss_times.append(time.perf_counter() - t0)
             shutil.rmtree(ck, ignore_errors=True)
     finally:
         # restore even when the drain raises, so later timings keep 32 parts

@@ -7652,6 +7652,96 @@ def sliding_window_sum_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fuzzy_decontaminate_probes",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, w AS tok
+        FROM documents d, unnest(string_split(d.text, ' ')) AS t(w)
+        WHERE length(w) BETWEEN 4 AND 24
+    ),
+    vocab AS (SELECT DISTINCT tok FROM toks),
+    typo AS (
+        SELECT DISTINCT
+            substr(tok, 1, p - 1) || substr(tok, p + 1, length(tok)) AS probe
+        FROM (
+            SELECT tok,
+                   {H.md5int_sql("tok || ':typo'")} % length(tok) + 1 AS p
+            FROM vocab
+        )
+    ),
+    probes AS (
+        SELECT probe FROM typo
+        QUALIFY row_number() OVER (
+            ORDER BY {H.md5int_sql("probe || ':decon'")}, probe) <= 12
+    )
+    SELECT doc_id, probe,
+           CAST(min(levenshtein(tok, probe)) AS BIGINT) AS min_dist,
+           count(DISTINCT tok) AS n_tokens_hit
+    FROM toks, probes
+    WHERE abs(length(tok) - length(probe)) <= 1
+      AND levenshtein(tok, probe) <= 1
+    GROUP BY 1, 2
+    """,
+)
+def fuzzy_decontaminate_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPO-ROBUST decontamination — the fuzzy family composed into the
+    decontamination stack (NOTES r13 candidate, made data-independent):
+    exact-overlap guards (`decontaminate_testset_overlap`) miss a
+    benchmark string that reaches the corpus with one OCR/typo edit, so
+    this matches every document TOKEN against a probe set at Levenshtein
+    distance <= 1 via `fuzzy_lookup` (deletion-neighborhood blocking —
+    O(n·len) exploded keys against a broadcast-sized probe vocabulary, no
+    cartesian) and reports per (doc, probe) the best distance and the
+    number of distinct matching tokens.
+
+    The corpus vocabulary has no natural distance-1 pairs (checked r14),
+    so the probes are SYNTHESIZED typos, deterministically: each distinct
+    token drops the character at a salted-md5-chosen position
+    (md5(tok||':typo') % len + 1), and 12 salted-rank probes are kept —
+    every probe is a REAL edit-distance-1 neighbor of at least one corpus
+    token, exercising the blocking at dist 0 (probe == a shorter corpus
+    token, when one exists), dist 1 deletions AND dist 1 insertions
+    (tok -> probe is a deletion, so probe -> tok is the insertion ring —
+    the direction `deletion_variants` must cover via the probe's own
+    neighborhood). The ORACLE is the brute-force definition (toks x
+    probes, levenshtein filter), so the driver hash certifies the
+    blocking's completeness on BOTH rings."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where((F.length("tok") >= 4) & (F.length("tok") <= 24))
+        .distinct()
+    )
+    vocab = toks.select("tok").distinct()
+    p = H.md5int_col(F.concat(F.col("tok"), F.lit(":typo"))) % F.length(
+        "tok"
+    ) + F.lit(1)
+    typo = vocab.select(
+        F.concat(
+            F.substr(F.col("tok"), F.lit(1), p - F.lit(1)),
+            F.substr(F.col("tok"), p + F.lit(1), F.length("tok")),
+        ).alias("probe")
+    ).distinct()
+    probes = (
+        typo.withColumn(
+            "_h", H.md5int_col(F.concat(F.col("probe"), F.lit(":decon")))
+        )
+        .orderBy("_h", "probe")
+        .limit(12)
+        .select("probe")
+    )
+    hits = _fuzzy.fuzzy_lookup(toks, "tok", probes, "probe", k=1)
+    return (
+        hits.groupBy("doc_id", "match")
+        .agg(
+            F.min("dist").cast("long").alias("min_dist"),
+            F.countDistinct("tok").alias("n_tokens_hit"),
+        )
+        .withColumnRenamed("match", "probe")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 12, VERDICT r11 #4)
 # ---------------------------------------------------------------------------
@@ -7685,8 +7775,13 @@ _DRIVER_WINDOW_ROTATION = [
     # NEW this round (standing rule: new oracle-gated families go straight
     # into the window): the sliding twin of the reference-parity unaligned
     # window — its oracle replays the per-key salted-md5 offset AND the
-    # size/slide window explode in SQL (closes the r13 weak item).
+    # size/slide window explode in SQL (closes the r13 weak item) — and
+    # typo-robust decontamination, whose brute-force oracle certifies the
+    # deletion-neighborhood blocking on both the deletion and insertion
+    # rings. The second displaces quality_weighted_sample to the r15
+    # backlog.
     "sliding_window_sum_unaligned",
+    "fuzzy_decontaminate_probes",
     # never-driver-checked backlog, registration order
     # (tools/rotation_plan.py r14 suggestions 1-26 of 69)
     "tpch_q14_promo_revenue",
@@ -7714,7 +7809,6 @@ _DRIVER_WINDOW_ROTATION = [
     "countmin_windowed_cells",
     "embedding_quantize_int8",
     "stratified_sample_counts",
-    "quality_weighted_sample",
 ]
 
 
