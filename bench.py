@@ -194,7 +194,9 @@ def main() -> None:
     # events table); one warm-up + two measured runs, as above.
     from examples.market_spread import build as ms_build
 
-    ms_build(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+    for _ in range(2):  # two warm-ups: the 2nd run is still ~40% above
+        # steady state (r14 drain distribution: 4.8, 1.3, then 0.88-0.99)
+        ms_build(spark, sf_dir).write.format("noop").mode("overwrite").save()
     ms_times = []
     for _ in range(2):
         t0 = time.perf_counter()
@@ -234,11 +236,14 @@ def main() -> None:
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     ss_times = []
     try:
-        # one warm-up drain (uncounted) + two measured: each drain uses a
-        # fresh checkpoint, so the warm-up's job is the ONE-TIME costs —
+        # TWO warm-up drains (uncounted) + two measured: each drain uses a
+        # fresh checkpoint, so the warm-ups' job is the ONE-TIME costs —
         # streaming codegen, state-store provider class init, source
-        # file-listing caches — not state reuse (VERDICT r13 #5)
-        for i in range(3):
+        # file-listing caches — not state reuse (VERDICT r13 #5). Two
+        # because the measured distribution over 6 drains was 4.8, 1.3,
+        # then a tight 0.82-0.99 — the second drain still carries ~40%
+        # init tail.
+        for i in range(4):
             ck = tempfile.mkdtemp(prefix="bench_chk_")
             sdf = read_table_stream(spark, sf_dir, "events")
             agg = (
@@ -258,7 +263,7 @@ def main() -> None:
             if not finished:  # stalled drain: stop before touching its checkpoint
                 q.stop()
                 raise RuntimeError("structured streaming drain exceeded 600s")
-            if i > 0:  # i == 0 is the warm-up drain
+            if i > 1:  # i in (0, 1) are the warm-up drains
                 ss_times.append(time.perf_counter() - t0)
             shutil.rmtree(ck, ignore_errors=True)
     finally:
