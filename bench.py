@@ -134,6 +134,7 @@ HEADLINE = [
     # round-14 additions
     "sliding_window_sum_unaligned",
     "fuzzy_decontaminate_probes",
+    "sliding_window_sum_panes",
 ]
 
 

@@ -86,11 +86,23 @@ def test_sliding_panes_matches_direct_sliding(spark):
     )
     d = {(r.key, r.window_start): r.s for r in direct.collect()}
     p = {(r.key, r.window_start): r.s for r in panes.collect()}
-    # panes cover full windows only where pane grid aligns — compare intersection
-    common = set(d) & set(p)
-    assert len(common) >= len(d) - 8  # edge windows may differ at stream tails
-    for k in common:
-        assert d[k] == p[k]
+    # r14: when slide divides size every pane maps to whole windows, so
+    # the two forms are EXACTLY equal — dict equality, no edge tolerance
+    # (the old `>= len(d) - 8` slack was hiding nothing; verified on
+    # random fixtures at three size/slide ratios)
+    assert d == p
+
+    import pytest
+
+    # a non-dividing slide would straddle panes across window boundaries
+    # and silently misassign rows — must refuse up front
+    with pytest.raises(ValueError, match="divide"):
+        W.sliding_panes(
+            df, "ts", ["key"],
+            pane_aggs=[F.sum("v").alias("ps")],
+            final_aggs=[F.sum("ps").alias("s")],
+            size="20 seconds", slide="7 seconds",
+        )
 
 
 def test_tumbling_per_key_offset_reference_parity(spark):

@@ -301,7 +301,21 @@ def sliding_panes(
     pane aggregates instead of raw rows. ``pane_aggs`` aggregate raw rows into
     panes; ``final_aggs`` combine pane rows (they see the pane_agg output
     columns).
+
+    EXACT equivalence to `sliding` requires ``slide`` to divide ``size``
+    (then every pane maps to whole windows and the window sets are
+    identical — pytest pins dict equality); a non-dividing slide would
+    straddle panes across window boundaries and silently misassign rows,
+    so it raises up front.
     """
+    size_s, slide_s = _size_seconds(size), _size_seconds(slide)
+    if size_s % slide_s != 0:
+        raise ValueError(
+            f"sliding_panes needs slide to divide size exactly "
+            f"(size={size_s}s, slide={slide_s}s) — a straddling pane "
+            "would be assigned to windows that do not fully contain it; "
+            "use `sliding` for non-dividing slides"
+        )
     pane = F.window(F.col(ts), slide)  # pane size = slide (gcd when slide|size)
     panes = df.groupBy(*keys, pane.alias("p")).agg(*pane_aggs)
     w = F.window(F.col("p.start"), size, slide)

@@ -7653,6 +7653,47 @@ def sliding_window_sum_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sliding_window_sum_panes",
+    oracle="""
+    SELECT e.user_id,
+           CAST(to_timestamp(floor(epoch(e.ts) / 900) * 900 - g.k * 900) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(floor(epoch(e.ts) / 900) * 900 - g.k * 900 + 3600) AS TIMESTAMP) AS window_end,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e, generate_series(0, 3) g(k)
+    GROUP BY 1, 2, 3
+    """,
+)
+def sliding_window_sum_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sliding_window_sum` computed through the PANE decomposition — the
+    reference's own sliding implementation (`panes_range_windows.pony:
+    61-115`: partial-aggregate into slide-sized panes, combine panes per
+    window). Same oracle as the direct form BY DESIGN: when slide divides
+    size the two forms are exactly equal (pytest pins dict equality; a
+    non-dividing slide raises). The pane plan expands PANE AGGREGATES
+    (keys x panes rows) by size/slide instead of raw events — the shape
+    to prefer at large range/slide ratios — and this entry hash-gates the
+    decomposition itself (sums and counts re-associated across the
+    two-level fold), which until r14 had pytest coverage only."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.sliding_panes(
+        ev,
+        ts="ts",
+        keys=["user_id"],
+        pane_aggs=[
+            F.count("*").alias("_pn"),
+            F.sum("value").alias("_pv"),
+        ],
+        final_aggs=[
+            F.sum("_pn").alias("n_events"),
+            F.round(F.sum("_pv"), 2).alias("total_value"),
+        ],
+        size="1 hour",
+        slide="15 minutes",
+    )
+
+
+@query(
     "fuzzy_decontaminate_probes",
     oracle=f"""
     WITH toks AS (
@@ -7778,10 +7819,13 @@ _DRIVER_WINDOW_ROTATION = [
     # size/slide window explode in SQL (closes the r13 weak item) — and
     # typo-robust decontamination, whose brute-force oracle certifies the
     # deletion-neighborhood blocking on both the deletion and insertion
-    # rings. The second displaces quality_weighted_sample to the r15
-    # backlog.
+    # rings; and the pane-decomposed sliding window, hash-gating the
+    # two-level fold the reference's pane implementation uses. These
+    # displace quality_weighted_sample and stratified_sample_counts to
+    # the r15 backlog.
     "sliding_window_sum_unaligned",
     "fuzzy_decontaminate_probes",
+    "sliding_window_sum_panes",
     # never-driver-checked backlog, registration order
     # (tools/rotation_plan.py r14 suggestions 1-26 of 69)
     "tpch_q14_promo_revenue",
@@ -7808,7 +7852,6 @@ _DRIVER_WINDOW_ROTATION = [
     "tpch_q20_dominant_suppliers",
     "countmin_windowed_cells",
     "embedding_quantize_int8",
-    "stratified_sample_counts",
 ]
 
 
