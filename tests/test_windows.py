@@ -147,7 +147,7 @@ def test_tumbling_per_key_offset_reference_parity(spark):
 
     import pytest
 
-    with pytest.raises(ValueError, match="integer-seconds size"):
+    with pytest.raises(ValueError, match="integer-seconds duration"):
         W.tumbling(df, "ts", ["key"], [F.sum("v").alias("s")], "1 banana", offset=3)
     # review r13: a 1-second window makes floor(0.8*size)=0 — must refuse
     # up front, not die in a REMAINDER_BY_ZERO mid-job under ANSI mode

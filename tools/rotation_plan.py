@@ -36,7 +36,17 @@ def main() -> None:
         with open(p) as f:
             d = json.load(f)
         if isinstance(d, dict):
-            checked |= set(d)
+            # a name counts as checked only with a GREEN row — an
+            # error-only record (e.g. ephemeral_windows' r01 no_oracle)
+            # must stay in the backlog, not be silently retired (r14:
+            # that trap hid ephemeral_windows from the suggestions for
+            # two rounds)
+            checked |= {
+                n for n, v in d.items()
+                if isinstance(v, dict)
+                and v.get("err") is None
+                and (v.get("hash_match") or v.get("rows_match"))
+            }
     in_window = set(_STALWART_HEAD) | set(_DRIVER_WINDOW_ROTATION)
     never = [n for n in QUERIES if n not in checked and n not in in_window]
     rows_only = [n for n in never if n not in ORACLES]

@@ -218,8 +218,10 @@ def _size_seconds(size: str | int) -> int:
         "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
     }.get(unit.strip().lower())
     if mult is None or not n.isdigit():
+        # parses window sizes AND stream_watermark delays — keep wording
+        # generic (sub-second / malformed durations are rejected here)
         raise ValueError(
-            f"offset windows need an integer-seconds size, got {size!r}"
+            f"need an integer-seconds duration ('<n> <unit>'), got {size!r}"
         )
     return int(n) * mult
 
