@@ -192,7 +192,7 @@ def main() -> None:
     # Apples-to-apples headline app: the ported market_spread (the same
     # application behind the baseline's 45k msgs/s Python-API figure).
     # Messages in = every event row (both synthesized streams consume the
-    # events table); one warm-up + two measured runs, as above.
+    # events table); two warm-ups + two measured runs, as above.
     from examples.market_spread import build as ms_build
 
     for _ in range(2):  # two warm-ups: the 2nd run is still ~40% above

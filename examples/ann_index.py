@@ -105,11 +105,25 @@ def _ivf_partition_spec(partition_buckets: int | None) -> dict:
     B path directories) when the committed ivf_meta carries
     partition_buckets. Probes still prune to the probed centroids'
     buckets; `ivf_topk`'s own cent_id join drops co-bucketed extras."""
+    _check_buckets(partition_buckets)
     return {
         "assignments": ("cent_id", partition_buckets)
         if partition_buckets
         else "cent_id"
     }
+
+
+def _check_buckets(partition_buckets: int | None) -> None:
+    """Reject 0/negative bucket counts HERE, not one layer down: the
+    manifest's own `_part_spec` guard never sees a falsy value because
+    the spec helpers fall back to the unbounded per-cell layout on
+    falsy input — a caller asking for partition_buckets=0 would silently
+    get one-directory-per-cell, the exact shape the option prevents
+    (review r14)."""
+    if partition_buckets is not None and partition_buckets < 1:
+        raise ValueError(
+            f"partition_buckets must be >= 1 or None, got {partition_buckets}"
+        )
 
 
 def _ivf_layout(spark, t: MultiManifestTable) -> int | None:
@@ -323,6 +337,7 @@ def _pq_partition_spec(partition_buckets: int | None) -> dict:
     prune to the probed cells' buckets (the probe's own cell join drops
     co-bucketed extras). The bucket count is committed in pq_meta so
     refresh/refit/compaction replay the build's layout."""
+    _check_buckets(partition_buckets)
     return {
         "pq_codes": ("cell", partition_buckets) if partition_buckets else "cell"
     }

@@ -678,3 +678,19 @@ def test_ivf_assignments_bucketed_budget_and_compaction(spark, tmp_path):
         map(tuple, query_index(spark, t, queries, nprobe=2, prune=False).collect())
     )
     assert got == full == want
+
+
+def test_index_partition_buckets_zero_rejected(spark, tmp_path):
+    """Review r14: partition_buckets=0 must raise, not silently fall back
+    to the unbounded per-cell layout (the falsy-value trap — the
+    manifest's own >= 1 guard never sees a falsy spec)."""
+    import pytest
+
+    from examples.ann_index import _ivf_partition_spec, _pq_partition_spec
+
+    for fn in (_ivf_partition_spec, _pq_partition_spec):
+        assert fn(None) and fn(4)  # valid forms unchanged
+        with pytest.raises(ValueError, match=">= 1"):
+            fn(0)
+        with pytest.raises(ValueError, match=">= 1"):
+            fn(-3)

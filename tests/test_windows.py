@@ -373,3 +373,26 @@ def test_tumbling_offset_streaming_append_mode_evicts(spark, tmp_path):
     assert got, "append mode emitted nothing — watermark did not advance"
     for r in got:
         assert batch[(r.key, r.window_start, r.window_end)] == r.s
+
+
+def test_offset_window_guards_and_compound_watermark(spark, tmp_path):
+    """Review r14 pins: (a) an unaliased aggregate fails fast with the
+    old contract's error instead of leaking a plan-derived column name;
+    (b) a COMPOUND Spark interval delay ("1 minute 30 seconds") keeps
+    working — the pad is appended as a repeated-unit interval string
+    (Spark sums them), never parsed through _size_seconds."""
+    import pytest
+
+    df = _seq_df(spark, n=4)
+    with pytest.raises(ValueError, match="must be aliased"):
+        W.tumbling(df, "ts", ["key"], [F.sum("v")], "10 seconds")
+
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    sdf = spark.readStream.schema("key string, ts timestamp, v bigint").parquet(src)
+    out = W.tumbling(
+        sdf, "ts", ["key"], [F.sum("v").alias("s")], "20 seconds",
+        offset="per_key", stream_watermark="1 minute 30 seconds",
+    )
+    assert out.isStreaming  # plan built: compound delay + 16s pad accepted
+    assert out.columns == ["key", "window_start", "window_end", "s"]

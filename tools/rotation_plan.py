@@ -40,12 +40,19 @@ def main() -> None:
             # error-only record (e.g. ephemeral_windows' r01 no_oracle)
             # must stay in the backlog, not be silently retired (r14:
             # that trap hid ephemeral_windows from the suggestions for
-            # two rounds)
+            # two rounds). Green means hash_match for oracle-gated
+            # names; a rows-only match suffices only for names with no
+            # oracle (review r14: rows_match alone would retire a
+            # hash-MISMATCHED family — the same trap again).
             checked |= {
                 n for n, v in d.items()
                 if isinstance(v, dict)
                 and v.get("err") is None
-                and (v.get("hash_match") or v.get("rows_match"))
+                and (
+                    v.get("hash_match")
+                    if n in ORACLES
+                    else v.get("rows_match")
+                )
             }
     in_window = set(_STALWART_HEAD) | set(_DRIVER_WINDOW_ROTATION)
     never = [n for n in QUERIES if n not in checked and n not in in_window]
