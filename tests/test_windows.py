@@ -92,17 +92,33 @@ def test_sliding_panes_matches_direct_sliding(spark):
     # random fixtures at three size/slide ratios)
     assert d == p
 
-    import pytest
 
-    # a non-dividing slide would straddle panes across window boundaries
-    # and silently misassign rows — must refuse up front
-    with pytest.raises(ValueError, match="divide"):
-        W.sliding_panes(
-            df, "ts", ["key"],
-            pane_aggs=[F.sum("v").alias("ps")],
-            final_aggs=[F.sum("ps").alias("s")],
-            size="20 seconds", slide="7 seconds",
+def test_sliding_panes_gcd_non_dividing_slides(spark):
+    """r15 (VERDICT r14 #3): the gcd-pane form matches direct `sliding`
+    EXACTLY at non-dividing geometries — the reference's pane machinery
+    handles any slide via gcd(range, slide) panes
+    (`panes_range_windows.pony:392-409`); until r15 ours raised. Window
+    boundaries are multiples of slide, panes tile at gcd granularity, so
+    no pane straddles a window and the two-level fold is lossless."""
+    df = _seq_df(spark)
+    for size, slide in [
+        ("20 seconds", "8 seconds"),   # gcd = 4s, 5 panes/window
+        ("18 seconds", "12 seconds"),  # gcd = 6s, 3 panes/window
+        ("15 seconds", "7 seconds"),   # gcd = 1s (degenerate, still exact)
+    ]:
+        direct = W.sliding(
+            df, "ts", ["key"], [F.sum("v").alias("s"), F.count("*").alias("c")],
+            size, slide,
         )
+        panes = W.sliding_panes(
+            df, "ts", ["key"],
+            pane_aggs=[F.sum("v").alias("ps"), F.count("*").alias("pc")],
+            final_aggs=[F.sum("ps").alias("s"), F.sum("pc").alias("c")],
+            size=size, slide=slide,
+        )
+        d = {(r.key, r.window_start): (r.s, r.c) for r in direct.collect()}
+        p = {(r.key, r.window_start): (r.s, r.c) for r in panes.collect()}
+        assert d == p, f"pane/direct divergence at size={size} slide={slide}"
 
 
 def test_tumbling_per_key_offset_reference_parity(spark):

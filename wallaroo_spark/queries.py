@@ -7659,7 +7659,7 @@ def sliding_window_sum_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(to_timestamp(floor(epoch(e.ts) / 900) * 900 - g.k * 900) AS TIMESTAMP) AS window_start,
            CAST(to_timestamp(floor(epoch(e.ts) / 900) * 900 - g.k * 900 + 3600) AS TIMESTAMP) AS window_end,
            count(*) AS n_events,
-           round(sum(e.value), 2) AS total_value
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events e, generate_series(0, 3) g(k)
     GROUP BY 1, 2, 3
     """,
@@ -7667,14 +7667,16 @@ def sliding_window_sum_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sliding_window_sum_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`sliding_window_sum` computed through the PANE decomposition — the
     reference's own sliding implementation (`panes_range_windows.pony:
-    61-115`: partial-aggregate into slide-sized panes, combine panes per
-    window). Same oracle as the direct form BY DESIGN: when slide divides
-    size the two forms are exactly equal (pytest pins dict equality; a
-    non-dividing slide raises). The pane plan expands PANE AGGREGATES
-    (keys x panes rows) by size/slide instead of raw events — the shape
-    to prefer at large range/slide ratios — and this entry hash-gates the
-    decomposition itself (sums and counts re-associated across the
-    two-level fold), which until r14 had pytest coverage only."""
+    61-115`: partial-aggregate into gcd-sized panes, combine panes per
+    window; gcd == slide here because slide divides size). The pane plan
+    expands PANE AGGREGATES (keys x panes rows) by size/slide instead of
+    raw events — the shape to prefer at large range/slide ratios — and
+    this entry hash-gates the decomposition itself (sums and counts
+    re-associated across the two-level fold). r15 (ADVICE r14): values
+    are cast to DECIMAL(18,6) before the pane fold so the two-level sum
+    is EXACT and association-order-free — the double path could flip the
+    round(.,2) digit when a total lay within float error of a .xx5
+    boundary; the oracle replays the same decimal arithmetic."""
     ev = _t(spark, sf_dir, "events")
     return windows.sliding_panes(
         ev,
@@ -7682,14 +7684,63 @@ def sliding_window_sum_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
         pane_aggs=[
             F.count("*").alias("_pn"),
-            F.sum("value").alias("_pv"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_pv"),
         ],
         final_aggs=[
             F.sum("_pn").alias("n_events"),
-            F.round(F.sum("_pv"), 2).alias("total_value"),
+            F.round(F.sum("_pv"), 2).cast("double").alias("total_value"),
         ],
         size="1 hour",
         slide="15 minutes",
+    )
+
+
+@query(
+    "sliding_window_sum_panes_gcd",
+    oracle="""
+    SELECT user_id,
+           CAST(to_timestamp(j * 1500) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(j * 1500 + 3600) AS TIMESTAMP) AS window_end,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+    FROM (
+        SELECT user_id, value,
+               unnest(generate_series(
+                   CAST(floor((epoch(ts) - 3600) / 1500) AS BIGINT) + 1,
+                   CAST(floor(epoch(ts) / 1500) AS BIGINT)
+               )) AS j
+        FROM events
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def sliding_window_sum_panes_gcd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pane decomposition at a NON-dividing geometry (size=1h,
+    slide=25m -> gcd=5m panes, 12 panes per window) — r15, closing the
+    r14 operator-surface gap: the reference's pane machinery handles any
+    slide via gcd(range, slide) panes (`panes_range_windows.pony:392-409`)
+    while ours raised. Window starts are multiples of the slide, panes
+    tile at gcd granularity, so no pane straddles a window boundary and
+    the two-level fold is lossless (pytest pins dict equality vs direct
+    `sliding` at three non-dividing geometries). The ORACLE replays the
+    window explode directly on raw events — every grid start s = j*1500
+    with s <= ts < s + 3600 — plus the decimal-exact sum of the pane
+    entry, so a hash match certifies the gcd pane assignment end-to-end."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.sliding_panes(
+        ev,
+        ts="ts",
+        keys=["user_id"],
+        pane_aggs=[
+            F.count("*").alias("_pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_pv"),
+        ],
+        final_aggs=[
+            F.sum("_pn").alias("n_events"),
+            F.round(F.sum("_pv"), 2).cast("double").alias("total_value"),
+        ],
+        size="1 hour",
+        slide="25 minutes",
     )
 
 
@@ -7801,57 +7852,49 @@ def fuzzy_decontaminate_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the r13 batch was additionally spot-verified at sf0.01 (the
 # driver's scale) before commit.
 _DRIVER_WINDOW_ROTATION = [
-    # r14 batch (VERDICT r13 #2). The r13 batch (TPC-H tails, the dedup/
-    # decontamination stack, text filters, LM scoring/selection, fuzzy,
-    # tumbling-unaligned) went 30/30 green in CORRECTNESS_r13 and rotates
-    # out; the full local gate remains its backstop.
+    # r15 batch (VERDICT r14 #1). The r14 batch (ephemeral_windows, the
+    # TPC-H tails, sliding unaligned/panes, fuzzy decontamination, the
+    # ANN/sketch/text families) went 30/30 green in CORRECTNESS_r14 and
+    # rotates out; the full local gate remains its backstop.
     #
-    # Lead: the ONE family whose only driver record is an error — an r01
-    # `no_oracle` row from before it was oracle-gated; green locally for
-    # many rounds, never driver-confirmed since (VERDICT r13 #2).
-    "ephemeral_windows",
-    # the two rows displaced from the r13 batch
-    "window_ranking_battery",
-    "signup_purchase_conversion",
-    # NEW this round (standing rule: new oracle-gated families go straight
-    # into the window): the sliding twin of the reference-parity unaligned
-    # window — its oracle replays the per-key salted-md5 offset AND the
-    # size/slide window explode in SQL (closes the r13 weak item) — and
-    # typo-robust decontamination, whose brute-force oracle certifies the
-    # deletion-neighborhood blocking on both the deletion and insertion
-    # rings; and the pane-decomposed sliding window, hash-gating the
-    # two-level fold the reference's pane implementation uses. These
-    # displace quality_weighted_sample and stratified_sample_counts to
-    # the r15 backlog.
-    "sliding_window_sum_unaligned",
-    "fuzzy_decontaminate_probes",
-    "sliding_window_sum_panes",
-    # never-driver-checked backlog, registration order
-    # (tools/rotation_plan.py r14 suggestions 1-26 of 69)
-    "tpch_q14_promo_revenue",
-    "tpch_q19_disjunctive_predicates",
-    "cheapest_part_per_brand",
-    "tfidf_top_terms",
-    "label_centroids",
-    "deterministic_split_counts",
-    "frequent_tokens",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q22_dormant_high_balance",
-    "embedding_cosine_near_dup",
-    "hard_negative_mining_ivf",
-    "kmeans_ivf_topk",
-    "countmin_token_estimates",
-    "deterministic_sample_docs",
-    "multi_aggregation_cascade",
-    "tpch_q11_important_part_value",
-    "tpch_q12_priority_by_ship_class",
-    "tpch_q16_supplier_cnt_by_part",
-    "tpch_q20_dominant_suppliers",
-    "countmin_windowed_cells",
-    "embedding_quantize_int8",
+    # Lead: the NEW family this round (standing rule: new oracle-gated
+    # families go straight into the window) — the gcd-pane sliding window
+    # at a non-dividing geometry (size=1h, slide=25m -> 5m panes), closing
+    # the r14 operator-surface gap vs the reference's pane machinery.
+    "sliding_window_sum_panes_gcd",
+    # never-driver-checked backlog (tools/rotation_plan.py r15
+    # suggestions 1-29 of 43; trained_quality_classifier_sgd — spot-run
+    # green at sf0.01 in r14 — is displaced to r16). Leads with the two
+    # rows displaced from the r14 batch.
+    "stratified_sample_counts",
+    "quality_weighted_sample",
+    "distinct_users_linear_count",
+    "repetition_quality_signals",
+    "domain_mixture_resample",
+    "duplicate_token_spans",
+    "decontaminate_bloom_hits",
+    "embedding_covariance",
+    "embedding_jl_projection",
+    "corpus_stats_rollup",
+    "error_followup_counts",
+    "distinct_tokens_by_lang_linear_count",
+    "value_quantiles_histogram_sketch",
+    "decontaminate_spans",
+    "hourly_distinct_users_linear_count",
+    "token_budget_fill",
+    "hard_negative_mining",
+    "dsir_score_filter",
+    "knn_label_purity",
+    "pack_manifest",
+    "bigram_surprisal_quality",
+    "similarity_topk_int8_rerank",
+    "lsh_recall_audit",
+    "bpe_encode_stats",
+    "corpus_zipf_heaps_stats",
+    "model_quality_rerank",
+    "perplexity_filter_survivors",
+    "perplexity_filter_streamable",
+    "interp_trigram_lm_score",
 ]
 
 
