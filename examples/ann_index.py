@@ -128,11 +128,24 @@ def _check_buckets(partition_buckets: int | None) -> None:
 
 def _ivf_layout(spark, t: MultiManifestTable) -> int | None:
     """The index's committed partition_buckets (ivf_meta), None for the
-    per-cent_id layout and for legacy indexes built before ivf_meta."""
+    per-cent_id layout and for legacy indexes built before ivf_meta.
+
+    Memoized on the handle (ADVICE r14): the layout is written once at
+    build and only ever REPLAYED by refresh/refit/compaction, so the
+    one-row ivf_meta read — a full Spark job — need only happen once per
+    handle, not once per maintenance call on the hot append path."""
+    cached = getattr(t, "_ivf_layout_cache", _UNSET)
+    if cached is not _UNSET:
+        return cached
+    pb = None
     if t.table_files("ivf_meta"):
-        pb = t.read(spark, "ivf_meta").first()["partition_buckets"]
-        return int(pb) if pb is not None else None
-    return None
+        raw = t.read(spark, "ivf_meta").first()["partition_buckets"]
+        pb = int(raw) if raw is not None else None
+    t._ivf_layout_cache = pb
+    return pb
+
+
+_UNSET = object()  # None is a VALID cached layout (per-cent_id / legacy)
 
 
 def refresh_index(

@@ -61,6 +61,15 @@ def test_every_query_has_an_oracle_or_documented_exemption(duck):
     # as the objective check"); the objective/improvement claims are
     # pinned by tests/test_opq.py instead. Everything else must be
     # oracle-gated.
+    # r15 (VERDICT r14 #4): the eigensolve family is no longer ONLY
+    # rows-only — `opq_rotation_invariants` hash-gates its OUTPUT
+    # properties (driver-side R·Rᵀ=I residual, plus norm and pairwise
+    # dot-product preservation through apply_rotation, which DuckDB
+    # replays from the raw embeddings by orthogonal invariance). The three
+    # audits below stay rows-only because their VALUE columns (recall@k,
+    # reconstruction MSE) depend on the eigensolve + Lloyd chains no SQL
+    # engine replays; their improvement claims are pinned by
+    # tests/test_opq.py.
     exempt = {
         "opq_rotation_audit",
         "opq_rotation_distortion",

@@ -121,6 +121,22 @@ def test_sliding_panes_gcd_non_dividing_slides(spark):
         assert d == p, f"pane/direct divergence at size={size} slide={slide}"
 
 
+def test_size_seconds_compound_intervals():
+    """r15 (VERDICT r14 watch item): offset-mode window sizes accept the
+    same compound '<n> <unit> ...' grammar Spark intervals do; malformed
+    and sub-second specs still fail fast."""
+    import pytest
+
+    assert W._size_seconds(90) == 90
+    assert W._size_seconds("90 minutes") == 5400
+    assert W._size_seconds("1 hour 30 minutes") == 5400
+    assert W._size_seconds("1 day 2 hours 3 minutes 4 seconds") == 93784
+    for bad in ("", "10", "ten seconds", "10 parsecs", "1.5 hours",
+                "1 hour 30"):
+        with pytest.raises(ValueError, match="integer-seconds"):
+            W._size_seconds(bad)
+
+
 def test_tumbling_per_key_offset_reference_parity(spark):
     """Round 13 (SURVEY §4 divergence, closed as opt-in): offset="per_key"
     reproduces the reference's unaligned windows — every key's boundaries
@@ -410,8 +426,26 @@ def test_offset_window_guards_and_compound_watermark(spark, tmp_path):
         sdf, "ts", ["key"], [F.sum("v").alias("s")], "20 seconds",
         offset="per_key", stream_watermark="1 minute 30 seconds",
     )
-    assert out.isStreaming  # plan built: compound delay + 16s pad accepted
+    assert out.isStreaming
     assert out.columns == ["key", "window_start", "window_end", "s"]
+    # ADVICE r14: don't just pin that the plan BUILDS — assert the
+    # ANALYZED value. The pad rides a repeated-unit interval string
+    # ("1 minute 30 seconds 16 seconds"), relying on Spark summing
+    # duplicate units; if that parser behavior ever changed, eviction
+    # timing would drift silently. The EventTimeWatermark node renders
+    # the parsed delay, so compound(90s) + pad(floor(0.8*20)=16s) must
+    # analyze to exactly 106 seconds.
+    import re
+
+    plan = out._jdf.queryExecution().analyzed().toString()
+    wm_lines = [l for l in plan.splitlines() if "EventTimeWatermark" in l]
+    assert wm_lines, plan
+    units = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}
+    parsed = sum(
+        int(n) * units[u]
+        for n, u in re.findall(r"(\d+)\s+(day|hour|minute|second)s?", wm_lines[0])
+    )
+    assert parsed == 90 + 16, wm_lines[0]
 
 
 def test_sliding_per_key_offset_streaming_matches_batch(spark, tmp_path):

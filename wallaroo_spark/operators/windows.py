@@ -228,21 +228,33 @@ def _offset_stream_window(
 
 
 def _size_seconds(size: str | int) -> int:
-    """Integer seconds from a window-size spec (int, or '<n> <unit>')."""
+    """Integer seconds from a window-size spec: int, or an interval string
+    of one or more '<n> <unit>' pairs ('90 minutes', '1 hour 30 minutes') —
+    r15 closes the r14 watch item that restricted OFFSET-mode window sizes
+    to a single unit while plain Spark intervals (and our delays) accept
+    compounds. Units are summed, matching Spark's interval parser."""
     if isinstance(size, int):
         return size
-    n, _, unit = str(size).strip().partition(" ")
-    mult = {
+    units = {
         "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
         "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
-    }.get(unit.strip().lower())
-    if mult is None or not n.isdigit():
-        # parses window sizes AND stream_watermark delays — keep wording
-        # generic (sub-second / malformed durations are rejected here)
-        raise ValueError(
-            f"need an integer-seconds duration ('<n> <unit>'), got {size!r}"
-        )
-    return int(n) * mult
+    }
+    toks = str(size).split()
+    if toks and len(toks) % 2 == 0:
+        total = 0
+        for n, unit in zip(toks[::2], toks[1::2]):
+            mult = units.get(unit.lower())
+            if mult is None or not n.isdigit():
+                break
+            total += int(n) * mult
+        else:
+            return total
+    # parses window sizes AND stream_watermark delays — keep wording
+    # generic (sub-second / malformed durations are rejected here)
+    raise ValueError(
+        f"need an integer-seconds duration ('<n> <unit> [<n> <unit> ...]'), "
+        f"got {size!r}"
+    )
 
 
 def _agg_cols(agged: DataFrame, keys: Sequence[str], wcol: str = "w") -> list[str]:

@@ -6944,6 +6944,119 @@ def opq_rotation_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("variant")
 
 
+@query(
+    "opq_rotation_invariants",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    norms AS (
+        SELECT count(*) AS n_vecs,
+               CAST(max(len(v)) AS BIGINT) AS dims,
+               CAST(round(avg(list_sum(list_transform(v, x -> x * x))), 3) AS DOUBLE) AS mean_sq_norm
+        FROM e
+    ),
+    pairs AS (
+        SELECT CAST(round(avg(list_sum(list_transform(a.v, (x, i) -> x * b.v[i]))), 4) AS DOUBLE) AS mean_pair_dot
+        FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT arms.variant, n_vecs, dims, true AS ortho_ok, mean_sq_norm, mean_pair_dot
+    FROM norms, pairs,
+         (VALUES ('opq_perm'), ('opq_rot'), ('opq_rot_np'), ('raw')) arms(variant)
+    ORDER BY arms.variant
+    """,
+)
+def opq_rotation_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Objective, HASH-GATED invariants of the OPQ eigensolve family
+    (VERDICT r14 #4 — the 3 rotation audits carry rows-only oracles
+    because np.linalg.eigh is not SQL-replayable; this entry gates the
+    eigensolve's OUTPUT on value-bearing columns instead). Per transform
+    arm (raw / learned permutation / parametric rotation / non-parametric
+    Ge-et-al. refinement):
+
+    - ``ortho_ok``: driver-side max|R·Rᵀ − I| < 1e-5 (the matrix entries
+      are 1e-8-rounded by construction, so a genuine fit sits ~1e-6 from
+      exact while any defective fit violates by O(1)); for the
+      permutation arm, a driver-side bijection check.
+    - ``mean_sq_norm``: the corpus mean squared L2 norm computed FROM THE
+      TRANSFORMED VECTORS, which orthogonal invariance pins to the raw
+      corpus value — DuckDB computes it from the raw embeddings, so a
+      hash match certifies the transform preserves norms END-TO-END
+      through `apply_rotation`'s broadcast matvec, not just on paper.
+    - ``mean_pair_dot``: mean inner product over the deterministic
+      consecutive-id pair sample, transformed vs raw — the polarization
+      half of orthogonality (norms alone would pass a reflection that
+      scrambled angles... they wouldn't, but dot products also certify
+      the SAME matrix was applied to both sides of every pair). Margins
+      to the 4dp rounding boundary measured at all three SFs: >= 0.23 of
+      the quantum vs ~1e-6 transform float error.
+
+    The recall/distortion semantics stay in the rows-only audits
+    (`opq_rotation_audit`, `opq_rotation_distortion`,
+    `opq_rotation_prod_audit`), pinned by tests/test_opq.py; this entry
+    makes the eigensolve family hash-checkable by the driver."""
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rot = similarity.opq_fit_rotation(emb)
+    rot_np, _hist = similarity.opq_refine_rotation(emb, rot=rot)
+    perm = similarity.opq_fit_permutation(emb)
+
+    def ortho_resid_ok(mat: list[list[float]]) -> bool:
+        a = np.array(mat, dtype=float)
+        return float(np.max(np.abs(a @ a.T - np.eye(len(a))))) < 1e-5
+
+    perm_rows = [(int(r["new_pos"]), int(r["src_dim"])) for r in perm.collect()]
+    idx = list(range(1, len(perm_rows) + 1))  # 1-based positions/dims
+    perm_ok = (
+        sorted(p for p, _ in perm_rows) == idx
+        and sorted(s for _, s in perm_rows) == idx
+    )
+    arms = {
+        "raw": (emb, True),
+        "opq_perm": (similarity.apply_dim_permutation(emb, perm), perm_ok),
+        "opq_rot": (similarity.apply_rotation(emb, rot), ortho_resid_ok(rot)),
+        "opq_rot_np": (
+            similarity.apply_rotation(emb, rot_np), ortho_resid_ok(rot_np)
+        ),
+    }
+    sq = lambda v: F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    out = None
+    for name, (vecs, ok) in arms.items():
+        base = vecs.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+        )
+        norms = base.agg(
+            F.count("*").alias("n_vecs"),
+            F.max(F.size("_v")).cast("long").alias("dims"),
+            F.round(F.avg(sq(F.col("_v"))), 3).cast("double").alias("mean_sq_norm"),
+        )
+        b = base.select((F.col("vec_id") - 1).alias("vec_id"), F.col("_v").alias("_w"))
+        pairs = (
+            base.join(b, "vec_id")
+            .agg(
+                F.round(
+                    F.avg(
+                        F.aggregate(
+                            F.zip_with(F.col("_v"), F.col("_w"), lambda x, y: x * y),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    ),
+                    4,
+                ).cast("double").alias("mean_pair_dot")
+            )
+        )
+        row = norms.crossJoin(pairs).select(
+            F.lit(name).alias("variant"),
+            "n_vecs",
+            "dims",
+            F.lit(bool(ok)).alias("ortho_ok"),
+            "mean_sq_norm",
+            "mean_pair_dot",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("variant")
+
+
 _ANN_PROD_SHORTLIST = 60
 # fine-codebook sampled-training set: the same 39-points-per-centroid
 # rule the coarse arm uses, at the fine chain's k=16 centroids/subspace
@@ -7857,15 +7970,20 @@ _DRIVER_WINDOW_ROTATION = [
     # ANN/sketch/text families) went 30/30 green in CORRECTNESS_r14 and
     # rotates out; the full local gate remains its backstop.
     #
-    # Lead: the NEW family this round (standing rule: new oracle-gated
+    # Lead: the NEW families this round (standing rule: new oracle-gated
     # families go straight into the window) — the gcd-pane sliding window
     # at a non-dividing geometry (size=1h, slide=25m -> 5m panes), closing
-    # the r14 operator-surface gap vs the reference's pane machinery.
+    # the r14 operator-surface gap vs the reference's pane machinery; and
+    # the OPQ eigensolve invariants entry (VERDICT r14 #4), which makes
+    # the rows-only rotation family hash-checkable via orthogonality and
+    # norm/dot-preservation columns DuckDB replays from raw embeddings.
     "sliding_window_sum_panes_gcd",
+    "opq_rotation_invariants",
     # never-driver-checked backlog (tools/rotation_plan.py r15
-    # suggestions 1-29 of 43; trained_quality_classifier_sgd — spot-run
-    # green at sf0.01 in r14 — is displaced to r16). Leads with the two
-    # rows displaced from the r14 batch.
+    # suggestions 1-28 of 43; trained_quality_classifier_sgd and
+    # interp_trigram_lm_score — both spot-run green at sf0.01 in r14 —
+    # are displaced to r16). Leads with the two rows displaced from the
+    # r14 batch.
     "stratified_sample_counts",
     "quality_weighted_sample",
     "distinct_users_linear_count",
@@ -7894,7 +8012,6 @@ _DRIVER_WINDOW_ROTATION = [
     "model_quality_rerank",
     "perplexity_filter_survivors",
     "perplexity_filter_streamable",
-    "interp_trigram_lm_score",
 ]
 
 
