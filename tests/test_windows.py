@@ -137,6 +137,69 @@ def test_size_seconds_compound_intervals():
             W._size_seconds(bad)
 
 
+def test_sliding_panes_streaming_chained_agg_matches_batch(spark, tmp_path):
+    """r15: streaming sliding_panes rides Spark's chained window
+    aggregation (watermark -> gcd-pane tumble -> window_time re-window) —
+    the reference's own streaming shape (`panes_range_windows.pony`:
+    panes are the unit of state, windows combine panes). Append mode
+    emits finalized windows only; they must equal the batch pane form on
+    the same data, at a DIVIDING and a NON-dividing geometry."""
+    df = _seq_df(spark)  # keys a,b; ts 0..38s step 2
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    for size, slide in [("20 seconds", "5 seconds"), ("20 seconds", "8 seconds")]:
+        batch = {
+            (r.key, r.window_start): (r.s, r.c)
+            for r in W.sliding_panes(
+                spark.read.parquet(src), "ts", ["key"],
+                pane_aggs=[F.sum("v").alias("ps"), F.count("*").alias("pc")],
+                final_aggs=[F.sum("ps").alias("s"), F.sum("pc").alias("c")],
+                size=size, slide=slide,
+            ).collect()
+        }
+        sdf = spark.readStream.schema("key string, ts timestamp, v bigint").parquet(src)
+        out = W.sliding_panes(
+            sdf, "ts", ["key"],
+            pane_aggs=[F.sum("v").alias("ps"), F.count("*").alias("pc")],
+            final_aggs=[F.sum("ps").alias("s"), F.sum("pc").alias("c")],
+            size=size, slide=slide, stream_watermark="0 seconds",
+        )
+        got = []
+        q = (
+            out.writeStream.foreachBatch(lambda d, b: got.extend(d.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{slide.split()[0]}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert got, f"append mode emitted nothing at slide={slide}"
+        stream = {(r.key, r.window_start): (r.s, r.c) for r in got}
+        # append emits only windows finalized by the final watermark; each
+        # emitted window must match batch exactly, and every batch window
+        # whose end <= max event ts must have been emitted
+        max_ts = max(r.ts for r in df.collect())
+        for k, v in stream.items():
+            assert batch[k] == v, (slide, k)
+        want_final = {
+            k for k, _ in batch.items()
+            # window_end = window_start + size
+            if (k[1] + dt.timedelta(seconds=20)) <= max_ts
+        }
+        assert want_final <= set(stream), (slide, want_final - set(stream))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="stream_watermark"):
+        W.sliding_panes(
+            spark.readStream.schema("key string, ts timestamp, v bigint").parquet(src),
+            "ts", ["key"],
+            pane_aggs=[F.sum("v").alias("ps")],
+            final_aggs=[F.sum("ps").alias("s")],
+            size="20 seconds", slide="5 seconds",
+        )
+
+
 def test_tumbling_per_key_offset_reference_parity(spark):
     """Round 13 (SURVEY §4 divergence, closed as opt-in): offset="per_key"
     reproduces the reference's unaligned windows — every key's boundaries

@@ -350,6 +350,7 @@ def sliding_panes(
     final_aggs: Sequence[Column],
     size: str,
     slide: str,
+    stream_watermark: str | None = None,
 ) -> DataFrame:
     """Two-level sliding window for large range/slide ratios.
 
@@ -373,12 +374,38 @@ def sliding_panes(
     size/slide -> 1-second panes) make the pane level as fine as raw rows —
     prefer plain `sliding` there; the decomposition stays correct either
     way.
+
+    STREAMING (r15): the reference's pane machinery IS its streaming
+    sliding implementation — on a streaming ``df`` this compiles to
+    Spark's CHAINED streaming window aggregation (supported since 3.5):
+    watermark -> tumbling gcd-pane agg -> re-window the pane column via
+    ``F.window(F.window_time(pane), size, slide)``. ``window_time``
+    anchors the second window at pane_end - 1ms; with all boundaries on
+    the gcd grid that selects exactly the windows fully containing the
+    pane (same multiples-of-g argument), so stream == batch (pytest-
+    pinned on finalized windows). Requires ``stream_watermark`` and an
+    APPEND-mode sink (Spark's requirement for chained stateful aggs);
+    state per level is one row per open (key, pane) / (key, window) —
+    the bounded pane state the reference holds per key
+    (`panes_range_windows.pony:61-115`), not per event.
     """
     size_s, slide_s = _size_seconds(size), _size_seconds(slide)
     g = math.gcd(size_s, slide_s)
+    if df.isStreaming:
+        if stream_watermark is None:
+            raise ValueError(
+                "streaming sliding_panes needs stream_watermark=<delay> — "
+                "chained window aggregations require a watermark on the "
+                "event-time column"
+            )
+        df = df.withWatermark(ts, stream_watermark)
     pane = F.window(F.col(ts), f"{g} seconds")
     panes = df.groupBy(*keys, pane.alias("p")).agg(*pane_aggs)
-    w = F.window(F.col("p.start"), size, slide)
+    w = (
+        F.window(F.window_time("p"), size, slide)
+        if df.isStreaming
+        else F.window(F.col("p.start"), size, slide)
+    )
     agged = panes.groupBy(*keys, w.alias("w")).agg(*final_aggs)
     return agged.select(
         *keys,
