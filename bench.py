@@ -191,8 +191,9 @@ def main() -> None:
     # compare across rounds (r13 and earlier included cold-start, so r14
     # single-pass figures step up once); best_of_two = min of the two
     # measured runs (throttle windows removed — the optimistic bound).
-    # The suite-loop timings above stay cold-inclusive for every query
-    # equally; the queries dict keeps each stream query's overall min.
+    # Suite-loop timings stay cold-inclusive except the two re-measured
+    # families (stream + ANN/PQ audit), whose dict entries keep the
+    # overall min; the raw cold wall clock survives as suite_cold_seconds.
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     stream_qs = [
         "tumbling_window_sum", "sliding_window_sum", "count_window_sum",
