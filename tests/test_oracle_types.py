@@ -79,3 +79,23 @@ def test_every_query_has_an_oracle_or_documented_exemption(duck):
     }
     missing = [n for n in entrymod.queries() if n not in oracles and n not in exempt]
     assert not missing, f"queries registered without an oracle: {missing}"
+
+
+def test_driver_window_is_exactly_the_committed_name_lists():
+    """r15: the external driver hash-samples the FIRST 50 registered
+    queries; `_rotate_registry` pins that sample BY NAME. This test pins
+    the pinning: positions 1-20 are `_STALWART_HEAD`, 21-50 are
+    `_DRIVER_WINDOW_ROTATION`, in order — so no future registration or
+    registry edit can silently shift which entries the driver
+    hash-checks without this test naming the drift."""
+    import __spark_entry__ as entrymod
+    from wallaroo_spark import queries as qmod
+
+    names = list(entrymod.queries())
+    assert names[:20] == list(qmod._STALWART_HEAD)
+    assert names[20:50] == list(qmod._DRIVER_WINDOW_ROTATION)
+    assert len(qmod._DRIVER_WINDOW_ROTATION) == 30
+    # every windowed name must be oracle-gated (a rows-only name in the
+    # window would burn a hash slot on a weaker check)
+    oracles = entrymod.oracle_sql()
+    assert all(n in oracles for n in names[:50])

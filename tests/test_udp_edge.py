@@ -60,6 +60,24 @@ def test_udp_datagram_roundtrip(spark, tmpdir):
     assert sorted(bytes(r.datagram) for r in rows) == sorted(payloads)
 
 
+def test_udp_boundary_datagrams(spark, tmpdir):
+    """Edge payloads the protocol allows: a zero-length datagram (valid
+    UDP, lands as an empty binary cell) and a payload at a size loopback
+    reliably carries — boundaries must survive the spool verbatim."""
+    big = bytes(range(256)) * 128  # 32 KiB binary, all byte values
+    payloads = [b"", b"x", big]
+    rx = UDPDatagramReceiver(tmpdir + "/spool").start()
+    try:
+        send_datagrams(payloads, rx.host, rx.port)
+        assert rx.wait_for(len(payloads)) == len(payloads)
+    finally:
+        rx.stop()
+    got = sorted(
+        bytes(r.datagram) for r in datagram_batch(spark, tmpdir + "/spool").collect()
+    )
+    assert got == sorted(payloads)
+
+
 def test_udp_strip_whitespace_reference_parity(spark, tmpdir):
     """The reference handler trims each datagram (`connectors/udp_source`:
     ``data = self.request[0].strip()``) — opt-in here, verbatim default."""
