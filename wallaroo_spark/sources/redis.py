@@ -31,6 +31,7 @@ from __future__ import annotations
 import socket
 import threading
 import time
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -263,6 +264,10 @@ class RedisSubscriberReceiver:
         self.flush_every = flush_every
         self.idle_flush_s = idle_flush_s
         self.messages_received = 0
+        # per-instance unique prefix: a second receiver (or a restart
+        # after a crash) sharing this spool must never overwrite an
+        # earlier instance's files by reusing index 0 (r15 fix)
+        self._uniq = uuid.uuid4().hex[:8]
         self._file_idx = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -319,9 +324,9 @@ class RedisSubscriberReceiver:
             idx = self._file_idx
             self._file_idx += 1
         table = pa.table({"message": pa.array(messages, type=pa.binary())})
-        tmp = self.spool / f"_tmp_{idx}.parquet"
+        tmp = self.spool / f"_tmp_{self._uniq}_{idx}.parquet"
         pq.write_table(table, tmp)
-        tmp.rename(self.spool / f"messages_{idx}.parquet")  # atomic publish
+        tmp.rename(self.spool / f"messages_{self._uniq}_{idx}.parquet")  # atomic publish
         with self._lock:
             self.messages_received += len(messages)
 

@@ -31,6 +31,7 @@ import socket
 import struct
 import threading
 import time
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,6 +83,10 @@ class FramedTCPReceiver:
         self.flush_every = flush_every
         self.idle_flush_s = idle_flush_s
         self.frames_received = 0
+        # per-instance unique prefix: a second receiver (or a restart
+        # after a crash) sharing this spool must never overwrite an
+        # earlier instance's files by reusing index 0 (r15 fix)
+        self._uniq = uuid.uuid4().hex[:8]
         self._file_idx = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -143,9 +148,9 @@ class FramedTCPReceiver:
             idx = self._file_idx
             self._file_idx += 1
         table = pa.table({"frame": pa.array(frames, type=pa.binary())})
-        tmp = self.spool / f"_tmp_{idx}.parquet"
+        tmp = self.spool / f"_tmp_{self._uniq}_{idx}.parquet"
         pq.write_table(table, tmp)
-        tmp.rename(self.spool / f"frames_{idx}.parquet")  # atomic publish
+        tmp.rename(self.spool / f"frames_{self._uniq}_{idx}.parquet")  # atomic publish
         # count AFTER the publish so wait_for() means "landed in the spool"
         with self._lock:
             self.frames_received += len(frames)

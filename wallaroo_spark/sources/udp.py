@@ -36,6 +36,7 @@ from __future__ import annotations
 import socket
 import threading
 import time
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -93,6 +94,10 @@ class UDPDatagramReceiver:
         self.idle_flush_s = idle_flush_s
         self.strip = strip_whitespace
         self.datagrams_received = 0
+        # per-instance unique prefix: a second receiver (or a restart
+        # after a crash) sharing this spool must never overwrite an
+        # earlier instance's files by reusing index 0 (r15 fix)
+        self._uniq = uuid.uuid4().hex[:8]
         self._file_idx = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -132,9 +137,9 @@ class UDPDatagramReceiver:
             idx = self._file_idx
             self._file_idx += 1
         table = pa.table({"datagram": pa.array(datagrams, type=pa.binary())})
-        tmp = self.spool / f"_tmp_{idx}.parquet"
+        tmp = self.spool / f"_tmp_{self._uniq}_{idx}.parquet"
         pq.write_table(table, tmp)
-        tmp.rename(self.spool / f"datagrams_{idx}.parquet")  # atomic publish
+        tmp.rename(self.spool / f"datagrams_{self._uniq}_{idx}.parquet")  # atomic publish
         # count AFTER the publish so wait_for() means "landed in the spool"
         with self._lock:
             self.datagrams_received += len(datagrams)
