@@ -79,6 +79,29 @@ def test_resp_protocol_hash_and_pubsub(server):
         c.close()
 
 
+def test_resp_publish_on_subscribed_connection_does_not_deadlock(server):
+    """Lock-ordering regression (r15 review): a connection that is both
+    subscriber and publisher of the same channel self-pushes during its
+    own PUBLISH dispatch. Holding the connection's write lock across the
+    whole dispatch (the original code) self-deadlocks here — and two
+    cross-subscribed connections AB-BA-deadlock the same way. The server
+    must survive protocol-abusing clients (real Redis forbids PUBLISH in
+    subscribe mode; this mock stays robust instead). The client reads the
+    self-push and the :1 reply in server-send order."""
+    c = RespClient(server.host, server.port)
+    try:
+        sub = c.command("SUBSCRIBE", "loop")
+        assert bytes(sub[0]) == b"subscribe"
+        c._sock.settimeout(10)  # a deadlock must fail the test, not hang it
+        got = [c.command("PUBLISH", "loop", b"self"), c.read_push()]
+        push = next(g for g in got if isinstance(g, list))
+        count = next(g for g in got if isinstance(g, int))
+        assert [bytes(push[0]), bytes(push[2])] == [b"message", b"self"]
+        assert count == 1
+    finally:
+        c.close()
+
+
 def test_redis_subscribe_spool_roundtrip(spark, server, tmpdir):
     """Publisher -> SUBSCRIBE spool -> batch read reproduces every
     published payload (order not guaranteed across flushes; content is)."""

@@ -160,9 +160,13 @@ class MiniRedis:
                     break
                 name = bytes(cmd[0]).upper()
                 args = [bytes(a) for a in cmd[1:]]
-                with wlock:
-                    if not self._dispatch(conn, wlock, subscribed, name, args):
-                        break
+                # lock discipline: _dispatch takes wlock around the
+                # connection's OWN reply sends and each TARGET's lock
+                # around pushes, never both at once — holding wlock for
+                # the whole dispatch would AB-BA-deadlock two connections
+                # that both subscribe and publish to each other
+                if not self._dispatch(conn, wlock, subscribed, name, args):
+                    break
         finally:
             with self._lock:
                 for ch in subscribed:
@@ -175,8 +179,15 @@ class MiniRedis:
                 conn.close()
 
     def _dispatch(self, conn, wlock, subscribed, name, args) -> bool:
+        def reply(data: bytes) -> None:
+            # the connection's OWN sends serialize against pushes via its
+            # wlock; target locks for pushes are taken one at a time below,
+            # never while wlock is held (AB-BA safety)
+            with wlock:
+                conn.sendall(data)
+
         if name == b"PING":
-            conn.sendall(b"+PONG" + _CRLF)
+            reply(b"+PONG" + _CRLF)
         elif name == b"SUBSCRIBE":
             for ch in args:
                 with self._lock:
@@ -184,7 +195,7 @@ class MiniRedis:
                 subscribed.append(ch)
                 # real-server reply shape: ["subscribe", channel, n_subs]
                 # (the count rides as a RESP integer inside the array)
-                conn.sendall(
+                reply(
                     b"*3" + _CRLF
                     + b"$9" + _CRLF + b"subscribe" + _CRLF
                     + b"$%d" % len(ch) + _CRLF + ch + _CRLF
@@ -203,30 +214,31 @@ class MiniRedis:
                     n += 1
                 except OSError:
                     pass
-            conn.sendall(b":%d" % n + _CRLF)
+            reply(b":%d" % n + _CRLF)
         elif name == b"HSET":
             key, field, value = args
             with self._lock:
                 h = self.hashes.setdefault(key, {})
                 created = 0 if field in h else 1
                 h[field] = value
-            conn.sendall(b":%d" % created + _CRLF)
+            reply(b":%d" % created + _CRLF)
         elif name == b"HGETALL":
             with self._lock:
                 h = dict(self.hashes.get(args[0], {}))
             flat: list[bytes] = []
             for k, v in h.items():
                 flat += [k, v]
-            conn.sendall(_encode_array(flat))
+            reply(_encode_array(flat))
         elif name == b"HLEN":
             with self._lock:
-                conn.sendall(b":%d" % len(self.hashes.get(args[0], {})) + _CRLF)
+                n_fields = len(self.hashes.get(args[0], {}))
+            reply(b":%d" % n_fields + _CRLF)
         elif name == b"DEL":
             with self._lock:
                 n = sum(1 for k in args if self.hashes.pop(k, None) is not None)
-            conn.sendall(b":%d" % n + _CRLF)
+            reply(b":%d" % n + _CRLF)
         else:
-            conn.sendall(b"-ERR unknown command " + name + _CRLF)
+            reply(b"-ERR unknown command " + name + _CRLF)
         return True
 
     def hgetall(self, key: bytes | str) -> dict[bytes, bytes]:
