@@ -1,0 +1,143 @@
+"""Kinesis-semantics connector edge: md5 shard routing, iterator chains,
+per-shard receivers, put_record sink.
+
+Reference: `connectors/kinesis_source` (one process per shard, LATEST
+iterator, chained NextShardIterator polls) and `connectors/kinesis_sink`
+(put_record per value). The mock routes by int(md5(partition_key)) over
+the 128-bit keyspace exactly like the service.
+"""
+
+import hashlib
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from wallaroo_spark.sources.kinesis import (
+    KinesisShardReceiver,
+    MockKinesisStream,
+    kinesis_put_sink,
+    record_batch,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="ws_kinesis_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_md5_keyspace_routing_and_sequence_numbers():
+    st = MockKinesisStream(shards=4)
+    # the routing rule IS the service's: md5(key) scaled into shard slices
+    for k in ("a", "user-17", "xyzzy", ""):
+        h = int.from_bytes(hashlib.md5(k.encode()).digest(), "big")
+        assert st.shard_for(k) == min(h * 4 >> 128, 3)
+        sid, _ = st.put_record(k, b"v")
+        assert sid == f"shardId-{st.shard_for(k):012d}"
+    # same key always lands in the same shard; seqs are per-shard dense
+    sids = {st.put_record("stable", b"x")[0] for _ in range(5)}
+    assert len(sids) == 1
+    s = st.shard_for("stable")
+    seqs = [st.put_record("stable", b"x")[1] for _ in range(3)]
+    assert seqs == [seqs[0], seqs[0] + 1, seqs[0] + 2]
+    # 200 random-ish keys spread over all 4 shards
+    spread = {st.shard_for(f"k{i}") for i in range(200)}
+    assert spread == {0, 1, 2, 3}
+
+
+def test_iterator_semantics_chain_latest_resume():
+    st = MockKinesisStream(shards=1)
+    for i in range(5):
+        st.put_record("k", json.dumps({"i": i}).encode())
+    # TRIM_HORIZON reads from the oldest, in order, honoring limit
+    it = st.get_shard_iterator("shardId-000000000000", "TRIM_HORIZON")
+    out = st.get_records(it, limit=3)
+    assert [r["SequenceNumber"] for r in out["Records"]] == [0, 1, 2]
+    out2 = st.get_records(out["NextShardIterator"])
+    assert [r["SequenceNumber"] for r in out2["Records"]] == [3, 4]
+    # an empty poll still chains and later sees new data
+    out3 = st.get_records(out2["NextShardIterator"])
+    assert out3["Records"] == []
+    st.put_record("k", b"late")
+    out4 = st.get_records(out3["NextShardIterator"])
+    assert [r["SequenceNumber"] for r in out4["Records"]] == [5]
+    # LATEST (the reference's opening mode) sees only post-mint records
+    it_latest = st.get_shard_iterator("shardId-000000000000", "LATEST")
+    assert st.get_records(it_latest)["Records"] == []
+    st.put_record("k", b"after-latest")
+    got = st.get_records(it_latest)["Records"]
+    assert [r["Data"] for r in got] == [b"after-latest"]
+    # AT_SEQUENCE_NUMBER resumes mid-log (checkpoint restart)
+    it_resume = st.get_shard_iterator(
+        "shardId-000000000000", "AT_SEQUENCE_NUMBER", sequence_number=4
+    )
+    assert [r["SequenceNumber"] for r in st.get_records(it_resume)["Records"]] == [4, 5, 6]
+
+
+def test_shard_receivers_and_put_sink_roundtrip(spark, tmpdir):
+    """Per-shard receivers drain a 2-shard stream completely (every record
+    in exactly one spool, keys shard-consistent); a streaming aggregation
+    put_records into an output stream with the same md5 routing."""
+    st = MockKinesisStream(shards=2)
+    n = 120
+    for i in range(n):
+        st.put_record(f"user-{i % 10}", json.dumps({"i": i, "k": f"user-{i % 10}"}).encode())
+
+    rxs = [
+        KinesisShardReceiver(f"{tmpdir}/spool{s}", st, f"shardId-{s:012d}").start()
+        for s in range(2)
+    ]
+    try:
+        per_shard = [
+            sum(1 for i in range(n) if st.shard_for(f"user-{i % 10}") == s)
+            for s in range(2)
+        ]
+        assert per_shard[0] + per_shard[1] == n and all(per_shard)
+        for s, rx in enumerate(rxs):
+            assert rx.wait_for(per_shard[s]) == per_shard[s]
+    finally:
+        for rx in rxs:
+            rx.stop()
+
+    frames = [record_batch(spark, f"{tmpdir}/spool{s}") for s in range(2)]
+    both = frames[0].unionAll(frames[1])
+    assert both.count() == n
+    # shard-consistency: each partition key appears in exactly one spool
+    for s in range(2):
+        for r in frames[s].select("partition_key").distinct().collect():
+            assert st.shard_for(r.partition_key) == s
+
+    # downstream agg -> put_record sink into an OUTPUT stream
+    out_stream = MockKinesisStream(shards=2)
+    agg = (
+        spark.readStream.schema("data binary, partition_key string, seq long")
+        .parquet(f"{tmpdir}/spool0")
+        .groupBy("partition_key")
+        .agg(F.count("*").alias("n"))
+        .select("partition_key", F.to_json(F.struct("n")).alias("payload"))
+    )
+    q = (
+        agg.writeStream.foreachBatch(
+            kinesis_put_sink(out_stream, "partition_key", "payload")
+        )
+        .outputMode("complete")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {}
+    for s in range(2):
+        it = out_stream.get_shard_iterator(f"shardId-{s:012d}", "TRIM_HORIZON")
+        for r in out_stream.get_records(it, limit=1000)["Records"]:
+            got[r["PartitionKey"]] = json.loads(r["Data"].decode())["n"]
+            assert out_stream.shard_for(r["PartitionKey"]) == s  # md5 routing held
+    keys_in_shard0 = {f"user-{u}" for u in range(10) if st.shard_for(f"user-{u}") == 0}
+    assert set(got) == keys_in_shard0
+    assert sum(got.values()) == sum(
+        1 for i in range(n) if st.shard_for(f"user-{i % 10}") == 0
+    )
