@@ -71,3 +71,49 @@ def test_streaming_objects_and_replay_convergence(spark, tmpdir):
     ow = object_bucket_sink(bkt, "key", "body", overwrite=True)
     ow(batch.withColumn("body", F.concat(F.col("body"), F.lit("!"))), batch_id=100)
     assert b.get("doc/7") == b"body-7!"
+
+
+def test_put_if_absent_crash_mid_write_leaves_no_object(tmpdir, monkeypatch):
+    """r16 (ADVICE r15): a crash mid-body must NOT leave a truncated object
+    that later replays skip on EEXIST — the body lands in a tmp file and is
+    published atomically via os.link, so an interrupted put leaves the key
+    absent and the replay succeeds with the full body."""
+    import os
+
+    from wallaroo_spark.sinks import bucket as bkt_mod
+
+    b = ObjectBucket(tmpdir + "/bkt")
+
+    real_write = os.write
+    calls = {"n": 0}
+
+    def short_then_die(fd, data):
+        calls["n"] += 1
+        real_write(fd, bytes(data)[:3])  # simulate a short write...
+        raise OSError("simulated crash mid-write")
+
+    monkeypatch.setattr(bkt_mod.os, "write", short_then_die)
+    with pytest.raises(OSError, match="simulated"):
+        b.put_if_absent("k/crash", b"full-body-bytes")
+    monkeypatch.setattr(bkt_mod.os, "write", real_write)
+
+    # the key must be ABSENT (not a truncated 3-byte object) ...
+    assert b.list("k/") == []
+    # ... so the redelivery converges on the complete body
+    assert b.put_if_absent("k/crash", b"full-body-bytes")
+    assert b.get("k/crash") == b"full-body-bytes"
+    # and no tmp residue is served or left behind
+    assert b.list() == ["k/crash"]
+    leftovers = [p for p in os.listdir(tmpdir + "/bkt/k") if p.startswith("_tmp_")]
+    assert leftovers == []
+
+
+def test_put_if_absent_loser_sees_complete_winner_body(tmpdir):
+    """The loser of a same-key race must observe the winner's FULL body
+    (os.link publishes all-or-nothing), and short os.write returns are
+    retried to completion."""
+    b = ObjectBucket(tmpdir + "/bkt")
+    big = bytes(range(256)) * 4096  # 1 MiB — multiple write() chunks at least once
+    assert b.put_if_absent("k/big", big)
+    assert not b.put_if_absent("k/big", b"loser")
+    assert b.get("k/big") == big

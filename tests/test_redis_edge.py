@@ -174,3 +174,19 @@ def test_redis_to_redis_hash_sink_pipeline(spark, server, tmpdir):
     for k in KEYS:
         stats = json.loads(h[k.encode()].decode())
         assert stats == {"total": want_total, "n": N_PER_KEY}, (k, stats)
+
+
+def test_receiver_stop_before_start_is_clean(tmpdir):
+    """r16 (ADVICE r15): _pending/_flusher live in __init__, so stop() on a
+    constructed-but-never-started receiver is a clean no-op instead of an
+    AttributeError from _drain / RuntimeError from joining an unstarted
+    thread."""
+    srv = MiniRedis().start()
+    try:
+        rx = RedisSubscriberReceiver(
+            tmpdir + "/spool", srv.host, srv.port, "chan"
+        )
+        rx.stop()  # no exception; nothing spooled
+        assert rx.messages_received == 0
+    finally:
+        srv.stop()

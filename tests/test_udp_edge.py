@@ -163,3 +163,43 @@ def test_udp_to_udp_windowed_pipeline(spark, tmpdir):
     finally:
         collector.stop()
         rx.stop()
+
+
+def test_receiver_stop_is_prompt_under_sustained_traffic(tmpdir):
+    """r16 (ADVICE r15): stop() must not wait out the 2 s join under
+    sustained traffic — the serve loop checks _stop every iteration and a
+    loopback sentinel wakes a blocked recvfrom deterministically."""
+    import socket
+    import threading
+    import time
+
+    from wallaroo_spark.sources.udp import UDPDatagramReceiver
+
+    rx = UDPDatagramReceiver(tmpdir + "/spool", idle_flush_s=5.0).start()
+    stop_flood = threading.Event()
+
+    def flood():
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        while not stop_flood.is_set():
+            s.sendto(b"x" * 100, (rx.host, rx.port))
+        s.close()
+
+    t = threading.Thread(target=flood, daemon=True)
+    t.start()
+    time.sleep(0.3)  # sustain traffic so recvfrom never idles out
+    t0 = time.monotonic()
+    rx.stop()
+    elapsed = time.monotonic() - t0
+    stop_flood.set()
+    t.join(timeout=2)
+    assert not rx._thread.is_alive()
+    # the old loop only noticed _stop after an idle timeout (5 s here) and
+    # stop() burned its full 2 s join; the fixed loop exits immediately
+    assert elapsed < 1.5, f"stop took {elapsed:.2f}s under sustained traffic"
+
+
+def test_receiver_stop_before_start_is_clean(tmpdir):
+    from wallaroo_spark.sources.udp import UDPDatagramReceiver
+
+    rx = UDPDatagramReceiver(tmpdir + "/spool")
+    rx.stop()  # never started: clean no-op, no RuntimeError

@@ -28,6 +28,7 @@ the class, so the executor side stays pickle-free.
 from __future__ import annotations
 
 import os
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame
@@ -57,9 +58,17 @@ class ObjectBucket:
         """Blind overwrite — the reference's put_object semantics."""
         p = self._path(key)
         p.parent.mkdir(parents=True, exist_ok=True)
-        tmp = p.parent / f"_tmp_{p.name}"
-        tmp.write_bytes(body)
-        tmp.rename(p)  # atomic publish
+        # writer-unique tmp (r16, ADVICE r15): a fixed tmp name let two
+        # concurrent overwrite puts of the same key share one tmp path, so
+        # one writer could publish the other's half-written bytes or crash
+        # on a vanished rename source
+        tmp = p.parent / f"_tmp_{os.getpid()}_{uuid.uuid4().hex}_{p.name}"
+        try:
+            _write_all(tmp, body)
+            tmp.rename(p)  # atomic publish
+        except BaseException:
+            tmp.unlink(missing_ok=True)
+            raise
 
     def get(self, key: str) -> bytes:
         return self._path(key).read_bytes()
@@ -81,24 +90,61 @@ class ObjectBucket:
             return False
 
 
+def _write_all(path, body: bytes) -> None:
+    """Write the full body and fsync before anyone can observe the file.
+
+    A bare ``os.write`` may write fewer bytes than given without raising,
+    and an unfsynced publish can surface a truncated object after a crash
+    — either breaks the sink's 'replays converge' contract because the
+    short object would be served as complete forever after.
+    """
+    fd = os.open(str(path), os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    try:
+        view = memoryview(body)
+        while view:
+            n = os.write(fd, view)
+            view = view[n:]
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _put_if_absent(root: str, key: str, body: bytes) -> bool:
-    """Module-level so the executor-side closure stays tiny: O_EXCL is the
-    cross-process create-exclusive primitive (two executors racing the
-    same key: exactly one wins, the other sees EEXIST and moves on)."""
+    """Module-level so the executor-side closure stays tiny.
+
+    r16 (ADVICE r15): the previous form opened the FINAL path with O_EXCL
+    and wrote the body directly — a crash or short write left a truncated
+    object that every replay then skipped on EEXIST, permanently violating
+    convergence, and concurrent readers could observe partial bodies.
+    Now the body lands fully (and fsynced) in a writer-unique tmp file and
+    is published with ``os.link`` — the filesystem's atomic
+    create-exclusive primitive (two executors racing the same key: exactly
+    one link succeeds, the loser sees EEXIST with the winner's COMPLETE
+    body already in place)."""
     rootr = os.path.realpath(root)
     path = os.path.realpath(os.path.join(root, key))
     if os.path.commonpath([rootr, path]) != rootr:
         raise ValueError(f"object key escapes the bucket: {key!r}")
     os.makedirs(os.path.dirname(path) or rootr, exist_ok=True)
+    tmp = os.path.join(
+        os.path.dirname(path),
+        f"_tmp_{os.getpid()}_{uuid.uuid4().hex}_{os.path.basename(path)}",
+    )
     try:
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        _write_all(tmp, body)
+        os.link(tmp, path)
+        return True
     except FileExistsError:
         return False
-    try:
-        os.write(fd, body)
     finally:
-        os.close(fd)
-    return True
+        # the tmp is garbage on every path (link'd, lost the race, or the
+        # write died mid-body) — a hard kill can still orphan one, which
+        # list()/get() never serve (``_tmp_`` prefix) and whose unique
+        # name no replay ever reuses
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def object_bucket_sink(

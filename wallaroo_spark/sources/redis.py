@@ -284,6 +284,12 @@ class RedisSubscriberReceiver:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._listen, daemon=True)
+        # r16 (ADVICE r15): _pending and the flusher handle are created
+        # HERE, not in start() — stop() (or any _drain) on a
+        # constructed-but-never-started receiver must be a clean no-op,
+        # not an AttributeError/RuntimeError
+        self._pending: list[bytes] = []
+        self._flusher = threading.Thread(target=self._idle_flush, daemon=True)
 
     def start(self) -> "RedisSubscriberReceiver":
         sub = self._client.command("SUBSCRIBE", self.channel)
@@ -292,8 +298,6 @@ class RedisSubscriberReceiver:
         # the buffered-file state (makefile + timeouts lose data by
         # contract). The reader blocks; stop() unblocks it by closing the
         # socket; a separate flusher thread owns the idle flush.
-        self._pending: list[bytes] = []
-        self._flusher = threading.Thread(target=self._idle_flush, daemon=True)
         self._thread.start()
         self._flusher.start()
         return self
@@ -353,8 +357,10 @@ class RedisSubscriberReceiver:
     def stop(self) -> None:
         self._stop.set()
         self._client.shutdown()  # EOF the blocked reader (close would deadlock)
-        self._thread.join(timeout=2)
-        self._flusher.join(timeout=2)
+        if self._thread.ident is not None:  # never-started: nothing to join
+            self._thread.join(timeout=2)
+        if self._flusher.ident is not None:
+            self._flusher.join(timeout=2)
         self._client.close()
         self._drain()
 

@@ -111,17 +111,25 @@ class UDPDatagramReceiver:
         self._sock.settimeout(self.idle_flush_s)
         pending: list[bytes] = []
         while True:
+            # r16 (ADVICE r15): check _stop on EVERY iteration, not only
+            # after an idle timeout — under sustained traffic the old loop
+            # never saw the flag, stop()'s join always expired, and
+            # shutdown relied on close()ing the socket out from under a
+            # blocked recvfrom (fd-reuse-racy). stop() now also wakes a
+            # blocked recvfrom deterministically with a loopback sentinel.
+            if self._stop.is_set():
+                break
             try:
                 data, _addr = self._sock.recvfrom(_MAX_DGRAM)
             except socket.timeout:
                 if pending:
                     self._flush(pending)
                     pending = []
-                if self._stop.is_set():
-                    break
                 continue
             except OSError:
                 break
+            if self._stop.is_set():
+                break  # wake sentinel (or a datagram racing stop): drop it
             pending.append(data.strip() if self.strip else data)
             if len(pending) >= self.flush_every:
                 self._flush(pending)
@@ -154,7 +162,20 @@ class UDPDatagramReceiver:
 
     def stop(self) -> None:
         self._stop.set()
-        self._thread.join(timeout=2)
+        if self._thread.is_alive():
+            # wake a recvfrom blocked inside its idle_flush_s timeout so
+            # the serve loop observes _stop NOW; the sentinel datagram is
+            # dropped by the post-recv _stop check, never spooled
+            try:
+                wake = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+                try:
+                    wake.sendto(b"", (self.host, self.port))
+                finally:
+                    wake.close()
+            except OSError:
+                pass
+        if self._thread.ident is not None:  # no-op on a never-started receiver
+            self._thread.join(timeout=2)
         self._sock.close()
 
 
