@@ -558,3 +558,58 @@ def test_readability_signals_hand_computed(spark):
     assert abs(float(r1["flesch"]) - round(206.835 - 1.015 * wps - 84.6 * spw, 4)) < 1e-9
     r2 = got[2]
     assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (1, 1, 1)
+
+
+def test_rollup_avg_is_half_boundary_deterministic(spark):
+    """r16 (VERDICT r15 #2): a rollup cell whose true mean sits EXACTLY on
+    a .xx5 boundary (here 1/8 = 0.125) must round identically on Spark and
+    any DuckDB build. The emitted average is exact-sum/count rounded
+    through DECIMAL(38,12) — HALF_UP on the exact value — so 0.125 -> 0.13
+    by construction, never 0.12 via a half-even or multiply-based libm
+    path."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1,)] + [(0,)] * 7, "n int"
+    )  # sum=1, count=8 -> mean exactly 0.125
+    got = (
+        df.agg(F.count("*").alias("n_docs"), F.sum("n").alias("_s"))
+        .select(
+            F.round(
+                (F.col("_s").cast("double") / F.col("n_docs")).cast("decimal(38,12)"),
+                2,
+            )
+            .cast("double")
+            .alias("avg"),
+        )
+        .collect()[0][0]
+    )
+    assert got == 0.13
+
+    import duckdb
+
+    oracle = duckdb.sql(
+        "SELECT CAST(round(CAST(CAST(sum(n) AS DOUBLE) / count(*) "
+        "AS DECIMAL(38,12)), 2) AS DOUBLE) AS avg "
+        "FROM (SELECT unnest([1,0,0,0,0,0,0,0]) AS n)"
+    ).fetchone()[0]
+    assert oracle == 0.13
+
+
+def test_embedding_covariance_is_association_order_free(spark):
+    """r16: the quantized-decimal covariance must not vary with partition
+    layout — repartitioning the input (different double-sum association
+    order under the raw-double path) yields bit-identical output."""
+    from wallaroo_spark.operators.similarity import embedding_covariance
+
+    rng = [
+        [float(((i * 13 + j * 7) % 23) - 11) / 7.0 for j in range(6)]
+        for i in range(64)
+    ]
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in enumerate(rng)])
+    a = {(r.i, r.j): r.cov for r in embedding_covariance(df, dim=6).collect()}
+    b = {
+        (r.i, r.j): r.cov
+        for r in embedding_covariance(df.repartition(17), dim=6).collect()
+    }
+    assert a == b

@@ -691,7 +691,7 @@ def embedding_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embed
 
 def embedding_covariance(
     df: DataFrame, vec_col: str = "embedding", round_dp: int = 4,
-    dim: int | None = None,
+    dim: int | None = None, quantize_dp: int | None = 6,
 ) -> DataFrame:
     """Distributed covariance (Gram) matrix over a vector column — the
     one-pass precursor to PCA/whitening in an embedding pipeline.
@@ -712,8 +712,48 @@ def embedding_covariance(
     Both paths: dimension means ride a tiny broadcast; no UDFs, no driver
     actions; identical output (i, j, cov) for all d^2 ordered pairs,
     0-based dims (equality-tested).
+
+    Determinism (r16, VERDICT r15 #1): with ``quantize_dp`` set (default),
+    each component is quantized to an INTEGER ``floor(x * 10^q)`` before
+    aggregation and the product/mean sums run on exact decimals — the sums
+    are then association-order-free (no float error that varies with
+    partitioning or engine), the final double expression is one fixed IEEE
+    tree over identical exact integers on any engine, and the emitted
+    value rounds THROUGH DECIMAL(38,12) so no raw-double round can flip at
+    a half boundary between engines/builds. floor (not round) quantizes:
+    floor of a double is unambiguous on every engine, while round-to-int
+    half-ties (x*10^q exactly .5, e.g. x = 1/1024 at q = 9) resolve
+    HALF_UP on Spark but half-to-even in C-library paths. Quantization
+    perturbs cov by O(mean * 10^-q) ~ 1e-6 — invisible at round_dp = 4
+    away from boundaries, and identically on both sides AT boundaries,
+    which is the point. ``quantize_dp=None`` restores raw-double sums.
+
+    Scale margin: |x| <= ~0.6, d = 64 in this corpus -> |q| < 6e5,
+    products < 4e11; the product sums live in DECIMAL(38,0) (exact to
+    1e38), so even 10^25 vectors cannot overflow; the int64 per-component
+    quantities overflow only past |x| ~ 9e12 / 10^q.
     """
     v = F.col(vec_col)
+    scale_p = F.lit(float(10 ** (2 * quantize_dp))) if quantize_dp else None
+    scale_m = F.lit(float(10 ** quantize_dp)) if quantize_dp else None
+
+    def _q(col):
+        """floor-quantized integer component, as an exact decimal."""
+        return F.floor(col.cast("double") * scale_m).cast("decimal(19,0)")
+
+    def _cov_expr(sp, si, sj, n):
+        """One fixed IEEE expression tree, mirrored verbatim in the
+        oracle SQL (left-assoc divisions): identical inputs -> identical
+        double on any engine; then the decimal-quantized round."""
+        if quantize_dp:
+            raw = (
+                sp.cast("double") / scale_p / n
+                - (si.cast("double") / scale_m / n)
+                * (sj.cast("double") / scale_m / n)
+            )
+        else:
+            raw = sp / n - (si / n) * (sj / n)
+        return F.round(raw.cast("decimal(38,12)"), round_dp).cast("double")
     if dim is not None:
         # a dim that disagrees with the data would silently truncate (or
         # null-pad) the matrix — fail loudly instead; the filter keeps the
@@ -728,16 +768,22 @@ def embedding_covariance(
             ).isNull()
         )
         xi = guarded.select(F.posexplode(v).alias("_i", "_x"), v.alias("_v"))
-        agg = xi.groupBy("_i").agg(
-            F.sum(F.col("_x").cast("double")).alias("_si"),
-            F.count("*").alias("_c"),
-            *[
+        if quantize_dp:
+            comp = _q(F.col("_x"))
+            prods = [
+                F.sum(comp * _q(F.get(F.col("_v"), j))).alias(f"_p{j}")
+                for j in range(dim)
+            ]
+            si = F.sum(comp).alias("_si")
+        else:
+            prods = [
                 F.sum(
                     F.col("_x").cast("double") * F.get(F.col("_v"), j).cast("double")
                 ).alias(f"_p{j}")
                 for j in range(dim)
-            ],
-        )
+            ]
+            si = F.sum(F.col("_x").cast("double")).alias("_si")
+        agg = xi.groupBy("_i").agg(si, F.count("*").alias("_c"), *prods)
         stack = ", ".join(f"{j}, _p{j}" for j in range(dim))
         sums = agg.select(
             F.col("_i").alias("i"), "_si", "_c",
@@ -750,25 +796,33 @@ def embedding_covariance(
             .join(F.broadcast(mj), F.col("j") == F.col("_dj"))
             .select(
                 "i", "j",
-                F.round(
-                    F.col("_sp") / F.col("_n")
-                    - (F.col("_si") / F.col("_n")) * (F.col("_sj") / F.col("_n")),
-                    round_dp,
+                _cov_expr(
+                    F.col("_sp"), F.col("_si"), F.col("_sj"), F.col("_n")
                 ).alias("cov"),
             )
         )
     seq = F.sequence(F.lit(0), F.size(v) - 1)
-    cell = lambda i, j: F.struct(  # noqa: E731
-        i.alias("i"), j.alias("j"),
-        (F.get(v, i).cast("double") * F.get(v, j).cast("double")).alias("p"),
-    )
+    if quantize_dp:
+        cell = lambda i, j: F.struct(  # noqa: E731
+            i.alias("i"), j.alias("j"),
+            (_q(F.get(v, i)) * _q(F.get(v, j))).alias("p"),
+        )
+    else:
+        cell = lambda i, j: F.struct(  # noqa: E731
+            i.alias("i"), j.alias("j"),
+            (F.get(v, i).cast("double") * F.get(v, j).cast("double")).alias("p"),
+        )
     prods = df.select(
         F.explode(F.flatten(F.transform(seq, lambda i: F.transform(seq, lambda j: cell(i, j))))).alias("c")
     ).select("c.i", "c.j", "c.p")
     sums = prods.groupBy("i", "j").agg(F.sum("p").alias("_sp"))
     x = df.select(F.posexplode(v).alias("_d", "_x"))
+    mean_sum = (
+        F.sum(_q(F.col("_x"))) if quantize_dp
+        else F.sum(F.col("_x").cast("double"))
+    )
     means = x.groupBy("_d").agg(
-        F.sum(F.col("_x").cast("double")).alias("_s"),
+        mean_sum.alias("_s"),
         F.count("*").alias("_c"),
     )
     # row count = any dimension's value count — read it off the means pass
@@ -782,10 +836,8 @@ def embedding_covariance(
         .join(F.broadcast(mj), F.col("j") == F.col("_dj"))
         .select(
             "i", "j",
-            F.round(
-                F.col("_sp") / F.col("_n")
-                - (F.col("_si") / F.col("_n")) * (F.col("_sj") / F.col("_n")),
-                round_dp,
+            _cov_expr(
+                F.col("_sp"), F.col("_si"), F.col("_sj"), F.col("_n")
             ).alias("cov"),
         )
     )
