@@ -64,3 +64,19 @@ def perm_col(h: Column, i: int) -> Column:
 
 def perm_sql(hexpr: str, i: int) -> str:
     return f"(({PERM_A[i]} * {hexpr} + {PERM_B[i]}) % {MERSENNE31})"
+
+
+def det_round_col(c: Column, d: int = 2) -> Column:
+    """Engine-deterministic rounding for emitted doubles (r16, VERDICT r15
+    #2/#3): quantize through DECIMAL(38,12) before rounding, so a value at
+    (or within float error of) a half boundary rounds HALF_UP on the exact
+    decimal in every engine and every DuckDB build — ``round`` applied to
+    the raw double flips between decimal-exact and multiply-based libm
+    implementations precisely there. Pair with ``det_round_sql`` in the
+    oracle; the pane queries (`sliding_window_sum_panes`) proved the
+    pattern driver-green in r15."""
+    return F.round(c.cast("decimal(38,12)"), d).cast("double")
+
+
+def det_round_sql(expr: str, d: int = 2) -> str:
+    return f"CAST(round(CAST(({expr}) AS DECIMAL(38,12)), {d}) AS DOUBLE)"

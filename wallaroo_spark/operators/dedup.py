@@ -161,7 +161,7 @@ def ngram_jaccard_pairs(
     out = (
         inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .withColumn("jaccard", H.det_round_col(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -363,7 +363,7 @@ def minhash_lsh_pairs(
     out = (
         inter.withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+            H.det_round_col(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -1171,7 +1171,7 @@ def chunk_dedup(
             id_col,
             "n_chunks",
             "n_kept",
-            F.round(1 - F.col("n_kept") / F.col("n_chunks"), 4).alias("dup_ratio"),
+            H.det_round_col(1 - F.col("n_kept") / F.col("n_chunks"), 4).alias("dup_ratio"),
         )
     )
 
@@ -1231,6 +1231,6 @@ def snapshot_novelty(
             id_col,
             F.col("n_chunks").cast("long").alias("n_chunks"),
             F.col("n_novel").cast("long").alias("n_novel"),
-            F.round(F.col("n_novel") / F.col("n_chunks"), 4).alias("novelty_ratio"),
+            H.det_round_col(F.col("n_novel") / F.col("n_chunks"), 4).alias("novelty_ratio"),
         )
     )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wallaroo_spark.functions.hashing import det_round_col
+
 
 def _stub_scores(texts):
     """Deterministic pseudo-model: md5-derived uniform score in [0, 1).
@@ -82,12 +84,12 @@ def model_rerank(
         candidates.join(scored, id_col)
         # rank on the ROUNDED score (id tiebreak) so float ulp differences
         # can't flip the cut between engines — same rule as BM25
-        .orderBy(F.round("model_score", 4).desc(), F.col(id_col))
+        .orderBy(det_round_col(F.col("model_score"), 4).desc(), F.col(id_col))
         .limit(k)
         .select(
             id_col,
             "retrieval_score",
-            F.round("model_score", 4).alias("model_score"),
+            det_round_col(F.col("model_score"), 4).alias("model_score"),
         )
         # k rows; three consumers below — without this the model kernel
         # and the whole candidate pipeline run once per consumer
@@ -229,7 +231,7 @@ def linear_classifier_fit(
             .crossJoin(F.broadcast(n_docs))
             .select(
                 "_b",
-                F.round(
+                det_round_col(
                     F.element_at(F.col("clf_w"), F.col("_b") + 1)
                     - F.lit(lr) * F.coalesce(F.col("_grad"), F.lit(0.0)) / F.col("_N"),
                     round_dp,
@@ -246,7 +248,7 @@ def linear_classifier_fit(
             gbias.crossJoin(F.broadcast(model))
             .crossJoin(F.broadcast(n_docs))
             .select(
-                F.round(
+                det_round_col(
                     F.col("clf_b") - F.lit(lr) * F.col("_gb") / F.col("_N"), round_dp
                 ).alias("clf_b")
             )
@@ -280,7 +282,7 @@ def linear_classifier_score(
     return (
         probe.filter(F.size(feats) > 0)
         .crossJoin(F.broadcast(model_row))
-        .withColumn("clf_prob", F.round(prob, round_dp))
+        .withColumn("clf_prob", det_round_col(prob, round_dp))
         .withColumn("clf_pred", (F.col("clf_prob") >= 0.5).cast("int"))
         .drop("clf_w", "clf_b")
     )
@@ -374,7 +376,7 @@ def linear_classifier_fit_sgd(
                 .crossJoin(F.broadcast(n_m))
                 .select(
                     "_b",
-                    F.round(
+                    det_round_col(
                         F.element_at(F.col("clf_w"), F.col("_b") + 1)
                         - F.lit(lr)
                         * F.coalesce(F.col("_grad"), F.lit(0.0))
@@ -393,7 +395,7 @@ def linear_classifier_fit_sgd(
                 gbias.crossJoin(F.broadcast(model))
                 .crossJoin(F.broadcast(n_m))
                 .select(
-                    F.round(
+                    det_round_col(
                         F.col("clf_b") - F.lit(lr) * F.col("_gb") / F.col("_N"),
                         round_dp,
                     ).alias("clf_b")
@@ -450,7 +452,7 @@ def windowed_calibration(
         per.groupBy("window_start")
         .agg(
             F.sum("n").alias("n_scored"),
-            F.round(
+            det_round_col(
                 F.sum(
                     F.abs(
                         F.col("sp")
@@ -506,11 +508,15 @@ class CalibrationAggregation:
         return {k: [x + y for x, y in zip(a[k], b[k])] for k in ("n", "sp", "np")}
 
     def output(self, key, acc):
-        import math
-
         def r(x, dp):
-            s = 10.0 ** dp
-            return math.floor(x * s + 0.5) / s
+            # exact replica of det_round_col (r16): quantize the double's
+            # EXACT binary expansion through scale 12, then HALF_UP at dp —
+            # the old floor(x*s+0.5) multiply could land on the other side
+            # of a half boundary than the batch twin's decimal path
+            from decimal import ROUND_HALF_UP, Decimal
+
+            d = Decimal(x).quantize(Decimal(1).scaleb(-12), rounding=ROUND_HALF_UP)
+            return float(d.quantize(Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP))
 
         n = sum(acc["n"])
         if n == 0:

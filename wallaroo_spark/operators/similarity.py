@@ -671,12 +671,20 @@ def quantize_int8(
     )
     q = F.when(
         mx > 0,
-        F.transform(v, lambda x: F.round(x.cast("double") * 127.0 / mx).cast("int")),
+        # det rounding (r16): x = mx/2 gives an EXACT .5 half (63.5) whose
+        # round-to-int direction differs across engine builds — quantize
+        # through decimal on both sides (oracle replays the same CAST)
+        F.transform(
+            v,
+            lambda x: F.round(
+                (x.cast("double") * 127.0 / mx).cast("decimal(38,12)"), 0
+            ).cast("int"),
+        ),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
     return df.select(
         id_col,
         q.alias("q8"),
-        F.round(mx / 127.0, 6).alias("scale"),
+        F.round((mx / 127.0).cast("decimal(38,12)"), 6).cast("double").alias("scale"),
     )
 
 

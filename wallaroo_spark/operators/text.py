@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wallaroo_spark.functions.hashing import det_round_col
+
 # Small fixed English stopword list (public knowledge); shared with oracles.
 EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
 
@@ -32,7 +34,10 @@ def token_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
         id_col,
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_types"),
-        F.round(
+        # det_round (r16): char/token ratios of small integers routinely
+        # land EXACTLY on a .xxxx5 boundary (e.g. any /32 denominator) —
+        # quantize through decimal so every engine/build rounds them alike
+        det_round_col(
             F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
             / F.greatest(F.size(toks), F.lit(1)),
             4,
@@ -51,7 +56,7 @@ def language_id(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     )
     return df.select(
         id_col,
-        F.round(ratio, 4).alias("stopword_ratio"),
+        det_round_col(ratio, 4).alias("stopword_ratio"),
         F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
     )
 
@@ -65,7 +70,7 @@ def quality_score(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> 
     ttr = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
     stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))) / F.greatest(n, F.lit(1))
     len_ok = F.when((n >= 5) & (n <= 500), F.lit(1.0)).otherwise(F.lit(0.0))
-    score = F.round(0.4 * len_ok + 0.4 * ttr + 0.2 * F.least(stop * 5, F.lit(1.0)), 4)
+    score = det_round_col(0.4 * len_ok + 0.4 * ttr + 0.2 * F.least(stop * 5, F.lit(1.0)), 4)
     return df.select(id_col, score.alias("quality"), n.alias("n_tokens"))
 
 
@@ -227,10 +232,10 @@ def repetition_signals(
         ).alias("_dup3"),
         F.sum(F.when(F.col("k") == 3, F.col("c")).otherwise(F.lit(0))).alias("_tot3"),
     )
-    top_frac = F.round(
+    top_frac = det_round_col(
         F.coalesce(F.col("_top2") / F.nullif(F.col("_tot2"), F.lit(0)), F.lit(0.0)), 4
     )
-    dup_frac = F.round(
+    dup_frac = det_round_col(
         F.coalesce(F.col("_dup3") / F.nullif(F.col("_tot3"), F.lit(0)), F.lit(0.0)), 4
     )
     return (
@@ -1007,7 +1012,7 @@ def bpe_encode(df, merges, text: str = "text", id_col: str = "doc_id"):
         id_col,
         n_ws.cast("long").alias("n_ws_tokens"),
         n_bpe.cast("long").alias("n_bpe_tokens"),
-        F.round(n_bpe / F.greatest(n_ws, F.lit(1)), 4).alias("ratio"),
+        det_round_col(n_bpe / F.greatest(n_ws, F.lit(1)), 4).alias("ratio"),
     )
 
 
@@ -1651,9 +1656,9 @@ def readability_signals(
         n_w.alias("n_words"),
         n_s.alias("n_sentences"),
         n_sy.alias("n_syllables"),
-        F.round(wps, round_dp).alias("words_per_sentence"),
-        F.round(spw, round_dp).alias("syllables_per_word"),
-        F.round(flesch, round_dp).alias("flesch"),
+        det_round_col(wps, round_dp).alias("words_per_sentence"),
+        det_round_col(spw, round_dp).alias("syllables_per_word"),
+        det_round_col(flesch, round_dp).alias("flesch"),
     )
 
 
@@ -1877,15 +1882,15 @@ def c4_gopher_filters(
     c = F.col(text)
     toks = tokens(c)
     n = F.greatest(F.size(toks), F.lit(1))
-    mean_wl = F.round(
+    mean_wl = det_round_col(
         F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
         / n,
         4,
     )
-    alpha_frac = F.round(
+    alpha_frac = det_round_col(
         F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))) / n, 4
     )
-    sym_ratio = F.round(
+    sym_ratio = det_round_col(
         (
             F.length(c) - F.length(F.regexp_replace(c, "#", ""))
             + F.size(F.split(c, r"\.\.\.")) - 1
@@ -1893,7 +1898,7 @@ def c4_gopher_filters(
         / n,
         4,
     )
-    caps_frac = F.round(
+    caps_frac = det_round_col(
         F.size(F.filter(toks, lambda x: x.rlike("^[A-Z]+$"))) / n, 4
     )
     lower = F.lower(c)

@@ -696,8 +696,8 @@ _SHINGLES_CTE = f"""
     SELECT doc_id,
            len(t) AS n_tokens,
            len(list_distinct(t)) AS n_types,
-           round(coalesce(list_sum(list_transform(t, x -> length(x))), 0)::DOUBLE
-                 / greatest(len(t), 1), 4) AS avg_token_len,
+           {H.det_round_sql('''coalesce(list_sum(list_transform(t, x -> length(x))), 0)::DOUBLE
+                 / greatest(len(t), 1)''', 4)} AS avg_token_len,
            len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens,
            len(list_filter(t, x -> x IN {_STOP_SQL})) AS n_stopwords
     FROM toks
@@ -716,7 +716,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  len(list_filter(t, x -> x IN {_STOP_SQL}))::DOUBLE
                  / greatest(len(t), 1) AS ratio
           FROM toks)
-    SELECT doc_id, round(ratio, 4) AS stopword_ratio,
+    SELECT doc_id, {H.det_round_sql('ratio', 4)} AS stopword_ratio,
            CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'unk' END AS pred_lang
     FROM r
     """,
@@ -736,8 +736,8 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / greatest(len(t), 1) AS stop
           FROM toks)
     SELECT doc_id,
-           round(0.4 * (CASE WHEN n BETWEEN 5 AND 500 THEN 1.0 ELSE 0.0 END)
-                 + 0.4 * ttr + 0.2 * least(stop * 5, 1.0), 4) AS quality,
+           {H.det_round_sql('''0.4 * (CASE WHEN n BETWEEN 5 AND 500 THEN 1.0 ELSE 0.0 END)
+                 + 0.4 * ttr + 0.2 * least(stop * 5, 1.0)''', 4)} AS quality,
            n AS n_tokens
     FROM m
     """,
@@ -786,7 +786,7 @@ def exact_dedup_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHERE a.doc_id < b.doc_id
               GROUP BY 1, 2),
     j AS (SELECT doc_a, doc_b,
-                 round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jaccard
+                 CAST(round(CAST((inter::DOUBLE / (sa.sz + sb.sz - inter)) AS DECIMAL(38,12)), 4) AS DOUBLE) AS jaccard
           FROM inter
           JOIN sz sa ON sa.doc_id = doc_a
           JOIN sz sb ON sb.doc_id = doc_b)
@@ -834,7 +834,7 @@ def _minhash_band_joins(bands: int | None = None, rows: int | None = None) -> st
               WHERE a.doc_id < b.doc_id
               GROUP BY 1, 2),
     j AS (SELECT i.doc_a, i.doc_b,
-                 round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+                 CAST(round(CAST((i.inter::DOUBLE / (sa.sz + sb.sz - i.inter)) AS DECIMAL(38,12)), 4) AS DOUBLE) AS jaccard
           FROM inter i
           JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
           JOIN sz sa ON sa.doc_id = i.doc_a
@@ -1179,8 +1179,8 @@ _MM_FEATURES_ORACLE = """
     GROUP BY d.doc_id, d.len
 """.format(
     cols=",\n           ".join(
-        "round(CAST(coalesce(sum(CASE WHEN c.bin = {b} THEN c.c END), 0) AS DOUBLE)"
-        " / greatest(1, d.len), 6) AS f{b}".format(b=b)
+        "CAST(round(CAST((CAST(coalesce(sum(CASE WHEN c.bin = {b} THEN c.c END), 0) AS DOUBLE)"
+        " / greatest(1, d.len)) AS DECIMAL(38,12)), 6) AS DOUBLE) AS f{b}".format(b=b)
         for b in range(8)
     )
 )
@@ -1202,7 +1202,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.extract_features(media, dim=8)
     return feats.select(
         "doc_id",
-        *[F.round(F.col("features")[b], 6).alias(f"f{b}") for b in range(8)],
+        *[H.det_round_col(F.col("features")[b], 6).alias(f"f{b}") for b in range(8)],
     )
 
 
@@ -1628,10 +1628,10 @@ def date_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "percentiles_by_group",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
-           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-           round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+           {H.det_round_sql('quantile_cont(o_totalprice, 0.5)', 2)} AS p50,
+           {H.det_round_sql('quantile_cont(o_totalprice, 0.95)', 2)} AS p95,
            round(min(o_totalprice), 2) AS lo,
            round(max(o_totalprice), 2) AS hi
     FROM orders
@@ -1639,11 +1639,16 @@ def date_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation) per group."""
+    """Exact percentiles (linear interpolation) per group.
+
+    det_round (r16): interpolated quantiles of 2-decimal money values land
+    EXACTLY on .xx5 midpoints (the mean of adjacent cents) — the rounding
+    must go through decimal on both sides. min/max are already on the
+    cent grid and stay raw-rounded."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95"),
+        H.det_round_col(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        H.det_round_col(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
@@ -2053,7 +2058,7 @@ def deterministic_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
               JOIN sz sa ON sa.doc_id = i.doc_a
               JOIN sz sb ON sb.doc_id = i.doc_b
-              WHERE round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 4) >= 0.5),
+              WHERE CAST(round(CAST((i.inter::DOUBLE / (sa.sz + sb.sz - i.inter)) AS DECIMAL(38,12)), 4) AS DOUBLE) >= 0.5),
     edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     reach AS (
@@ -2829,7 +2834,7 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     WITH cost AS (
       SELECT l_partkey, l_suppkey,
-             round(min(l_extendedprice / l_quantity), 2) AS supply_cost
+             CAST(round(CAST((min(l_extendedprice / l_quantity)) AS DECIMAL(38,12)), 2) AS DOUBLE) AS supply_cost
       FROM lineitem GROUP BY 1, 2),
     eligible AS (
       SELECT p.p_partkey, p.p_name, s.s_name, round(s.s_acctbal, 2) AS s_acctbal,
@@ -2855,8 +2860,13 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     table) broadcast; lineitem aggregates once on (partkey, suppkey) —
     map-side partial agg, one shuffle, then broadcast-only joins."""
     li = _t(spark, sf_dir, "lineitem")
+    # det_round (r16): cents/quantity unit costs land exactly on .xx5
+    # midpoints whenever the quantity is even — round through decimal on
+    # both sides so the min-cost equality join stays engine-stable
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("supply_cost")
+        H.det_round_col(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2
+        ).alias("supply_cost")
     )
     p = (
         _t(spark, sf_dir, "part")
@@ -3117,7 +3127,7 @@ def countmin_windowed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
               JOIN sz sa ON sa.doc_id = i.doc_a
               JOIN sz sb ON sb.doc_id = i.doc_b
-              WHERE round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 4) >= 0.5),
+              WHERE CAST(round(CAST((i.inter::DOUBLE / (sa.sz + sb.sz - i.inter)) AS DECIMAL(38,12)), 4) AS DOUBLE) >= 0.5),
     edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     reach AS (
@@ -3158,9 +3168,9 @@ def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CASE WHEN mx > 0
                 THEN array_to_string(list_transform(v,
-                     x -> CAST(round(x * 127.0 / mx) AS INTEGER)), ',')
+                     x -> CAST(round(CAST((x * 127.0 / mx) AS DECIMAL(38,12)), 0) AS INTEGER)), ',')
                 ELSE array_to_string(list_transform(v, x -> 0), ',') END AS q8,
-           round(mx / 127.0, 6) AS scale
+           CAST(round(CAST((mx / 127.0) AS DECIMAL(38,12)), 6) AS DOUBLE) AS scale
     FROM m
     """,
 )
@@ -3344,8 +3354,8 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tstat AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup3,
                      sum(cnt) AS tot3 FROM tc GROUP BY 1),
     fr AS (SELECT d.doc_id,
-                  round(coalesce(top2::DOUBLE / tot2, 0), 4) AS top_bigram_frac,
-                  round(coalesce(dup3::DOUBLE / nullif(tot3, 0), 0), 4) AS dup_trigram_frac
+                  {H.det_round_sql('coalesce(top2::DOUBLE / tot2, 0)', 4)} AS top_bigram_frac,
+                  {H.det_round_sql('coalesce(dup3::DOUBLE / nullif(tot3, 0), 0)', 4)} AS dup_trigram_frac
            FROM documents d
            LEFT JOIN bstat ON bstat.doc_id = d.doc_id
            LEFT JOIN tstat ON tstat.doc_id = d.doc_id)
@@ -3601,10 +3611,10 @@ def corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            user_id,
            dense_rank() OVER w AS dr,
            ntile(4) OVER w AS quartile,
-           round(percent_rank() OVER w, 4) AS pr,
-           round(cume_dist() OVER w, 4) AS cd,
-           round(first_value(value) OVER w, 2) AS first_v,
-           round(nth_value(value, 2) OVER w, 2) AS second_v
+           CAST(round(CAST((percent_rank() OVER w) AS DECIMAL(38,12)), 4) AS DOUBLE) AS pr,
+           CAST(round(CAST((cume_dist() OVER w) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cd,
+           CAST(round(CAST((first_value(value) OVER w) AS DECIMAL(38,12)), 2) AS DOUBLE) AS first_v,
+           CAST(round(CAST((nth_value(value, 2) OVER w) AS DECIMAL(38,12)), 2) AS DOUBLE) AS second_v
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -3624,10 +3634,10 @@ def window_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.dense_rank().over(w).alias("dr"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("pr"),
-        F.round(F.cume_dist().over(w), 4).alias("cd"),
-        F.round(F.first("value").over(wf), 2).alias("first_v"),
-        F.round(F.nth_value("value", 2).over(wf), 2).alias("second_v"),
+        H.det_round_col(F.percent_rank().over(w), 4).alias("pr"),
+        H.det_round_col(F.cume_dist().over(w), 4).alias("cd"),
+        H.det_round_col(F.first("value").over(wf), 2).alias("first_v"),
+        H.det_round_col(F.nth_value("value", 2).over(wf), 2).alias("second_v"),
     )
 
 
@@ -3811,7 +3821,7 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
               JOIN sz sa ON sa.doc_id = i.doc_a
               JOIN sz sb ON sb.doc_id = i.doc_b
-              WHERE round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 4) >= 0.5),
+              WHERE CAST(round(CAST((i.inter::DOUBLE / (sa.sz + sb.sz - i.inter)) AS DECIMAL(38,12)), 4) AS DOUBLE) >= 0.5),
     edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     reach AS (
@@ -3828,8 +3838,8 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / greatest(len(t), 1) AS stop
            FROM toksq),
     q AS (SELECT doc_id,
-                 round(0.4 * (CASE WHEN n BETWEEN 5 AND 500 THEN 1.0 ELSE 0.0 END)
-                       + 0.4 * ttr + 0.2 * least(stop * 5, 1.0), 4) AS quality
+                 CAST(round(CAST((0.4 * (CASE WHEN n BETWEEN 5 AND 500 THEN 1.0 ELSE 0.0 END)
+                       + 0.4 * ttr + 0.2 * least(stop * 5, 1.0)) AS DECIMAL(38,12)), 4) AS DOUBLE) AS quality
           FROM mq),
     ranked AS (SELECT component_id, comp.doc_id AS doc_id, quality,
                       row_number() OVER (PARTITION BY component_id
@@ -3986,7 +3996,7 @@ _CHUNKS10_CTE = f"""
             FROM ch)
     SELECT doc_id, count(*) AS n_chunks,
            CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           round(1 - sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+           CAST(round(CAST((1 - sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)) AS DECIMAL(38,12)), 4) AS DOUBLE)
                AS dup_ratio
     FROM win GROUP BY 1
     """,
@@ -4027,8 +4037,8 @@ def _snapshot_novelty_oracle(m_bits: int = 32760, n_hashes: int = 4) -> str:
     npos AS (SELECT doc_id, {perms} FROM nh)
     SELECT doc_id, count(*) AS n_chunks,
            CAST(sum(CASE WHEN NOT ({tests}) THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-           round(sum(CASE WHEN NOT ({tests}) THEN 1 ELSE 0 END)
-                 / CAST(count(*) AS DOUBLE), 4) AS novelty_ratio
+           CAST(round(CAST((sum(CASE WHEN NOT ({tests}) THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE)) AS DECIMAL(38,12)), 4) AS DOUBLE) AS novelty_ratio
     FROM npos, bloomt GROUP BY 1
     """
 
@@ -4383,7 +4393,7 @@ def _int8_rerank_oracle(k: int = 3, coarse_k: int = 10) -> str:
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
     qz AS (SELECT vec_id,
                   CASE WHEN mx > 0
-                       THEN list_transform(v, x -> CAST(round(x * 127.0 / mx) AS DOUBLE))
+                       THEN list_transform(v, x -> CAST(round(CAST((x * 127.0 / mx) AS DECIMAL(38,12)), 0) AS DOUBLE))
                        ELSE list_transform(v, x -> 0.0) END AS q8
            FROM (SELECT vec_id, v,
                         coalesce((SELECT max(abs(t.x)) FROM unnest(v) AS t(x)), 0) AS mx
@@ -4715,8 +4725,9 @@ def _bpe_encode_oracle(iters: int = 4) -> str:
     SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws_tokens,
            CAST(len(list_filter(string_split(eseq, '|'), x -> x <> '')) AS BIGINT)
                AS n_bpe_tokens,
-           round(len(list_filter(string_split(eseq, '|'), x -> x <> ''))
-                 / CAST(greatest(n_ws, 1) AS DOUBLE), 4) AS ratio
+           {H.det_round_sql(
+               "len(list_filter(string_split(eseq, '|'), x -> x <> ''))"
+               " / CAST(greatest(n_ws, 1) AS DOUBLE)", 4)} AS ratio
     FROM enc
     """
     )
@@ -5050,18 +5061,18 @@ def _clf_oracle(iters: int = 3, lr: float = 1.0, n_hash: int = 512) -> str:
     e{i} AS (SELECT doc_id, y, 1.0/(1.0 + exp(-sc)) - y AS err FROM s{i}),
     g{i} AS (SELECT d.b, sum(e.err) AS gr
              FROM dbk d JOIN e{i} e USING (doc_id) GROUP BY d.b),
-    w{i + 1} AS (SELECT w.b, round(w.wt - {lr} * coalesce(g.gr, 0) / (SELECT n FROM nn), 6) AS wt
+    w{i + 1} AS (SELECT w.b, CAST(round(CAST((w.wt - {lr} * coalesce(g.gr, 0) / (SELECT n FROM nn)) AS DECIMAL(38,12)), 6) AS DOUBLE) AS wt
                  FROM w{i} w LEFT JOIN g{i} g USING (b)),
-    bb{i + 1} AS (SELECT round((SELECT bt FROM bb{i})
-                               - {lr} * (SELECT sum(err) FROM e{i}) / (SELECT n FROM nn), 6) AS bt)""")
+    bb{i + 1} AS (SELECT CAST(round(CAST(((SELECT bt FROM bb{i})
+                               - {lr} * (SELECT sum(err) FROM e{i}) / (SELECT n FROM nn)) AS DECIMAL(38,12)), 6) AS DOUBLE) AS bt)""")
     parts.append(f"""
     final AS (SELECT l.doc_id,
                      1.0/(1.0 + exp(-((SELECT bt FROM bb{iters}) + coalesce(sum(w.wt), 0)))) AS p
               FROM lab l LEFT JOIN dbk d ON l.doc_id = d.doc_id
                          LEFT JOIN w{iters} w ON d.b = w.b
               GROUP BY l.doc_id)
-    SELECT doc_id, round(p, 4) AS clf_prob,
-           CAST(round(p, 4) >= 0.5 AS INT) AS clf_pred
+    SELECT doc_id, CAST(round(CAST(p AS DECIMAL(38,12)), 4) AS DOUBLE) AS clf_prob,
+           CAST(CAST(round(CAST(p AS DECIMAL(38,12)), 4) AS DOUBLE) >= 0.5 AS INT) AS clf_pred
     FROM final""")
     return "WITH " + ",".join(parts)
 
@@ -5124,12 +5135,12 @@ def _clf_sgd_oracle(
     e{s} AS (SELECT doc_id, y, 1.0/(1.0 + exp(-sc)) - y AS err FROM s{s}),
     g{s} AS (SELECT d.b, sum(e.err) AS gr
              FROM dbk d JOIN e{s} e USING (doc_id) GROUP BY d.b),
-    w{s + 1} AS (SELECT w.b, round(w.wt - {lr} * coalesce(g.gr, 0)
-                                   / (SELECT n FROM nn WHERE mb = {m}), 6) AS wt
+    w{s + 1} AS (SELECT w.b, CAST(round(CAST((w.wt - {lr} * coalesce(g.gr, 0)
+                                   / (SELECT n FROM nn WHERE mb = {m})) AS DECIMAL(38,12)), 6) AS DOUBLE) AS wt
                  FROM w{s} w LEFT JOIN g{s} g USING (b)),
-    bb{s + 1} AS (SELECT round((SELECT bt FROM bb{s})
+    bb{s + 1} AS (SELECT CAST(round(CAST(((SELECT bt FROM bb{s})
                                - {lr} * coalesce((SELECT sum(err) FROM e{s}), 0)
-                                 / (SELECT n FROM nn WHERE mb = {m}), 6) AS bt)""")
+                                 / (SELECT n FROM nn WHERE mb = {m})) AS DECIMAL(38,12)), 6) AS DOUBLE) AS bt)""")
     steps = epochs * n_batches
     parts.append(f"""
     final AS (SELECT l.doc_id,
@@ -5137,8 +5148,8 @@ def _clf_sgd_oracle(
               FROM lab l LEFT JOIN dbk d ON l.doc_id = d.doc_id
                          LEFT JOIN w{steps} w ON d.b = w.b
               GROUP BY l.doc_id)
-    SELECT doc_id, round(p, 4) AS clf_prob,
-           CAST(round(p, 4) >= 0.5 AS INT) AS clf_pred
+    SELECT doc_id, CAST(round(CAST(p AS DECIMAL(38,12)), 4) AS DOUBLE) AS clf_prob,
+           CAST(CAST(round(CAST(p AS DECIMAL(38,12)), 4) AS DOUBLE) >= 0.5 AS INT) AS clf_pred
     FROM final""")
     return "WITH " + ",".join(parts)
 
@@ -5309,10 +5320,10 @@ def windowed_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
              FROM t)
     SELECT doc_id, n_words, n_sentences, n_syllables,
-           round(n_words::DOUBLE / n_sentences, 4) AS words_per_sentence,
-           round(n_syllables::DOUBLE / greatest(n_words, 1), 4) AS syllables_per_word,
-           round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
-                        - 84.6 * (n_syllables::DOUBLE / greatest(n_words, 1)), 4) AS flesch
+           {H.det_round_sql('n_words::DOUBLE / n_sentences', 4)} AS words_per_sentence,
+           {H.det_round_sql('n_syllables::DOUBLE / greatest(n_words, 1)', 4)} AS syllables_per_word,
+           {H.det_round_sql('''206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                        - 84.6 * (n_syllables::DOUBLE / greatest(n_words, 1))''', 4)} AS flesch
     FROM base
     """,
 )
@@ -5614,11 +5625,11 @@ def distinct_tokens_by_lang_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM t),
     sig AS (SELECT doc_id,
                    len(tk) AS n_words,
-                   round(list_sum([length(x) for x in tk]) / n, 4) AS mean_word_len,
-                   round(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) / n, 4) AS alpha_frac,
-                   round((length(text) - length(replace(text, '#', ''))
-                          + len(string_split(text, '...')) - 1) / n, 4) AS symbol_ratio,
-                   round(len(list_filter(tk, x -> regexp_matches(x, '^[A-Z]+$'))) / n, 4) AS caps_frac,
+                   {H.det_round_sql('list_sum([length(x) for x in tk]) / n', 4)} AS mean_word_len,
+                   {H.det_round_sql("len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) / n", 4)} AS alpha_frac,
+                   {H.det_round_sql('''(length(text) - length(replace(text, '#', ''))
+                          + len(string_split(text, '...')) - 1) / n''', 4)} AS symbol_ratio,
+                   {H.det_round_sql("len(list_filter(tk, x -> regexp_matches(x, '^[A-Z]+$'))) / n", 4)} AS caps_frac,
                    contains(lower(text), 'lorem ipsum') AS lor,
                    contains(text, '{{') AS brc,
                    (contains(lower(text), 'javascript') OR contains(lower(text), 'cookie')) AS boi
@@ -6470,7 +6481,7 @@ def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHERE a.doc_id < b.doc_id
               GROUP BY 1, 2),
     j AS (SELECT i.doc_a, i.doc_b,
-                 round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+                 CAST(round(CAST((i.inter::DOUBLE / (sa.sz + sb.sz - i.inter)) AS DECIMAL(38,12)), 4) AS DOUBLE) AS jaccard
           FROM inter i
           JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
           JOIN sz sa ON sa.doc_id = i.doc_a
@@ -6529,13 +6540,13 @@ def _clf_calibration_oracle(bins: int = 10) -> str:
                  s.clf_prob, l.y
           FROM sc s JOIN lab l USING (doc_id)),
     per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
-                   round(avg(clf_prob), 4) AS avg_prob,
-                   round(avg(y), 4) AS frac_pos
+                   CAST(round(CAST((avg(clf_prob)) AS DECIMAL(38,12)), 4) AS DOUBLE) AS avg_prob,
+                   CAST(round(CAST((avg(y)) AS DECIMAL(38,12)), 4) AS DOUBLE) AS frac_pos
             FROM b GROUP BY bin),
-    tot AS (SELECT round(sum(n * abs(avg_prob - frac_pos)) / sum(n), 4) AS ece
+    tot AS (SELECT CAST(round(CAST((sum(n * abs(avg_prob - frac_pos)) / sum(n)) AS DECIMAL(38,12)), 4) AS DOUBLE) AS ece
             FROM per)
     SELECT per.bin, per.n, per.avg_prob, per.frac_pos,
-           round(abs(per.avg_prob - per.frac_pos), 4) AS gap,
+           CAST(round(CAST((abs(per.avg_prob - per.frac_pos)) AS DECIMAL(38,12)), 4) AS DOUBLE) AS gap,
            tot.ece AS ece
     FROM per, tot ORDER BY per.bin
     """
@@ -6570,11 +6581,11 @@ def classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     per = binned.groupBy("bin").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("clf_prob"), 4).alias("avg_prob"),
-        F.round(F.avg("y"), 4).alias("frac_pos"),
+        H.det_round_col(F.avg("clf_prob"), 4).alias("avg_prob"),
+        H.det_round_col(F.avg("y"), 4).alias("frac_pos"),
     )
     tot = per.agg(
-        F.round(
+        H.det_round_col(
             F.sum(F.col("n") * F.abs(F.col("avg_prob") - F.col("frac_pos")))
             / F.sum("n"),
             4,
@@ -6584,7 +6595,7 @@ def classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame
         per.crossJoin(F.broadcast(tot))
         .select(
             "bin", "n", "avg_prob", "frac_pos",
-            F.round(F.abs(F.col("avg_prob") - F.col("frac_pos")), 4).alias("gap"),
+            H.det_round_col(F.abs(F.col("avg_prob") - F.col("frac_pos")), 4).alias("gap"),
             "ece",
         )
         .orderBy("bin")
@@ -6612,9 +6623,9 @@ def _clf_threshold_oracle() -> str:
            FROM j, th t GROUP BY t.threshold)
     SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
            CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
-           round(tp / greatest(tp + fp, 1)::DOUBLE, 4) AS precision,
-           round(tp / greatest(tp + fn, 1)::DOUBLE, 4) AS recall,
-           round(2.0 * tp / greatest(2 * tp + fp + fn, 1)::DOUBLE, 4) AS f1
+           CAST(round(CAST((tp / greatest(tp + fp, 1)::DOUBLE) AS DECIMAL(38,12)), 4) AS DOUBLE) AS precision,
+           CAST(round(CAST((tp / greatest(tp + fn, 1)::DOUBLE) AS DECIMAL(38,12)), 4) AS DOUBLE) AS recall,
+           CAST(round(CAST((2.0 * tp / greatest(2 * tp + fp + fn, 1)::DOUBLE) AS DECIMAL(38,12)), 4) AS DOUBLE) AS f1
     FROM cm ORDER BY threshold
     """
 
@@ -6659,9 +6670,9 @@ def classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     return cm.select(
         "threshold", "tp", "fp", "fn", "tn",
-        F.round(p, 4).alias("precision"),
-        F.round(r, 4).alias("recall"),
-        F.round(f1, 4).alias("f1"),
+        H.det_round_col(p, 4).alias("precision"),
+        H.det_round_col(r, 4).alias("recall"),
+        H.det_round_col(f1, 4).alias("f1"),
     ).orderBy("threshold")
 
 
@@ -6811,7 +6822,7 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM j GROUP BY 1, 2)
     SELECT CAST(ws AS TIMESTAMP) AS window_start,
            CAST(sum(n) AS BIGINT) AS n_scored,
-           round(sum(abs(sp - 10000 * np)) / (10000.0 * sum(n)), 4) AS ece
+           CAST(round(CAST((sum(abs(sp - 10000 * np)) / (10000.0 * sum(n))) AS DECIMAL(38,12)), 4) AS DOUBLE) AS ece
     FROM per GROUP BY ws
     """,
 )
