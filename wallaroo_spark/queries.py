@@ -6896,13 +6896,28 @@ def opq_rotation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orthogonal, so the exact top-k truth from the raw vectors is valid
     for every arm.
 
-    ROWS-ONLY oracle by declaration: np.linalg.eigh is not replayable in
-    SQL (the r9 VERDICT pre-approved this shape); the measurable
-    objective rides in `opq_rotation_distortion` and the improvement
-    claim is pinned by tests/test_opq.py — recall@5 0.07 (permutation)
-    -> 0.57 (rotation) on flat-variance dense anisotropy, where the
-    permutation is provably blind. On THIS corpus (isotropic synthetic
-    embeddings) the expected, honest result is parity across arms.
+    ROWS-ONLY oracle by declaration — per-column proof (r16, VERDICT r15
+    #4): the emitted columns are (variant, recall). For the
+    ``opq_rot``/``opq_rot_np`` rows, recall = f(R) where R is the
+    eigenvector matrix of np.linalg.eigh(cov) (refined by SVD Procrustes
+    for the non-parametric arm). Even with a bit-identical covariance
+    input, an eigendecomposition's output basis is unique only up to a
+    per-eigenvector SIGN and, within any near-degenerate eigenvalue
+    cluster, an arbitrary orthonormal re-mixing — both resolved by LAPACK
+    iteration order, i.e. by the BLAS build of whatever machine runs the
+    query. Downstream PQ codebooks train on R-rotated coordinates, so the
+    recall VALUE genuinely depends on that build; no SQL oracle can replay
+    it without re-implementing the eigensolve. Every column that does NOT
+    pass through eigh IS hash-gated elsewhere: the pq_plain/opq_perm arms'
+    recalls in `opq_recall_audit` (driver-green), and the rotation's
+    correctness properties (orthogonality residual, end-to-end norm/dot
+    preservation through apply_rotation) in `opq_rotation_invariants`
+    (driver-green r15). The measurable objective rides in
+    `opq_rotation_distortion` and the improvement claim is pinned by
+    tests/test_opq.py — recall@5 0.07 (permutation) -> 0.57 (rotation) on
+    flat-variance dense anisotropy, where the permutation is provably
+    blind. On THIS corpus (isotropic synthetic embeddings) the expected,
+    honest result is parity across arms.
 
     Scale shape: covariance = one pass with kilobyte partials; the
     transform applies in-row at scan speed (one broadcast matrix row);
@@ -6955,9 +6970,19 @@ def opq_rotation_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors): per-arm PQ reconstruction MSE and subspace imbalance —
     what eigenvalue allocation exists to minimize. The distortion is the
     trainable, corpus-independent check on `opq_fit_rotation` (recall is
-    query-set-dependent; MSE is the objective itself). ROWS-ONLY oracle:
-    the rotation arm embeds the driver-side eigensolve. One broadcast-
-    codebook scan + an m-row aggregate per arm."""
+    query-set-dependent; MSE is the objective itself).
+
+    ROWS-ONLY oracle — per-column proof (r16, VERDICT r15 #4): the
+    ``opq_rot`` rows' mse/imbalance columns are functions of the
+    eigh-learned rotation (PQ codebooks train in R-rotated coordinates;
+    R's sign/degenerate-cluster ambiguity is resolved by the local BLAS
+    build — see `opq_rotation_audit` for the full argument), so no SQL
+    replay exists short of re-implementing the eigensolve. The
+    pq_plain/opq_perm arms' identical mse/imbalance computation IS
+    hash-gated by `pq_distortion_report`'s oracle, and the rotation's
+    orthogonality/norm-preservation is hash-gated by
+    `opq_rotation_invariants`. One broadcast-codebook scan + an m-row
+    aggregate per arm."""
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus_filter = F.col("vec_id") >= 10
 
@@ -7578,9 +7603,15 @@ def opq_rotation_prod_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate #1): full parametric OPQ rotation + auto-sized IVF-PQ +
     sampled coarse training + exact re-rank, against the same pipeline
     without the rotation. The rotation is orthogonal, so the exact
-    raw-vector truth applies to both arms. ROWS-ONLY oracle by
-    declaration: the rotation embeds the driver-side eigensolve (the
-    r9-VERDICT-pre-approved shape, same family as opq_rotation_audit).
+    raw-vector truth applies to both arms.
+
+    ROWS-ONLY oracle — per-column proof (r16, VERDICT r15 #4): the
+    ``rot_auto_sampled_rerank`` recall passes through the eigh-learned R
+    (sign/degenerate-cluster ambiguity resolved by the local BLAS build —
+    see `opq_rotation_audit`), so it cannot be SQL-replayed; the
+    UNROTATED arm's identical pipeline IS hash-gated end-to-end by
+    `ann_recall_prod_audit`'s oracle, and the rotation's own correctness
+    by `opq_rotation_invariants` (driver-green r15).
     Measured at sf0.1: rotation 0.39 vs 0.31 recall@10 at identical scan
     cost — the synthetic corpus carries enough residual anisotropy for
     the eigen-allocation to pay even here (its designed win, on dense
@@ -8013,53 +8044,50 @@ def fuzzy_decontaminate_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the r13 batch was additionally spot-verified at sf0.01 (the
 # driver's scale) before commit.
 _DRIVER_WINDOW_ROTATION = [
-    # r15 batch (VERDICT r14 #1). The r14 batch (ephemeral_windows, the
-    # TPC-H tails, sliding unaligned/panes, fuzzy decontamination, the
-    # ANN/sketch/text families) went 30/30 green in CORRECTNESS_r14 and
-    # rotates out; the full local gate remains its backstop.
+    # r16 batch (VERDICT r15 #1/#3). The r15 batch went 28/30 green in
+    # CORRECTNESS_r15; the full local gate remains the rotated-out names'
+    # backstop.
     #
-    # Lead: the NEW families this round (standing rule: new oracle-gated
-    # families go straight into the window) — the gcd-pane sliding window
-    # at a non-dividing geometry (size=1h, slide=25m -> 5m panes), closing
-    # the r14 operator-surface gap vs the reference's pane machinery; and
-    # the OPQ eigensolve invariants entry (VERDICT r14 #4), which makes
-    # the rows-only rotation family hash-checkable via orthogonality and
-    # norm/dot-preservation columns DuckDB replays from raw embeddings.
-    "sliding_window_sum_panes_gcd",
-    "opq_rotation_invariants",
-    # never-driver-checked backlog (tools/rotation_plan.py r15
-    # suggestions 1-28 of 43; trained_quality_classifier_sgd and
-    # interp_trigram_lm_score — both spot-run green at sf0.01 in r14 —
-    # are displaced to r16). Leads with the two rows displaced from the
-    # r14 batch.
-    "stratified_sample_counts",
-    "quality_weighted_sample",
-    "distinct_users_linear_count",
-    "repetition_quality_signals",
-    "domain_mixture_resample",
-    "duplicate_token_spans",
-    "decontaminate_bloom_hits",
+    # Lead: the round's two RED rows, re-greened via exact-arithmetic
+    # decimal-quantized rounding (VERDICT r15 #1) — they stay in the
+    # window until the driver's own gate confirms the fix.
     "embedding_covariance",
-    "embedding_jl_projection",
     "corpus_stats_rollup",
-    "error_followup_counts",
-    "distinct_tokens_by_lang_linear_count",
-    "value_quantiles_histogram_sketch",
-    "decontaminate_spans",
-    "hourly_distinct_users_linear_count",
-    "token_budget_fill",
-    "hard_negative_mining",
-    "dsir_score_filter",
-    "knn_label_purity",
-    "pack_manifest",
-    "bigram_surprisal_quality",
-    "similarity_topk_int8_rerank",
-    "lsh_recall_audit",
-    "bpe_encode_stats",
-    "corpus_zipf_heaps_stats",
-    "model_quality_rerank",
-    "perplexity_filter_survivors",
-    "perplexity_filter_streamable",
+    # The FINAL never-driver-checked backlog (tools/rotation_plan.py r16:
+    # 15 oracle-gated names remain) — after this batch every oracle-gated
+    # family has faced the driver's hash gate at least once.
+    "interp_trigram_lm_score",
+    "trained_quality_classifier_sgd",
+    "corpus_snapshot_drift",
+    "corpus_drift_by_lang",
+    "windowed_corpus_drift",
+    "chunk_documents_rag",
+    "pq_topk_adc",
+    "pq_rerank_topk",
+    "distinct_users_hll",
+    "distinct_tokens_by_lang_hll",
+    "ivfpq_topk_search",
+    "ivfpq_residual_search",
+    "shuffle_skew_report",
+    "ann_recall_audit",
+    "opq_recall_audit",
+    # Remaining slots: families whose EMITTED VALUES changed in the r16
+    # det-round sweep (exact half-boundary values now round through
+    # decimal on both sides — VERDICT r15 #2/#3); re-prove them under the
+    # driver's own gate rather than only the local replica.
+    "ngram_jaccard_pairs",
+    "window_ranking_battery",
+    "percentiles_by_group",
+    "tpch_q2_min_cost_supplier",
+    "multimodal_features",
+    "embedding_quantize_int8",
+    "classifier_calibration_report",
+    "windowed_calibration_ece",
+    "trained_quality_classifier",
+    "text_token_stats",
+    "text_quality_score",
+    "readability_signals",
+    "c4_gopher_filter_battery",
 ]
 
 
