@@ -203,3 +203,37 @@ def test_skew_report_flags_hot_key(spark):
     uniform = spark.range(1000).select(F.concat(F.lit("k"), F.col("id") % 100).alias("k"))
     u = skew_report(uniform, "k", top_n=1).collect()
     assert abs(u[0].imbalance - 1.0) < 1e-9
+
+
+def test_linear_count_overlap_sketch_algebra(spark):
+    """r16: cohort-pair set algebra on linear-count bitmaps — estimates
+    within sketch error of exact distinct/union/intersection on planted
+    overlap, symmetric pair coverage, Jaccard consistent with the parts."""
+    from pyspark.sql import functions as F
+
+    from wallaroo_spark.operators.sketch import linear_count_overlap
+
+    # cohorts: A = users 0..599, B = 300..899 (overlap 300), C disjoint
+    rows = (
+        [("A", str(u)) for u in range(600)]
+        + [("B", str(u)) for u in range(300, 900)]
+        + [("C", str(u)) for u in range(2000, 2100)]
+    )
+    df = spark.createDataFrame(rows, "co string, uid string")
+    out = {
+        (r.cohort_a, r.cohort_b): r
+        for r in linear_count_overlap(df, "uid", "co").collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    # m=4096 linear counting at n=600: std err ~ sqrt(m*(exp(n/m)-1-n/m))
+    # ~ 2-3% — assert 10% bands
+    assert abs(ab.est_a - 600) < 60 and abs(ab.est_b - 600) < 60
+    assert abs(ab.est_union - 900) < 90
+    assert abs(ab.est_intersection - 300) < 90
+    assert abs(ab.est_jaccard - 300 / 900) < 0.12
+    # disjoint cohorts: intersection estimate collapses toward 0
+    ac = out[("A", "C")]
+    assert ac.est_intersection < 60
+    # occupancy identity holds exactly (it is integer algebra)
+    assert ab.occ_union == ab.occ_a + ab.occ_b - (ab.occ_a + ab.occ_b - ab.occ_union)

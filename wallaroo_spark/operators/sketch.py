@@ -541,3 +541,77 @@ class HLLAggregation:
             "registers_used": len(items),
             "regs": ",".join(f"{r}:{v}" for r, v in items),
         }
+
+
+def linear_count_overlap(
+    items: DataFrame, item_col: str, cohort_col: str, m: int = 4096
+) -> DataFrame:
+    """Sketch SET ALGEBRA over linear-counting bitmaps (r16): distinct,
+    union, intersection, and Jaccard estimates for every cohort PAIR —
+    the audience-overlap question ("how many users click AND purchase")
+    answered without ever joining raw identities.
+
+    This is the property that makes sketches a data structure rather
+    than just an estimator (the DataSketches set-operation model): the
+    raw data is scanned ONCE into k cohort bitmaps of m cells (bounded
+    (cohort, cell) state, dedup partial-aggs map-side exactly like
+    `linear_count_distinct_by`), and all pair algebra runs on the
+    sketches alone —
+
+        occ(A ∪ B)  = occ_A + occ_B − |cells_A ∩ cells_B|
+        est(A ∩ B)  = est_A + est_B − est(A ∪ B)   (clamped at 0)
+
+    so p cohorts cost one corpus pass plus O(p² · m) sketch work, versus
+    the exact path's p² shuffles of raw identity pairs. At 100 TB the
+    cells table is k·m rows however many events flow in; the pair join
+    is on the m-bounded cell space, broadcastable by construction.
+
+    Estimates round through decimal (`det_round_col`) — cross-engine
+    deterministic; the same saturation clamp as the other linear
+    counters. Output per unordered pair (a < b): occupancies, the three
+    distinct estimates, the intersection estimate, and est_jaccard.
+    """
+    from wallaroo_spark.functions.hashing import det_round_col
+
+    cells = items.select(
+        F.col(cohort_col).alias("_co"),
+        (H.hmod_col(F.col(item_col)) % F.lit(m)).alias("_cell"),
+    ).distinct()
+    occ = cells.groupBy("_co").agg(F.count("*").alias("_occ"))
+
+    def est(occ_col: F.Column) -> F.Column:
+        return -float(m) * F.log(
+            (F.lit(float(m)) - F.least(occ_col, F.lit(m - 1))) / F.lit(float(m))
+        )
+
+    a = cells.select(F.col("_co").alias("cohort_a"), "_cell")
+    b = cells.select(F.col("_co").alias("cohort_b"), "_cell")
+    inter_cells = (
+        a.join(b, "_cell")
+        .where(F.col("cohort_a") < F.col("cohort_b"))
+        .groupBy("cohort_a", "cohort_b")
+        .agg(F.count("*").alias("_inter_cells"))
+    )
+    occ_a = occ.select(F.col("_co").alias("cohort_a"), F.col("_occ").alias("occ_a"))
+    occ_b = occ.select(F.col("_co").alias("cohort_b"), F.col("_occ").alias("occ_b"))
+    paired = (
+        inter_cells.join(F.broadcast(occ_a), "cohort_a")
+        .join(F.broadcast(occ_b), "cohort_b")
+        .withColumn("occ_union", F.col("occ_a") + F.col("occ_b") - F.col("_inter_cells"))
+    )
+    est_a, est_b = est(F.col("occ_a")), est(F.col("occ_b"))
+    est_u = est(F.col("occ_union"))
+    return paired.select(
+        "cohort_a", "cohort_b", "occ_a", "occ_b", "occ_union",
+        det_round_col(est_a, 2).alias("est_a"),
+        det_round_col(est_b, 2).alias("est_b"),
+        det_round_col(est_u, 2).alias("est_union"),
+        det_round_col(
+            F.greatest(est_a + est_b - est_u, F.lit(0.0)), 2
+        ).alias("est_intersection"),
+        det_round_col(
+            F.greatest(est_a + est_b - est_u, F.lit(0.0))
+            / F.greatest(est_u, F.lit(1.0)),
+            4,
+        ).alias("est_jaccard"),
+    )

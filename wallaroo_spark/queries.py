@@ -8026,6 +8026,55 @@ def fuzzy_decontaminate_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "audience_overlap_sketch",
+    oracle=f"""
+    WITH cells AS (
+        SELECT DISTINCT event_type AS co,
+               ({H.hmod_sql("CAST(user_id AS VARCHAR)")} % 4096) AS cell
+        FROM events
+    ),
+    occ AS (SELECT co, count(*) AS n FROM cells GROUP BY 1),
+    inter AS (SELECT a.co AS ca, b.co AS cb, count(*) AS ic
+              FROM cells a JOIN cells b USING (cell)
+              WHERE a.co < b.co GROUP BY 1, 2),
+    pairs AS (SELECT ca, cb, oa.n AS occ_a, ob.n AS occ_b,
+                     oa.n + ob.n - ic AS occ_u
+              FROM inter JOIN occ oa ON oa.co = ca JOIN occ ob ON ob.co = cb),
+    ests AS (SELECT ca, cb, occ_a, occ_b, occ_u,
+                    -4096.0 * ln((4096.0 - least(occ_a, 4095)) / 4096.0) AS ea,
+                    -4096.0 * ln((4096.0 - least(occ_b, 4095)) / 4096.0) AS eb,
+                    -4096.0 * ln((4096.0 - least(occ_u, 4095)) / 4096.0) AS eu
+             FROM pairs)
+    SELECT ca AS cohort_a, cb AS cohort_b,
+           CAST(occ_a AS BIGINT) AS occ_a, CAST(occ_b AS BIGINT) AS occ_b,
+           CAST(occ_u AS BIGINT) AS occ_union,
+           CAST(round(CAST(ea AS DECIMAL(38,12)), 2) AS DOUBLE) AS est_a,
+           CAST(round(CAST(eb AS DECIMAL(38,12)), 2) AS DOUBLE) AS est_b,
+           CAST(round(CAST(eu AS DECIMAL(38,12)), 2) AS DOUBLE) AS est_union,
+           CAST(round(CAST(greatest(ea + eb - eu, 0.0) AS DECIMAL(38,12)), 2) AS DOUBLE)
+               AS est_intersection,
+           CAST(round(CAST(greatest(ea + eb - eu, 0.0) / greatest(eu, 1.0)
+               AS DECIMAL(38,12)), 4) AS DOUBLE) AS est_jaccard
+    FROM ests
+    """,
+)
+def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA (`sketch.linear_count_overlap`): distinct /
+    union / intersection / Jaccard estimates for every event-type pair's
+    USER AUDIENCE, from one scan into per-cohort linear-counting bitmaps
+    — "how many users both click and purchase" without ever shuffling
+    raw identity pairs. The DataSketches set-operation model: sketches
+    merge (cell OR) and difference (inclusion-exclusion) as data; the
+    pair join runs on the m-bounded cell space, broadcastable by
+    construction at any corpus size. Estimates decimal-round on both
+    sides; the oracle rebuilds every bitmap cell."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    return _sketch.linear_count_overlap(ev, "uid", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 12, VERDICT r11 #4)
 # ---------------------------------------------------------------------------
@@ -8084,7 +8133,11 @@ _DRIVER_WINDOW_ROTATION = [
     "classifier_calibration_report",
     "windowed_calibration_ece",
     "trained_quality_classifier",
-    "text_token_stats",
+    # NEW family this round (standing rule: new oracle-gated families go
+    # straight into the window) — sketch set algebra; displaces
+    # text_token_stats, whose det-round change is covered by the three
+    # sibling text-battery entries below and the full local gate
+    "audience_overlap_sketch",
     "text_quality_score",
     "readability_signals",
     "c4_gopher_filter_battery",
