@@ -573,10 +573,17 @@ def linear_count_overlap(
     """
     from wallaroo_spark.functions.hashing import det_round_col
 
-    cells = items.select(
-        F.col(cohort_col).alias("_co"),
-        (H.hmod_col(F.col(item_col)) % F.lit(m)).alias("_cell"),
-    ).distinct()
+    cells = (
+        items.select(
+            F.col(cohort_col).alias("_co"),
+            (H.hmod_col(F.col(item_col)) % F.lit(m)).alias("_cell"),
+        )
+        .distinct()
+        # the sketch IS the bounded artifact (k cohorts x m cells): pin it
+        # so the occupancy pass and both pair-join sides read the k*m-row
+        # sketch, not three more corpus scans (model-artifact discipline)
+        .localCheckpoint(eager=True)
+    )
     occ = cells.groupBy("_co").agg(F.count("*").alias("_occ"))
 
     def est(occ_col: F.Column) -> F.Column:
