@@ -138,6 +138,8 @@ HEADLINE = [
     # round-15 additions
     "sliding_window_sum_panes_gcd",
     "opq_rotation_invariants",
+    # round-16 addition
+    "audience_overlap_sketch",
 ]
 
 

@@ -5,6 +5,13 @@ over the same parquet, compares row count, sorted-column schema, and an
 order-insensitive value hash. Usage:
 
     python tools/check.py [sf_dir] [query_name ...]
+
+Companion gate (r16): ``python tools/round_lint.py`` — the
+boundary-proximity linter for round()-over-double oracles (VERDICT r15
+#2). A query can pass THIS gate locally and still flip in the driver's
+environment if an emitted rounded double sits on a half boundary;
+the linter probes exactly that. Both gates should be zero-failure
+before certifying a round.
 """
 
 from __future__ import annotations
