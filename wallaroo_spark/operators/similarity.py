@@ -873,6 +873,13 @@ def jl_project(
     from wallaroo_spark.functions import hashing as H
 
     x = df.select(id_col, F.posexplode(F.col(vec_col)).alias("_i", "_x"))
+    # r16 (the embedding_covariance determinism class): each component is
+    # floor-quantized to an integer at 1e-6 so the per-vector signed sums
+    # are EXACT (association-order-free on any engine/partitioning); the
+    # single division chain over the exact integer is one fixed IEEE
+    # expression, and the emitted value rounds through decimal. 64 terms
+    # of |q| < ~1e7 can never overflow int64.
+    q = F.floor(F.col("_x").cast("double") * F.lit(1000000.0)).cast("long")
     aggs = []
     for j in range(out_dim):
         sign = (
@@ -880,8 +887,15 @@ def jl_project(
         ) * 2 - 1
         aggs.append(
             F.round(
-                F.sum(F.col("_x").cast("double") * sign) / math.sqrt(out_dim), round_dp
-            ).alias(f"y{j}")
+                (
+                    F.sum(q * sign).cast("double")
+                    / F.lit(1000000.0)
+                    / math.sqrt(out_dim)
+                ).cast("decimal(38,12)"),
+                round_dp,
+            )
+            .cast("double")
+            .alias(f"y{j}")
         )
     return x.groupBy(id_col).agg(*aggs)
 

@@ -3530,12 +3530,14 @@ def _jl_oracle(out_dim: int = 8) -> str:
         return f"((({inner}) % 2) * 2 - 1)"
 
     cols = ",\n           ".join(
-        f"round(sum(xi * {sign(j)}) / sqrt({out_dim}), 4) AS y{j}"
+        f"CAST(round(CAST((CAST(sum(q * {sign(j)}) AS DOUBLE)"
+        f" / 1000000.0 / sqrt({out_dim})) AS DECIMAL(38,12)), 4) AS DOUBLE) AS y{j}"
         for j in range(out_dim)
     )
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    x AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS xi FROM e)
+    x AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
+                 CAST(floor(unnest(v) * 1000000.0) AS BIGINT) AS q FROM e)
     SELECT vec_id, {cols}
     FROM x GROUP BY vec_id
     """
