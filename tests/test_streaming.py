@@ -2010,3 +2010,79 @@ def test_count_windows_facade_flush_timeout_knob(spark, tmpdir):
     )
     q2.awaitTermination(120)
     assert spark.sql("SELECT * FROM t_cw_facade_none WHERE key='a'").count() == 0
+
+
+def test_windowed_linear_count_aggregation_stream_matches_batch(spark, tmpdir):
+    """r16: streaming windowed linear-count bitmap (Aggregation facade)
+    reproduces the batch cell set EXACTLY per closed (cohort, window) —
+    cell-set union is order-insensitive — and the cohort-pair overlap
+    algebra computed from the STREAMED sketches matches
+    `linear_count_overlap` run on the same batch rows."""
+    import random
+
+    from wallaroo_spark.api import aggregation as A
+    from wallaroo_spark.functions import hashing as H
+    from wallaroo_spark.operators.sketch import (
+        LinearCountAggregation,
+        linear_count_overlap,
+    )
+
+    rnd = random.Random(11)
+    rows = [
+        Row(
+            k=rnd.choice(["click", "purchase"]),
+            ts=T0 + dt.timedelta(seconds=rnd.randint(0, 3599)),
+            item=f"u{rnd.randint(0, 400)}",
+        )
+        for _ in range(1200)
+    ] + [Row(k="click", ts=T0 + dt.timedelta(seconds=7300), item="closer")]
+    df = spark.createDataFrame(rows)
+    df.coalesce(1).write.mode("overwrite").parquet(tmpdir + "/in")
+
+    agg = LinearCountAggregation("item")
+    sdf = spark.readStream.schema(df.schema).parquet(tmpdir + "/in")
+    out = A.windowed_agg_stream(
+        sdf.withWatermark("ts", "0 seconds"), ["k"], "ts", agg,
+        "occupied int, cells string, est_distinct double", 3600,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_lc_win")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir + "/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first = {
+        r.k: r
+        for r in spark.sql(
+            "SELECT * FROM t_lc_win WHERE window_start = {ws}",
+            ws=int(T0.timestamp()),
+        ).collect()
+    }
+    assert set(first) == {"click", "purchase"}
+
+    # cell-for-cell parity with the batch bitmap of the same window
+    batch_win = df.filter(
+        (F.col("ts") >= T0) & (F.col("ts") < T0 + dt.timedelta(hours=1))
+    )
+    for co in ("click", "purchase"):
+        want = sorted(
+            r._c for r in batch_win.filter(F.col("k") == co)
+            .select(((H.hmod_col(F.col("item"))) % F.lit(4096)).alias("_c"))
+            .distinct().collect()
+        )
+        got = [int(c) for c in first[co].cells.split(",")]
+        assert got == want, co
+        assert first[co].occupied == len(want)
+
+    # pair algebra from the streamed sketches == batch overlap operator
+    a, b = first["click"], first["purchase"]
+    inter_cells = len(set(a.cells.split(",")) & set(b.cells.split(",")))
+    occ_union = a.occupied + b.occupied - inter_cells
+    batch_pair = linear_count_overlap(
+        batch_win.select("k", "item"), "item", "k"
+    ).collect()[0]
+    assert (batch_pair.occ_a, batch_pair.occ_b) == (a.occupied, b.occupied)
+    assert batch_pair.occ_union == occ_union

@@ -622,3 +622,63 @@ def linear_count_overlap(
             4,
         ).alias("est_jaccard"),
     )
+
+
+class LinearCountAggregation:
+    """Windowed linear-counting bitmap as a user Aggregation (r16): per
+    (key, window) the accumulator is the occupied-cell SET — ``combine``
+    is set union (order-insensitive), so a drained stream reproduces the
+    batch bitmap EXACTLY cell-for-cell (parity-tested), the same
+    contract as HLLAggregation/CountMinAggregation. State per (key,
+    window) is bounded by m whatever the stream volume.
+
+    This is the streaming half of `linear_count_overlap`: keep one
+    windowed sketch per cohort key on the stream, then run the pair set
+    algebra (union/intersection/Jaccard) downstream on the EMITTED
+    sketches — corpus-sized data never crosses the sketch boundary.
+    Constants are captured so pickled closures never import this package
+    (executors cannot). ``output`` emits the occupied count, the sorted
+    cell CSV, and the linear-counting estimate rounded through decimal
+    (det_round semantics, replicated in pure Python).
+    """
+
+    def __init__(self, item_field: str, m: int = 4096, mersenne: int = H.MERSENNE31):
+        self.item_field = item_field
+        self.m = m
+        self.mersenne = mersenne
+
+    def name(self) -> str:
+        return f"lincount_{self.item_field}"
+
+    def initial_accumulator(self):
+        return {"cells": {}}
+
+    def update(self, rec, acc) -> None:
+        import hashlib
+
+        h = int(
+            hashlib.md5(str(rec[self.item_field]).encode()).hexdigest()[:15], 16
+        )
+        acc["cells"][str((h % self.mersenne) % self.m)] = 1
+
+    def combine(self, a, b):
+        out = dict(a["cells"])
+        out.update(b["cells"])
+        return {"cells": out}
+
+    def output(self, key, acc):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        occ = len(acc["cells"])
+        est = -float(self.m) * math.log(
+            (self.m - min(occ, self.m - 1)) / float(self.m)
+        )
+        d = Decimal(est).quantize(Decimal(1).scaleb(-12), rounding=ROUND_HALF_UP)
+        return {
+            "occupied": occ,
+            "cells": ",".join(str(c) for c in sorted(int(k) for k in acc["cells"])),
+            "est_distinct": float(
+                d.quantize(Decimal(1).scaleb(-2), rounding=ROUND_HALF_UP)
+            ),
+        }
