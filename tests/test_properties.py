@@ -663,3 +663,67 @@ def test_pq_pack_codes_roundtrip_any_geometry(m, k):
     for i, codes in rows:
         got = [(packed[i] >> (j * bits)) & mask for j in range(m)]
         assert got == codes, (m, k, codes, got)
+
+
+# ---------------------------------------------------------------------------
+# r16: the det_round contract — one rounding truth across three engines
+# ---------------------------------------------------------------------------
+
+def _py_det_round(x: float, d: int) -> float:
+    """Reference semantics: quantize the double's EXACT binary expansion
+    at scale 12 (HALF_UP), then HALF_UP at d — what det_round_col/sql and
+    CalibrationAggregation.output all implement."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(x).quantize(Decimal(1).scaleb(-12), rounding=ROUND_HALF_UP)
+    return float(q.quantize(Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            # adversarial: exact dyadic halves (the r15 flip class) ...
+            st.integers(-10**6, 10**6).map(lambda k: k / 8.0),
+            st.integers(-10**6, 10**6).map(lambda k: k / 32.0 / 10**2),
+            # ... and arbitrary finite doubles
+            st.floats(
+                min_value=-1e9, max_value=1e9,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1, max_size=40,
+    ),
+    st.sampled_from([2, 4, 6]),
+)
+def test_det_round_tri_engine_agreement(spark, xs, d):
+    """For ANY double — including values exactly ON a .xx5 boundary —
+    Spark's det_round_col, DuckDB's det_round_sql, and the Python Decimal
+    reference produce the SAME result. This is the whole contract the r16
+    rounding sweep rests on; raw round() demonstrably violates it across
+    engines at the boundary class."""
+    import duckdb
+
+    from wallaroo_spark.functions.hashing import det_round_col, det_round_sql
+
+    want = [_py_det_round(x, d) for x in xs]
+
+    got_spark = [
+        r.y
+        for r in spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, x double")
+        .select("i", det_round_col(F.col("x"), d).alias("y"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got_spark == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(xs)))
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {det_round_sql('x', d)} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert got_duck == want
