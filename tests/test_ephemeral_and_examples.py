@@ -382,3 +382,38 @@ def test_training_data_pipeline_example(spark, tmp_path):
     table.append_multi({"corpus": final.limit(1)})
     assert table.read(spark, "sequences", version=0).count() == len(man)
     assert table.read(spark, "corpus", version=0).count() == len(rows)
+
+
+def test_example_celsius_kafka_full_loop(spark, tmpdir):
+    """r16: the reference's celsius-kafka app end-to-end over the wire
+    broker — produce C readings to the input topic, convert through the
+    Pipeline facade, produce F strings to the output topic, and verify
+    every reading came back as %.6f of C*1.8+32 under the same key."""
+    from examples.celsius_kafka import (
+        IN_TOPIC,
+        OUT_TOPIC,
+        PARTITIONS,
+        run,
+    )
+    from wallaroo_spark.sources.kafka_wire import KafkaWireClient, MiniKafkaBroker
+
+    broker = MiniKafkaBroker().start()
+    try:
+        run(spark, broker, str(tmpdir) + "/spool", str(tmpdir) + "/chk", n=60)
+        client = KafkaWireClient(broker.host, broker.port)
+        try:
+            inp, out = [], []
+            for p in range(PARTITIONS):
+                inp += client.fetch(IN_TOPIC, p, 0)[1]
+                out += client.fetch(OUT_TOPIC, p, 0)[1]
+        finally:
+            client.close()
+        assert len(inp) == 60 and len(out) == 60
+        want = sorted(
+            (k.decode(), "%.6f" % (float(v.decode()) * 1.8 + 32))
+            for _o, k, v, _t in inp
+        )
+        got = sorted((k.decode(), v.decode()) for _o, k, v, _t in out)
+        assert got == want
+    finally:
+        broker.stop()
