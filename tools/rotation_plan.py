@@ -68,7 +68,12 @@ def main() -> None:
     for n in candidates[:batch]:
         print(f'    "{n}",')
     if rows_only:
-        print("\nrows-only (need the weaker check or an objective oracle):")
+        print(
+            "\nrows-only (no SQL oracle; as of r16 each carries a"
+            " per-column proof of driver-eigensolve dependence in its"
+            " docstring, with every non-eigensolve arm hash-gated by a"
+            " sibling query):"
+        )
         for n in rows_only:
             print(f"    {n}")
 
