@@ -58,3 +58,20 @@ def test_live_jdbc_roundtrip_and_incremental_poll(spark, tmpdir):
     batch = spark.read.parquet(src)
     jdbc_insert_sink(url, "sunk")(batch, batch_id=99)
     assert jdbc_read(spark, url, "sunk").count() == 200
+
+
+def test_poll_increment_string_bookmark_quoting(spark, tmpdir):
+    """r16 review: string bookmarks (including embedded quotes) must render
+    as standard single-quoted SQL literals, not Python repr."""
+    url = derby_url(tmpdir + "/db2")
+    rows = [("a", 1), ("it's", 2), ("z", 3)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    from wallaroo_spark.sinks.jdbc import jdbc_insert_sink
+
+    jdbc_insert_sink(
+        url, "s", createTableColumnTypes="k VARCHAR(128), v INTEGER"
+    )(df, batch_id=0)
+    got = sorted(r.k for r in jdbc_poll_increment(spark, url, "s", "k", "it's").collect())
+    assert got == ["z"]
+    got_all = sorted(r.k for r in jdbc_poll_increment(spark, url, "s", "k", "").collect())
+    assert got_all == ["a", "it's", "z"]

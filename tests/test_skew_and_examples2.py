@@ -237,3 +237,21 @@ def test_linear_count_overlap_sketch_algebra(spark):
     assert ac.est_intersection < 60
     # occupancy identity holds exactly (it is integer algebra)
     assert ab.occ_union == ab.occ_a + ab.occ_b - (ab.occ_a + ab.occ_b - ab.occ_union)
+
+
+def test_linear_count_overlap_emits_disjoint_pairs(spark):
+    """r16 review: a cohort pair sharing ZERO bitmap cells must still get
+    a row (est_intersection ~ 0) — absence would be indistinguishable
+    from 'not computed'."""
+    from wallaroo_spark.operators.sketch import linear_count_overlap
+
+    # two singleton cohorts: shared cells essentially impossible
+    df = spark.createDataFrame(
+        [("X", "only-user-x"), ("Y", "only-user-y")], "co string, uid string"
+    )
+    rows = linear_count_overlap(df, "uid", "co").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.cohort_a, r.cohort_b) == ("X", "Y")
+    assert r.occ_a == 1 and r.occ_b == 1 and r.occ_union == 2
+    assert r.est_intersection == 0.0 and r.est_jaccard == 0.0

@@ -93,12 +93,48 @@ def _scan(sql: str):
         else:
             expr, dstr = inner[:comma], inner[comma + 1 :].strip()
             digits = int(dstr) if re.fullmatch(r"-?\d+", dstr) else None
-        quantized = bool(
-            re.search(r"AS\s+DECIMAL", expr, re.IGNORECASE)
-        )
+        quantized = _is_quantized(expr)
         out.append((k, j + 1, expr, digits, quantized))
-        i = j
+        # a QUANTIZED round is skipped by the probe rewrite, so keep
+        # scanning INSIDE its argument — a raw round nested there still
+        # perturbs the value before quantization and must be probed; an
+        # unquantized round is itself rewritten, so its nested rounds are
+        # covered by the outer probe (overlapping rewrites would corrupt
+        # the span arithmetic)
+        i = (k + 6) if quantized else j
     return out
+
+
+def _is_quantized(expr: str) -> bool:
+    """True only when the round's WHOLE argument is a CAST(... AS
+    DECIMAL...) — the det_round pattern. The earlier substring test
+    ("AS DECIMAL" anywhere) mis-classified a raw outer round whose
+    argument merely CONTAINS a quantized sub-expression, e.g.
+    ``round(det_round_output / y, 2)`` — exactly the r15 flip class,
+    silently exempted from probing (r16 review)."""
+    e = expr.strip()
+    if not re.match(r"(?i)^CAST\s*\(", e):
+        return False
+    # the CAST's close paren must be the END of the expression
+    start = e.index("(")
+    depth = 0
+    in_str = False
+    for idx in range(start, len(e)):
+        c = e[idx]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return idx == len(e) - 1 and bool(
+                    re.search(r"(?i)AS\s+DECIMAL", e)
+                )
+    return False
 
 
 def probe_sql(sql: str):

@@ -567,9 +567,14 @@ def linear_count_overlap(
     is on the m-bounded cell space, broadcastable by construction.
 
     Estimates round through decimal (`det_round_col`) — cross-engine
-    deterministic; the same saturation clamp as the other linear
-    counters. Output per unordered pair (a < b): occupancies, the three
-    distinct estimates, the intersection estimate, and est_jaccard.
+    deterministic up to the ln() ulp (Java Math.log vs libm agree only
+    within 1 ulp; at est magnitudes ~1e3 that is ~1e-13, well inside the
+    1e-12 decimal quantum, the same accepted posture as every other
+    linear-count emission since r5). Occupancies are exact integers. The
+    same saturation clamp as the other linear counters. Output per
+    unordered pair (a < b) INCLUDING pairs whose bitmaps share zero
+    cells (disjoint audiences): occupancies, the three distinct
+    estimates, the intersection estimate, and est_jaccard.
     """
     from wallaroo_spark.functions.hashing import det_round_col
 
@@ -601,9 +606,16 @@ def linear_count_overlap(
     )
     occ_a = occ.select(F.col("_co").alias("cohort_a"), F.col("_occ").alias("occ_a"))
     occ_b = occ.select(F.col("_co").alias("cohort_b"), F.col("_occ").alias("occ_b"))
+    # EVERY unordered pair, from the cohort list itself (r16 review): two
+    # cohorts whose bitmaps share zero cells — genuinely disjoint
+    # audiences, the case the overlap question most cares about — have no
+    # inter_cells row; the pair frame is the occ x occ cross (k^2 rows,
+    # trivially broadcastable) with the shared-cell count defaulting to 0
     paired = (
-        inter_cells.join(F.broadcast(occ_a), "cohort_a")
-        .join(F.broadcast(occ_b), "cohort_b")
+        occ_a.crossJoin(F.broadcast(occ_b))
+        .where(F.col("cohort_a") < F.col("cohort_b"))
+        .join(F.broadcast(inter_cells), ["cohort_a", "cohort_b"], "left")
+        .withColumn("_inter_cells", F.coalesce(F.col("_inter_cells"), F.lit(0)))
         .withColumn("occ_union", F.col("occ_a") + F.col("occ_b") - F.col("_inter_cells"))
     )
     est_a, est_b = est(F.col("occ_a")), est(F.col("occ_b"))

@@ -3559,9 +3559,9 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT lang, source, n_chars, len({_TOKS_SQL}) AS n_toks
                FROM documents)
     SELECT lang, source, count(*) AS n_docs,
-           CAST(round(CAST(CAST(sum(n_chars) AS DOUBLE) / count(*)
+           CAST(round(CAST(CAST(sum(n_chars) AS DOUBLE) / greatest(count(n_chars), 1)
                 AS DECIMAL(38,12)), 2) AS DOUBLE) AS avg_chars,
-           CAST(round(CAST(CAST(sum(n_toks) AS DOUBLE) / count(*)
+           CAST(round(CAST(CAST(sum(n_toks) AS DOUBLE) / greatest(count(n_toks), 1)
                 AS DECIMAL(38,12)), 2) AS DOUBLE) AS avg_tokens,
            round(sum(n_toks), 2) AS total_tokens
     FROM t GROUP BY ROLLUP (lang, source)
@@ -3585,8 +3585,12 @@ def corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = F.size(text.tokens(F.col("text")))
 
-    def _avg2(sum_col: str) -> F.Column:
-        raw = F.col(sum_col).cast("double") / F.col("n_docs")
+    def _avg2(sum_col: str, n_col: str) -> F.Column:
+        # null-EXCLUDING denominator (r16 review: dividing by count(*)
+        # silently changed avg semantics for rows with NULL metrics vs
+        # the original F.avg); exact ints -> one IEEE division -> the
+        # decimal-quantized round
+        raw = F.col(sum_col).cast("double") / F.greatest(F.col(n_col), F.lit(1))
         return F.round(raw.cast("decimal(38,12)"), 2).cast("double")
 
     return (
@@ -3595,12 +3599,14 @@ def corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("_sc"),
+            F.count("n_chars").alias("_nc"),
             F.sum("_nt").alias("_st"),
+            F.count("_nt").alias("_nn"),
         )
         .select(
             "lang", "source", "n_docs",
-            _avg2("_sc").alias("avg_chars"),
-            _avg2("_st").alias("avg_tokens"),
+            _avg2("_sc", "_nc").alias("avg_chars"),
+            _avg2("_st", "_nn").alias("avg_tokens"),
             F.round(F.col("_st"), 2).alias("total_tokens"),
         )
     )
@@ -8040,9 +8046,10 @@ def fuzzy_decontaminate_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter AS (SELECT a.co AS ca, b.co AS cb, count(*) AS ic
               FROM cells a JOIN cells b USING (cell)
               WHERE a.co < b.co GROUP BY 1, 2),
-    pairs AS (SELECT ca, cb, oa.n AS occ_a, ob.n AS occ_b,
-                     oa.n + ob.n - ic AS occ_u
-              FROM inter JOIN occ oa ON oa.co = ca JOIN occ ob ON ob.co = cb),
+    pairs AS (SELECT oa.co AS ca, ob.co AS cb, oa.n AS occ_a, ob.n AS occ_b,
+                     oa.n + ob.n - coalesce(ic, 0) AS occ_u
+              FROM occ oa JOIN occ ob ON oa.co < ob.co
+              LEFT JOIN inter ON inter.ca = oa.co AND inter.cb = ob.co),
     ests AS (SELECT ca, cb, occ_a, occ_b, occ_u,
                     -4096.0 * ln((4096.0 - least(occ_a, 4095)) / 4096.0) AS ea,
                     -4096.0 * ln((4096.0 - least(occ_b, 4095)) / 4096.0) AS eb,

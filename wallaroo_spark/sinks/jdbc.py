@@ -49,6 +49,7 @@ def jdbc_insert_sink(
     mode: str = "append",
     driver: str | None = None,
     batchsize: int = 1000,
+    **writer_options: str,
 ):
     """foreachBatch fn: append the micro-batch to ``table`` via JDBC.
 
@@ -64,6 +65,11 @@ def jdbc_insert_sink(
         w = batch_df.write.mode(mode).option("batchsize", str(batchsize))
         if driver:
             w = w.option("driver", driver)
+        # e.g. createTableColumnTypes="k VARCHAR(128)" — needed on Derby,
+        # whose default StringType mapping (CLOB) refuses comparisons in
+        # pushed-down predicates
+        for k, v in writer_options.items():
+            w = w.option(k, v)
         w.jdbc(url, table)
 
     return sink
@@ -84,6 +90,25 @@ def jdbc_read(
     return r.load()
 
 
+def _sql_literal(v) -> str:
+    """Render a bookmark as a safe SQL literal (r16 review: Python repr
+    produced double-quoted/backslash-escaped strings — invalid standard
+    SQL and an injection vector for attacker-influenced bookmarks)."""
+    import datetime
+    import numbers
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, numbers.Number):
+        return repr(v)  # ints/floats repr as valid SQL numerics
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'" if isinstance(
+            v, datetime.datetime
+        ) else f"DATE '{v.isoformat()}'"
+    # standard SQL string literal: single quotes, '' escaping only
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def jdbc_poll_increment(
     spark: SparkSession,
     url: str,
@@ -98,7 +123,7 @@ def jdbc_poll_increment(
     LISTEN/NOTIFY loop keeps its bookmark implicitly in the channel)."""
     # quote the key identifier: Spark's JDBC writer creates quoted
     # (case-exact) column names, which unquoted references fold away from
-    q = f'(SELECT * FROM {table} WHERE "{key_col}" > {last_seen!r}) t'
+    q = f'(SELECT * FROM {table} WHERE "{key_col}" > {_sql_literal(last_seen)}) t'
     r = spark.read.format("jdbc").option("url", url).option("dbtable", q)
     if driver:
         r = r.option("driver", driver)

@@ -348,7 +348,12 @@ class MiniKafkaBroker:
                     for o in range(off, hw):
                         key, value, ts = log[part][o]
                         recs.append((o, key, value, ts))
-                        size += 26 + len(key or b"") + len(value or b"")
+                        # exact per-record wire cost: offset(8) + size(4)
+                        # + crc(4) + magic(1) + attr(1) + ts(8) +
+                        # keylen(4) + vallen(4) = 34 bytes + payloads
+                        # (r16 review: 26 undercounted by the offset
+                        # field, overrunning the client's max_bytes)
+                        size += 34 + len(key or b"") + len(value or b"")
                         if size >= max_bytes:
                             break
                 parts.append((part, ERR_NONE, hw, encode_message_set(recs)))
