@@ -6104,6 +6104,16 @@ def _opq_perm_e_sql(
     """
 
 
+def _overlap(*thunks):
+    """Run independent ARTIFACT-BUILD thunks concurrently from driver
+    threads — see functions.overlap.overlap_build (guide §2.6). Results
+    are identical by construction to the sequential build; only the
+    driver-side sequencing of the chains' tiny jobs changes."""
+    from wallaroo_spark.functions.overlap import overlap_build
+
+    return overlap_build(*thunks)
+
+
 def _ann_exact_truth(emb: DataFrame, topk: int) -> DataFrame:
     """Exact L2 top-k ground truth shared by ALL recall audits
     (ann_recall_audit / opq_recall_audit / opq_rotation_audit /
@@ -6224,7 +6234,6 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 10)
     qs = emb.filter(F.col("vec_id") < 10)
-    truth = _ann_exact_truth(emb, topk)
 
     # shared index artifacts, trained ONCE (r9 VERDICT #6): the fine
     # codebook/codes serve pq_adc, pq_rerank, ivfpq_plain and
@@ -6232,15 +6241,41 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coarse codebook + cell assignment serve all three IVF arms
     # (residual's FINE book can't be shared — it trains on residuals).
     # localCheckpoint pins each so no arm re-runs a Lloyd chain.
-    cb = similarity.pq_train(emb, iters=2)
-    codes = similarity.pq_encode(corpus, cb).localCheckpoint(eager=True)
-    coarse = similarity.pq_train(
-        emb, m=1, sub_dim=64, k=8, iters=2
-    ).localCheckpoint(eager=True)
-    cells = (
-        similarity.pq_encode(corpus, coarse, m=1, sub_dim=64)
-        .select("vec_id", F.element_at("codes", 1).alias("_cell"))
-        .localCheckpoint(eager=True)
+    #
+    # r16: the four artifact chains below are mutually independent, so
+    # they build OVERLAPPED (_overlap, guide §2.6) instead of serially —
+    # each chain is a string of tiny jobs that left the cluster idle;
+    # artifacts and results are identical, only the driver-side
+    # sequencing changed (profiled 163 jobs/run, build:exec ≈ 6:1).
+    def _fine_chain():
+        cb = similarity.pq_train(emb, iters=2)
+        return cb, similarity.pq_encode(corpus, cb).localCheckpoint(eager=True)
+
+    def _coarse_chain():
+        coarse = similarity.pq_train(
+            emb, m=1, sub_dim=64, k=8, iters=2
+        ).localCheckpoint(eager=True)
+        cells = (
+            similarity.pq_encode(corpus, coarse, m=1, sub_dim=64)
+            .select("vec_id", F.element_at("codes", 1).alias("_cell"))
+            .localCheckpoint(eager=True)
+        )
+        return coarse, cells
+
+    def _perm_chain():
+        # pin the permuted frame: the residual arm's internal coarse/fine
+        # chains consume it many times, and without the cut each consumer
+        # re-runs the crossJoin+transform lineage from the raw scan
+        return similarity.apply_dim_permutation(
+            emb.select("vec_id", "embedding"),
+            similarity.opq_fit_permutation(emb),
+        ).localCheckpoint(eager=True)
+
+    truth, (cb, codes), (coarse, cells), p_emb = _overlap(
+        lambda: _ann_exact_truth(emb, topk),
+        _fine_chain,
+        _coarse_chain,
+        _perm_chain,
     )
     variants = {
         "pq_adc": similarity.pq_topk(codes, cb, qs, topk=topk),
@@ -6251,32 +6286,34 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, corpus, qs, topk=topk, n_cells=8, nprobe=3,
             coarse=coarse, fine=cb, cells=cells, codes=codes,
         ),
-        "ivfpq_residual": similarity.ivfpq_residual_topk(
-            emb, corpus, qs, topk=topk, n_cells=8, nprobe=3,
-            coarse=coarse, corpus_cells=cells,
-        ),
-        "ivfpq_adaptive": similarity.ivfpq_adaptive_topk(
-            emb, corpus, qs, topk=topk, candidate_budget=200, n_cells=8,
-            coarse=coarse, fine=cb, cells=cells, codes=codes,
-        ),
     }
-    # pin the permuted frame: the residual arm's internal coarse/fine
-    # chains consume it many times, and without the cut each consumer
-    # re-runs the crossJoin+transform lineage from the raw scan
-    p_emb = similarity.apply_dim_permutation(
-        emb.select("vec_id", "embedding"), similarity.opq_fit_permutation(emb)
-    ).localCheckpoint(eager=True)
     # r10 NOTES candidate #4 (pre-share the permuted-space coarse chain)
     # was MEASURED MOOT in r11: pq_train localCheckpoints its codebook
     # per iteration, so the permuted Lloyd chain never re-executes per
     # consumer anyway — pre-sharing only added eager-checkpoint barriers
     # (same-host A/B: 28.2 s without vs 29.8 s with). Left unshared.
-    variants["ivfpq_residual_opq"] = similarity.ivfpq_residual_topk(
-        p_emb,
-        p_emb.filter(F.col("vec_id") >= 10),
-        p_emb.filter(F.col("vec_id") < 10),
-        topk=topk, n_cells=8, nprobe=3,
+    # The residual / adaptive / residual_opq constructions each run their
+    # own eager training jobs (residual fine books, probe sizing), and are
+    # mutually independent given the shared artifacts — overlapped too.
+    res_arm, adapt_arm, res_opq_arm = _overlap(
+        lambda: similarity.ivfpq_residual_topk(
+            emb, corpus, qs, topk=topk, n_cells=8, nprobe=3,
+            coarse=coarse, corpus_cells=cells,
+        ),
+        lambda: similarity.ivfpq_adaptive_topk(
+            emb, corpus, qs, topk=topk, candidate_budget=200, n_cells=8,
+            coarse=coarse, fine=cb, cells=cells, codes=codes,
+        ),
+        lambda: similarity.ivfpq_residual_topk(
+            p_emb,
+            p_emb.filter(F.col("vec_id") >= 10),
+            p_emb.filter(F.col("vec_id") < 10),
+            topk=topk, n_cells=8, nprobe=3,
+        ),
     )
+    variants["ivfpq_residual"] = res_arm
+    variants["ivfpq_adaptive"] = adapt_arm
+    variants["ivfpq_residual_opq"] = res_opq_arm
     return _recall_table(truth, variants)
 
 
@@ -6346,7 +6383,6 @@ def opq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = _ANN_AUDIT_TOPK
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     d = 64
-    truth = _ann_exact_truth(emb, topk)
 
     def pq_arm(vecs: DataFrame) -> DataFrame:
         # ONE persisted subvector base per transform arm feeds BOTH the
@@ -6367,18 +6403,35 @@ def opq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # pin each transformed frame once: every pq_arm consumes its input
     # from several branches (seed scan, subvector persist, encode, query
-    # side), and the transform lineage would re-run per branch
-    permuted = similarity.apply_dim_permutation(
-        emb, similarity.opq_fit_permutation(emb)
-    ).localCheckpoint(eager=True)
-    rot = similarity.hadamard_rotate(emb, d=d)
-    rr = similarity.apply_dim_permutation(
-        rot, similarity.opq_fit_permutation(rot)
-    ).localCheckpoint(eager=True)
+    # side), and the transform lineage would re-run per branch.
+    # r16: the three transform+PQ arms and the exact truth are mutually
+    # independent chains — built OVERLAPPED (_overlap, guide §2.6; the
+    # serial build profiled 21-31 s against a 3 s final exec). Same
+    # artifacts and results, the tiny Lloyd/encode jobs just share the
+    # idle cores.
+    def _perm_arm():
+        permuted = similarity.apply_dim_permutation(
+            emb, similarity.opq_fit_permutation(emb)
+        ).localCheckpoint(eager=True)
+        return pq_arm(permuted)
+
+    def _rr_arm():
+        rot = similarity.hadamard_rotate(emb, d=d)
+        rr = similarity.apply_dim_permutation(
+            rot, similarity.opq_fit_permutation(rot)
+        ).localCheckpoint(eager=True)
+        return pq_arm(rr)
+
+    truth, plain_arm, perm_arm, rr_arm = _overlap(
+        lambda: _ann_exact_truth(emb, topk),
+        lambda: pq_arm(emb),
+        _perm_arm,
+        _rr_arm,
+    )
     return _recall_table(truth, {
-        "pq_plain": pq_arm(emb),
-        "opq_perm": pq_arm(permuted),
-        "opq_rr": pq_arm(rr),
+        "pq_plain": plain_arm,
+        "opq_perm": perm_arm,
+        "opq_rr": rr_arm,
     })
 
 
@@ -6932,7 +6985,6 @@ def opq_rotation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything downstream is the production PQ path."""
     topk = _ANN_AUDIT_TOPK
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    truth = _ann_exact_truth(emb, topk)
 
     def pq_arm(vecs: DataFrame) -> DataFrame:
         # ONE persisted subvector base per transform arm feeds BOTH the
@@ -6951,23 +7003,47 @@ def opq_rotation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes, cb, vecs.filter(F.col("vec_id") < 10), topk=topk
         )
 
-    rot = similarity.opq_fit_rotation(emb)
-    rot_np, _hist = similarity.opq_refine_rotation(emb, rot=rot)
-    return _recall_table(truth, {
-        "pq_plain": pq_arm(emb),
-        "opq_perm": pq_arm(
+    # r16: truth and the four arms are independent chains given the
+    # rotation fits — overlapped (_overlap, guide §2.6; serial build
+    # profiled 17-23 s vs 1.8 s exec). The parametric fit gates both
+    # rotation arms (rot_np refines FROM rot), so the rot chain computes
+    # it once, then its two arms overlap as a nested pair. Artifacts and
+    # results identical to the serial build.
+    def _rot_chain():
+        rot = similarity.opq_fit_rotation(emb)
+
+        def _rot_np_arm():
+            # the non-parametric alternation (opq_refine_rotation) from
+            # the parametric start — the full Ge et al. surface pipeline
+            rot_np, _hist = similarity.opq_refine_rotation(emb, rot=rot)
+            return pq_arm(
+                similarity.apply_rotation(emb, rot_np).localCheckpoint(
+                    eager=True
+                )
+            )
+
+        return _overlap(
+            lambda: pq_arm(
+                similarity.apply_rotation(emb, rot).localCheckpoint(eager=True)
+            ),
+            _rot_np_arm,
+        )
+
+    truth, plain_arm, perm_arm, (rot_arm, rot_np_arm) = _overlap(
+        lambda: _ann_exact_truth(emb, topk),
+        lambda: pq_arm(emb),
+        lambda: pq_arm(
             similarity.apply_dim_permutation(
                 emb, similarity.opq_fit_permutation(emb)
             )
         ),
-        "opq_rot": pq_arm(
-            similarity.apply_rotation(emb, rot).localCheckpoint(eager=True)
-        ),
-        # the non-parametric alternation (opq_refine_rotation) from the
-        # parametric start — the full Ge et al. pipeline on the surface
-        "opq_rot_np": pq_arm(
-            similarity.apply_rotation(emb, rot_np).localCheckpoint(eager=True)
-        ),
+        _rot_chain,
+    )
+    return _recall_table(truth, {
+        "pq_plain": plain_arm,
+        "opq_perm": perm_arm,
+        "opq_rot": rot_arm,
+        "opq_rot_np": rot_np_arm,
     })
 
 
@@ -7250,18 +7326,23 @@ def ann_recall_prod_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 10)
     qs = emb.filter(F.col("vec_id") < 10)
-    truth = _ann_exact_truth(emb, topk)
 
     auto = similarity.ivf_auto_size(corpus.count(), topk)
     nc, np_ = auto["n_cells"], auto["nprobe"]
-    # shared artifacts (the r9 #6 discipline): ONE fine codebook/code set
-    # serves every arm; one coarse book per geometry
-    cb = similarity.pq_train(emb, iters=2)
-    codes = similarity.pq_encode(corpus, cb).localCheckpoint(eager=True)
 
-    def coarse_and_cells(n_cells):
+    # shared artifacts (the r9 #6 discipline): ONE fine codebook/code set
+    # serves every arm; one coarse book per geometry.
+    # r16: the six artifact chains (fine, 3 coarse geometries, sampled
+    # fine, truth) are mutually independent — built OVERLAPPED
+    # (_overlap, guide §2.6; profiled build:exec 44-112 s : 2-4 s
+    # serial). Same artifacts, same results, overlapped tiny jobs.
+    def _fine_chain():
+        cb = similarity.pq_train(emb, iters=2)
+        return cb, similarity.pq_encode(corpus, cb).localCheckpoint(eager=True)
+
+    def coarse_and_cells(n_cells, sample=None):
         coarse = similarity.pq_train(
-            emb, m=1, sub_dim=64, k=n_cells, iters=2
+            emb, m=1, sub_dim=64, k=n_cells, iters=2, sample=sample
         ).localCheckpoint(eager=True)
         cells = (
             similarity.pq_encode(corpus, coarse, m=1, sub_dim=64)
@@ -7270,27 +7351,37 @@ def ann_recall_prod_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return coarse, cells
 
-    coarse_a, cells_a = coarse_and_cells(nc)
-    coarse_t, cells_t = coarse_and_cells(8)
-    # sampled-coarse-training arm (r10 VERDICT #1): the SAME auto
-    # geometry, but the coarse Lloyd trains on the bounded salted-hash
-    # sample (39 points/cell — similarity.IVF_TRAIN_POINTS_PER_CELL).
-    # At 100 TB this is the only arm whose TRAINING cost stays O(s) per
-    # step; recall must land within noise of the full-corpus arm.
-    coarse_s = similarity.pq_train(
-        emb, m=1, sub_dim=64, k=nc, iters=2,
-        sample=similarity.IVF_TRAIN_POINTS_PER_CELL * nc,
-    ).localCheckpoint(eager=True)
-    cells_s = (
-        similarity.pq_encode(corpus, coarse_s, m=1, sub_dim=64)
-        .select("vec_id", F.element_at("codes", 1).alias("_cell"))
-        .localCheckpoint(eager=True)
+    def _sampled_fine_chain():
+        # sampled-FINE-codebook artifacts (r12 VERDICT #4): one sampled
+        # fine book + its codes serve the both-sampled arm; every other
+        # arm keeps the shared full-training fine artifacts
+        cb_sf = similarity.pq_train(emb, iters=2, sample=_ANN_PROD_FINE_SAMPLE)
+        return cb_sf, similarity.pq_encode(corpus, cb_sf).localCheckpoint(
+            eager=True
+        )
+
+    (
+        truth,
+        (cb, codes),
+        (coarse_a, cells_a),
+        (coarse_t, cells_t),
+        # sampled-coarse-training arm (r10 VERDICT #1): the SAME auto
+        # geometry, but the coarse Lloyd trains on the bounded
+        # salted-hash sample (39 points/cell). At 100 TB this is the only
+        # arm whose TRAINING cost stays O(s) per step; recall must land
+        # within noise of the full-corpus arm.
+        (coarse_s, cells_s),
+        (cb_sf, codes_sf),
+    ) = _overlap(
+        lambda: _ann_exact_truth(emb, topk),
+        _fine_chain,
+        lambda: coarse_and_cells(nc),
+        lambda: coarse_and_cells(8),
+        lambda: coarse_and_cells(
+            nc, sample=similarity.IVF_TRAIN_POINTS_PER_CELL * nc
+        ),
+        _sampled_fine_chain,
     )
-    # sampled-FINE-codebook artifacts (r12 VERDICT #4): one sampled fine
-    # book + its codes serve the both-sampled arm; every other arm keeps
-    # the shared full-training fine artifacts
-    cb_sf = similarity.pq_train(emb, iters=2, sample=_ANN_PROD_FINE_SAMPLE)
-    codes_sf = similarity.pq_encode(corpus, cb_sf).localCheckpoint(eager=True)
     variants = {
         "ivfpq_auto": similarity.ivfpq_topk(
             emb, corpus, qs, topk=topk, n_cells=nc, nprobe=np_,
@@ -7474,12 +7565,13 @@ def ann_recall_clustered_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     embc = _clustered_embeddings(spark, sf_dir).localCheckpoint(eager=True)
     corpus = embc.filter(F.col("vec_id") >= 10)
     qs = embc.filter(F.col("vec_id") < 10)
-    truth = _ann_exact_truth(embc, topk)
 
     auto = similarity.ivf_auto_size(corpus.count(), topk)
     nc, np_ = auto["n_cells"], auto["nprobe"]
-    cb = similarity.pq_train(embc, iters=2)
-    codes = similarity.pq_encode(corpus, cb).localCheckpoint(eager=True)
+
+    def _fine_chain():
+        cb = similarity.pq_train(embc, iters=2)
+        return cb, similarity.pq_encode(corpus, cb).localCheckpoint(eager=True)
 
     def coarse_and_cells(sample):
         coarse = similarity.pq_train(
@@ -7492,9 +7584,21 @@ def ann_recall_clustered_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return coarse, cells
 
-    coarse_f, cells_f = coarse_and_cells(None)
-    coarse_s, cells_s = coarse_and_cells(
-        similarity.IVF_TRAIN_POINTS_PER_CELL * nc
+    # r16: the four chains (truth, fine book, full-trained coarse,
+    # sampled coarse) are independent given embc — overlapped
+    # (_overlap, guide §2.6). Same artifacts, same results.
+    (
+        truth,
+        (cb, codes),
+        (coarse_f, cells_f),
+        (coarse_s, cells_s),
+    ) = _overlap(
+        lambda: _ann_exact_truth(embc, topk),
+        _fine_chain,
+        lambda: coarse_and_cells(None),
+        lambda: coarse_and_cells(
+            similarity.IVF_TRAIN_POINTS_PER_CELL * nc
+        ),
     )
     variants = {
         "ivfpq_auto": similarity.ivfpq_topk(
