@@ -34,6 +34,23 @@ def query(name: str, oracle: str | None = None):
 
 _t = read_table
 
+# Scan-width floor (operators/fanout.py, guide §2/§6): the testdata tables
+# are single-row-group parquet files, so every stage before the first
+# exchange runs as ONE task. `_tw` is `_t` + a deterministic keyed
+# repartition applied ONLY while the scan is narrower than half the
+# cluster's cores — a structural no-op at production scale. Used by the
+# queries whose stage-1 work (explodes, shingling, per-row scoring,
+# vector math) measured scan-bound; shuffle-bound queries keep `_t`
+# (measured neutral-to-negative: the extra exchange buys nothing when
+# the first operator shuffles anyway).
+_FAN_KEYS = {"documents": "doc_id", "embeddings": "vec_id", "events": "event_id"}
+
+
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from wallaroo_spark.operators.fanout import fan_out
+
+    return fan_out(_t(spark, sf_dir, name), _FAN_KEYS[name])
+
 
 # ---------------------------------------------------------------------------
 # Window family (reference S5-S12 — SURVEY §2.1)
@@ -795,7 +812,7 @@ def exact_dedup_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.7)."""
-    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.7)
+    return dedup.ngram_jaccard_pairs(_tw(spark, sf_dir, "documents"), threshold=0.7)
 
 
 def _minhash_sig_sql() -> str:
@@ -844,7 +861,7 @@ def _minhash_band_joins(bands: int | None = None, rows: int | None = None) -> st
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4x4) candidate pairs, exact-Jaccard verified >= 0.5."""
-    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup.minhash_lsh_pairs(_tw(spark, sf_dir, "documents"), threshold=0.5)
 
 
 def _simhash_sql() -> str:
@@ -866,7 +883,7 @@ def _simhash_sql() -> str:
 @query("simhash_docs", oracle=_simhash_sql())
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit frequency-weighted SimHash fingerprint per document."""
-    return dedup.simhash(_t(spark, sf_dir, "documents"))
+    return dedup.simhash(_tw(spark, sf_dir, "documents"))
 
 
 @query(
@@ -882,7 +899,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairing stage: Hamming <= 3 pairs via 4x8-bit banded buckets
     (pigeonhole-lossless, so the oracle is the naive all-pairs popcount)."""
-    out = dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    out = dedup.simhash_near_pairs(_tw(spark, sf_dir, "documents"), max_hamming=3)
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
@@ -3150,7 +3167,7 @@ def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedupe my training corpus" operation — cluster computation is
     pairs-sized, the apply is one left-anti join against the (tiny)
     dropped-id list, so the full corpus streams through unshuffled."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     clusters = dedup.duplicate_clusters(docs, threshold=0.5)
     dropped = clusters.filter(F.col("component_id") != F.col("doc_id")).select("doc_id")
     return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
@@ -3311,7 +3328,7 @@ def decontaminate_testset_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     The test set's distinct shingles broadcast; the corpus explodes once
     and broadcast-joins — no corpus shuffle (`dedup.decontaminate_hits`).
     Catches exactly the seeded near-duplicates, as decontamination should."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     test = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return dedup.decontaminate_hits(corpus, test, k=5)
@@ -3369,7 +3386,7 @@ def repetition_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-trigram occurrence fraction, with the repetitive flag at the
     empirical ~p90 thresholds (0.08 / 0.02). One tagged explode, two
     doc-keyed shuffles, no UDFs (`text.repetition_signals`)."""
-    out = text.repetition_signals(_t(spark, sf_dir, "documents"))
+    out = text.repetition_signals(_tw(spark, sf_dir, "documents"))
     return out.withColumn("repetitive", F.col("repetitive").cast("int"))
 
 
@@ -3438,7 +3455,7 @@ def duplicate_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-level (cut, don't drop) dedup mode complementing the doc-level
     MinHash/SimHash family (`dedup.duplicate_spans`). Grams shuffle as
     60-bit md5 ints; span merge is windowed gaps-and-islands per doc."""
-    return dedup.duplicate_spans(_t(spark, sf_dir, "documents"), k=12)
+    return dedup.duplicate_spans(_tw(spark, sf_dir, "documents"), k=12)
 
 
 def _bloom_oracle(m_bits: int = 32760, n_hashes: int = 4) -> str:
@@ -3521,7 +3538,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance — and the emitted value rounds through DECIMAL(38,12) on both
     sides (pattern of `sliding_window_sum_panes`). The oracle replays the
     identical quantized pipeline; both sides are bit-deterministic."""
-    return similarity.embedding_covariance(_t(spark, sf_dir, "embeddings"), dim=64)
+    return similarity.embedding_covariance(_tw(spark, sf_dir, "embeddings"), dim=64)
 
 
 def _jl_oracle(out_dim: int = 8) -> str:
@@ -3550,7 +3567,7 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-keyed shuffle carrying 8 partial sums per vector; the sign matrix is
     computed inline, never materialized — cheap reproducible embedding
     compression before storage or ANN search."""
-    return similarity.jl_project(_t(spark, sf_dir, "embeddings"), out_dim=8)
+    return similarity.jl_project(_tw(spark, sf_dir, "embeddings"), out_dim=8)
 
 
 @query(
@@ -3983,7 +4000,7 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     only their min-id member (similarity.semdedup). No reference analog —
     extension operator; the oracle replays the k-means via the shared CTE
     chain and the same argmax-assignment + pair rules."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tw(spark, sf_dir, "embeddings")
     return similarity.semdedup(emb, k=6, iters=2, tau=0.30)
 
 
@@ -4015,7 +4032,7 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc surviving-chunk stats. Chunks shuffle as 60-bit md5 ints; the
     winner pick is a map-side min partial agg. No reference analog —
     training-data extension operator."""
-    return dedup.chunk_dedup(_t(spark, sf_dir, "documents"), width=10)
+    return dedup.chunk_dedup(_tw(spark, sf_dir, "documents"), width=10)
 
 
 def _snapshot_novelty_oracle(m_bits: int = 32760, n_hashes: int = 4) -> str:
@@ -4212,7 +4229,7 @@ def dsir_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus median — scores on this synthetic corpus are all negative).
     The online quality gate pairing with streaming token-budget
     admission."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     raw = docs.filter(F.col("source") != "src0")
     model = text.dsir_score_map(raw, docs.filter(F.col("source") == "src0"))
     return text.dsir_score_filter(
@@ -4251,7 +4268,7 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample (200), so the diagnostic stays O(corpus) — the fixed-fraction
     form measured exponent 2.19 in the 3x scale study."""
     return similarity.knn_label_purity(
-        _t(spark, sf_dir, "embeddings"), k=5, max_probes=200
+        _tw(spark, sf_dir, "embeddings"), k=5, max_probes=200
     )
 
 
@@ -4567,7 +4584,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-corpus audit is inherently superlinear (measured exponent 1.77
     in the 3x scale study) — and recall is a STATISTIC: a fixed-size
     sample estimates it at constant cost at any corpus size."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     docs = docs.orderBy(
         H.md5int_col(F.concat(F.col("doc_id").cast("string"), F.lit(":audit"))),
         "doc_id",
@@ -4748,7 +4765,7 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarded replaces, zero corpus shuffles) and report per-doc token
     counts under the learned vocabulary. Oracle replays training AND
     encoding."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     merges = text.bpe_train(docs, iters=4)
     return text.bpe_encode(docs, merges)
 
@@ -5041,7 +5058,10 @@ def interp_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     ref = docs.filter(F.col("lang") == "en")
     model = text.lm_score_map_interp(ref)
-    return text.interp_lm_score(docs, model).select(
+    # probe side fanned out (scan-width floor): the in-row scoring is the
+    # heavy stage; the model-build aggregations overlap in broadcast
+    # threads and measured faster UNfanned (probe-only 1.5s vs both 2.8s)
+    return text.interp_lm_score(_tw(spark, sf_dir, "documents"), model).select(
         "doc_id", "n_trigrams", "avg_bits"
     )
 
@@ -5364,7 +5384,7 @@ def chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode per chunk, zero shuffles; output rows ~ corpus x
     window/stride. The oracle replays the windows with DuckDB list
     slicing."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     return text.chunk_documents(docs, window=16, stride=8)
 
 
@@ -5405,7 +5425,7 @@ def paragraph_dedup_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-join; fully-duplicated documents come back empty rather than
     vanishing. The oracle replays the hash, the (doc, position)
     first-occurrence rule, and the ordered reassembly."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     return text.paragraph_dedup(docs, block_tokens=16)
 
 
@@ -5663,7 +5683,7 @@ def c4_gopher_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate markers (lorem ipsum, code braces, javascript/cookie
     notices) — as pure Column regex/ratio math at scan speed, each signal
     emitted next to its flag plus the composite keep."""
-    return text.c4_gopher_filters(_t(spark, sf_dir, "documents"))
+    return text.c4_gopher_filters(_tw(spark, sf_dir, "documents"))
 
 
 def _ivfpq_oracle(
@@ -6562,7 +6582,7 @@ def minhash_lsh_pairs_tuned90(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = dedup.lsh_tune(0.9)
     assert (b["bands"], b["rows"]) == (2, 8), b
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.9,
+        _tw(spark, sf_dir, "documents"), threshold=0.9,
         bands=b["bands"], rows=b["rows"],
     )
 
@@ -7941,7 +7961,7 @@ def sliding_window_sum_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor((epoch - off - size) / slide) < j <= floor((epoch - off) / slide),
     i.e. every grid start s = j*slide + off with s <= ts < s + size, which
     is exactly Spark's native assignment on the shifted column."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _tw(spark, sf_dir, "events")
     return windows.sliding(
         ev,
         ts="ts",
@@ -8103,7 +8123,7 @@ def fuzzy_decontaminate_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood). The ORACLE is the brute-force definition (toks x
     probes, levenshtein filter), so the driver hash certifies the
     blocking's completeness on BOTH rings."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .where((F.length("tok") >= 4) & (F.length("tok") <= 24))
