@@ -2620,7 +2620,7 @@ def countmin_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sketch state is CONSTANT-size however large the vocabulary — the
     100 TB path for frequency estimation; the oracle rebuilds the identical
     sketch, so the approximate operator still gets an exact hash check."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("word"))
     cms = _sketch.countmin_build(toks, "word")
     # vocabulary-sized exact counts, used by total/heavy/est branches:
@@ -3495,7 +3495,7 @@ def decontaminate_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus side is a pure map-side bit test; the oracle rebuilds the
     bitmap bit-for-bit (63 bits packed per word — DuckDB's checked shift
     forbids 1<<63), so the approximate structure still hash-gates exactly."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     test = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return dedup.decontaminate_bloom(corpus, test, k=5)
@@ -4076,7 +4076,7 @@ def snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks are novel (Bloom miss — false positives only undercount). The
     100 TB continuous-refresh shape: old corpus becomes one broadcast row,
     new side is a pure map + one doc-keyed agg."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     return dedup.snapshot_novelty(
         docs.filter(F.col("doc_id") % 5 != 4),
         docs.filter(F.col("doc_id") % 5 == 4),
@@ -4407,7 +4407,7 @@ def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     average bigram surprisal of each doc under the corpus's own bigram
     distribution — the cheap perplexity-filter stand-in. Distribution table
     broadcast (top-K sketch fallback documented for real vocabularies)."""
-    return text.bigram_surprisal(_t(spark, sf_dir, "documents"))
+    return text.bigram_surprisal(_tw(spark, sf_dir, "documents"))
 
 
 def _int8_rerank_oracle(k: int = 3, coarse_k: int = 10) -> str:
@@ -4445,7 +4445,7 @@ def similarity_topk_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out of cosine), exact float re-rank of the coarse top-10 only. The
     production memory/recall dial; deterministic end-to-end so both stages
     oracle-check exactly."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tw(spark, sf_dir, "embeddings")
     return similarity.int8_topk_rerank(
         corpus=emb.filter(F.col("vec_id") >= 10),
         queries=emb.filter(F.col("vec_id") < 10),
