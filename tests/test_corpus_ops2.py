@@ -243,12 +243,20 @@ def test_round6_query_plans_stay_scale_shaped(spark):
                 assert "Broadcast" in line, (name, line)
         assert a.python_ops == 0, name
         assert a.partitionless_windows == 0, name
-    # snapshot_novelty's new side must be shuffle-free: the bitmap arrives
-    # via a broadcast cross (1 row), and the only exchanges in the plan
-    # belong to the (tiny) Bloom-build side
+    # snapshot_novelty's new side must be shuffle-free APART from the
+    # scan-width floor: the bitmap arrives via a broadcast cross (1 row),
+    # and beyond the (tiny) Bloom-build side's exchanges the only other
+    # shuffle allowed is fan_out's keyed repartition of the narrow
+    # single-row-group scan (r16, operators/fanout.py — a structural no-op
+    # on wide production inputs, so the production plan keeps <= 3)
     a = audit(QUERIES["snapshot_novelty"](spark, sf))
     assert "BroadcastNestedLoopJoin" in a.text
-    assert a.exchanges <= 3, a.exchanges
+    from wallaroo_spark.operators.fanout import scan_width
+
+    cores = spark.sparkContext.defaultParallelism
+    w = scan_width(QUERIES["snapshot_novelty"].__globals__["_t"](spark, sf, "documents"))
+    fanned = w is not None and w * 2 <= cores
+    assert a.exchanges <= (5 if fanned else 3), (a.exchanges, fanned)
 
 
 def test_streaming_chunk_dedup_across_batches(spark, tmp_path):
