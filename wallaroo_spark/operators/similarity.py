@@ -1659,6 +1659,25 @@ def ivfpq_topk(
         n_cells = n_cells if n_cells is not None else auto["n_cells"]
         nprobe = nprobe if nprobe is not None else auto["nprobe"]
     d = m * sub_dim
+    if coarse is None and fine is None:
+        # the two Lloyd chains are INDEPENDENT (the fine codebook trains on
+        # raw subvectors, not residuals): build them overlapped (guide §2.6)
+        # — each is a string of tiny eager jobs (localCheckpoint barriers)
+        # that leaves the cluster idle; results identical by construction,
+        # only the driver-side sequencing of the chains' jobs changes
+        from wallaroo_spark.functions.overlap import overlap_build
+
+        coarse, fine = overlap_build(
+            lambda: pq_train(
+                train_df, m=1, sub_dim=d, k=n_cells, iters=2,
+                id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+                sample=_coarse_sample_rows(coarse_sample, auto_geo, n_cells),
+            ),
+            lambda: pq_train(
+                train_df, m=m, sub_dim=sub_dim, k=k, iters=2,
+                id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+            ),
+        )
     if coarse is None:
         coarse = pq_train(
             train_df, m=1, sub_dim=d, k=n_cells, iters=2,
@@ -1996,6 +2015,23 @@ def ivfpq_adaptive_topk(
             else auto["candidate_budget"]
         )
     d = m * sub_dim
+    if coarse is None and fine is None:
+        # independent Lloyd chains — overlapped, as in ivfpq_topk (§2.6);
+        # the fine build is hoisted from below, which changes nothing: it
+        # has no dependency on the probe cut computed in between
+        from wallaroo_spark.functions.overlap import overlap_build
+
+        coarse, fine = overlap_build(
+            lambda: pq_train(
+                train_df, m=1, sub_dim=d, k=n_cells, iters=2,
+                id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+                sample=_coarse_sample_rows(coarse_sample, auto_geo, n_cells),
+            ),
+            lambda: pq_train(
+                train_df, m=m, sub_dim=sub_dim, k=k, iters=2,
+                id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+            ),
+        )
     if coarse is None:
         coarse = pq_train(
             train_df, m=1, sub_dim=d, k=n_cells, iters=2,
