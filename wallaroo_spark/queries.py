@@ -5571,7 +5571,7 @@ def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration with a bounded (sub, cent, dim) mean keyspace. Every argmin
     ranks on the 6dp-rounded distance with cent/id tiebreak, so the DuckDB
     oracle replays training, encoding, and the ADC cut bit-for-bit."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _tw(spark, sf_dir, "embeddings")
     cb = similarity.pq_train(emb, iters=2)
     codes = similarity.pq_encode(emb.filter(F.col("vec_id") >= 10), cb)
     return similarity.pq_topk(
@@ -5588,7 +5588,7 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds 92% of the true top-10 on this corpus, tests/test_pq.py). The
     oracle replays training, encoding, the ADC shortlist cut, and the
     exact re-rank."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _tw(spark, sf_dir, "embeddings")
     cb = similarity.pq_train(emb, iters=2)
     corpus = emb.filter(F.col("vec_id") >= 10)
     codes = similarity.pq_encode(corpus, cb)
