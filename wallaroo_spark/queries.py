@@ -7173,15 +7173,25 @@ def opq_rotation_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rot = similarity.opq_fit_rotation(emb)
-    rot_np, _hist = similarity.opq_refine_rotation(emb, rot=rot)
-    perm = similarity.opq_fit_permutation(emb)
+
+    # r16 (guide §2.6): the rotation chain (eigensolve -> non-parametric
+    # refinement, a serial dependency) and the permutation chain (variance
+    # ranking + its bounded collect) are mutually independent strings of
+    # tiny eager jobs — build them overlapped; artifacts are identical.
+    def _rot_chain():
+        rot = similarity.opq_fit_rotation(emb)
+        rot_np, _hist = similarity.opq_refine_rotation(emb, rot=rot)
+        return rot, rot_np
+
+    def _perm_chain():
+        perm = similarity.opq_fit_permutation(emb)
+        return perm, [(int(r["new_pos"]), int(r["src_dim"])) for r in perm.collect()]
+
+    (rot, rot_np), (perm, perm_rows) = _overlap(_rot_chain, _perm_chain)
 
     def ortho_resid_ok(mat: list[list[float]]) -> bool:
         a = np.array(mat, dtype=float)
         return float(np.max(np.abs(a @ a.T - np.eye(len(a))))) < 1e-5
-
-    perm_rows = [(int(r["new_pos"]), int(r["src_dim"])) for r in perm.collect()]
     idx = list(range(1, len(perm_rows) + 1))  # 1-based positions/dims
     perm_ok = (
         sorted(p for p, _ in perm_rows) == idx
