@@ -6291,12 +6291,58 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             similarity.opq_fit_permutation(emb),
         ).localCheckpoint(eager=True)
 
-    truth, (cb, codes), (coarse, cells), p_emb = _overlap(
-        lambda: _ann_exact_truth(emb, topk),
-        _fine_chain,
-        _coarse_chain,
-        _perm_chain,
-    )
+    # r10 NOTES candidate #4 (pre-share the permuted-space coarse chain)
+    # was MEASURED MOOT in r11: pq_train localCheckpoints its codebook
+    # per iteration, so the permuted Lloyd chain never re-executes per
+    # consumer anyway — pre-sharing only added eager-checkpoint barriers
+    # (same-host A/B: 28.2 s without vs 29.8 s with). Left unshared.
+    #
+    # r16 second pass: the two-group _overlap left a BARRIER between the
+    # artifact chains and the dependent residual/adaptive/residual_opq
+    # constructions — each of which needs only SOME group-1 artifacts
+    # (residual: coarse; adaptive: coarse+fine; residual_opq: perm), so a
+    # dependency-aware future graph starts each as soon as its own inputs
+    # resolve (guide §2.6: back-fill the tail instead of a full barrier).
+    # Chains and artifacts are unchanged — only the driver-side start
+    # times move; profiled jobs_busy 5.9 s vs 12.3 s build wall at the
+    # two-group form (half the wall was barrier dead time).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=7) as pool:
+        truth_f = pool.submit(_ann_exact_truth, emb, topk)
+        fine_f = pool.submit(_fine_chain)
+        coarse_f = pool.submit(_coarse_chain)
+        perm_f = pool.submit(_perm_chain)
+        res_f = pool.submit(
+            lambda: similarity.ivfpq_residual_topk(
+                emb, corpus, qs, topk=topk, n_cells=8, nprobe=3,
+                coarse=coarse_f.result()[0], corpus_cells=coarse_f.result()[1],
+            )
+        )
+        adapt_f = pool.submit(
+            lambda: similarity.ivfpq_adaptive_topk(
+                emb, corpus, qs, topk=topk, candidate_budget=200, n_cells=8,
+                coarse=coarse_f.result()[0], fine=fine_f.result()[0],
+                cells=coarse_f.result()[1], codes=fine_f.result()[1],
+            )
+        )
+
+        def _res_opq_chain():
+            p_emb = perm_f.result()
+            return similarity.ivfpq_residual_topk(
+                p_emb,
+                p_emb.filter(F.col("vec_id") >= 10),
+                p_emb.filter(F.col("vec_id") < 10),
+                topk=topk, n_cells=8, nprobe=3,
+            )
+
+        res_opq_f = pool.submit(_res_opq_chain)
+        truth = truth_f.result()
+        cb, codes = fine_f.result()
+        coarse, cells = coarse_f.result()
+        res_arm = res_f.result()
+        adapt_arm = adapt_f.result()
+        res_opq_arm = res_opq_f.result()
     variants = {
         "pq_adc": similarity.pq_topk(codes, cb, qs, topk=topk),
         "pq_rerank": similarity.pq_topk_rerank(
@@ -6307,30 +6353,6 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             coarse=coarse, fine=cb, cells=cells, codes=codes,
         ),
     }
-    # r10 NOTES candidate #4 (pre-share the permuted-space coarse chain)
-    # was MEASURED MOOT in r11: pq_train localCheckpoints its codebook
-    # per iteration, so the permuted Lloyd chain never re-executes per
-    # consumer anyway — pre-sharing only added eager-checkpoint barriers
-    # (same-host A/B: 28.2 s without vs 29.8 s with). Left unshared.
-    # The residual / adaptive / residual_opq constructions each run their
-    # own eager training jobs (residual fine books, probe sizing), and are
-    # mutually independent given the shared artifacts — overlapped too.
-    res_arm, adapt_arm, res_opq_arm = _overlap(
-        lambda: similarity.ivfpq_residual_topk(
-            emb, corpus, qs, topk=topk, n_cells=8, nprobe=3,
-            coarse=coarse, corpus_cells=cells,
-        ),
-        lambda: similarity.ivfpq_adaptive_topk(
-            emb, corpus, qs, topk=topk, candidate_budget=200, n_cells=8,
-            coarse=coarse, fine=cb, cells=cells, codes=codes,
-        ),
-        lambda: similarity.ivfpq_residual_topk(
-            p_emb,
-            p_emb.filter(F.col("vec_id") >= 10),
-            p_emb.filter(F.col("vec_id") < 10),
-            topk=topk, n_cells=8, nprobe=3,
-        ),
-    )
     variants["ivfpq_residual"] = res_arm
     variants["ivfpq_adaptive"] = adapt_arm
     variants["ivfpq_residual_opq"] = res_opq_arm
