@@ -972,7 +972,11 @@ def semdedup(
     assigned = assign_nearest(df, cents, id_col, vec_col).withColumnRenamed(
         vec_col, "_v"
     )
-    a = assigned.withColumn("_n", _norm(F.col("_v")))
+    # The assignment feeds THREE consumers (both pair-join sides + the final
+    # kept-flag join); without a persist each recomputes the broadcast-argmax
+    # subtree. MEMORY_AND_DISK, corpus-sized — the same posture as pq_train's
+    # subvector base (r16, measured ~0.2-0.5 s/run at sf0.1).
+    a = assigned.withColumn("_n", _norm(F.col("_v"))).persist()
     lo = a.select(
         F.col(id_col).alias("_ida"), "cent_id",
         F.col("_v").alias("_va"), F.col("_n").alias("_na"),
@@ -981,6 +985,16 @@ def semdedup(
         F.col(id_col).alias("_idb"), "cent_id",
         F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
     )
+    # The pair-verify join shuffles kilobytes (one row per vector) but
+    # computes O(sum |cluster|^2) array dots downstream of the exchange, so
+    # AQE's byte-based coalescing collapses it to ONE task (guide §2: CPU-
+    # bound stages need explicit width — bytes say nothing about kernel
+    # time). Explicit numbered keyed repartitions are AQE-exempt; same key,
+    # so the join adds no further exchange. Measured (sf0.1, interleaved
+    # A/B x3, results md5-identical): 11.8/6.1/4.5 s -> 4.8/4.0/3.6 s.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    lo = lo.repartition(n_parts, "cent_id")
+    hi = hi.repartition(n_parts, "cent_id")
     removed = (
         lo.join(hi, "cent_id")
         .filter(F.col("_ida") < F.col("_idb"))
