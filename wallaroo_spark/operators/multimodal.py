@@ -210,7 +210,15 @@ def ahash_near_pairs(
     # the candidate join shrinks ~2^(width gain) while the verified result
     # set is provably identical (any pair within d spoils at most d bands,
     # so >= 1 of d+1 agrees; the popcount verify is unchanged)
-    fp = image_ahash(df, media_col, id_col)
+    # persist the fingerprints: hamming_pairs reads its fp input four ways
+    # (both join sides + the two hot-bucket counts) and each re-read would
+    # re-run the Python decode — measured 4x ~0.7 s serial 1-task decode
+    # jobs at sf0.1, 3.5 -> 2.0 s warm with the persist (results
+    # md5-identical). 16 bytes/row however large the blobs, MEMORY_AND_DISK.
+    # The native-fp simhash caller measured warm-NEGATIVE on the same
+    # persist (its recompute is cheap and parallel), so this lives here,
+    # not in hamming_pairs.
+    fp = image_ahash(df, media_col, id_col).persist()
     return hamming_pairs(
         fp, "ahash", max_hamming, bits=AHASH_BITS, bands=max_hamming + 1,
         id_col=id_col,
@@ -506,7 +514,10 @@ def ahash64_near_pairs(
     8 bytes/row however large the blobs; pairing never re-reads media."""
     from wallaroo_spark.operators.dedup import hamming_pairs
 
-    fp = image_ahash64(df, media_col, id_col)
+    # persist: same four-way fp re-read as ahash_near_pairs, but each
+    # recompute here is a REAL image decode per row — see the rationale on
+    # the stub path above.
+    fp = image_ahash64(df, media_col, id_col).persist()
     return hamming_pairs(
         fp, "ahash", max_hamming, bits=AHASH64_BITS, bands=max_hamming + 1,
         id_col=id_col,
