@@ -1371,9 +1371,14 @@ def corpus_drift(
 
     def hist(df, name):
         t = df.select(F.explode(tokens(F.col(text))).alias("_w"))
+        # persist: the histogram subtree is referenced through both `tots`
+        # and `terms` (and the static plan shows ZERO ReusedExchange), so
+        # without it the corpus tokenize re-runs per reference — measured
+        # r16 on the windowed sibling: 14 parquet scans in one plan.
+        # <= n_hash rows however large the corpus.
         return t.groupBy(
             (H.md5int_col(F.col("_w")) % F.lit(n_hash)).cast("int").alias("_b")
-        ).agg(F.count("*").alias(name))
+        ).agg(F.count("*").alias(name)).persist()
 
     spark = old.sparkSession
     domain = spark.range(n_hash).select(F.col("id").cast("int").alias("_b"))
@@ -1431,10 +1436,12 @@ def corpus_drift_by(
         t = df.select(
             F.col(by).alias("_g"), F.explode(tokens(F.col(text))).alias("_w")
         )
+        # persist: referenced by `slices` AND the broadcast domain joins —
+        # |slices| x n_hash rows, bounded (see corpus_drift's rationale)
         return t.groupBy(
             "_g",
             (H.md5int_col(F.col("_w")) % F.lit(n_hash)).cast("int").alias("_b"),
-        ).agg(F.count("*").alias(name))
+        ).agg(F.count("*").alias(name)).persist()
 
     ho, hn = hist(old, "_co"), hist(new, "_cn")
     spark = old.sparkSession
@@ -1522,10 +1529,17 @@ def windowed_drift(
     Output: (window_start, window_end, n_tokens, kl_bits, tv_distance)."""
     from wallaroo_spark.functions import hashing as H
 
+    # persist both bounded aggregates: ref_h feeds p_tab AND ref_tot, wc
+    # feeds wins, joined and tots, and joined is itself read twice — the
+    # static plan had 14 parquet scans / 14 explodes with ZERO
+    # ReusedExchange, i.e. the corpus tokenize re-ran per reference
+    # (measured r16; persist + tots-from-wc cut it to one scan per side).
+    # ref_h <= n_hash rows; wc <= windows x n_hash rows.
     ref_h = (
         ref.select(F.explode(tokens(F.col(text))).alias("_w"))
         .groupBy((H.md5int_col(F.col("_w")) % F.lit(n_hash)).cast("int").alias("_b"))
         .agg(F.count("*").alias("_rc"))
+        .persist()
     )
     ref_tot = ref_h.agg(F.sum("_rc").alias("_rt"))
     spark = df.sparkSession
@@ -1548,13 +1562,17 @@ def windowed_drift(
             "_w", (H.md5int_col(F.col("_t")) % F.lit(n_hash)).cast("int").alias("_b")
         )
         .agg(F.count("*").alias("_c"))
+        .persist()
     )
     wins = wc.select("_w").distinct()
     dom = wins.crossJoin(F.broadcast(p_tab))
     joined = dom.join(wc, ["_w", "_b"], "left").select(
         "_w", "_b", "_p", F.coalesce(F.col("_c"), F.lit(0)).alias("_c")
     )
-    tots = joined.groupBy("_w").agg(F.sum("_c").alias("_T"))
+    # per-window totals straight from wc: the zero-filled buckets joined
+    # adds contribute 0 to an integer sum, so this is value-identical and
+    # drops a second read of the (twice-expanded) joined subtree
+    tots = wc.groupBy("_w").agg(F.sum("_c").alias("_T"))
     terms = joined.join(F.broadcast(tots), "_w").select(
         "_w",
         "_T",
