@@ -1916,7 +1916,12 @@ def ivfpq_residual_topk(
         tres, m=m, sub_dim=sub_dim, k=k, iters=2,
         id_col=id_col, vec_col="_rv", round_dp=round_dp,
     )
-    cres = residuals_of(corpus, corpus_cells)
+    # persist: the corpus residuals feed BOTH the fine encode and the cell
+    # list, and each re-read replays the coarse in-row encode + residual
+    # subtraction over the whole corpus (the r16 plan audit counted 11
+    # scans in this query). MEMORY_AND_DISK, same posture as pq_train's
+    # subvector base.
+    cres = residuals_of(corpus, corpus_cells).persist()
     codes = pq_encode(
         cres, fine, m=m, sub_dim=sub_dim, id_col=id_col, vec_col="_rv",
         round_dp=round_dp,
