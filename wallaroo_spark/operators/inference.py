@@ -176,14 +176,14 @@ def linear_classifier_fit(
     w -= lr * sum_d (p_d - y_d) * x_d / N.
 
     Scale shape (the kmeans_fit recipe applied to GD): per iteration the
-    corpus is touched TWICE, both cheap — (1) per-doc error is PURE IN-ROW
-    math against the broadcast one-row weight array (no explode, no
-    shuffle); (2) the gradient is one token explode into a groupBy whose
-    key space is n_hash buckets, CONSTANT in corpus size (map-side partial
-    aggregation compresses within-partition repeats). The weight array
-    rebuild is n_hash rows. No driver-side math; each iteration's one-row
-    model is eagerly materialized (localCheckpoint, kmeans-style) so the
-    plan stays shallow.
+    corpus is touched ONCE — the per-doc error is pure in-row math against
+    the broadcast one-row weight array, and the gradient (bias included,
+    via a pseudo-bucket) is one explode into a groupBy whose key space is
+    n_hash buckets, CONSTANT in corpus size (map-side partial aggregation
+    compresses within-partition repeats). The weight array rebuild is
+    n_hash rows; N is one up-front count. No other driver-side math; each
+    iteration's one-row model is eagerly materialized (localCheckpoint,
+    kmeans-style) so the plan stays shallow.
 
     Weights round to ``round_dp`` per iteration so the fixpoint is
     engine-reproducible — the DuckDB oracle replays every iteration
@@ -199,63 +199,76 @@ def linear_classifier_fit(
     ).filter(F.size("_fb") > 0)
     docs = docs.persist()
 
-    n_docs = docs.agg(F.count("*").alias("_N"))
-    domain = spark.range(n_hash).select(F.col("id").cast("int").alias("_b"))
-
     model = spark.createDataFrame(
         [([0.0] * n_hash, 0.0)], "clf_w array<double>, clf_b double"
     )
+    # r16 fused step: N is one up-front count (exact scalar, constant
+    # across iterations — it was re-broadcast twice per step), the bias
+    # gradient rides the SAME explode+shuffle as the bucket gradients
+    # (pseudo-bucket -1 appended per doc, so sum(_err) falls out of the
+    # one hash agg), and the weight/bias update is ONE aggregation over
+    # the (-1..n_hash-1) domain — the corpus is touched once per
+    # iteration instead of twice and the per-step broadcast subtrees
+    # drop from 6 to 2 (both the same one-row model exchange).
+    n_lit = F.lit(float(docs.count()))
+    domain = spark.range(-1, n_hash).select(F.col("id").cast("int").alias("_b"))
     for _ in range(iters):
-        score = F.col("clf_b") + F.aggregate(
-            F.transform(
-                F.col("_fb"),
-                lambda b: F.element_at(F.col("clf_w"), b + 1),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        errs = (
-            docs.crossJoin(F.broadcast(model))
-            .withColumn("_err", F.lit(1.0) / (F.lit(1.0) + F.exp(-score)) - F.col("_y"))
-            .select("_fb", "_err")
-        )
-        grad = (
-            errs.select(F.explode("_fb").alias("_b"), F.col("_err").alias("_g"))
-            .groupBy("_b")
-            .agg(F.sum("_g").alias("_grad"))
-        )
-        gbias = errs.agg(F.sum("_err").alias("_gb"))
-        new_w = (
-            domain.join(grad, "_b", "left")
-            .crossJoin(F.broadcast(model))
-            .crossJoin(F.broadcast(n_docs))
-            .select(
-                "_b",
-                det_round_col(
-                    F.element_at(F.col("clf_w"), F.col("_b") + 1)
-                    - F.lit(lr) * F.coalesce(F.col("_grad"), F.lit(0.0)) / F.col("_N"),
-                    round_dp,
-                ).alias("_w"),
-            )
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_b", "_w"))),
-                    lambda e: e["_w"],
-                ).alias("clf_w")
-            )
-        )
-        new_b = (
-            gbias.crossJoin(F.broadcast(model))
-            .crossJoin(F.broadcast(n_docs))
-            .select(
-                det_round_col(
-                    F.col("clf_b") - F.lit(lr) * F.col("_gb") / F.col("_N"), round_dp
-                ).alias("clf_b")
-            )
-        )
-        model = new_w.crossJoin(F.broadcast(new_b)).localCheckpoint(eager=True)
+        model = _fused_gd_step(docs, model, domain, n_lit, n_hash, lr, round_dp)
     docs.unpersist()
     return model
+
+
+def _fused_gd_step(batch, model, domain, n_lit, n_hash, lr, round_dp):
+    """One fused GD update: score against the broadcast one-row model,
+    explode features + the bias pseudo-bucket (-1) into ONE gradient
+    shuffle, left-join the (-1..n_hash-1) domain, and reassemble the
+    next (clf_w, clf_b) row in a single aggregation. The multiset summed
+    per bucket (and for the bias) is identical to the two-pass form, so
+    the rounded fixpoint is unchanged; an empty batch is a no-op step
+    (every gradient coalesces to 0). Returns the eagerly checkpointed
+    one-row model."""
+    score = F.col("clf_b") + F.aggregate(
+        F.transform(
+            F.col("_fb"),
+            lambda b: F.element_at(F.col("clf_w"), b + 1),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    grad_all = (
+        batch.crossJoin(F.broadcast(model))
+        .withColumn(
+            "_err", F.lit(1.0) / (F.lit(1.0) + F.exp(-score)) - F.col("_y")
+        )
+        .select(
+            F.explode(F.concat(F.col("_fb"), F.array(F.lit(-1)))).alias("_b"),
+            F.col("_err").alias("_g"),
+        )
+        .groupBy("_b")
+        .agg(F.sum("_g").alias("_grad"))
+    )
+    upd = (
+        domain.join(grad_all, "_b", "left")
+        .crossJoin(F.broadcast(model))
+        .select(
+            "_b",
+            det_round_col(
+                F.when(F.col("_b") < 0, F.col("clf_b")).otherwise(
+                    F.element_at(F.col("clf_w"), F.col("_b") + 1)
+                )
+                - F.lit(lr) * F.coalesce(F.col("_grad"), F.lit(0.0)) / n_lit,
+                round_dp,
+            ).alias("_w"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("_b", "_w"))).alias("_a"))
+        .select(
+            F.transform(
+                F.slice(F.col("_a"), 2, n_hash), lambda e: e["_w"]
+            ).alias("clf_w"),
+            F.element_at(F.col("_a"), 1).getField("_w").alias("clf_b"),
+        )
+    )
+    return upd.localCheckpoint(eager=True)
 
 
 def linear_classifier_score(
@@ -317,8 +330,9 @@ def linear_classifier_fit_sgd(
     Same rounding/fixpoint contract as the full-batch fit (weights round
     to ``round_dp`` per step); same one-row (clf_w, clf_b) output, scored
     by the unchanged ``linear_classifier_score``. Batch sizes come from
-    ONE up-front groupBy over the tiny batch-id keyspace, broadcast into
-    every step.
+    ONE up-front groupBy over the tiny batch-id keyspace, collected once
+    (bounded model-artifact scalars) and folded into every step as exact
+    literals.
     """
     from wallaroo_spark.functions import hashing as H
 
@@ -335,73 +349,27 @@ def linear_classifier_fit_sgd(
     docs = docs.persist()
 
     batch_n = docs.groupBy("_mb").agg(F.count("*").cast("double").alias("_N"))
-    domain = spark.range(n_hash).select(F.col("id").cast("int").alias("_b"))
 
     model = spark.createDataFrame(
         [([0.0] * n_hash, 0.0)], "clf_w array<double>, clf_b double"
     )
+    # r16 fused step (see linear_classifier_fit): batch sizes collect
+    # ONCE (n_batches bounded rows — the exact doubles the per-step
+    # broadcast carried; a missing batch keeps the 1.0 no-op divisor)
+    # and each step runs the fused single-shuffle update.
+    sizes = {int(r["_mb"]): float(r["_N"]) for r in batch_n.collect()}
+    domain = spark.range(-1, n_hash).select(F.col("id").cast("int").alias("_b"))
     for _ in range(epochs):
         for m in range(n_batches):
-            batch = docs.filter(F.col("_mb") == m)
-            # agg form: exactly one row even when the batch is empty (sum
-            # NULL -> 1.0 divisor; the empty gradient/bias coalesce to 0,
-            # so an empty batch is a no-op step, not a NULL-poisoned model)
-            n_m = batch_n.filter(F.col("_mb") == m).agg(
-                F.coalesce(F.sum("_N"), F.lit(1.0)).alias("_N")
+            model = _fused_gd_step(
+                docs.filter(F.col("_mb") == m),
+                model,
+                domain,
+                F.lit(sizes.get(m, 1.0)),
+                n_hash,
+                lr,
+                round_dp,
             )
-            score = F.col("clf_b") + F.aggregate(
-                F.transform(
-                    F.col("_fb"),
-                    lambda b: F.element_at(F.col("clf_w"), b + 1),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            errs = (
-                batch.crossJoin(F.broadcast(model))
-                .withColumn(
-                    "_err", F.lit(1.0) / (F.lit(1.0) + F.exp(-score)) - F.col("_y")
-                )
-                .select("_fb", "_err")
-            )
-            grad = (
-                errs.select(F.explode("_fb").alias("_b"), F.col("_err").alias("_g"))
-                .groupBy("_b")
-                .agg(F.sum("_g").alias("_grad"))
-            )
-            gbias = errs.agg(F.coalesce(F.sum("_err"), F.lit(0.0)).alias("_gb"))
-            new_w = (
-                domain.join(grad, "_b", "left")
-                .crossJoin(F.broadcast(model))
-                .crossJoin(F.broadcast(n_m))
-                .select(
-                    "_b",
-                    det_round_col(
-                        F.element_at(F.col("clf_w"), F.col("_b") + 1)
-                        - F.lit(lr)
-                        * F.coalesce(F.col("_grad"), F.lit(0.0))
-                        / F.col("_N"),
-                        round_dp,
-                    ).alias("_w"),
-                )
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("_b", "_w"))),
-                        lambda e: e["_w"],
-                    ).alias("clf_w")
-                )
-            )
-            new_b = (
-                gbias.crossJoin(F.broadcast(model))
-                .crossJoin(F.broadcast(n_m))
-                .select(
-                    det_round_col(
-                        F.col("clf_b") - F.lit(lr) * F.col("_gb") / F.col("_N"),
-                        round_dp,
-                    ).alias("clf_b")
-                )
-            )
-            model = new_w.crossJoin(F.broadcast(new_b)).localCheckpoint(eager=True)
     docs.unpersist()
     return model
 
