@@ -297,6 +297,14 @@ def minhash_lsh_pairs(
             f"minhash_lsh_pairs: bands*rows = {n_bands * n_rows} exceeds "
             f"the {H.N_PERM} available minhash permutations"
         )
+    owns_cache = shingles_df is None
+    if owns_cache:
+        # share ONE persisted shingle explode between the signature build
+        # and the exact-Jaccard verify below (r16) — unhoisted, the verify
+        # persisted its own copy while minhash_signatures re-derived the
+        # shingles from the raw text (and the bands self-join replays
+        # that unpersisted subtree per side)
+        shingles_df = _doc_shingles(df, id_col, text).persist()
     sigs = minhash_signatures(df, id_col, text, shingles_df=shingles_df)
     # one row per (doc, band), the band signature PACKED into a single
     # xxhash64 long (band id folded into the hash): a single self-equi-join
@@ -331,8 +339,11 @@ def minhash_lsh_pairs(
     # to (pair, shingle) via two equi-joins — cost |cands| * shingles/doc,
     # never the all-pairs shingle blowup (hot shingles in a small vocabulary
     # make the naive sh⋈sh join quadratic)
-    owns_cache = shingles_df is None
-    sh = _doc_shingles(df, id_col, text).persist() if owns_cache else shingles_df
+    sh = (
+        _doc_shingles(df, id_col, text).persist()
+        if shingles_df is None
+        else shingles_df
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     # lossless length filter BEFORE the shingle-expansion verify: J >= t
     # forces t*|A| <= |B| <= |A|/t, so size-mismatched candidates never pay
