@@ -222,6 +222,26 @@ def test_shared_shingles_param_identical_results(spark):
         sh.unpersist()
 
 
+def test_lsh_self_computed_shingles_release_cache(spark):
+    """r16 shingle-share hoist: when minhash_lsh_pairs computes its own
+    shingle table (now persisted up front and shared by the signature
+    build AND the verify), the operator must still release it on return —
+    no persisted blocks may outlive the call."""
+    from wallaroo_spark.operators.dedup import minhash_lsh_pairs
+    from wallaroo_spark.sources import read_table
+
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet())
+    docs = read_table(spark, SF, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert pairs
+    leaked = set(sc._jsc.getPersistentRDDs().keySet()) - before
+    # the eagerly-checkpointed k-row result block is the only allowed
+    # survivor (localCheckpoint registers as a persistent RDD); the
+    # corpus-sized shingle cache must be gone
+    assert len(leaked) <= 1, f"leaked cache blocks: {leaked}"
+
+
 def test_q9_multi_fact_profit_dims_broadcast(spark):
     """Q9: part/supplier/nation broadcast; lineitem<->orders is the only
     fact-fact join; no Python anywhere."""
