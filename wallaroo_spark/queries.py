@@ -3576,11 +3576,11 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT lang, source, n_chars, len({_TOKS_SQL}) AS n_toks
                FROM documents)
     SELECT lang, source, count(*) AS n_docs,
-           CAST(round(CAST(CAST(sum(n_chars) AS DOUBLE) / greatest(count(n_chars), 1)
-                AS DECIMAL(38,12)), 2) AS DOUBLE) AS avg_chars,
-           CAST(round(CAST(CAST(sum(n_toks) AS DOUBLE) / greatest(count(n_toks), 1)
-                AS DECIMAL(38,12)), 2) AS DOUBLE) AS avg_tokens,
-           round(sum(n_toks), 2) AS total_tokens
+           floor((200 * sum(n_chars) + greatest(count(n_chars), 1))
+                 / (2 * greatest(count(n_chars), 1))) / 100.0 AS avg_chars,
+           floor((200 * sum(n_toks) + greatest(count(n_toks), 1))
+                 / (2 * greatest(count(n_toks), 1))) / 100.0 AS avg_tokens,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens
     FROM t GROUP BY ROLLUP (lang, source)
     """,
 )
@@ -3590,25 +3590,26 @@ def corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     'how big is my training set, by slice' query. Native rollup partial-
     aggs every grouping set map-side in a single shuffle.
 
-    r16 (VERDICT r15 #2, the round's other driver-hash FAIL): the averages
-    are emitted as exact-int-sum / count — ONE IEEE division over integers
-    both engines computed exactly, so the pre-round double is identical
-    everywhere — then rounded THROUGH DECIMAL(38,12). `round(avg(x), 2)`
-    over a raw double flipped in the driver because a small rollup cell's
-    true mean sat exactly on a .xx5 boundary and different DuckDB builds
-    round that double differently (decimal-exact vs multiply-based
-    half-rounding); the decimal quantization makes both sides agree by
-    construction (pattern of `sliding_window_sum_panes`)."""
+    r17 (VERDICT r16 #1, the last driver-hash FAIL): the r16 decimal
+    quantization still routed a raw double through CAST(.. AS DECIMAL),
+    and Spark (shortest-repr, HALF_UP) disagrees with an exact-binary
+    converting DuckDB build exactly when the true mean sits ON a .xx5
+    boundary — which dozens of rollup cells do (n in {{8,16,40,80}}, e.g.
+    24806/80 = 310.075 at sf0.001). The 2-dp half-up round is therefore
+    computed on EXACT INTEGERS: floor((200*s + n) / (2*n)) is round-half-
+    up of 100*s/n, both engines run the identical single IEEE division,
+    and the floor is exact because 100*s/n is never within 1/(2n) of a
+    half boundary without being on it. No double ever crosses a decimal
+    cast; total_tokens is the exact integer sum on both sides."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.size(text.tokens(F.col("text")))
 
     def _avg2(sum_col: str, n_col: str) -> F.Column:
-        # null-EXCLUDING denominator (r16 review: dividing by count(*)
-        # silently changed avg semantics for rows with NULL metrics vs
-        # the original F.avg); exact ints -> one IEEE division -> the
-        # decimal-quantized round
-        raw = F.col(sum_col).cast("double") / F.greatest(F.col(n_col), F.lit(1))
-        return F.round(raw.cast("decimal(38,12)"), 2).cast("double")
+        # null-EXCLUDING denominator (r16 review); greatest(n,1) only
+        # guards the all-NULL slice, where sum is NULL anyway
+        d = F.greatest(F.col(n_col), F.lit(1))
+        cents = F.floor((F.lit(200) * F.col(sum_col) + d) / (F.lit(2) * d))
+        return cents / F.lit(100.0)
 
     return (
         docs.select("lang", "source", "n_chars", toks.alias("_nt"))
@@ -3624,7 +3625,7 @@ def corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", "source", "n_docs",
             _avg2("_sc", "_nc").alias("avg_chars"),
             _avg2("_st", "_nn").alias("avg_tokens"),
-            F.round(F.col("_st"), 2).alias("total_tokens"),
+            F.col("_st").alias("total_tokens"),
         )
     )
 
