@@ -613,3 +613,43 @@ def test_embedding_covariance_is_association_order_free(spark):
         for r in embedding_covariance(df.repartition(17), dim=6).collect()
     }
     assert a == b
+
+
+def test_det_round_ratio_exact_half_boundaries(spark):
+    """r17 (VERDICT r16 #1 generalization): integer ratios landing EXACTLY
+    on a half boundary must round half-away-from-zero identically on Spark
+    and every DuckDB build. det_round's DECIMAL cast of the raw double is
+    build-sensitive precisely there (corpus_stats_rollup's 24806/80 =
+    310.075 driver flip); det_round_ratio computes the round on exact
+    integers, so no double ever crosses a decimal cast."""
+    from pyspark.sql import functions as F
+
+    from wallaroo_spark.functions import hashing as H
+
+    cases = [  # (num, den, d, expected)
+        (24806, 80, 2, 310.08),  # the r15/r16 driver flip cell
+        (3, 40, 2, 0.08),  # 0.075 -> up
+        (-3, 40, 2, -0.08),  # half AWAY from zero, not toward +inf
+        (3, 8, 2, 0.38),  # dyadic boundary agrees too
+        (7, 3, 4, 2.3333),  # ordinary value: plain half-up
+        (-604875, 100000, 4, -6.0488),  # readability's flagged -6.04875
+    ]
+    rows = spark.createDataFrame(
+        [(n, d) for n, d, _, _ in cases], "num long, den long"
+    ).collect()
+    for (num, den, dp, want), _ in zip(cases, rows):
+        got = (
+            spark.range(1)
+            .select(
+                H.det_round_ratio_col(F.lit(num).cast("long"), F.lit(den).cast("long"), dp).alias("v")
+            )
+            .collect()[0][0]
+        )
+        assert got == want, (num, den, dp, got, want)
+
+        import duckdb
+
+        o = duckdb.sql(
+            f"SELECT {H.det_round_ratio_sql(str(num), str(den), dp)}"
+        ).fetchone()[0]
+        assert o == want, (num, den, dp, o, want)

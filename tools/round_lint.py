@@ -15,12 +15,35 @@ gets to a boundary, per query, per scale:
   double lies within ~1e-9 of a .5*10^-d boundary — a hash flip waiting
   for a different engine or build.
 
-Occurrences already quantized through DECIMAL (the pane-query pattern
-``round(CAST(x AS DECIMAL(38,12)), d)``) are deterministic by
-construction and are skipped. Rounds with non-literal digit args are
-reported as unparsed. Queries that use round() inside predicates
-(WHERE/ON/HAVING) get a distorted row set under rewrite and are listed
-for manual review rather than trusted blindly.
+r17: occurrences quantized through DECIMAL (the pane-query pattern
+``round(CAST(x AS DECIMAL(38,12)), d)``) are NO LONGER skipped — the
+r16 driver flip of corpus_stats_rollup proved the pattern is still
+build-sensitive when the pre-cast double's true value sits ON a
+.5*10^-d boundary of the OUTER round (Spark's double->decimal goes via
+the shortest decimal repr, e.g. "310.075", and rounds up; a DuckDB
+build whose cast truncates the scaled double lands at ...074999999999
+and rounds down). Such spans are probed exactly like raw rounds, on
+the CAST's inner expression at the outer digit count.
+
+A stage-1 quantized hit is NOT yet a flag: most values landing exactly
+on a boundary are DYADIC rationals (0.375 = 3/8, k/32 percent_ranks),
+whose double is the boundary decimal EXACTLY, so every faithful
+double->decimal conversion yields the same decimal and every build
+rounds it identically. Stage 2 therefore isolates each quantized span
+(single-span rewrite to the raw pre-cast double, column located by
+value-multiset diff against the original output) and simulates the
+plausible conversion behaviours per value in exact decimal arithmetic:
+Spark's shortest-repr HALF_UP, exact-binary-expansion HALF_UP and
+truncate, and scaled-multiply round and truncate (half-even final
+rounding is excluded: driver-green queries emit dyadic boundaries,
+which half-even would already have flipped). Only values where the
+behaviours disagree are flagged ``quantized`` — the remedy is the
+corpus_stats_rollup pattern: compute the half-up round on exact
+integers, never casting a boundary double through DECIMAL. Rounds with
+non-literal digit args are reported as unparsed. Queries that use
+round() inside predicates (WHERE/ON/HAVING) get a distorted row set
+under rewrite; a span whose isolated rewrite changes the row shape is
+reported for manual review rather than auto-cleared.
 
 Usage: python tools/round_lint.py [sf_dir ...] [--threshold N] [name ...]
 Default sf_dirs: sf0.001 sf0.01 sf0.1. Exit 1 if any query is flagged.
@@ -36,7 +59,8 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 THRESHOLD = 1.0  # scaled units of 1e-9 absolute distance to the boundary
-PROBE_OFFSET = 1.0e15  # marks a probe column value; exact in float64
+PROBE_OFFSET = 1.0e15  # marks a raw-round probe value; exact in float64
+QUANT_OFFSET = 3.0e15  # marks a quantized-round probe (distinct band)
 
 
 def _scan(sql: str):
@@ -95,13 +119,11 @@ def _scan(sql: str):
             digits = int(dstr) if re.fullmatch(r"-?\d+", dstr) else None
         quantized = _is_quantized(expr)
         out.append((k, j + 1, expr, digits, quantized))
-        # a QUANTIZED round is skipped by the probe rewrite, so keep
-        # scanning INSIDE its argument — a raw round nested there still
-        # perturbs the value before quantization and must be probed; an
-        # unquantized round is itself rewritten, so its nested rounds are
-        # covered by the outer probe (overlapping rewrites would corrupt
-        # the span arithmetic)
-        i = (k + 6) if quantized else j
+        # r17: quantized rounds are now rewritten too (probed on the
+        # CAST's inner expression), so nested rounds inside either class
+        # are covered by the outer probe; never re-scan inside a span
+        # (overlapping rewrites would corrupt the span arithmetic)
+        i = j
     return out
 
 
@@ -137,31 +159,185 @@ def _is_quantized(expr: str) -> bool:
     return False
 
 
+def _cast_inner(expr: str) -> str:
+    """Inner expression of a whole-arg ``CAST(x AS DECIMAL...)``."""
+    e = expr.strip()
+    start = e.index("(")
+    depth = 0
+    in_str = False
+    for idx in range(start, len(e)):
+        c = e[idx]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if depth == 1:
+            m = re.match(r"(?i)\s+AS\s+DECIMAL", e[idx + 1 :])
+            if m:
+                return e[start + 1 : idx + 1]
+    raise ValueError(f"not a det_round CAST: {expr!r}")
+
+
 def probe_sql(sql: str):
-    """Rewrite every unquantized literal-digit round() to its scaled
-    boundary distance. Returns (rewritten_sql, n_rewritten, n_skipped,
-    n_unparsed)."""
+    """Rewrite every literal-digit round() to its scaled boundary
+    distance — raw rounds on their argument, quantized rounds on the
+    CAST's inner (pre-decimal) expression at the OUTER digit count.
+    Returns (rewritten_sql, n_raw_probes, n_quant_probes, n_unparsed)."""
     spans = _scan(sql)
-    n_q = sum(1 for s in spans if s[4])
     n_u = sum(1 for s in spans if s[3] is None)
-    todo = [s for s in spans if not s[4] and s[3] is not None]
-    for start, end, expr, d, _ in sorted(todo, reverse=True):
+    todo = [s for s in spans if s[3] is not None]
+    n_raw = sum(1 for s in todo if not s[4])
+    n_quant = len(todo) - n_raw
+    for start, end, expr, d, quantized in sorted(todo, reverse=True):
         scale = 10.0 ** d
-        # probe values carry a 1e15 marker offset so the flag pass can
-        # tell them apart from ordinary emitted floats (a raw ratio
-        # column's 0.08 must not read as "0.08e-9 from a boundary")
+        probe_expr = _cast_inner(expr) if quantized else expr
+        offset = QUANT_OFFSET if quantized else PROBE_OFFSET
+        # probe values carry a marker offset so the flag pass can tell
+        # them apart from ordinary emitted floats (a raw ratio column's
+        # 0.08 must not read as "0.08e-9 from a boundary") and tell the
+        # two probe classes apart
         repl = (
-            f"(abs((({expr}) * {scale!r}) - floor(({expr}) * {scale!r})"
-            f" - 0.5) * 1000000000.0 + {PROBE_OFFSET!r})"
+            f"(abs((({probe_expr}) * {scale!r})"
+            f" - floor(({probe_expr}) * {scale!r})"
+            f" - 0.5) * 1000000000.0 + {offset!r})"
         )
         sql = sql[:start] + repl + sql[end:]
-    return sql, len(todo), n_q, n_u
+    return sql, n_raw, n_quant, n_u
 
 
 _PRED_RE = re.compile(
     r"\b(where|having|qualify)\b[^;]*?round\(|join[^;]*?\bon\b[^;]*?round\(",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _simulate_builds(v: float, d: int):
+    """All d-dp outputs of ``round(CAST(v AS DECIMAL(38,12)), d)`` across
+    plausible double->decimal conversion behaviours (see module doc).
+    One element = every build agrees = safe."""
+    import math
+    from decimal import ROUND_DOWN, ROUND_HALF_UP, Decimal
+
+    if not math.isfinite(v):
+        return {v}
+    q12 = Decimal("1e-12")
+    qd = Decimal(1).scaleb(-d)
+    outs = set()
+    # Spark: BigDecimal.valueOf = shortest repr, then HALF_UP twice
+    outs.add(
+        Decimal(repr(v)).quantize(q12, ROUND_HALF_UP).quantize(qd, ROUND_HALF_UP)
+    )
+    for conv in (
+        Decimal(v).quantize(q12, ROUND_HALF_UP),  # exact expansion, round
+        Decimal(v).quantize(q12, ROUND_DOWN),  # exact expansion, truncate
+    ):
+        outs.add(conv.quantize(qd, ROUND_HALF_UP))
+    y = v * 1e12  # scaled-multiply casts (fast C paths)
+    if abs(y) < 2**63:
+        outs.add((Decimal(round(y)) * q12).quantize(qd, ROUND_HALF_UP))
+        outs.add((Decimal(math.floor(y)) * q12).quantize(qd, ROUND_HALF_UP))
+    return outs
+
+
+def _col_multisets(rows):
+    """Per-column value multisets (repr-keyed), plus row count."""
+    from collections import Counter
+
+    if not rows:
+        return [], 0
+    ncol = len(rows[0])
+    cols = [Counter() for _ in range(ncol)]
+    for r in rows:
+        for j, v in enumerate(r):
+            cols[j][repr(v)] += 1
+    return cols, len(rows)
+
+
+def stage2_quantized(con, sql):
+    """Isolate each quantized round span, locate its output column by
+    multiset diff, and simulate builds on that column's float values.
+    Returns (divergent [(value, d, sorted outputs)], n_manual_spans)."""
+    spans = [s for s in _scan(sql) if s[4] and s[3] is not None]
+    if not spans:
+        return [], 0
+    orig_cols, orig_n = _col_multisets(con.sql(sql).fetchall())
+    divergent, n_manual = [], 0
+    for start, end, expr, d, _q in spans:
+        # a span wrapped directly in CAST(... AS INT...) is re-rounded by
+        # its context: the raw rewrite comes back identical even when a
+        # value sits on a boundary, so a no-diff result proves nothing —
+        # audit such spans by hand (tools + OPTIMIZATION notes)
+        before = sql[:start].rstrip()
+        after = sql[end:].lstrip()
+        if before.upper().endswith("CAST(") and re.match(
+            r"(?i)AS\s+INT", after
+        ):
+            n_manual += 1
+            continue
+        rw = sql[:start] + f"CAST(({_cast_inner(expr)}) AS DOUBLE)" + sql[end:]
+        try:
+            cols, n = _col_multisets(con.sql(rw).fetchall())
+        except Exception:
+            n_manual += 1  # rewrite does not survive its context
+            continue
+        if n != orig_n or len(cols) != len(orig_cols):
+            n_manual += 1  # span feeds the row shape (predicate/bin)
+            continue
+        changed = [j for j in range(len(cols)) if cols[j] != orig_cols[j]]
+        # A changed column is THIS span's own emission only if re-rounding
+        # the raw values at d reproduces the original column exactly —
+        # otherwise the span's value is consumed downstream (weights,
+        # bins) or its fraction was cast away, and simulating whatever
+        # happened to change is unsound: route to the manual list.
+        attributed = False
+        import math
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        for j in changed:
+            q12 = Decimal("1e-12")
+            qd = Decimal(1).scaleb(-d)
+            reround = Counter()
+            vals = []
+            ok = True
+            for key, cnt in cols[j].items():
+                try:
+                    v = float(key)
+                except (ValueError, TypeError):
+                    ok = False
+                    break
+                vals.extend([v] * min(cnt, 1))
+                if math.isfinite(v):
+                    r = float(
+                        Decimal(repr(v))
+                        .quantize(q12, ROUND_HALF_UP)
+                        .quantize(qd, ROUND_HALF_UP)
+                    )
+                    reround[repr(r)] += cnt
+                else:
+                    reround[key] += cnt
+            orig_float = Counter()
+            for key, cnt in orig_cols[j].items():
+                try:
+                    orig_float[repr(float(key))] += cnt
+                except (ValueError, TypeError):
+                    ok = False
+                    break
+            if not ok or reround != orig_float:
+                continue
+            attributed = True
+            for v in vals:
+                outs = _simulate_builds(v, d)
+                if len(outs) > 1:
+                    divergent.append((v, d, sorted(map(str, outs))))
+        if changed and not attributed:
+            n_manual += 1
+    return divergent, n_manual
 
 
 def main() -> int:
@@ -181,6 +357,7 @@ def main() -> int:
 
     oracles = entrymod.oracle_sql()
     flagged, predicate_cases, unparsed_cases = [], [], []
+    manual_cases = []  # quantized spans stage 2 could not attribute
 
     for sf_dir in sf_dirs:
         con = duckdb.connect()
@@ -191,39 +368,70 @@ def main() -> int:
         for name, sql in oracles.items():
             if only and name not in only:
                 continue
-            rewritten, n_probe, n_quant, n_unparsed = probe_sql(sql)
+            rewritten, n_raw, n_quant, n_unparsed = probe_sql(sql)
+            n_probe = n_raw + n_quant
             if n_unparsed and name not in unparsed_cases:
                 unparsed_cases.append(name)
             if n_probe == 0:
                 continue
             if _PRED_RE.search(sql) and name not in predicate_cases:
                 predicate_cases.append(name)
+            tag = sf_dir.rsplit("/", 1)[-1]
             try:
                 rows = con.sql(rewritten).fetchall()
-            except Exception as exc:  # rewrite broke the query — report
-                print(f"ERR  {name} [{sf_dir.rsplit('/', 1)[-1]}]: {exc}")
-                flagged.append((name, "probe-error"))
+            except Exception:
+                # the distance rewrite does not survive this query's
+                # expression context (e.g. probe offset overflows an INT
+                # cast) — skip straight to stage 2, which isolates spans
+                div, n_man = stage2_quantized(con, sql)
+                for v, d, outs in div[:4]:
+                    print(f"FLAG {name} [{tag}] (quantized): {v!r} @ {d}dp -> {outs}")
+                if div:
+                    flagged.append((name, sf_dir))
+                if n_man and name not in manual_cases:
+                    manual_cases.append(name)
                 continue
-            worst = None
-            n_close = 0
+            worst = {"raw": None, "quantized": None}
+            n_close = {"raw": 0, "quantized": 0}
             for r in rows:
                 for v in r:
-                    # only probe-marked values (offset band); an ordinary
+                    # only probe-marked values (offset bands); an ordinary
                     # emitted float (a ratio 0.08, a literal 0.5 quantile
                     # label) must not read as a boundary distance
-                    if isinstance(v, float) and PROBE_OFFSET <= v < 2 * PROBE_OFFSET:
-                        v -= PROBE_OFFSET
-                        if worst is None or v < worst:
-                            worst = v
-                        if v < threshold:
-                            n_close += 1
-            if worst is not None and worst < threshold:
+                    if not isinstance(v, float):
+                        continue
+                    if PROBE_OFFSET <= v < 2 * PROBE_OFFSET:
+                        cls, v = "raw", v - PROBE_OFFSET
+                    elif QUANT_OFFSET <= v < QUANT_OFFSET + PROBE_OFFSET:
+                        cls, v = "quantized", v - QUANT_OFFSET
+                    else:
+                        continue
+                    if worst[cls] is None or v < worst[cls]:
+                        worst[cls] = v
+                    if v < threshold:
+                        n_close[cls] += 1
+            if worst["raw"] is not None and worst["raw"] < threshold:
                 print(
-                    f"FLAG {name} [{sf_dir.rsplit('/', 1)[-1]}]: "
-                    f"{n_close} value(s) within {worst:.3g}e-9 of a "
-                    f"round boundary ({n_probe} probes)"
+                    f"FLAG {name} [{tag}] (raw): {n_close['raw']} value(s)"
+                    f" within {worst['raw']:.3g}e-9 of a round boundary "
+                    f"({n_probe} probes)"
                 )
                 flagged.append((name, sf_dir))
+            if worst["quantized"] is not None and worst["quantized"] < threshold:
+                # stage-1 hit: values sit ON a boundary — stage 2 decides
+                # whether any of them is actually build-divergent
+                div, n_man = stage2_quantized(con, sql)
+                for v, d, outs in div[:4]:
+                    print(f"FLAG {name} [{tag}] (quantized): {v!r} @ {d}dp -> {outs}")
+                if div:
+                    flagged.append((name, sf_dir))
+                else:
+                    print(
+                        f"ok   {name} [{tag}]: {n_close['quantized']} "
+                        "boundary value(s), all build-stable (stage 2)"
+                    )
+                if n_man and name not in manual_cases:
+                    manual_cases.append(name)
     if predicate_cases:
         print(
             "\npredicate-round queries (rewrite distorts the row set — "
@@ -234,6 +442,13 @@ def main() -> int:
     if unparsed_cases:
         print("\nnon-literal round digits (not probed):")
         for n in unparsed_cases:
+            print(f"    {n}")
+    if manual_cases:
+        print(
+            "\nquantized spans stage 2 could not attribute (row shape "
+            "changes or fraction cast away — audit by hand):"
+        )
+        for n in manual_cases:
             print(f"    {n}")
     uniq = sorted({n for n, _ in flagged})
     print(f"\nflagged queries: {len(uniq)}")

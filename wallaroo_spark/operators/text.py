@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from wallaroo_spark.functions.hashing import det_round_col
+from wallaroo_spark.functions.hashing import det_round_col, det_round_ratio_col
 
 # Small fixed English stopword list (public knowledge); shared with oracles.
 EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
@@ -1666,17 +1666,30 @@ def readability_signals(
         F.lit(1),
     )
     n_sy = F.size(F.regexp_extract_all(F.lower(F.col(text)), F.lit("[aeiouy]+"), 0))
-    wps = n_w / n_s
-    spw = n_sy / F.greatest(n_w, F.lit(1))
-    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    # r17 (round_lint stage 2): wps/spw/flesch are rationals over integer
+    # counts, and flesch lands EXACTLY on 4dp half boundaries for real
+    # documents (-6.04875, -9.57375 at sf0.001) — det_round's DECIMAL cast
+    # of the raw double is build-sensitive precisely there. Round on exact
+    # integers instead: one identical IEEE division per signal, no double
+    # ever crosses a decimal cast. long casts first — 206835*s*w
+    # overflows 32-bit int arithmetic.
+    w = n_w.cast("long")
+    s = n_s.cast("long")
+    sy = n_sy.cast("long")
+    wg = F.greatest(w, F.lit(1).cast("long"))
+    flesch_num = (
+        F.lit(206835) * s * wg - F.lit(1015) * w * wg - F.lit(84600) * sy * s
+    )
     return df.select(
         id_col,
         n_w.alias("n_words"),
         n_s.alias("n_sentences"),
         n_sy.alias("n_syllables"),
-        det_round_col(wps, round_dp).alias("words_per_sentence"),
-        det_round_col(spw, round_dp).alias("syllables_per_word"),
-        det_round_col(flesch, round_dp).alias("flesch"),
+        det_round_ratio_col(w, s, round_dp).alias("words_per_sentence"),
+        det_round_ratio_col(sy, wg, round_dp).alias("syllables_per_word"),
+        det_round_ratio_col(flesch_num, F.lit(1000) * s * wg, round_dp).alias(
+            "flesch"
+        ),
     )
 
 

@@ -1646,28 +1646,67 @@ def date_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "percentiles_by_group",
     oracle=f"""
+    WITH c AS (SELECT o_orderstatus,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cts,
+                      o_totalprice
+               FROM orders),
+    g AS (SELECT o_orderstatus, list_sort(list(cts)) AS a, count(*) AS n,
+                 round(min(o_totalprice), 2) AS lo,
+                 round(max(o_totalprice), 2) AS hi
+          FROM c GROUP BY o_orderstatus),
+    p AS (SELECT o_orderstatus, lo, hi,
+                 a[CAST(floor((n - 1) / 2) AS BIGINT) + 1] AS a50,
+                 coalesce(a[CAST(floor((n - 1) / 2) AS BIGINT) + 2],
+                          a[CAST(floor((n - 1) / 2) AS BIGINT) + 1]) AS b50,
+                 (n - 1) % 2 AS m50,
+                 a[CAST(floor(19 * (n - 1) / 20) AS BIGINT) + 1] AS a95,
+                 coalesce(a[CAST(floor(19 * (n - 1) / 20) AS BIGINT) + 2],
+                          a[CAST(floor(19 * (n - 1) / 20) AS BIGINT) + 1]) AS b95,
+                 (19 * (n - 1)) % 20 AS m95
+          FROM g)
     SELECT o_orderstatus,
-           {H.det_round_sql('quantile_cont(o_totalprice, 0.5)', 2)} AS p50,
-           {H.det_round_sql('quantile_cont(o_totalprice, 0.95)', 2)} AS p95,
-           round(min(o_totalprice), 2) AS lo,
-           round(max(o_totalprice), 2) AS hi
-    FROM orders
-    GROUP BY o_orderstatus
+           {H.det_round_ratio_sql('2 * a50 + m50 * (b50 - a50)', '2 * 100', 2)} AS p50,
+           {H.det_round_ratio_sql('20 * a95 + m95 * (b95 - a95)', '20 * 100', 2)} AS p95,
+           lo, hi
+    FROM p
     """,
 )
 def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation) per group.
 
-    det_round (r16): interpolated quantiles of 2-decimal money values land
-    EXACTLY on .xx5 midpoints (the mean of adjacent cents) — the rounding
-    must go through decimal on both sides. min/max are already on the
-    cent grid and stay raw-rounded."""
+    r17 (round_lint stage 2): interpolated quantiles of 2-decimal money
+    land EXACTLY on .xx5 midpoints (the mean of adjacent cents — p50 =
+    256346.485 at sf0.001), where even the r16 decimal quantization stays
+    build-sensitive. Quantile and rounding are therefore computed on
+    exact integer CENTS: sorted per-group cent lists, index floor(q*(n-1))
+    with the fractional part carried as an integer numerator, one
+    identical IEEE division at the end. min/max stay raw-rounded (cent
+    grid, never on a boundary)."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        H.det_round_col(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
-        H.det_round_col(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95"),
+    cts = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = o.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_list(cts)).alias("a"),
+        F.count("*").alias("n"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+    def _q(num: int, den: int) -> tuple[F.Column, F.Column, F.Column]:
+        pos = F.lit(num) * (F.col("n") - 1)
+        i0 = F.floor(pos / F.lit(den)).cast("int")
+        m = pos % den
+        lo_v = F.element_at("a", i0 + 1)
+        hi_v = F.coalesce(F.element_at("a", i0 + 2), lo_v)
+        return (F.lit(den) * lo_v + m * (hi_v - lo_v), m, i0)
+
+    v50, _, _ = _q(1, 2)
+    v95, _, _ = _q(19, 20)
+    return g.select(
+        "o_orderstatus",
+        H.det_round_ratio_col(v50, F.lit(2 * 100), 2).alias("p50"),
+        H.det_round_ratio_col(v95, F.lit(20 * 100), 2).alias("p95"),
+        "lo",
+        "hi",
     )
 
 
@@ -5347,13 +5386,20 @@ def windowed_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
                                              x -> trim(x) <> '')), 1) AS n_sentences,
                     len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
-             FROM t)
+             FROM t),
+    b AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+                 CAST(n_words AS BIGINT) AS w,
+                 CAST(n_sentences AS BIGINT) AS s,
+                 CAST(n_syllables AS BIGINT) AS sy,
+                 CAST(greatest(n_words, 1) AS BIGINT) AS wg
+          FROM base)
     SELECT doc_id, n_words, n_sentences, n_syllables,
-           {H.det_round_sql('n_words::DOUBLE / n_sentences', 4)} AS words_per_sentence,
-           {H.det_round_sql('n_syllables::DOUBLE / greatest(n_words, 1)', 4)} AS syllables_per_word,
-           {H.det_round_sql('''206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
-                        - 84.6 * (n_syllables::DOUBLE / greatest(n_words, 1))''', 4)} AS flesch
-    FROM base
+           {H.det_round_ratio_sql('w', 's', 4)} AS words_per_sentence,
+           {H.det_round_ratio_sql('sy', 'wg', 4)} AS syllables_per_word,
+           {H.det_round_ratio_sql(
+               '206835 * s * wg - 1015 * w * wg - 84600 * sy * s',
+               '1000 * s * wg', 4)} AS flesch
+    FROM b
     """,
 )
 def readability_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
