@@ -451,6 +451,7 @@ def test_salted_fold_preserves_time_order(spark):
         assert vals == sorted(vals)
 
 
+@pytest.mark.slow
 def test_salted_fold_spreads_hot_key(spark):
     """90%-hot-key workload: the salted path must beat the single-task
     sequential fold because the hot key's update work runs as n_salts

@@ -3,6 +3,7 @@ learnability on separable vocabularies, determinism, gradient-step
 hand-check, and stream parity of the in-row scorer."""
 
 import numpy as np
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -142,6 +143,7 @@ def test_sgd_reaches_full_batch_accuracy(spark):
     assert acc == 1.0
 
 
+@pytest.mark.slow
 def test_sgd_deterministic_and_empty_batch_safe(spark):
     """Batch assignment is salted-hash -> identical models across runs;
     and a batch count larger than the corpus (guaranteeing empty batches)
@@ -322,3 +324,15 @@ def test_windowed_calibration_plan_is_decimal_exact(spark):
     # one bin: sp = 40*1234, np = 20 -> |49360 - 200000| / (1e4 * 40)
     assert r["n_scored"] == 40
     assert r["ece"] == round(abs(40 * 1234 - 10000 * 20) / (10000.0 * 40), 4)
+
+
+def test_fused_gd_empty_corpus_is_noop_not_null(spark):
+    """r17 review: a corpus whose every doc filters out (no features) must
+    yield the untouched zero model, not NULL-poisoned weights (lit(0.0)
+    divisor under non-ANSI divide-by-zero)."""
+    from wallaroo_spark.operators.inference import linear_classifier_fit
+
+    empty = spark.createDataFrame([("", 1)], "text string, label int")
+    row = linear_classifier_fit(empty, text="text", label_col="label").collect()[0]
+    assert row["clf_b"] == 0.0
+    assert row["clf_w"] is not None and all(w == 0.0 for w in row["clf_w"])

@@ -2,6 +2,7 @@
 chunk-level dedup, snapshot novelty, token-budget fill, bigram surprisal."""
 
 from pyspark.sql import Row
+import pytest
 from pyspark.sql import functions as F
 
 from wallaroo_spark.operators import dedup, similarity, text
@@ -342,6 +343,7 @@ def test_semdedup_probe_stream_batch_parity(spark, tmp_path):
     assert stream == batch
 
 
+@pytest.mark.slow
 def test_ann_index_build_persist_query_refresh(spark, tmp_path):
     """Persisted IVF index lifecycle: the probe over the LOADED index must
     equal the direct ivf_topk over the same centroids (assignment skipped,

@@ -1,6 +1,7 @@
 """Exact ephemeral-window semantics (S11) + reference-example ports."""
 
 import datetime as dt
+import pytest
 
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -109,6 +110,7 @@ def test_ephemeral_late_policy_batch_semantics(spark):
         )
 
 
+@pytest.mark.slow
 def test_ephemeral_late_policy_stream_matches_batch(spark, tmp_path):
     """S8xS11 stream-vs-batch parity, patterned on the late.py tests:
     multi-key, multi-batch (state round-trips), both policies."""
@@ -173,6 +175,7 @@ def test_ephemeral_late_policy_stream_matches_batch(spark, tmp_path):
         assert got == [g for g in got if g[4]], policy  # stream emits closed only
 
 
+@pytest.mark.slow
 def test_ephemeral_timer_trigger_policy_path(spark, tmp_path):
     """VERDICT r14 #5: the TIMER-driven trigger path (hasTimedOut) under
     both late policies, across six time-ordered micro-batches (the r14
@@ -309,6 +312,7 @@ def test_example_celsius(spark, sf_dir):
         assert abs(r.fahrenheit - round(r.celsius * 9.0 / 5.0 + 32.0, 4)) < 1e-9
 
 
+@pytest.mark.slow
 def test_training_data_pipeline_example(spark, tmp_path):
     """End-to-end corpus build: quality gates (incl. the reference-LM
     perplexity stage) -> stratified sample -> near-dup + semantic dedup ->

@@ -5,6 +5,7 @@ targets — the synthetic testdata embeddings are isotropic, so the
 registered opq_recall_audit shows parity there by design)."""
 
 import math
+import pytest
 
 import numpy as np
 from pyspark.sql import functions as F
@@ -121,6 +122,7 @@ def test_opq_permutation_improves_recall_on_anisotropic(spark):
     assert opq >= plain + 0.15, f"opq {opq:.2f} vs plain {plain:.2f}"
 
 
+@pytest.mark.slow
 def test_opq_index_build_probe_parity(spark, tmpdir):
     """An OPQ index commits the permutation WITH the codebooks; probing
     it must equal running ivfpq_topk on manually-permuted inputs — and
@@ -403,6 +405,7 @@ def test_covariance_stable_far_from_origin(spark):
     assert perm_of(mat) == perm_of(off)
 
 
+@pytest.mark.slow
 def test_opq_rotation_beats_permutation_on_rotated_anisotropy(spark):
     """The claim that justifies the full rotation over OPQ-lite: when the
     dominant directions are dense (not axis-aligned), the permutation
@@ -434,6 +437,7 @@ def test_opq_rotation_beats_permutation_on_rotated_anisotropy(spark):
     assert d_rot < d_perm, f"rot mse {d_rot} vs perm mse {d_perm}"
 
 
+@pytest.mark.slow
 def test_opq_rotation_index_build_probe_parity(spark, tmpdir):
     """A rotation index (opq='rot') commits the d x d matrix WITH the
     codebooks; probing it must equal running ivfpq_topk on manually-
@@ -498,6 +502,7 @@ def test_opq_rotation_index_build_probe_parity(spark, tmpdir):
     assert len(out) == 4 * 4
 
 
+@pytest.mark.slow
 def test_opq_np_refinement_descends_objective(spark):
     """OPQ-NP (the Ge et al. alternation) must descend the TRUE in-sample
     quantization objective from the parametric start, stay orthogonal,

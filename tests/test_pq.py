@@ -2,6 +2,7 @@
 and the no-Python-in-plan scale claim."""
 
 import os
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -133,6 +134,7 @@ def test_ivfpq_scan_fraction_and_recall(spark, sf_dir):
     assert len(flat & ivf) / len(flat) > 0.40, len(flat & ivf) / len(flat)
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_valid_and_deterministic(spark, sf_dir):
     """Residual IVF-PQ: deterministic across runs, candidates confined to
     probed cells (same cell discipline as the plain composition), and
@@ -314,6 +316,7 @@ def test_pq_train_sample_bounds_training_set(spark, sf_dir):
     assert S._coarse_sample_rows(None, True, 20) is None
 
 
+@pytest.mark.slow
 def test_build_pq_index_auto_geometry_sampled(spark, sf_dir, tmpdir):
     """build_pq_index(n_cells=None): sqrt-N auto geometry, bounded coarse
     training sample committed in pq_meta, probe reachable, and refresh
@@ -340,6 +343,7 @@ def test_build_pq_index_auto_geometry_sampled(spark, sf_dir, tmpdir):
     assert got.count() == 9  # full top-k per query at full probe width
 
 
+@pytest.mark.slow
 def test_ivfpq_probe_stream_parity(spark, sf_dir, tmpdir):
     """The persisted-index probe must reproduce the batch search EXACTLY:
     (a) on a batch incoming frame, topk_cut(ivfpq_probe(...)) equals
@@ -463,6 +467,7 @@ def test_probe_pq_index_rejects_inline_topk_on_stream(spark, tmpdir):
         probe_pq_index(spark, t, sdf)
 
 
+@pytest.mark.slow
 def test_pq_index_refresh_and_distortion_gated_refit(spark, sf_dir, tmpdir):
     """PQ-index maintenance lifecycle: (a) refresh appends NEW vectors
     encoded against the FROZEN codebooks (+ the committed transform) in
@@ -573,6 +578,7 @@ def test_pq_index_consumers_use_committed_geometry(spark, sf_dir, tmpdir):
     assert scored and all(r.approx_dist is not None for r in scored)
 
 
+@pytest.mark.slow
 def test_pq_index_tombstone_delete_and_compaction(spark, sf_dir, tmpdir):
     """The delete quarter of the index lifecycle: soft tombstone delete
     (idempotent, no rewrite), probe invisibility, threshold-gated atomic
@@ -641,6 +647,7 @@ def _ann_index_mod():
     return ann_index
 
 
+@pytest.mark.slow
 def test_pq_codes_cell_partitioned_probe_reads_only_probed_cells(
     spark, sf_dir, tmpdir
 ):
@@ -701,6 +708,7 @@ def test_pq_codes_cell_partitioned_probe_reads_only_probed_cells(
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, full.collect()))
 
 
+@pytest.mark.slow
 def test_pq_partitioned_lifecycle_composes_with_tombstones(spark, sf_dir, tmpdir):
     """Cell bucketing must survive the WHOLE lifecycle: refresh appends
     bucketed files, tombstone deletes stay invisible under the pruned
@@ -734,6 +742,7 @@ def test_pq_partitioned_lifecycle_composes_with_tombstones(spark, sf_dir, tmpdir
     assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, full2.collect()))
 
 
+@pytest.mark.slow
 def test_streaming_probe_tombstoned_index_parity(spark, sf_dir, tmpdir):
     """VERDICT r11 #3: a STREAMING probe against a tombstoned index —
     deleted ids never appear in any micro-batch, and the drained rows
@@ -792,6 +801,7 @@ def test_pq_train_rejects_subvecs_with_sample(spark, sf_dir):
         S.pq_train(emb, iters=1, subvecs=sv, sample=20)
 
 
+@pytest.mark.slow
 def test_live_codes_tombstone_broadcast_gate(spark, sf_dir, tmpdir, monkeypatch):
     """ADVICE r11: above the broadcast threshold the tombstone anti-join
     falls back to Spark's own strategy (no forced broadcast) — rows are
@@ -821,6 +831,7 @@ def test_live_codes_tombstone_broadcast_gate(spark, sf_dir, tmpdir, monkeypatch)
     assert not ({g[1] for g in got} & set(range(15, 30)))
 
 
+@pytest.mark.slow
 def test_pq_encode_inrow_join_parity(spark, sf_dir):
     """VERDICT r11 #5: the in-row encode (zero shuffles, codebook inlined
     as one projection expression) must produce code-for-code identical
@@ -860,6 +871,7 @@ def test_pq_encode_inrow_join_parity(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+@pytest.mark.slow
 def test_streaming_probe_foreach_batch_pruned(spark, sf_dir, tmpdir):
     """probe_pq_index_batch inside foreachBatch: each micro-batch plans
     the file-pruned codes scan (strict subset of the codes files when the
@@ -913,6 +925,7 @@ def test_streaming_probe_foreach_batch_pruned(spark, sf_dir, tmpdir):
     assert scans and all(s < all_files for s in scans)  # every batch pruned
 
 
+@pytest.mark.slow
 def test_probe_prune_empty_cells_falls_back_to_full_scan(spark, sf_dir, tmpdir):
     """Self-review r12 #1: when every probed cell's bucket was compacted
     away (all its vectors tombstoned) while the frozen coarse codebook
@@ -974,6 +987,7 @@ def test_pq_encode_inrow_drops_null_vectors_like_join(spark, sf_dir):
     assert a == b and 99999 not in a and len(a) == 20
 
 
+@pytest.mark.slow
 def test_ivfpq_probe_join_cell_path_parity(spark, sf_dir, tmpdir, monkeypatch):
     """Round-13 candidate #5, closed in r12: the huge-geometry probe path
     (broadcast-join cell selection feeding ivfpq_probe(probe_cells=))
@@ -1051,6 +1065,7 @@ def test_ivfpq_probe_join_cell_path_parity(spark, sf_dir, tmpdir, monkeypatch):
     assert sorted(out) == base
 
 
+@pytest.mark.slow
 def test_refresh_pq_index_bloom_guard(spark, sf_dir, tmpdir):
     """Round-13 candidate #6, closed in r12: refresh_pq_index's
     dedup_guard='bloom' — committed ids compressed to a broadcast Bloom
@@ -1141,6 +1156,7 @@ def test_bloom_guard_sizing_and_mismatch_guard(spark, sf_dir, tmpdir):
     assert "7" not in out and "499" not in out
 
 
+@pytest.mark.slow
 def test_refresh_pq_index_files_per_cell_budget(spark, sf_dir, tmpdir):
     """Round 13 (VERDICT r12 weak item, engine surface): repeated
     refreshes accumulate one file per touched cell each; with
@@ -1182,6 +1198,7 @@ def test_refresh_pq_index_files_per_cell_budget(spark, sf_dir, tmpdir):
     assert codes.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
 
 
+@pytest.mark.slow
 def test_pq_index_bucketed_layout_full_lifecycle(spark, sf_dir, tmpdir):
     """Round 13: build_pq_index(partition_buckets=B) selects the BOUNDED
     cell->bucket codes layout (files per append <= B at ANY n_cells,

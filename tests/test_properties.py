@@ -293,6 +293,7 @@ docs_strategy = st.lists(
 
 @settings(max_examples=10, deadline=None)
 @given(docs_strategy)
+@pytest.mark.slow
 def test_bloom_decontamination_never_false_negative(texts):
     """Insert every doc's shingles into the Bloom filter, then test the SAME
     docs: the exact-overlap result must be a subset of the bloom result —
@@ -368,6 +369,7 @@ points_strategy = st.lists(
 
 @settings(max_examples=12, deadline=None)
 @given(points_strategy, intervals_strategy, st.sampled_from([3.0, 7.0, 16.0]))
+@pytest.mark.slow
 def test_range_join_matches_naive_join(pts, ivs, bucket):
     """Bucketized range join == naive inequality join, for any bucket size
     (including non-divisors of interval lengths)."""
@@ -487,6 +489,7 @@ def test_snapshot_novelty_never_false_negative(old_lists, new_lists):
     ),
     st.integers(min_value=1, max_value=200),  # budget / seq_len
 )
+@pytest.mark.slow
 def test_prefix_scan_family_matches_python_reference(docs, knob):
     """token_budget_admit + pack_sequences vs a straight-line Python scan
     over the same deterministic (salted-bucket, id) order — the distributed
@@ -612,6 +615,7 @@ def test_lsh_tune_rule():
         min_size=12, max_size=40,
     )
 )
+@pytest.mark.slow
 def test_opq_rotation_family_invariants(vecs):
     """Property: for ANY corpus, opq_fit_rotation returns an orthogonal
     matrix (R R^T = I to rounding tolerance), every row assigned once

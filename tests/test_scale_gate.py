@@ -16,6 +16,7 @@ Two institutionalized checks the round-7 scale study proved out manually:
 """
 
 from __future__ import annotations
+import pytest
 
 import math
 import time
@@ -78,6 +79,7 @@ def test_hamming_pairs_hot_band_refinement_lossless(spark):
         assert base, "vacuous: adversarial corpus produced no pairs"
 
 
+@pytest.mark.slow
 def test_scale_exponent_gate(spark):
     import os
     import sys

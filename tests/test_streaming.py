@@ -1465,6 +1465,7 @@ def test_online_packing_into_manifest_table_exactly_once(spark, tmpdir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_pack_sequences_per_domain(spark, tmpdir):
     """Per-domain packing: each source gets its own independent sequence
     space, identical to batch pack_sequences run on that source's subset
@@ -1787,6 +1788,7 @@ def test_windowed_hll_aggregation_stream_matches_batch(spark, tmpdir):
         assert regs == want, ws
 
 
+@pytest.mark.slow
 def test_count_window_idle_timeout_partial_flush(spark, tmpdir):
     """Reference S9 parity (VERDICT r11 #2, `windows.pony:483-504`): a
     count window sitting on n-1 rows flushes PARTIAL when the stream goes
@@ -1878,6 +1880,7 @@ def test_count_window_flush_timeout_requires_ts(spark):
                               flush_timeout_s=5.0)
 
 
+@pytest.mark.slow
 def test_count_window_flush_timer_correct_under_non_utc_session_tz(spark, tmpdir):
     """ADVICE r12 (medium): applyInPandasWithState delivers tz-NAIVE
     timestamps rendered in the session timezone, and pandas treats naive

@@ -135,7 +135,6 @@ def ngram_jaccard_pairs(
     """
     owns_cache = shingles_df is None
     sh = _doc_shingles(df, id_col, text).persist() if owns_cache else shingles_df
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
 
     # SIZE-AWARE broadcast decision: at 100 TB the shingle vocabulary is tens
     # of GB and a forced broadcast OOMs the driver, so estimate the distinct
@@ -147,6 +146,14 @@ def ngram_jaccard_pairs(
         bcast = n_vocab <= vocab_broadcast_max
     else:
         bcast = True
+    # candidates CARRY the per-doc sizes the prefix window already computed
+    # (r17, guide §2.4): the separate sizes groupBy over the full shingle
+    # table and the two pair⋈sizes joins at the end are gone. (A broadcast
+    # semi pre-filter of the verify sides to candidate doc ids — guide
+    # §3.2 — was built and A/B-measured r17: the count needed to guard the
+    # broadcast serializes candidate generation AHEAD of the verify job it
+    # used to overlap with, +1.1 s warm at sf0.1; rejected, numbers in
+    # OPTIMIZATION_r17.md.)
     cands = _ngram_candidates(sh, id_col, threshold, broadcast_freq=bcast)
 
     # exact verification on candidates only (same shape as minhash verify)
@@ -155,13 +162,11 @@ def ngram_jaccard_pairs(
     inter = (
         cands.join(a, "doc_a")
         .join(b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("inter"))
     )
     out = (
-        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .withColumn("jaccard", H.det_round_col(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        inter.withColumn("jaccard", H.det_round_col(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -211,9 +216,16 @@ def _ngram_candidates(
             & (F.col("_sza") >= threshold * F.col("_szb"))
         )
         .filter(overlap_bound >= min_overlap)
-        .select("doc_a", "doc_b")
+        # sizes are functions of the ids, so the distinct pair set is
+        # unchanged — carrying them saves the caller a sizes agg + 2 joins
+        .select(
+            "doc_a", "doc_b",
+            F.col("_sza").alias("sz_a"), F.col("_szb").alias("sz_b"),
+        )
         .distinct()
     )
+
+
 
 
 def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -338,12 +350,11 @@ def minhash_lsh_pairs(
     # exact-Jaccard verification of candidates ONLY: expand candidate pairs
     # to (pair, shingle) via two equi-joins — cost |cands| * shingles/doc,
     # never the all-pairs shingle blowup (hot shingles in a small vocabulary
-    # make the naive sh⋈sh join quadratic)
-    sh = (
-        _doc_shingles(df, id_col, text).persist()
-        if shingles_df is None
-        else shingles_df
-    )
+    # make the naive sh⋈sh join quadratic). The r16 hoist assigns
+    # shingles_df up front, so it is never None here (r17 review: the old
+    # conditional re-persist branch was dead, and would have leaked a
+    # second corpus-sized cache had it ever fired).
+    sh = shingles_df
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     # lossless length filter BEFORE the shingle-expansion verify: J >= t
     # forces t*|A| <= |B| <= |A|/t, so size-mismatched candidates never pay

@@ -210,7 +210,12 @@ def linear_classifier_fit(
     # the (-1..n_hash-1) domain — the corpus is touched once per
     # iteration instead of twice and the per-step broadcast subtrees
     # drop from 6 to 2 (both the same one-row model exchange).
-    n_lit = F.lit(float(docs.count()))
+    # `or 1.0` (r17 review): an empty filtered corpus made this lit(0.0)
+    # and the non-ANSI divide-by-zero NULL-poisoned every weight; with
+    # divisor 1.0 the zero gradients make the step the no-op the
+    # _fused_gd_step docstring promises (the SGD path's sizes.get(m, 1.0)
+    # guard, mirrored)
+    n_lit = F.lit(float(docs.count()) or 1.0)
     domain = spark.range(-1, n_hash).select(F.col("id").cast("int").alias("_b"))
     for _ in range(iters):
         model = _fused_gd_step(docs, model, domain, n_lit, n_hash, lr, round_dp)

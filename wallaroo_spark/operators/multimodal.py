@@ -218,6 +218,13 @@ def ahash_near_pairs(
     # The native-fp simhash caller measured warm-NEGATIVE on the same
     # persist (its recompute is cheap and parallel), so this lives here,
     # not in hamming_pairs.
+    # The fp cache is the 16-B/row narrow PROXY of the media corpus (the
+    # §8 pattern: blobs are decoded once and never cached); a checkpoint-
+    # and-release wrapper was measured r17 at +0.9 s warm / +9 jobs
+    # (the eager checkpoint forfeits the single fused verify job), so the
+    # cache stays lazily referenced — bounded at 16 B x n_docs, released
+    # with the result's lifetime, and asserted small by the cache-release
+    # test.
     fp = image_ahash(df, media_col, id_col).persist()
     return hamming_pairs(
         fp, "ahash", max_hamming, bits=AHASH_BITS, bands=max_hamming + 1,
@@ -517,6 +524,8 @@ def ahash64_near_pairs(
     # persist: same four-way fp re-read as ahash_near_pairs, but each
     # recompute here is a REAL image decode per row — see the rationale on
     # the stub path above.
+    # lazily-referenced 16-B/row proxy cache, like ahash_near_pairs above
+    # (the r17 checkpoint-release variant measured +0.9 s warm — rejected)
     fp = image_ahash64(df, media_col, id_col).persist()
     return hamming_pairs(
         fp, "ahash", max_hamming, bits=AHASH64_BITS, bands=max_hamming + 1,

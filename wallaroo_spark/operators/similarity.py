@@ -1006,7 +1006,7 @@ def semdedup(
         .distinct()
         .withColumn("_dup", F.lit(1))
     )
-    return (
+    out = (
         a.join(removed, id_col, "left")
         .select(
             id_col,
@@ -1014,6 +1014,13 @@ def semdedup(
             F.when(F.col("_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
         )
     )
+    # r17 (VERDICT r16 #7): release the fat vector+norm cache. The result
+    # is corpus-LENGTH but narrow (~16 B/row: id, cent_id, kept — no
+    # vectors), ~3% of the cache it frees, so the checkpoint-and-release
+    # trade is right even at 100 TB.
+    from wallaroo_spark.functions.caching import materialize_release
+
+    return materialize_release(out, a)
 
 
 def int8_topk_rerank(
@@ -1912,16 +1919,27 @@ def ivfpq_residual_topk(
         )
 
     tres = residuals_of(train_df)
-    fine = pq_train(
-        tres, m=m, sub_dim=sub_dim, k=k, iters=2,
-        id_col=id_col, vec_col="_rv", round_dp=round_dp,
-    )
     # persist: the corpus residuals feed BOTH the fine encode and the cell
     # list, and each re-read replays the coarse in-row encode + residual
     # subtraction over the whole corpus (the r16 plan audit counted 11
     # scans in this query). MEMORY_AND_DISK, same posture as pq_train's
     # subvector base.
     cres = residuals_of(corpus, corpus_cells).persist()
+    # r17 (VERDICT r16 #5, guide §2.6): the fine codebook must wait for the
+    # coarse one (it trains on residuals — the chains cannot pipeline), but
+    # the CORPUS residual materialization only needs coarse too and used to
+    # run lazily inside the final search job, strictly AFTER fine training.
+    # Overlap the two: fine's Lloyd barriers are tiny eager jobs that leave
+    # the cluster idle while the corpus-sized cres pass fills the cache.
+    from wallaroo_spark.functions.overlap import overlap_build
+
+    fine, _ = overlap_build(
+        lambda: pq_train(
+            tres, m=m, sub_dim=sub_dim, k=k, iters=2,
+            id_col=id_col, vec_col="_rv", round_dp=round_dp,
+        ),
+        cres.count,  # fills the persisted residual cache
+    )
     codes = pq_encode(
         cres, fine, m=m, sub_dim=sub_dim, id_col=id_col, vec_col="_rv",
         round_dp=round_dp,
@@ -1977,11 +1995,16 @@ def ivfpq_residual_topk(
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.col("approx_dist"), F.col(id_col))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select(query_id, id_col, "approx_dist", "rank")
     )
+    # Q*topk rows — materialize and release the corpus-sized residual cache
+    # (VERDICT r16 #7: cres outlived the query with no release hook)
+    from wallaroo_spark.functions.caching import materialize_release
+
+    return materialize_release(out, cres)
 
 
 def ivfpq_adaptive_topk(

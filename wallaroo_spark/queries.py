@@ -6666,7 +6666,13 @@ def pq_topk_packed_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     each code with a shift+mask inside the same rounded fold. Packing is
     a bijection on exact integers (roundtrip pinned by tests/test_pq.py),
     so the output — and therefore the oracle — is exactly pq_topk_adc's;
-    the replay chain is shared deliberately."""
+    the replay chain is shared deliberately.
+
+    r17 (VERDICT r16 #4): the pq_topk_adc keyed fan was applied here and
+    A/B-measured — warm medians 3.76 vs 4.04 s (fan slightly SLOWER, no
+    ReusedExchange appeared: unlike adc/rerank, the packed scan reads the
+    checkpoint-truncated codes, not a third embeddings pass) — so the
+    plain read stays; numbers in OPTIMIZATION_r17.md."""
     emb = read_table(spark, sf_dir, "embeddings")
     cb = similarity.pq_train(emb, iters=2)
     codes = similarity.pq_encode(emb.filter(F.col("vec_id") >= 10), cb)
