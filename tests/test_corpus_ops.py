@@ -653,3 +653,24 @@ def test_det_round_ratio_exact_half_boundaries(spark):
             f"SELECT {H.det_round_ratio_sql(str(num), str(den), dp)}"
         ).fetchone()[0]
         assert o == want, (num, den, dp, o, want)
+
+
+def test_ngram_hashed_verify_matches_string_verify(spark):
+    """r17: the verify join keys on xxhash64(sh) when the in-query guard
+    proves the hash collision-free on this input; vocab_broadcast_max=None
+    skips the guard action and keeps string keys. Both paths must return
+    identical pairs (the hashed path is lossless by verification)."""
+    from wallaroo_spark.operators.dedup import ngram_jaccard_pairs
+    from wallaroo_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    hashed = sorted(map(tuple, ngram_jaccard_pairs(docs, threshold=0.5).collect()))
+    stringy = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                docs, threshold=0.5, vocab_broadcast_max=None
+            ).collect(),
+        )
+    )
+    assert hashed == stringy and hashed

@@ -141,11 +141,28 @@ def ngram_jaccard_pairs(
     # count first (one approx agg that also warms the shingle cache) and
     # degrade to a plain shuffle join above the threshold — the algorithm is
     # unchanged either way. vocab_broadcast_max=None always broadcasts.
+    #
+    # r17: the SAME action also decides the verify-join key. The 10x scale
+    # study showed the verify re-exchange of |cands| x shingles/doc rows
+    # keyed by the shingle STRING is this operator's superlinear stage
+    # (39.5 of 141 s at 10x); joining on xxhash64(sh) narrows those rows
+    # ~40%. Lossless BY VERIFICATION, not by assumption: the exact
+    # distinct-shingle vs distinct-hash counts ride the one agg below, and
+    # the hashed key is used only when they are equal — zero collisions on
+    # THIS input means hash-equality is string-equality, so the joined
+    # multiset is identical; any collision falls back to the string join.
+    # No extra job: the guard shares the existing vocabulary action.
     if vocab_broadcast_max is not None:
-        n_vocab = sh.agg(F.approx_count_distinct("sh").alias("v")).first()["v"]
-        bcast = n_vocab <= vocab_broadcast_max
+        stats = sh.agg(
+            F.approx_count_distinct("sh").alias("v"),
+            F.count_distinct(F.col("sh")).alias("_nd"),
+            F.count_distinct(F.xxhash64(F.col("sh"))).alias("_nh"),
+        ).first()
+        bcast = stats["v"] <= vocab_broadcast_max
+        hashed_verify = stats["_nd"] == stats["_nh"]
     else:
         bcast = True
+        hashed_verify = False  # no action on this path; keep string keys
     # candidates CARRY the per-doc sizes the prefix window already computed
     # (r17, guide §2.4): the separate sizes groupBy over the full shingle
     # table and the two pair⋈sizes joins at the end are gone. (A broadcast
@@ -156,12 +173,20 @@ def ngram_jaccard_pairs(
     # OPTIMIZATION_r17.md.)
     cands = _ngram_candidates(sh, id_col, threshold, broadcast_freq=bcast)
 
-    # exact verification on candidates only (same shape as minhash verify)
-    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
-    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    # exact verification on candidates only (same shape as minhash verify);
+    # 8-byte hash key when the guard above proved it collision-free on
+    # this input, shingle string otherwise
+    key = "_vh" if hashed_verify else "sh"
+    shv = (
+        sh.select(id_col, F.xxhash64(F.col("sh")).alias(key))
+        if hashed_verify
+        else sh
+    )
+    a = shv.select(F.col(id_col).alias("doc_a"), key)
+    b = shv.select(F.col(id_col).alias("doc_b"), key)
     inter = (
         cands.join(a, "doc_a")
-        .join(b, ["doc_b", "sh"])
+        .join(b, ["doc_b", key])
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("inter"))
     )
