@@ -8311,6 +8311,15 @@ def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the r13 batch was additionally spot-verified at sf0.01 (the
 # driver's scale) before commit.
 _DRIVER_WINDOW_ROTATION = [
+    # r17: the r16 window is KEPT VERBATIM — it already fronts every
+    # query whose emitted values changed this round (corpus_stats_rollup,
+    # readability_signals, percentiles_by_group — the exact-integer
+    # rounding fixes) and the touched perf families (ngram_jaccard_pairs,
+    # ivfpq_residual_search, the classifier set; minhash_lsh_pairs sits
+    # in the stalwart head). The never-driver-checked backlog was fully
+    # retired in r16, so rotation would only push this round's riskiest
+    # names OUT of the driver's gate.
+    #
     # r16 batch (VERDICT r15 #1/#3). The r15 batch went 28/30 green in
     # CORRECTNESS_r15; the full local gate remains the rotated-out names'
     # backstop.
