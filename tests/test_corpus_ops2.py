@@ -104,6 +104,43 @@ def test_semdedup_marks_only_clustered_neighbors(spark):
     assert kept_total == 3
 
 
+def test_semdedup_semi_verify_matches_all_pairs(spark):
+    """r17: the pair-verify is a LEFT SEMI join (early exit at the first
+    qualifying neighbor). Pin that the removed set equals the literal
+    all-pairs + distinct computation on an input where rows have MANY
+    qualifying neighbors (the early-exit case) and ties in cosine."""
+    import itertools
+    import math
+
+    # one dense clique (ids 10..19, pairwise-similar), one sparse cluster
+    rows = [
+        Row(vec_id=10 + i, embedding=[1.0, 0.001 * i, 0.0, 0.0]) for i in range(10)
+    ] + [
+        Row(vec_id=i, embedding=[0.0, 0.0, 1.0, 0.3 * i]) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows)
+    tau = 0.9
+    out = {r.vec_id: r for r in similarity.semdedup(df, k=2, iters=2, tau=tau).collect()}
+
+    # reference: same cluster assignment, naive all-pairs + distinct
+    cents = similarity.kmeans_fit(df, k=2, iters=2)
+    assigned = {
+        r.vec_id: (r.cent_id, r.embedding)
+        for r in similarity.assign_nearest(df, cents).collect()
+    }
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return round(d / (math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v))), 4)
+    removed = {
+        b
+        for a, b in itertools.combinations(sorted(assigned), 2)
+        if assigned[a][0] == assigned[b][0] and cos(assigned[a][1], assigned[b][1]) >= tau
+    }
+    assert len(out) == len(rows)
+    for vid, r in out.items():
+        assert r.kept == (0 if vid in removed else 1), (vid, r)
+
+
 def test_snapshot_novelty_stream_batch_parity(spark, tmp_path):
     """The probe side is a pure map (in-row array math), so the SAME
     operator runs on a streaming snapshot feed via a stream-static

@@ -978,7 +978,7 @@ def semdedup(
     # subvector base (r16, measured ~0.2-0.5 s/run at sf0.1).
     a = assigned.withColumn("_n", _norm(F.col("_v"))).persist()
     lo = a.select(
-        F.col(id_col).alias("_ida"), "cent_id",
+        F.col(id_col).alias("_ida"), F.col("cent_id").alias("_cent_a"),
         F.col("_v").alias("_va"), F.col("_n").alias("_na"),
     )
     hi = a.select(
@@ -993,17 +993,30 @@ def semdedup(
     # so the join adds no further exchange. Measured (sf0.1, interleaved
     # A/B x3, results md5-identical): 11.8/6.1/4.5 s -> 4.8/4.0/3.6 s.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    lo = lo.repartition(n_parts, "cent_id")
+    lo = lo.repartition(n_parts, "_cent_a")
     hi = hi.repartition(n_parts, "cent_id")
+    # r17: LEFT SEMI instead of inner-join + distinct. The semi join emits
+    # each _idb at most once and, inside the sort-merge group, stops
+    # computing pair dots at the FIRST qualifying neighbor — the removed
+    # set is identical by construction (exactly the _idb with some
+    # same-cluster smaller-id neighbor at cosine >= tau), but the
+    # quadratic dot mass short-circuits for every duplicate row and the
+    # distinct's aggregate + exchange disappear from the plan.
     removed = (
-        lo.join(hi, "cent_id")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .filter(
-            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4)
-            >= tau
+        hi.join(
+            lo,
+            (F.col("cent_id") == F.col("_cent_a"))
+            & (F.col("_ida") < F.col("_idb"))
+            & (
+                F.round(
+                    _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                    4,
+                )
+                >= tau
+            ),
+            "left_semi",
         )
         .select(F.col("_idb").alias(id_col))
-        .distinct()
         .withColumn("_dup", F.lit(1))
     )
     out = (
