@@ -171,7 +171,9 @@ def ngram_jaccard_pairs(
     # broadcast serializes candidate generation AHEAD of the verify job it
     # used to overlap with, +1.1 s warm at sf0.1; rejected, numbers in
     # OPTIMIZATION_r17.md.)
-    cands = _ngram_candidates(sh, id_col, threshold, broadcast_freq=bcast)
+    cands = _ngram_candidates(
+        sh, id_col, threshold, broadcast_freq=bcast, hashed=hashed_verify
+    )
 
     # exact verification on candidates only (same shape as minhash verify);
     # 8-byte hash key when the guard above proved it collision-free on
@@ -199,33 +201,45 @@ def ngram_jaccard_pairs(
 
 
 def _ngram_candidates(
-    sh: DataFrame, id_col: str, threshold: float, broadcast_freq: bool
+    sh: DataFrame, id_col: str, threshold: float, broadcast_freq: bool,
+    hashed: bool = False,
 ) -> DataFrame:
     """Prefix-filter candidate generation (ppjoin): rank shingles rarest-
     first, join only each doc's prefix, apply length + positional filters.
     ``broadcast_freq`` picks broadcast vs shuffle for the global frequency
-    dictionary join (decided size-aware by the caller)."""
-    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+    dictionary join (decided size-aware by the caller).
+
+    ``hashed`` (r17): when the caller's guard proved xxhash64 collision-free
+    on this input's shingles, the whole candidate phase runs on the 8-byte
+    hash — the frequency groupBy, the rank window and the prefix self-join
+    never carry shingle strings. Rarest-first ordering tiebreaks on the
+    hash instead of the string: prefix filtering is lossless under ANY
+    total order over the shingle values shared by both docs, and zero
+    collisions make (f, hash) exactly such an order — candidates stay a
+    superset of the true pairs and the exact verify is unchanged."""
+    key = "_ch" if hashed else "sh"
+    base = sh.select(id_col, F.xxhash64(F.col("sh")).alias(key)) if hashed else sh
+    freq = base.groupBy(key).agg(F.count("*").alias("f"))
     if broadcast_freq:
         # dictionary-sized: ship it to the (data-sized) shingle rows
         freq = F.broadcast(freq)
     # rank + per-doc size in ONE hash shuffle on id_col (window count reuses
     # the row_number exchange) instead of a separate sizes agg + join
     w_id = Window.partitionBy(id_col)
-    ranked = sh.join(freq, "sh").select(
+    ranked = base.join(freq, key).select(
         id_col,
-        "sh",
-        F.row_number().over(w_id.orderBy(F.col("f"), F.col("sh"))).alias("_pos"),
+        key,
+        F.row_number().over(w_id.orderBy(F.col("f"), F.col(key))).alias("_pos"),
         F.count("*").over(w_id).alias("sz"),
     )
     prefix = ranked.filter(
         F.col("_pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select(id_col, "sh", "_pos", "sz")
+    ).select(id_col, key, "_pos", "sz")
     pa = prefix.select(
-        F.col(id_col).alias("doc_a"), "sh", F.col("_pos").alias("_pa"), F.col("sz").alias("_sza")
+        F.col(id_col).alias("doc_a"), key, F.col("_pos").alias("_pa"), F.col("sz").alias("_sza")
     )
     pb = prefix.select(
-        F.col(id_col).alias("doc_b"), "sh", F.col("_pos").alias("_pb"), F.col("sz").alias("_szb")
+        F.col(id_col).alias("doc_b"), key, F.col("_pos").alias("_pb"), F.col("sz").alias("_szb")
     )
     min_overlap = F.ceil(
         F.lit(threshold) / (1.0 + threshold) * (F.col("_sza") + F.col("_szb"))
@@ -234,7 +248,7 @@ def _ngram_candidates(
         F.col("_sza") - F.col("_pa"), F.col("_szb") - F.col("_pb")
     )
     return (
-        pa.join(pb, "sh")
+        pa.join(pb, key)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
             (F.col("_szb") >= threshold * F.col("_sza"))
@@ -349,7 +363,13 @@ def minhash_lsh_pairs(
     # (sig, doc) rows instead of 4-long structs — the narrowest possible
     # bucket-join shape. A hash collision can only ADD a false candidate,
     # which the exact-Jaccard verify below removes, so the output is
-    # identical to the struct-equality join.
+    # identical to the struct-equality join. (r17: threading the per-doc
+    # size THROUGH the band rows — the shape ngram's candidates use — was
+    # A/B-measured and rejected: +8 B on both sides of the hot band
+    # self-join cost ~10% at 10x; fusing the size into the signature
+    # aggregate instead is defeated by column pruning, which splits the
+    # two consumers back into the same two aggregates. Numbers in
+    # OPTIMIZATION_r17.md.)
     bands = sigs.select(
         id_col,
         F.explode(
