@@ -2616,8 +2616,13 @@ def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 iterations, cosine assignment, rounded dim-wise means) fits on the
     corpus, then the standard IVF probe — closing the loop the r1 verdict
     noted (centroids were caller-supplied). Oracle replays the identical
-    iterations as generated CTE blocks."""
-    emb = _t(spark, sf_dir, "embeddings")
+    iterations as generated CTE blocks.
+
+    r17 session 3: fanned loader — the 10x profile showed the Lloyd
+    seeding/assignment stages running 2-wide (raw parquet scan width) for
+    7.7 of 14.8 busy seconds; the scan-width floor lifts them to
+    defaultParallelism (same re-opened finding as pq_topk_packed_adc)."""
+    emb = _tw(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 10)
     cents = similarity.kmeans_fit(corpus, k=6, iters=2).withColumnRenamed(
         "cent_id", "vec_id"
@@ -6668,12 +6673,15 @@ def pq_topk_packed_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the output — and therefore the oracle — is exactly pq_topk_adc's;
     the replay chain is shared deliberately.
 
-    r17 (VERDICT r16 #4): the pq_topk_adc keyed fan was applied here and
-    A/B-measured — warm medians 3.76 vs 4.04 s (fan slightly SLOWER, no
-    ReusedExchange appeared: unlike adc/rerank, the packed scan reads the
-    checkpoint-truncated codes, not a third embeddings pass) — so the
-    plain read stays; numbers in OPTIMIZATION_r17.md."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    r17 (VERDICT r16 #4): the pq_topk_adc keyed fan was first A/B-measured
+    at sf0.1 only — warm medians 3.76 vs 4.04 s, no ReusedExchange (the
+    packed scan reads the checkpoint-truncated codes, not a third
+    embeddings pass) — and rejected. The 10x re-profile REOPENED it: the
+    Lloyd-training aggregates ran 2-wide (the raw parquet scan width) for
+    16+10+7.6 s stages on 32 cores, exactly the CPU-width collapse the
+    fan floor exists for; fanned, the train runs at defaultParallelism.
+    Numbers for both rounds in OPTIMIZATION_r17.md."""
+    emb = _tw(spark, sf_dir, "embeddings")
     cb = similarity.pq_train(emb, iters=2)
     codes = similarity.pq_encode(emb.filter(F.col("vec_id") >= 10), cb)
     packed = similarity.pq_pack_codes(codes)
